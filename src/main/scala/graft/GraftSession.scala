@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + fixture-table loaders.
+  *
+  * The reference engine (see /root/reference/v1/src/main.rs:118-133) runs 16 fixed
+  * tasks over a directory of parquet files; on Spark the equivalent knobs are the
+  * shuffle-partition count and the file-split sizing, set here once so every entry
+  * point (tests, Verify, Bench) builds the same kind of session.
+  */
+object GraftSession {
+
+  /** Tuned local session. `cores` drives both parallelism and shuffle width —
+    * on a real cluster shuffle.partitions would instead track total executor cores
+    * (AQE coalesces the excess at runtime).
+    */
+  def build(appName: String = "graft", cores: Int = 32): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Fixture tables live at `{dir}/{name}.parquet` (TESTDATA.md). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}
