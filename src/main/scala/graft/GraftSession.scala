@@ -24,10 +24,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
+      // type for; read as epoch-nano BIGINT and bucket with integer division.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
     spark
   }
 

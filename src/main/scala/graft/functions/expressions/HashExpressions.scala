@@ -1,0 +1,226 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hashing hot path.
+  *
+  * The same arithmetic exists as SQL higher-order functions
+  * ([[graft.functions.TextFunctions]]) — but Spark evaluates HOF lambdas
+  * interpreted (one Expression-tree walk per element), and CollapseProject
+  * can re-inline an expensive array-producing projection into every
+  * `element_at` that references it from inside a lambda (lambda references
+  * are collected as a *set*, so the producer looks "referenced once"). On a
+  * 5000-doc fixture that turned an O(chars) n-gram hash into O(chars²) and a
+  * 48 s query into a hang. These expressions do one tight JVM loop per row
+  * instead: same values, none of the interpretive machinery.
+  *
+  * All hashes are base-31 rolling hashes over character codepoints mod
+  * 1e9+7, identical to the DuckDB oracle fragments
+  * (`list_reduce(list_prepend(0,...), (acc,ch) -> (acc*31+ch) % 1000000007)`).
+  */
+object HashExpressions {
+  final val Prime = 1000000007L
+
+  @inline def polyHash(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) {
+      acc = (acc * 31 + s.charAt(i)) % Prime
+      i += 1
+    }
+    acc
+  }
+
+  /** Distinct + ascending sort (order is never observable downstream — only
+    * set ops and mins consume these arrays — and sortedness lets
+    * [[IntersectSize]] run a primitive merge walk instead of a boxed
+    * hash set per pair).
+    */
+  def distinct(xs: Array[Long], n: Int): Array[Long] = {
+    java.util.Arrays.sort(xs, 0, n)
+    val out = new Array[Long](n)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      if (k == 0 || xs(i) != out(k - 1)) { out(k) = xs(i); k += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, k)
+  }
+
+  val longArray: DataType = ArrayType(LongType, containsNull = false)
+}
+
+import HashExpressions._
+
+/** `graft_poly_hash(str)` — rolling hash of the whole string (fingerprint). */
+case class PolyHash(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    polyHash(s, 0, s.length)
+  }
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_char_ngram_hashes(str, n)` — distinct rolling hashes of every
+  * length-`n` character window (== poly hash of each substring).
+  */
+case class CharNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len < n) return new GenericArrayData(Array.empty[Long])
+    val m = len - n + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) { hashes(i) = polyHash(s, i, i + n); i += 1 }
+    new GenericArrayData(distinct(hashes, m))
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+/** `graft_token_hashes(str)` — rolling hash of every single-space-separated
+  * token, empties preserved (same tokenization as `split(str, ' ')`).
+  */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val out = Array.newBuilder[Long]
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        out += polyHash(s, start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(tokenHashes, n)` — distinct hashes of every
+  * n-token window, combining pre-hashed tokens:
+  * ((h1*31 + h2) % P * 31 + h3) % P.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData].toLongArray()
+    if (th.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = th.length - n + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 31 + th(i + j)) % Prime; j += 1 }
+      hashes(i) = acc
+      i += 1
+    }
+    new GenericArrayData(distinct(hashes, m))
+  }
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(shingleHashes, k)` — k-permutation MinHash signature,
+  * permutation i: ((1 + i*2654435761) % P * s + (7 + i*40503)) % P. NULL on
+  * an empty shingle set (mirrors `array_min(empty) = NULL` in the HOF form,
+  * so LSH band joins drop such rows in both engines).
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val sh = input.asInstanceOf[ArrayData].toLongArray()
+    if (sh.isEmpty) return null
+    val sig = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      val a = (1L + i * 2654435761L) % Prime
+      val b = (7L + i * 40503L) % Prime
+      var min = Long.MaxValue
+      var j = 0
+      while (j < sh.length) {
+        val h = (a * sh(j) + b) % Prime
+        if (h < min) min = h
+        j += 1
+      }
+      sig(i) = min
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_intersect_size(a, b)` — |a ∩ b| for two sorted-distinct i64
+  * arrays (as produced by [[CharNgramHashes]]/[[ShingleHashes]]): a merge
+  * walk over primitive longs, no boxing, no per-call hash set.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var n = 0
+    while (i < xs.length && j < ys.length) {
+      val c = java.lang.Long.compare(xs(i), ys(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+    copy(left = l, right = r)
+}
+
+/** `graft_simhash32(tokenHashes)` — 32-bit SimHash: bit b set iff the ±1
+  * vote of bit b over all token hashes sums ≥ 0.
+  */
+case class SimHash32(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val th = input.asInstanceOf[ArrayData].toLongArray()
+    var out = 0L
+    var b = 0
+    while (b < 32) {
+      var s = 0L
+      var i = 0
+      while (i < th.length) {
+        s += (if (((th(i) >> b) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (s >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+    copy(child = newChild)
+}

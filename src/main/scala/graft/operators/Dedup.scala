@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine near-dup. Extensions beyond the
+  * reference surface (its data model is the same flat parquet table,
+  * /root/reference/v1/src/main.rs:122-128; dedup is what a 100 TB corpus
+  * pipeline adds on top).
+  *
+  * Scale design, per operator:
+  *  - exact: one hash-shuffle on the fingerprint — the minimal possible.
+  *  - MinHash/LSH: signatures are computed map-side (HOFs, no shuffle);
+  *    candidate generation shuffles on (band, bandhash) — i.e. only docs
+  *    sharing a bucket ever meet, never O(n²); verification joins shingle
+  *    sets back by doc id (hash join on the small candidate set).
+  *  - SimHash: signature map-side; pairing restricted to an explicit subset
+  *    predicate (at 100 TB you'd band the 32-bit space the same way LSH
+  *    bands MinHash signatures).
+  *  - cosine near-dup: same LSH-bucket shape using random-hyperplane signs.
+  * No collect(), no driver-side loops; every join key is a small integer.
+  */
+object Dedup {
+
+  /** Exact dedup on the text fingerprint: one representative (min doc id)
+    * per distinct normalized text + the duplicate count. A single
+    * hash-aggregate; at 100 TB this is the cheapest possible full-corpus op.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    withGraftFns(docs)
+      .select(col(idCol), expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp"))
+      .groupBy("fp")
+      .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  private def withGraftFns(df: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(df.sparkSession)
+    df
+  }
+
+  /** MinHash signature of length `k` over distinct token-`n`-gram shingle
+    * hashes (native expressions: one tight loop per row — see
+    * [[graft.functions.expressions.HashExpressions]] for why the HOF
+    * formulation is a trap). A shingle hash combines the n pre-hashed
+    * tokens (((h1*31+h2)%P)*31+h3)%P. Permutation i: h_i(s) = (a_i*s + b_i)
+    * mod P with a_i = (1 + i*2654435761) mod P, b_i = (7 + i*40503) mod P —
+    * fixed, engine-independent constants so the oracle can replay them.
+    */
+  def minhashSignature(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      shingleN: Int = 3): DataFrame =
+    withGraftFns(docs)
+      .select(col(idCol),
+        expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)").as("shingles"))
+      .select(col(idCol), col("shingles"),
+        expr(s"graft_minhash_sig(shingles, $k)").as("sig"))
+
+  /** LSH candidate pairs: band the signature (`bands` bands × k/bands rows),
+    * bucket-join docs sharing any (band, bandhash). Output: doc_a < doc_b.
+    */
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHash = (0 until rowsPerBand)
+      .map(r => s"element_at(sig, band * $rowsPerBand + ${r + 1})")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, el) => s"(($acc * 31 + $el) % $Prime)")
+    val banded = sigs
+      .select(col(idCol), explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
+      .select(col(idCol), col("band"), expr(bandHash).as("bh"))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: candidates verified with exact
+    * Jaccard on the shingle sets, kept when ≥ `threshold`.
+    */
+  def minhashNearDups(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
+    val cands = lshCandidates(sigs, idCol, bands, k / bands)
+    val sets = sigs.select(col(idCol), col("shingles"))
+    cands
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("graft_intersect_size(sh_a, sh_b)").as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Single-band min-hash blocking + exact char-n-gram Jaccard: candidates =
+    * pairs sharing the *minimum* hashed char-n-gram (one shuffle on that
+    * 1-element signature — the cheapest LSH configuration), verified exactly.
+    * `n` must be large enough that the min gram is discriminative: on a
+    * small-vocabulary corpus short grams are shared by nearly every document
+    * and the min-block degenerates into one giant bucket (measured at
+    * sf0.1: n=4 → 866k candidate pairs, n=12 → 63k).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      n: Int = 12,
+      threshold: Double = 0.5): DataFrame = {
+    val sets = withGraftFns(docs)
+      .select(col(idCol), expr(s"graft_char_ngram_hashes($textCol, $n)").as("grams"))
+    val blocked = sets.select(col(idCol), col("grams"),
+      size(col("grams")).as("ng"), array_min(col("grams")).as("block"))
+    blocked.as("a")
+      .join(blocked.as("b"), col("a.block") === col("b.block")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        expr("graft_intersect_size(a.grams, b.grams)").as("inter"),
+        col("a.ng").as("na"), col("b.ng").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** 32-bit SimHash per document: bit b of the signature is set iff the
+    * (+1/−1) majority vote of that bit across all token hashes is ≥ 0.
+    * Duplicate tokens vote once per occurrence (standard frequency weight).
+    */
+  def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    withGraftFns(docs)
+      .select(col(idCol), expr(s"graft_simhash32(graft_token_hashes($textCol))").as("sh"))
+
+  /** SimHash near-dup pairs within `subset` (e.g. one shard), hamming
+    * distance ≤ `maxHamming`. At full scale the pairing key would be the
+    * signature's bands, exactly like [[lshCandidates]].
+    */
+  def simhashNearDups(
+      docs: DataFrame,
+      subset: org.apache.spark.sql.Column,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxHamming: Int = 8): DataFrame = {
+    val sh = simhashed(docs.where(subset), idCol, textCol)
+    sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding cosine near-duplicates within `subset`: all-pairs cosine ≥
+    * `threshold`. Dot/norm accumulate left-to-right in double (same order as
+    * the oracle's list_sum). The scale path is [[SimilaritySearch.lshTopK]]'s
+    * hyperplane bucketing; this exact variant is the verification oracle.
+    */
+  def cosineNearDups(
+      emb: DataFrame,
+      subset: org.apache.spark.sql.Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      threshold: Double = 0.45): DataFrame = {
+    // norms precomputed per vector (not per pair); cos = dot/na/nb is the
+    // same expression order as the oracle's dot/sqrt(aa)/sqrt(bb)
+    val e = emb.where(subset).select(col(idCol), col(vecCol),
+      SimilaritySearch.norm(col(vecCol)).as("nrm"))
+    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        (SimilaritySearch.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
+          / col("a.nrm") / col("b.nrm")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

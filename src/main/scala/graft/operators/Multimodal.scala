@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, pushed through a partition-wise feature-extraction
+  * stage. The Spark-side shape — schema, `Dataset[T]` encoders, batch-wise
+  * `mapPartitions`, partitioning — is real and tested; the actual media
+  * decode is STUBBED with a deterministic fake (no image/audio libs in this
+  * environment): features derive from the payload bytes via the same base-31
+  * rolling hash the text layer uses, so results are reproducible and
+  * oracle-checkable.
+  *
+  * Scale design: `mapPartitions` keeps the decode batched per partition
+  * (one decoder init per partition, not per row — the same reason the
+  * Python path would use mapInPandas); payloads never shuffle — feature
+  * extraction is map-side, and only the small feature columns flow on.
+  */
+object Multimodal {
+
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte], media_type: String)
+
+  final case class MediaFeatures(
+      doc_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      payload_fp: Long,
+      width: Int,
+      height: Int,
+      feature: Array[Double])
+
+  private val Prime = graft.functions.TextFunctions.Prime
+
+  /** Deterministic stand-in for a real media decoder (???): rolling hash of
+    * the payload + fake dimensions/features derived from it. Byte values are
+    * taken unsigned so ASCII payloads hash identically to their text form.
+    */
+  def decodeStub(r: MediaRecord): MediaFeatures = {
+    var acc = 0L
+    var i = 0
+    while (i < r.payload.length) {
+      acc = (acc * 31 + (r.payload(i) & 0xff)) % Prime
+      i += 1
+    }
+    val feat = Array.tabulate(4)(d => ((acc + d * 40503L) % 1000L).toDouble / 1000.0)
+    MediaFeatures(r.doc_id, r.media_type, r.payload.length.toLong, acc,
+      width = (acc % 640L).toInt, height = (acc % 480L).toInt, feature = feat)
+  }
+
+  /** Wrap a text table as a media table: payload = UTF-8 bytes of the text
+    * column (the fixture corpus has no real binaries; this keeps the byte
+    * path honest end-to-end).
+    */
+  def asMediaTable(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      lit("text/plain").as("media_type"))
+
+  /** The featurize stage: typed, partition-batched, decoder init amortized
+    * per partition. At 100 TB the input would be
+    * `spark.read.format("binaryFile")` or a parquet table of blobs with the
+    * same three-column schema.
+    */
+  def featurize(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      // real pipeline: init decoder/model once per partition here
+      it.map(decodeStub)
+    }
+  }
+
+  /** Full stub pipeline as a DataFrame (feature array exploded to fixed
+    * columns so the parquet dump is flat and oracle-comparable).
+    */
+  def featurePipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    featurize(asMediaTable(docs)).toDF()
+      .select(col("doc_id"), col("media_type"), col("n_bytes"), col("payload_fp"),
+        col("width"), col("height"),
+        element_at(col("feature"), 1).as("f0"), element_at(col("feature"), 2).as("f1"),
+        element_at(col("feature"), 3).as("f2"), element_at(col("feature"), 4).as("f3"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.functions.TextFunctions.Prime
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`ArrayType(FloatType)`): brute-force cosine top-k as the exact baseline,
+  * and a random-hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale design: the query side is small (broadcast), the corpus streams;
+  * brute-force is O(|Q|·|C|) work but map-side only after the broadcast —
+  * no corpus shuffle. The LSH variant buckets both sides on an 8-bit
+  * hyperplane signature so each query row only meets its bucket — at 1000
+  * executors the corpus stays partition-local and only bucket ids shuffle.
+  * Top-k is a window row_number over (query, score) — Spark runs it as a
+  * per-partition partial sort after a hash exchange on query id, never a
+  * global sort.
+  */
+object SimilaritySearch {
+
+  /** Dot product of two float-array columns, accumulated left-to-right in
+    * double (deterministic, same order as the oracle's list_reduce).
+    */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Euclidean norm. */
+  def norm(x: Column): Column = sqrt(dot(x, x))
+
+  /** Cosine similarity; `dot/sqrt(aa)/sqrt(bb)` — callers that score many
+    * pairs should precompute [[norm]] per side and divide, which is the
+    * bit-identical expression evaluated in the same order.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / norm(a) / norm(b)
+
+  /** Exact brute-force top-k: for each query vector, the k corpus vectors
+    * with highest cosine (ties broken by corpus id for determinism).
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val scored = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+      .crossJoin(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+        norm(col(vecCol)).as("cn")))
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("qv"), col("cv")) / col("qn") / col("cn")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** Random-hyperplane signature: bit j is the sign of ⟨v, h_j⟩ where
+    * hyperplane weights are deterministic ±1 derived from
+    * ((j*2654435761 + i*40503) mod P) mod 2 — engine-independent, so the
+    * oracle replays the identical planes. 2^planes buckets.
+    */
+  def hyperplaneBucket(vecCol: String, planes: Int): Column =
+    expr(
+      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, j) ->
+         |acc + CASE WHEN aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
+         |(s, i) -> s + CASE WHEN ((j * 2654435761 + i * 40503) % $Prime) % 2 = 0
+         |THEN CAST(element_at($vecCol, i + 1) AS DOUBLE)
+         |ELSE -CAST(element_at($vecCol, i + 1) AS DOUBLE) END) > 0
+         |THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
+        .stripMargin.replaceAll("\n", " "))
+
+  /** LSH-bucketed ANN: queries only meet corpus vectors in the same
+    * hyperplane bucket (approximate — may return < k or miss true
+    * neighbors; deterministic given the fixed planes).
+    */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      planes: Int = 8,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn"), hyperplaneBucket(vecCol, planes).as("bucket"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"), hyperplaneBucket(vecCol, planes).as("bucket"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    broadcast(q).join(c, "bucket")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("qv"), col("cv")) / col("qn") / col("cn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+}

@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.GraftSession
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline extension queries (SURVEY.md §7 step 6): dedup,
+  * similarity search, text analysis, multimodal plumbing, event-stream
+  * analytics — each with a DuckDB oracle that replays the *identical*
+  * deterministic arithmetic (base-31 polyhash mod 1e9+7, fixed LSH
+  * constants, left-to-right double accumulation), so the driver's
+  * hash-compare is value-exact, not rows-only.
+  */
+object ExtensionCatalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    GraftSession.table(s, dir, name)
+
+  /** DuckDB fragment: polyhash of an expression (mirrors
+    * [[TextFunctions.fingerprintExpr]]).
+    */
+  private def dPoly(c: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($c, ''), " +
+      s"ch -> ascii(ch)::BIGINT)), (acc, ch) -> (acc * 31 + ch) % $Prime)"
+
+  /** DuckDB fragment: distinct token-3-gram shingle hashes built from the
+    * pre-hashed token list `hs` (mirrors [[Dedup.minhashSignature]]'s
+    * combine of per-token rolling hashes).
+    */
+  private val dShingles: String =
+    s"""list_distinct(CASE WHEN len(hs) >= 3
+       |  THEN list_transform(range(1, len(hs) - 1),
+       |       i -> ((hs[i] * 31 + hs[i+1]) % $Prime * 31 + hs[i+2]) % $Prime)
+       |  ELSE [] END)""".stripMargin
+
+  /** DuckDB fragment: left-to-right double cosine (mirrors
+    * [[SimilaritySearch.cosine]]).
+    */
+  private def dCos(a: String, b: String): String = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x) + 1), " +
+        s"k -> $x[k]::DOUBLE * $y[k]::DOUBLE)), (acc, v) -> acc + v)"
+    s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
+  }
+
+  val all: Seq[CatalogEntry] = Seq(
+
+    CatalogEntry(
+      "x01_token_stats",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          tokenCount("text").cast("long").as("n_tokens"),
+          bpeTokenCount("text").cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+             |len(string_split(text, ' ')) AS n_tokens,
+             |len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_tokens
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      "token counting: whitespace + BPE-ish regex pre-tokenizer (extension: text analysis)"),
+
+    CatalogEntry(
+      "x02_quality_score",
+      (s, dir) => {
+        val sig = TextFunctions.qualitySignals("text")
+        t(s, dir, "documents")
+          .select(col("doc_id"), sig.as("sig"))
+          .select(col("doc_id"), col("sig.*"),
+            TextFunctions.qualityScore(col("sig")))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+              |sig AS (
+              |  SELECT doc_id,
+              |    length(text)::BIGINT AS n_chars,
+              |    len(toks)::BIGINT AS n_tokens,
+              |    (length(text) - len(toks) + 1)::DOUBLE / len(toks) AS avg_token_len,
+              |    len(list_distinct(toks))::DOUBLE / len(toks) AS type_token_ratio,
+              |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+              |      / len(toks) AS stopword_ratio,
+              |    length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE / length(text) AS alpha_ratio
+              |  FROM base)
+              |SELECT *, least(n_tokens::DOUBLE / 100.0, 1.0) * 0.3 + type_token_ratio * 0.4
+              |  + (1.0 - abs(stopword_ratio - 0.08)) * 0.3 AS quality_score
+              |FROM sig ORDER BY doc_id""".stripMargin),
+      "per-document quality signals + composite score (extension: text analysis)"),
+
+    CatalogEntry(
+      "x03_lang_id",
+      (s, dir) =>
+        t(s, dir, "documents").select(
+          col("doc_id"),
+          TextFunctions.langId("text").as("pred_lang"),
+          (TextFunctions.langId("text") === col("lang")).as("agrees"))
+          .orderBy("doc_id"),
+      Some(s"""WITH sc AS (
+              |  SELECT doc_id, lang,
+              |    len(list_filter(string_split(text,' '), t -> t IN ('the','and','of','is'))) AS s_en,
+              |    len(list_filter(string_split(text,' '), t -> t IN ('der','die','und','ist'))) AS s_de,
+              |    len(list_filter(string_split(text,' '), t -> t IN ('le','la','et','est'))) AS s_fr,
+              |    len(list_filter(string_split(text,' '), t -> t IN ('el','los','que','es'))) AS s_es
+              |  FROM documents),
+              |p AS (
+              |  SELECT doc_id, lang,
+              |    CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              |         WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+              |         WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+              |         WHEN s_es > 0 THEN 'es'
+              |         ELSE 'und' END AS pred_lang
+              |  FROM sc)
+              |SELECT doc_id, pred_lang, pred_lang = lang AS agrees
+              |FROM p ORDER BY doc_id""".stripMargin),
+      "language ID via marker-word scores, argmax with fixed tie-break (extension: text analysis)"),
+
+    CatalogEntry(
+      "x04_fingerprint",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), fingerprint("text").as("fp"))
+          .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, ${dPoly("text")} AS fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      "document fingerprint: base-31 rolling hash mod 1e9+7 (extension: text analysis)"),
+
+    CatalogEntry(
+      "x05_exact_dedup",
+      (s, dir) =>
+        Dedup.exact(t(s, dir, "documents")).orderBy("fp"),
+      Some(s"""SELECT ${dPoly("lower(trim(text))")} AS fp,
+              |min(doc_id) AS keep_id, count(*) AS n_dups
+              |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+      "exact dedup: hash-groupBy on normalized-text fingerprint (extension: dedup)"),
+
+    CatalogEntry(
+      "x06_ngram_jaccard_dedup",
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(t(s, dir, "documents"), n = 12, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH g AS (
+              |  SELECT doc_id, list_distinct(list_transform(
+              |    CASE WHEN length(text) >= 12
+              |      THEN list_transform(range(1, length(text) - 10), i -> text[i:i+11])
+              |      ELSE [] END,
+              |    s -> ${dPoly("s")})) AS grams
+              |  FROM documents),
+              |b AS (SELECT doc_id, grams, list_min(grams) AS block FROM g)
+              |SELECT * FROM (
+              |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+              |    len(list_intersect(a.grams, b2.grams))::DOUBLE
+              |      / (len(a.grams) + len(b2.grams) - len(list_intersect(a.grams, b2.grams))) AS jac
+              |  FROM b a JOIN b b2 ON a.block = b2.block AND a.doc_id < b2.doc_id)
+              |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      "char-12-gram Jaccard near-dup with min-hash blocking (extension: dedup)"),
+
+    CatalogEntry(
+      "x07_minhash_lsh_dedup",
+      (s, dir) =>
+        Dedup.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 8,
+          shingleN = 3, threshold = 0.5)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+              |SELECT * FROM (
+              |  SELECT c.id_a, c.id_b,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      "MinHash(16)+LSH(8 bands×2) near-dup, exact-Jaccard verified (extension: dedup)"),
+
+    CatalogEntry(
+      "x08_simhash_dedup",
+      (s, dir) =>
+        Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id") % 5 === 0,
+          maxHamming = 4)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE doc_id % 5 = 0),
+              |sh AS (
+              |  SELECT doc_id,
+              |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b ->
+              |      CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hs,
+              |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+              |             (s2, v) -> s2 + v) >= 0
+              |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, v) -> acc + v) AS sh
+              |  FROM th)
+              |SELECT * FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin),
+      "32-bit SimHash near-dup pairs, hamming ≤ 4 on a doc_id%5 shard (extension: dedup)"),
+
+    CatalogEntry(
+      "x09_embedding_neardup",
+      (s, dir) =>
+        Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id") % 4 === 0,
+          threshold = 0.40)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+              |SELECT * FROM (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |    ${dCos("a.embedding", "b.embedding")} AS cos
+              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+              |WHERE cos >= 0.40 ORDER BY id_a, id_b""".stripMargin),
+      "embedding-cosine near-dup pairs on a vec_id%4 shard (extension: dedup)"),
+
+    CatalogEntry(
+      "x10_ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.bruteForceTopK(
+          e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10), k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""SELECT * FROM (
+              |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              |    ${dCos("q.embedding", "c.embedding")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${dCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |  FROM (SELECT * FROM embeddings WHERE vec_id < 10) q,
+              |       (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "brute-force cosine top-5 ANN baseline, broadcast queries (extension: similarity search)"),
+
+    CatalogEntry(
+      "x11_ann_lsh",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.lshTopK(
+          e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10), k = 5, planes = 8)
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        val bucket = (v: String) =>
+          s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+             |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
+             |    i -> CASE WHEN ((j * 2654435761 + (i - 1) * 40503) % $Prime) % 2 = 0
+             |         THEN $v[i]::DOUBLE ELSE -($v[i]::DOUBLE) END)), (s2, x) -> s2 + x) > 0
+             |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
+        s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+           |  ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS corpus_id, embedding AS cv,
+           |  ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id >= 10)
+           |SELECT * FROM (
+           |  SELECT q.query_id, c.corpus_id, ${dCos("q.qv", "c.cv")} AS cos,
+           |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+           |      ORDER BY ${dCos("q.qv", "c.cv")} DESC, c.corpus_id) AS rank
+           |  FROM q JOIN c ON q.bucket = c.bucket)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      },
+      "LSH-bucketed ANN: 8 random hyperplanes, in-bucket top-5 (extension: similarity search)"),
+
+    CatalogEntry(
+      "x12_multimodal_features",
+      (s, dir) => Multimodal.featurePipeline(s, t(s, dir, "documents")),
+      Some(s"""WITH f AS (SELECT doc_id, ${dPoly("text")} AS fp,
+              |  octet_length(encode(text)) AS nb FROM documents)
+              |SELECT doc_id, 'text/plain' AS media_type, nb::BIGINT AS n_bytes,
+              |  fp AS payload_fp, (fp % 640)::INT AS width, (fp % 480)::INT AS height,
+              |  ((fp + 0 * 40503) % 1000) / 1000.0 AS f0,
+              |  ((fp + 1 * 40503) % 1000) / 1000.0 AS f1,
+              |  ((fp + 2 * 40503) % 1000) / 1000.0 AS f2,
+              |  ((fp + 3 * 40503) % 1000) / 1000.0 AS f3
+              |FROM f ORDER BY doc_id""".stripMargin),
+      "multimodal plumbing: binary payload → mapPartitions featurize (decode stubbed deterministically) (extension: multimodal)"),
+
+    CatalogEntry(
+      "x13_events_hourly",
+      (s, dir) =>
+        // ts is epoch-nano BIGINT (nanosAsLong); integer `div` keeps the
+        // bucketing exact where double division would lose precision > 2^53.
+        t(s, dir, "events")
+          .groupBy(
+            date_format(
+              timestamp_seconds(expr("ts div 3600000000000") * 3600),
+              "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("value_milli_sum"))
+          .orderBy("hour", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |event_type, COUNT(*) AS n,
+             |SUM(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      "tumbling-hour event aggregation; sums exact via milli-unit integers (extension: events)"),
+
+    CatalogEntry(
+      "x14_events_topk_users",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .groupBy("event_type", "user_id")
+          .agg(sum(floor(col("value") * 1000).cast("long")).as("value_milli"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("value_milli").desc, col("user_id"))
+        perUser
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT * FROM (
+             |  SELECT event_type, user_id, value_milli,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type
+             |      ORDER BY value_milli DESC, user_id) AS rank
+             |  FROM (SELECT event_type, user_id,
+             |          SUM(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+             |        FROM events GROUP BY 1, 2))
+             |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
+      "top-3 users per event type by exact milli-sum, window row_number (extension: events)")
+  )
+}

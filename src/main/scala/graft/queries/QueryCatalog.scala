@@ -27,7 +27,7 @@ final case class CatalogEntry(
 object QueryCatalog {
 
   /** Full inventory the driver verifies; extensions appended as they land. */
-  def all: Seq[CatalogEntry] = referenceParity
+  def all: Seq[CatalogEntry] = referenceParity ++ ExtensionCatalog.all
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     GraftSession.table(s, dir, name)

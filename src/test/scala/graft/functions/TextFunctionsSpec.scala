@@ -1,0 +1,75 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class TextFunctionsSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Reference implementation of the shared rolling hash. */
+  private def polyRef(s: String): Long =
+    s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Prime)
+
+  test("fingerprint matches the scalar reference implementation") {
+    val texts = Seq("abc", "the quick brown fox", "a", "spark near storage")
+    val got = texts.toDF("text").select(fingerprint("text")).as[Long].collect()
+    got.toSeq shouldBe texts.map(polyRef)
+    polyRef("abc") shouldBe 96354L // = java.lang.String#hashCode of "abc"
+  }
+
+  test("token shingles slide over tokens; short docs yield empty") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(expr(tokenShinglesExpr("text", 3)).as("sh"))
+    df.as[Seq[String]].collect().toSeq shouldBe
+      Seq(Seq("a b c", "b c d"), Seq.empty)
+  }
+
+  test("char ngrams slide over characters") {
+    Seq("abcde").toDF("text")
+      .select(expr(charNgramsExpr("text", 4)).as("g"))
+      .as[Seq[String]].collect().head shouldBe Seq("abcd", "bcde")
+  }
+
+  test("token counts: whitespace and BPE-ish") {
+    val row = Seq("hello world, it's 42 degrees").toDF("text")
+      .select(tokenCount("text"), bpeTokenCount("text"))
+      .collect().head
+    row.getInt(0) shouldBe 5
+    // [hello][world][,][it][')[s][4][2][degrees] = 9
+    row.getInt(1) shouldBe 9
+  }
+
+  test("quality signals are exact arithmetic over token stats") {
+    val sig = Seq("the cat sat on the mat").toDF("text")
+      .select(qualitySignals("text").as("s")).select("s.*").collect().head
+    sig.getLong(0) shouldBe 22L // n_chars
+    sig.getLong(1) shouldBe 6L // n_tokens
+    sig.getDouble(2) shouldBe (22.0 - 5) / 6 // avg_token_len
+    sig.getDouble(3) shouldBe 5.0 / 6 // type_token_ratio ("the" twice)
+    sig.getDouble(4) shouldBe 2.0 / 6 // stopword_ratio
+    sig.getDouble(5) shouldBe 1.0 // alpha_ratio
+  }
+
+  test("langId picks the language with most marker tokens, en wins ties") {
+    val rows = Seq(
+      "the cat and the dog is here", // en
+      "der hund und die katze ist da", // de
+      "le chat et la souris est la", // fr
+      "el gato y los perros es aqui", // es
+      "xyzzy plugh quux" // no markers
+    ).toDF("text").select(langId("text")).as[String].collect()
+    rows.toSeq shouldBe Seq("en", "de", "fr", "es", "und")
+  }
+
+  test("jaccard on hashed shingle sets") {
+    val df = Seq(("a b c d e", "a b c d x")).toDF("t1", "t2").select(
+      expr(hashedShingleSetExpr(tokenShinglesExpr("t1", 3))).as("s1"),
+      expr(hashedShingleSetExpr(tokenShinglesExpr("t2", 3))).as("s2"))
+    // shingles t1: {abc,bcd,cde}, t2: {abc,bcd,cdx} → jac = 2/4
+    df.select(jaccard(col("s1"), col("s2"))).as[Double].collect().head shouldBe 0.5
+  }
+}

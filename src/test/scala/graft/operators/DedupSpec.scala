@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DedupSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val planted = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today"),
+    (1L, "the quick brown fox jumps over the lazy cat today"), // near-dup of 0
+    (2L, "completely different text about spark query engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+    (4L, "unrelated words describing parquet column statistics pruning")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical normalized texts") {
+    val out = Dedup.exact(planted).collect()
+    out.map(_.getLong(2)).sum shouldBe 5 // every doc accounted for
+    val dupGroup = out.filter(_.getLong(2) == 2)
+    dupGroup should have length 1
+    dupGroup.head.getLong(1) shouldBe 0L // representative = min doc_id
+  }
+
+  test("minhash LSH finds the planted near-duplicate and the exact dup") {
+    val pairs = Dedup.minhashNearDups(planted, k = 16, bands = 8, shingleN = 3,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 3L)) // exact dup: jaccard 1.0
+    pairs should contain((0L, 1L)) // near dup: 1-token edit
+    pairs should contain((1L, 3L))
+    // dissimilar docs never pass verification
+    all(pairs.toSeq.map { case (a, b) => Set(a, b) }) should not contain 2L
+  }
+
+  test("simhash of identical texts is identical; near-dup within hamming 4") {
+    val sh = Dedup.simhashed(planted, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    sh(0L) shouldBe sh(3L)
+    java.lang.Long.bitCount(sh(0L) ^ sh(1L)) should be <= 4
+    val pairs = Dedup.simhashNearDups(planted, lit(true), maxHamming = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((0L, 3L))
+    pairs should contain((0L, 1L))
+  }
+
+  test("ngram jaccard pairs respect the threshold and blocking") {
+    val pairs = Dedup.ngramJaccardPairs(planted, n = 4, threshold = 0.5)
+      .select("id_a", "id_b", "jac").collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    ids should contain((0L, 3L))
+    pairs.filter(r => (r.getLong(0), r.getLong(1)) == ((0L, 3L)))
+      .head.getDouble(2) shouldBe 1.0
+  }
+
+  test("minhash LSH plan shuffles on band buckets, not all pairs") {
+    val plan = Dedup.minhashNearDups(planted).queryExecution.optimizedPlan.toString
+    // the candidate join must be an equi-join (band, bandhash) — never a
+    // cartesian product over documents
+    plan should not include "Cartesian"
+  }
+}

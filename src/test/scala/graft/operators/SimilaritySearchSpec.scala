@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.{GraftSession, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class SimilaritySearchSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emb =
+    GraftSession.table(spark, SparkTestSession.sf0001, "embeddings")
+
+  test("cosine of a vector with itself is 1.0") {
+    val cos = emb.limit(5)
+      .select(SimilaritySearch.cosine($"embedding", $"embedding").as("c"))
+      .as[Double].collect()
+    all(cos) shouldBe 1.0 +- 1e-12
+  }
+
+  test("brute-force top-k returns k ranked neighbors per query, best first") {
+    val out = SimilaritySearch.bruteForceTopK(
+      emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4).collect()
+    out.length shouldBe 12
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(3))
+      byRank.map(_.getInt(3)).toSeq shouldBe Seq(1, 2, 3, 4)
+      val scores = byRank.map(_.getDouble(2)).toSeq
+      scores shouldBe scores.sorted.reverse
+    }
+  }
+
+  test("LSH top-k is a subset of the full ranking and respects buckets") {
+    val q = emb.where($"vec_id" < 5)
+    val c = emb.where($"vec_id" >= 5)
+    val lsh = SimilaritySearch.lshTopK(q, c, k = 3, planes = 8)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // every LSH result pair shares a hyperplane bucket with its query
+    val buckets = emb
+      .select($"vec_id", SimilaritySearch.hyperplaneBucket("embedding", 8).as("b"))
+      .as[(Long, Long)].collect().toMap
+    lsh.foreach { case (qid, cid) => buckets(qid) shouldBe buckets(cid) }
+  }
+
+  test("brute-force plan broadcasts the query side (no corpus shuffle)") {
+    val plan = SimilaritySearch.bruteForceTopK(
+      emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4)
+      .queryExecution.sparkPlan.toString
+    plan should include("Broadcast")
+  }
+}
