@@ -199,6 +199,35 @@ case class IntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot product of two float/double array columns, accumulated
+  * left-to-right in double — bit-identical to
+  * `aggregate(zip_with(a, b, (p,q) -> double(p)*double(q)), 0d, +)` and to
+  * the oracle's `list_reduce(list_prepend(0.0, ...), +)`, without the
+  * per-element interpreted-lambda overhead (the embedding pair queries
+  * evaluate this 10⁵–10⁷ times).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  private def elems(e: Expression, d: Any): Array[Double] =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => d.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+      case DoubleType => d.asInstanceOf[ArrayData].toDoubleArray()
+      case t => throw new IllegalArgumentException(s"graft_dot: unsupported element type $t")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = elems(left, a)
+    val ys = elems(right, b)
+    val n = math.min(xs.length, ys.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** `graft_simhash32(tokenHashes)` — 32-bit SimHash: bit b set iff the ±1
   * vote of bit b over all token hashes sums ≥ 0.
   */

@@ -22,10 +22,13 @@ object SimilaritySearch {
 
   /** Dot product of two float-array columns, accumulated left-to-right in
     * double (deterministic, same order as the oracle's list_reduce).
+    * Native expression — see [[graft.functions.expressions.DotProduct]].
     */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(x: Column, y: Column): Column = {
+    import org.apache.spark.sql.graft.GraftFunctions
+    GraftFunctions.column(graft.functions.expressions.DotProduct(
+      GraftFunctions.expression(x), GraftFunctions.expression(y)))
+  }
 
   /** Euclidean norm. */
   def norm(x: Column): Column = sqrt(dot(x, x))

@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.IntegerType
   */
 object GraftFunctions {
 
+  /** Column ↔ Expression bridge (classic backend; `private[sql]` surface). */
+  def column(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+  def expression(c: org.apache.spark.sql.Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(

@@ -1,0 +1,92 @@
+package graft.metrics
+
+import graft.SparkTestSession
+import graft.operators.ParquetQuery
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class BytePlannerSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Multi-row-group copy sorted by l_quantity so groups are prunable. */
+  private lazy val staged: String = {
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner").toString
+    SparkTestSession.spark.read
+      .parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+      .orderBy("l_quantity").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(dir)
+    dir
+  }
+
+  test("footer trailer parses (PAR1 magic + length, S1)") {
+    val f = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val len = BytePlanner.readFooterLength(f)
+    len should be > 0L
+    len should be < new java.io.File(f).length()
+  }
+
+  test("staging produced multiple row groups") {
+    BytePlanner.plan(staged, Nil, None).rowGroups should be > 1
+  }
+
+  test("no predicate ⇒ every group survives; projection shrinks bytes") {
+    val all = BytePlanner.plan(staged, Nil, None)
+    all.survivingGroups shouldBe all.rowGroups
+    val narrow = BytePlanner.plan(staged, Seq("l_quantity"), None)
+    narrow.plannedBytes should be < all.plannedBytes
+    narrow.survivingGroups shouldBe all.rowGroups
+  }
+
+  test("selective predicate prunes groups; impossible predicate prunes all") {
+    val half = BytePlanner.plan(staged, Seq("l_quantity"), Some("l_quantity > 25.0"))
+    half.survivingGroups should be < half.rowGroups
+    half.survivingGroups should be > 0
+    val none = BytePlanner.plan(staged, Seq("l_quantity"), Some("l_quantity > 9999.0"))
+    none.survivingGroups shouldBe 0
+    none.plannedBytes shouldBe none.files.map(_.footerBytes).sum
+  }
+
+  test("NOT flips through AND/OR (De Morgan, v1 keep_row_group)") {
+    // NOT (q <= 25 OR q >= 26) ≡ 25 < q < 26 — prunable per group
+    val p = BytePlanner.plan(staged, Seq("l_quantity"),
+      Some("NOT ( l_quantity <= 20.0 OR l_quantity >= 30.0 )"))
+    p.survivingGroups should be < p.rowGroups
+    p.survivingGroups should be > 0
+  }
+
+  /** Pruning soundness: any row group the planner drops must contain no
+    * matching rows — equivalently, the query result over ONLY the planned
+    * groups equals the full result. We check the implication the cheap way:
+    * planner says 0 groups ⇒ the query really returns 0 rows, and planner
+    * keeps fewer than all groups ⇒ result count matches the unpruned scan
+    * (Spark's own pushdown would mask an unsound planner, so compare
+    * against a collect-side filter).
+    */
+  test("property grid: planner never prunes a group that holds matching rows") {
+    val quantities = spark.read.parquet(staged).collect()
+      .map(_.getAs[Double]("l_quantity"))
+    for {
+      op <- Seq("<", "<=", ">", ">=", "==")
+      t <- Seq(-5.0, 0.0, 1.0, 10.5, 25.0, 26.0, 49.0, 50.0, 60.0)
+    } {
+      val pred = s"l_quantity $op $t"
+      val plan = BytePlanner.plan(staged, Seq("l_quantity"), Some(pred))
+      val truth = quantities.count(q => op match {
+        case "<" => q < t
+        case "<=" => q <= t
+        case ">" => q > t
+        case ">=" => q >= t
+        case "==" => q == t
+      })
+      withClue(pred) {
+        if (plan.survivingGroups == 0) truth shouldBe 0
+        val sparkCount = ParquetQuery(spark, staged).where(pred)
+          .aggregate("COUNT(l_quantity)").df.collect().head.getLong(0)
+        sparkCount shouldBe truth.toLong
+      }
+    }
+  }
+}
