@@ -329,6 +329,17 @@ object ExtensionCatalog {
              |          SUM(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
              |        FROM events GROUP BY 1, 2))
              |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
-      "top-3 users per event type by exact milli-sum, window row_number (extension: events)")
+      "top-3 users per event type by exact milli-sum, window row_number (extension: events)"),
+
+    CatalogEntry(
+      "x15_salted_agg",
+      (s, dir) =>
+        graft.operators.Skew.saltedSumCount(
+          t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linenumber",
+          col("l_orderkey"), buckets = 8)
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, SUM(l_linenumber) AS sum_l_linenumber, COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "salted two-stage aggregation == plain groupBy (skew mitigation for hot keys)")
   )
 }

@@ -78,6 +78,19 @@ class SnowsetParitySpec extends AnyFunSuite with Matchers {
     byIndex shouldBe byName
   }
 
+  test("per-file aggregation (A7): one result row per parquet file") {
+    // the reference's benchmark loop aggregates per file and concatenates
+    // (v1/src/main.rs:139-156); Spark expresses that as a group on the
+    // file the row came from
+    import org.apache.spark.sql.functions._
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n"), sum("memoryUsed").as("sum_mem"))
+      .collect()
+    perFile.length shouldBe 4 // staged as 4 files like {folder}/{i}.parquet
+    perFile.map(_.getLong(1)).sum shouldBe 20000L
+  }
+
   test("workload-tier semantics: higher threshold retains fewer rows") {
     val counts = Seq(0L, 1L << 39, 1L << 41).map { w =>
       ParquetQuery(spark, dir).where(s"memoryUsed > $w")
