@@ -340,6 +340,32 @@ object ExtensionCatalog {
           .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag, SUM(l_linenumber) AS sum_l_linenumber, COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
-      "salted two-stage aggregation == plain groupBy (skew mitigation for hot keys)")
+      "salted two-stage aggregation == plain groupBy (skew mitigation for hot keys)"),
+
+    CatalogEntry(
+      "x16_sessionize",
+      (s, dir) =>
+        graft.streaming.EventsStream
+          .sessionize(t(s, dir, "events"), gapUs = 1800L * 1000000L) // 30 min
+          .orderBy("user_id", "session_id"),
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, tsu,
+             |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, tsu,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |  FROM m)
+             |SELECT user_id, session_id, COUNT(*) AS n_events,
+             |  MIN(tsu) AS start_us, MAX(tsu) AS end_us,
+             |  MAX(tsu) - MIN(tsu) AS duration_us
+             |FROM sess GROUP BY user_id, session_id
+             |ORDER BY user_id, session_id""".stripMargin),
+      "gap-based sessionization via lag + running-sum window (extension: events/stateful)")
   )
 }

@@ -54,4 +54,63 @@ object EventsStream {
       .outputMode("complete")
       .start()
   }
+
+  /** Gap-based sessionization, batch form: a new session starts when the
+    * per-user gap exceeds `gapUs` microseconds. Pure window functions
+    * (lag + running sum) over integral microseconds (`ts div 1000` —
+    * DuckDB also truncates parquet NANOS to µs, so the oracle matches
+    * bit-for-bit); `event_id` breaks timestamp ties deterministically.
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+    events
+      .withColumn("tsu", expr("ts div 1000"))
+      .withColumn("prev_ts", lag("tsu", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("tsu").as("start_us"),
+        max("tsu").as("end_us"),
+        (max("tsu") - min("tsu")).as("duration_us"))
+  }
+
+  final case class UserState(nEvents: Long, maxTs: Long)
+  final case class UserCounts(user_id: Long, n_events: Long, max_ts: Long)
+
+  /** Arbitrary stateful streaming: per-user running event count +
+    * latest event time via `mapGroupsWithState` — the custom-state path a
+    * continuous 100 TB ingest needs (bounded per-key state, Update mode).
+    */
+  def statefulUserCounts(spark: SparkSession, dir: String, sinkName: String) = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    stream
+      .selectExpr("user_id", "ts")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserState, UserCounts](GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserState(0L, Long.MinValue))
+          var n = prev.nEvents
+          var mx = prev.maxTs
+          rows.foreach { case (_, ts) => n += 1; if (ts > mx) mx = ts }
+          state.update(UserState(n, mx))
+          UserCounts(user, n, mx)
+      }
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("update")
+      .start()
+  }
 }
