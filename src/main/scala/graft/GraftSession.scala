@@ -38,4 +38,17 @@ object GraftSession {
   /** Fixture tables live at `{dir}/{name}.parquet` (TESTDATA.md). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  // S3 metadata cache: the reference prefetches all 640 footers once and
+  // runs every query against them (v1/src/main.rs:118-133). The Spark
+  // analog of "cached footers" is a cached *analyzed plan* — schema
+  // inference (footer reads) happens once per path, later queries reuse it.
+  private val tableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  /** `table` with the analyzed plan memoized per (session, path). */
+  def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
+    tableCache.computeIfAbsent(
+      (System.identityHashCode(spark).toString, s"$dir/$name.parquet"),
+      { case (_, path) => spark.read.parquet(path) })
 }

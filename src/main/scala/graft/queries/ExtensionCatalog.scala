@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object ExtensionCatalog {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    GraftSession.table(s, dir, name)
+    GraftSession.cachedTable(s, dir, name)
 
   /** DuckDB fragment: polyhash of an expression (mirrors
     * [[TextFunctions.fingerprintExpr]]).
