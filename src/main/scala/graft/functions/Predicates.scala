@@ -53,6 +53,28 @@ object Predicates {
   def columnByIndex(input: String, schema: StructType): Column =
     toColumn(parse(input), idx => schema.fieldNames(idx.toInt))
 
+  /** Render an AST back to the reference grammar (fully parenthesized —
+    * re-parsing yields the identical tree; scalacheck asserts the
+    * round-trip, SURVEY.md §5.3b).
+    */
+  def print(e: Expr): String = e match {
+    case And(l, r) => s"( ${print(l)} AND ${print(r)} )"
+    case Or(l, r)  => s"( ${print(l)} OR ${print(r)} )"
+    case Not(x)    => s"NOT ( ${print(x)} )"
+    case Cond(c, op, v) =>
+      val lit = v match {
+        case I64(x)  => x.toString
+        case F64(x)  => x.toString // Double.toString always carries '.' or exponent+'.'
+        case Bool(x) => x.toString
+        case Str(x)  => x
+        case Ts(ms) =>
+          java.time.LocalDateTime
+            .ofInstant(java.time.Instant.ofEpochMilli(ms), java.time.ZoneOffset.UTC)
+            .format(TsPattern)
+      }
+      s"$c $op $lit"
+  }
+
   /** All column names referenced by a predicate — the reference uses this for
     * early projection (v1/src/main.rs:1175-1195); in Spark it is only needed
     * for introspection/tests (Catalyst prunes automatically).

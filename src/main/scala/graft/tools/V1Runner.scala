@@ -39,6 +39,9 @@ object V1Runner {
         math.max(128, mib.toInt * 256).toString)
     }
 
+    // echo the predicate as understood (parse → print normalizes it)
+    println(s"Predicate: ${graft.functions.Predicates.print(
+      graft.functions.Predicates.parse(s"$colName > $w"))}")
     var q = ParquetQuery(spark, path)
       .where(s"$colName > $w")
       .aggregate(s"SUM($colName)", s"AVG($colName)", s"MIN($colName)",
