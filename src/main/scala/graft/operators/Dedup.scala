@@ -117,8 +117,12 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val sets = withGraftFns(docs)
       .select(col(idCol), expr(s"graft_char_ngram_hashes($textCol, $n)").as("grams"))
+    // shuffle-hash, not broadcast: the build side carries the gram arrays
+    // (tens of MB at fixture scale, unbounded at 100 TB) — broadcasting it
+    // serializes the whole set table to every task
     val blocked = sets.select(col(idCol), col("grams"),
       size(col("grams")).as("ng"), array_min(col("grams")).as("block"))
+      .hint("shuffle_hash")
     blocked.as("a")
       .join(blocked.as("b"), col("a.block") === col("b.block")
         && col(s"a.$idCol") < col(s"b.$idCol"))
