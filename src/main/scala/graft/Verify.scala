@@ -16,11 +16,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall-clock guard: one pathological plan must not stall the
+    // whole correctness round. On timeout, cancel the query's Spark jobs
+    // (tagged via job group) and move on — the query simply reports as
+    // missing instead of hanging the driver.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        })
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name timed out after ${timeoutSec}s; cancelling")
+        spark.sparkContext.cancelJobGroup(name)
+        worker.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -366,6 +366,75 @@ object ExtensionCatalog {
              |  MAX(tsu) - MIN(tsu) AS duration_us
              |FROM sess GROUP BY user_id, session_id
              |ORDER BY user_id, session_id""".stripMargin),
-      "gap-based sessionization via lag + running-sum window (extension: events/stateful)")
+      "gap-based sessionization via lag + running-sum window (extension: events/stateful)"),
+
+    CatalogEntry(
+      "x17_corpus_clean",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        // stage 1: quality filter (same arithmetic x02 proves exact)
+        val quality = docs
+          .select(col("doc_id"), col("text"),
+            TextFunctions.qualityScore(TextFunctions.qualitySignals("text")))
+          .where(col("quality_score") >= 0.64)
+        // stage 2: exact dedup — keep the min doc_id per fingerprint
+        val withFp = quality
+          .withColumn("fp", expr("graft_poly_hash(lower(trim(text)))"))
+        val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val exactKept = withFp
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select("doc_id", "text")
+        // stage 3: near-dup removal — drop the larger id of each MinHash pair
+        val drops = Dedup
+          .minhashNearDups(exactKept, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        exactKept
+          .join(drops, Seq("doc_id"), "left_anti")
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base0 AS (
+              |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+              |scored AS (
+              |  SELECT doc_id, text,
+              |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3
+              |    + len(list_distinct(toks))::DOUBLE / len(toks) * 0.4
+              |    + (1.0 - abs(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+              |                 / len(toks) - 0.08)) * 0.3 AS score
+              |  FROM base0),
+              |q AS (SELECT doc_id, text FROM scored WHERE score >= 0.64),
+              |fps AS (SELECT doc_id, text, ${dPoly("lower(trim(text))")} AS fp FROM q),
+              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+              |ek AS (SELECT f.doc_id, f.text FROM fps f
+              |       JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+              |base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM ek),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT * FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5)
+              |SELECT doc_id FROM ek
+              |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+              |ORDER BY doc_id""".stripMargin),
+      "end-to-end corpus cleaning: quality filter → exact dedup → MinHash near-dup removal (extension: pipeline composition)")
   )
 }

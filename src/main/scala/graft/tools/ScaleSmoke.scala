@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** 10× scale rehearsal for the dedup path: replicate the sf0.1 documents
+  * table 10 times (offset ids — every text becomes a 10-way duplicate
+  * group, the worst realistic case for candidate-pair volume) and time
+  * exact + MinHash dedup. The question answered empirically: does the
+  * LSH candidate stage stay bounded when true-duplicate density explodes,
+  * or does pair volume blow up quadratically?
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val copies = if (args.length > 1) args(1).toInt else 10
+    val spark = GraftSession.build("graft-scalesmoke", cores = 8)
+    val base = GraftSession.table(spark, sfDir, "documents").select("doc_id", "text")
+    val n0 = base.count()
+    val big = (0 until copies)
+      .map(i => base.select((col("doc_id") + lit(i * 1000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionAll _)
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    println(s"[scale] corpus: ${n0 * copies} docs ($copies x $n0)")
+    val groups = time("exact dedup")(
+      Dedup.exact(big).where(col("n_dups") >= copies).count())
+    println(s"[scale] full-copy duplicate groups: $groups (expect ~$n0)")
+    val pairs = time("minhash near-dups")(
+      Dedup.minhashNearDups(big, k = 16, bands = 8, shingleN = 3, threshold = 0.5).count())
+    val expected = n0 * copies * (copies - 1) / 2
+    println(s"[scale] near-dup pairs: $pairs (>= $expected from replication alone)")
+    spark.stop()
+  }
+}
