@@ -76,6 +76,49 @@ object SimilaritySearch {
          |THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
         .stripMargin.replaceAll("\n", " "))
 
+  /** IVF-style ANN: corpus vectors are inverted-listed under their nearest
+    * centroid (by cosine, ties to the lower centroid id); a query probes
+    * its `nprobe` nearest centroids and searches only those lists. The
+    * centroid set is supplied by the caller (deterministic — e.g. a fixed
+    * id-sampled subset; a production pipeline would plug k-means output in)
+    * so results are exactly reproducible. Centroids broadcast; the corpus
+    * shuffles once on centroid id — at 100 TB each inverted list is a
+    * partition-local slice, and only the probed lists are scanned per
+    * query.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      centroids: DataFrame,
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
+    def nearestCells(df: DataFrame, side: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(s"${side}_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+        norm(col(vecCol)).as(s"${side}n"))
+        .crossJoin(cent)
+        .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"),
+          (dot(col(s"${side}v"), col("centv")) / col(s"${side}n") / col("centn")).as("csim"))
+        .withColumn("r", row_number().over(w))
+        .where(col("r") <= n)
+        .drop("csim", "r")
+    }
+    val lists = nearestCells(corpus, "corpus", 1)
+    val probes = broadcast(nearestCells(queries, "query", nprobe))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    probes.join(lists, "cent_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("queryv"), col("corpusv")) / col("queryn") / col("corpusn")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
   /** LSH-bucketed ANN: queries only meet corpus vectors in the same
     * hyperplane bucket (approximate — may return < k or miss true
     * neighbors; deterministic given the fixed planes).

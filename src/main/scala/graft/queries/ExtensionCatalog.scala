@@ -435,6 +435,43 @@ object ExtensionCatalog {
               |SELECT doc_id FROM ek
               |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
               |ORDER BY doc_id""".stripMargin),
-      "end-to-end corpus cleaning: quality filter → exact dedup → MinHash near-dup removal (extension: pipeline composition)")
+      "end-to-end corpus cleaning: quality filter → exact dedup → MinHash near-dup removal (extension: pipeline composition)"),
+
+    CatalogEntry(
+      "x18_ann_ivf",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.ivfTopK(
+          e.where(col("vec_id") < 10),
+          e.where(col("vec_id") >= 10),
+          e.where(col("vec_id") % 50 === 0),
+          k = 5, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings WHERE vec_id % 50 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv FROM embeddings WHERE vec_id >= 10),
+              |qs AS (SELECT vec_id AS query_id, embedding AS queryv FROM embeddings WHERE vec_id < 10),
+              |lists AS (
+              |  SELECT corpus_id, corpusv, cent_id FROM (
+              |    SELECT c.corpus_id, c.corpusv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1),
+              |probes AS (
+              |  SELECT query_id, queryv, cent_id FROM (
+              |    SELECT q.query_id, q.queryv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM qs q, cent ct)
+              |  WHERE r <= 2)
+              |SELECT * FROM (
+              |  SELECT p.query_id, l.corpus_id, ${dCos("p.queryv", "l.corpusv")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN: inverted lists under seeded centroids, nprobe=2 (extension: similarity search)")
   )
 }

@@ -43,6 +43,24 @@ class SimilaritySearchSpec extends AnyFunSuite with Matchers {
     lsh.foreach { case (qid, cid) => buckets(qid) shouldBe buckets(cid) }
   }
 
+  test("IVF assigns each corpus vector to exactly one list and returns ranked hits") {
+    val q = emb.where($"vec_id" < 5)
+    val c = emb.where($"vec_id" >= 5)
+    val cent = emb.where($"vec_id" % 50 === 0)
+    val out = SimilaritySearch.ivfTopK(q, c, cent, k = 3, nprobe = 2).collect()
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.map(_.getInt(3)).sorted.toSeq shouldBe (1 to rows.length)
+      val scores = rows.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+      scores shouldBe scores.sorted.reverse
+    }
+    // probing more cells can only improve the best hit (monotone recall)
+    val one = SimilaritySearch.ivfTopK(q, c, cent, k = 1, nprobe = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val two = SimilaritySearch.ivfTopK(q, c, cent, k = 1, nprobe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    two.foreach { case (qid, s2) => s2 should be >= one(qid) - 1e-12 }
+  }
+
   test("brute-force plan broadcasts the query side (no corpus shuffle)") {
     val plan = SimilaritySearch.bruteForceTopK(
       emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4)
