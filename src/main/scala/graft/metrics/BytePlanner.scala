@@ -128,35 +128,90 @@ object BytePlanner {
 
   /** Interval check against the chunk's min/max. Missing/unusable stats ⇒
     * keep. `!=` keeps unless the stats pin every value to the literal.
+    * Covers the reference's full stats lattice: numeric (v1 F5), utf8
+    * lexicographic (v1/src/main.rs:803-810), boolean membership (F7),
+    * timestamp with logical-unit conversion. Writers may truncate string
+    * stats, but parquet truncation keeps them valid bounds, so interval
+    * logic stays sound.
     */
   private def keepCond(meta: ColumnChunkMetaData, op: String, v: Value): Boolean = {
     val s = meta.getStatistics
     if (s == null || !s.hasNonNullValue) return true
-    val bounds: Option[(Double, Double)] = (meta.getPrimitiveType.getPrimitiveTypeName, v) match {
-      case (INT32 | INT64, I64(_) | F64(_)) =>
-        Some((num(s.genericGetMin), num(s.genericGetMax)))
+    val tpe = meta.getPrimitiveType
+
+    def interval(min: Double, max: Double, x: Double): Boolean = {
+      if (min.isNaN || max.isNaN) return true // never prune on unusable stats
+      op match {
+        case "<" => min < x
+        case "<=" => min <= x
+        case ">" => max > x
+        case ">=" => max >= x
+        case "==" => min <= x && x <= max
+        case "!=" => !(min == x && max == x)
+      }
+    }
+
+    (tpe.getPrimitiveTypeName, v) match {
+      case (INT32 | INT64, I64(_) | F64(_)) if !isTimestamp(tpe) =>
+        interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
       case (FLOAT | DOUBLE, I64(_) | F64(_)) =>
-        Some((num(s.genericGetMin), num(s.genericGetMax)))
-      case _ => None // strings/bools/timestamps: stats exist but we stay conservative
-    }
-    bounds match {
-      case None => true
-      case Some((min, max)) =>
-        if (min.isNaN || max.isNaN) return true // never prune on unusable stats
-        val x = v match {
-          case I64(l) => l.toDouble
-          case F64(d) => d
-          case _ => return true
+        interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
+      case (INT64, Ts(ms)) =>
+        timestampUnitScale(tpe) match {
+          case Some(perMilli) =>
+            interval(num(s.genericGetMin), num(s.genericGetMax), ms.toDouble * perMilli)
+          case None => true
         }
-        op match {
-          case "<" => min < x
-          case "<=" => min <= x
-          case ">" => max > x
-          case ">=" => max >= x
-          case "==" => min <= x && x <= max
-          case "!=" => !(min == x && max == x)
+      case (BINARY, Str(x)) =>
+        (s.genericGetMin, s.genericGetMax) match {
+          case (mn: Binary, mx: Binary) =>
+            val min = mn.toStringUsingUTF8
+            val max = mx.toStringUsingUTF8
+            op match {
+              case "<" => min < x
+              case "<=" => min <= x
+              case ">" => max > x
+              case ">=" => max >= x
+              case "==" => min <= x && x <= max
+              case "!=" => !(min == x && max == x)
+            }
+          case _ => true
         }
+      case (BOOLEAN, Bool(x)) =>
+        (s.genericGetMin, s.genericGetMax) match {
+          case (mn: java.lang.Boolean, mx: java.lang.Boolean) =>
+            op match {
+              case "==" => (mn.booleanValue() == x) || (mx.booleanValue() == x)
+              case "!=" => !(mn.booleanValue() == x && mx.booleanValue() == x)
+              case _ => true // ranges over booleans: keep (v1 F7)
+            }
+          case _ => true
+        }
+      case _ => true
     }
+  }
+
+  private def isTimestamp(t: org.apache.parquet.schema.PrimitiveType): Boolean =
+    t.getLogicalTypeAnnotation
+      .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+
+  /** Stored units per millisecond for a timestamp column, None if not one. */
+  private def timestampUnitScale(t: org.apache.parquet.schema.PrimitiveType): Option[Long] =
+    t.getLogicalTypeAnnotation match {
+      case ts: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit match {
+          case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => Some(1L)
+          case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => Some(1000L)
+          case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => Some(1000000L)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def numValue(v: Value): Double = v match {
+    case I64(l) => l.toDouble
+    case F64(d) => d
+    case _ => Double.NaN
   }
 
   private def num(a: Any): Double = a match {
@@ -164,7 +219,6 @@ object BytePlanner {
     case l: java.lang.Long => l.toDouble
     case f: java.lang.Float => f.toDouble
     case d: java.lang.Double => d
-    case b: Binary => Double.NaN
-    case other => Double.NaN
+    case _ => Double.NaN
   }
 }

@@ -65,6 +65,40 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     * (Spark's own pushdown would mask an unsound planner, so compare
     * against a collect-side filter).
     */
+  test("string statistics prune lexicographically (v1 utf8 stats path)") {
+    // sort by the string column so row-group string min/max are disjoint
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner-str").toString
+    spark.read.parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+      .orderBy("l_returnflag", "l_orderkey").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .parquet(dir)
+    val modes = spark.read.parquet(dir).collect().map(_.getAs[String]("l_returnflag"))
+    for {
+      op <- Seq("<", "<=", ">", ">=", "==")
+      lit <- Seq("A", "B", "N", "R", "Z")
+    } {
+      val pred = s"l_returnflag $op $lit"
+      val plan = BytePlanner.plan(dir, Seq("l_returnflag"), Some(pred))
+      val truth = modes.count(m => op match {
+        case "<" => m < lit
+        case "<=" => m <= lit
+        case ">" => m > lit
+        case ">=" => m >= lit
+        case "==" => m == lit
+      })
+      withClue(pred) {
+        if (plan.survivingGroups == 0) truth shouldBe 0
+        val sparkCount = ParquetQuery(spark, dir).where(pred)
+          .aggregate("COUNT(l_orderkey)").df.collect().head.getLong(0)
+        sparkCount shouldBe truth.toLong
+      }
+    }
+    // equality on a mid value must actually prune on sorted data
+    val eq = BytePlanner.plan(dir, Seq("l_returnflag"), Some("l_returnflag == N"))
+    eq.survivingGroups should be < eq.rowGroups
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))
