@@ -484,6 +484,24 @@ object ExtensionCatalog {
               |FROM (SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents) f,
               |     UNNEST(range(0, f.nb // 32, 2)) AS u(i)
               |ORDER BY doc_id, frame_idx""".stripMargin),
-      "video-shaped frame sampling: fixed-size payload chunks, every 2nd frame hashed (extension: multimodal)")
+      "video-shaped frame sampling: fixed-size payload chunks, every 2nd frame hashed (extension: multimodal)"),
+
+    CatalogEntry(
+      "x20_json_props",
+      (s, dir) =>
+        t(s, dir, "events")
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .where(col("k") > 50)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+             |MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+             |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+             |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      "semi-structured metadata: JSON path extraction + typed filter/agg over props (extension: events)")
   )
 }
