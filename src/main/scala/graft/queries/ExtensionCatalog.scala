@@ -502,6 +502,38 @@ object ExtensionCatalog {
              |MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
              |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      "semi-structured metadata: JSON path extraction + typed filter/agg over props (extension: events)")
+      "semi-structured metadata: JSON path extraction + typed filter/agg over props (extension: events)"),
+
+    CatalogEntry(
+      "x21_source_sketch",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val sigs = t(s, dir, "documents")
+          .select(col("source"),
+            expr("graft_shingle_hashes(graft_token_hashes(text), 3)").as("shingles"))
+          .groupBy("source")
+          .agg(graft.functions.MinHashSketch.sketch(col("shingles"), k = 16).as("sig"))
+        sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+            graft.functions.MinHashSketch.estimatedJaccard(col("a.sig"), col("b.sig"), 16)
+              .as("est_jaccard"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT source, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT source, $dShingles AS shingles FROM base),
+              |ex AS (SELECT source, unnest(shingles) AS s FROM sh),
+              |sigc AS (
+              |  SELECT source, r.i,
+              |    min((((1 + r.i * 2654435761) % $Prime) * s + (7 + r.i * 40503)) % $Prime) AS m
+              |  FROM ex, range(0, 16) r(i) GROUP BY source, r.i),
+              |sigv AS (
+              |  SELECT source, list(m ORDER BY i) AS sig FROM sigc GROUP BY source)
+              |SELECT a.source AS source_a, b.source AS source_b,
+              |  len(list_filter(range(1, 17), j -> a.sig[j] = b.sig[j]))::DOUBLE / 16 AS est_jaccard
+              |FROM sigv a JOIN sigv b ON a.source < b.source
+              |ORDER BY source_a, source_b""".stripMargin),
+      "typed Aggregator[IN,BUF,OUT]: group-level MinHash sketch per source + pairwise estimated Jaccard (extension: dedup/sketch)")
   )
 }
