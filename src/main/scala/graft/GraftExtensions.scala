@@ -45,9 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_minhash_sig"),
       info("graft_minhash_sig", "k-permutation MinHash signature"),
       (args: Seq[Expression]) => MinHashSig(args.head, intArg(args(1), "graft_minhash_sig"))))
-    ext.injectFunction((FunctionIdentifier("graft_simhash32"),
-      info("graft_simhash32", "32-bit SimHash of a token-hash array"),
-      (args: Seq[Expression]) => SimHash32(args.head)))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "bits-wide SimHash of a token-hash array"),
+      (args: Seq[Expression]) => SimHash(args.head, intArg(args(1), "graft_simhash"))))
     ext.injectFunction((FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size", "|a ∩ b| of sorted-distinct i64 arrays"),
       (args: Seq[Expression]) => IntersectSize(args.head, args(1))))

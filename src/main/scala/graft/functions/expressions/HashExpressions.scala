@@ -263,21 +263,32 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     copy(child = newChild)
 }
 
-/** `graft_simhash32(tokenHashes)` — 32-bit SimHash: bit b set iff the ±1
-  * vote of bit b over all token hashes sums ≥ 0.
+/** `graft_simhash(tokenHashes, bits)` — `bits`-wide SimHash (default 64,
+  * the standard width for corpus-scale near-dup): output bit b is set iff
+  * the ±1 vote over all token hashes sums ≥ 0, where token h votes +1 on
+  * bit b iff ((a_b * h + c_b) mod P) mod 2 == 1 with
+  * a_b = (1 + b*2654435761) mod P, c_b = (7 + b*40503) mod P — the same
+  * fixed permutation family as [[MinHashSig]], so every output bit is an
+  * independent hash of the token (the token hashes themselves carry only
+  * ~30 bits, so using bit b of the raw hash would leave bits ≥ 30
+  * constant and collapse the banding space). Replayable in the oracle:
+  * a_b, h < P ≈ 2^30 so a_b*h + c_b < 2^62 never overflows i64.
   */
-case class SimHash32(child: Expression)
+case class SimHash(child: Expression, bits: Int)
     extends UnaryExpression with CodegenFallback {
+  require(bits >= 1 && bits <= 64)
   override def dataType: DataType = LongType
   override def nullSafeEval(input: Any): Any = {
     val th = input.asInstanceOf[ArrayData].toLongArray()
     var out = 0L
     var b = 0
-    while (b < 32) {
+    while (b < bits) {
+      val a = (1L + b * 2654435761L) % Prime
+      val c = (7L + b * 40503L) % Prime
       var s = 0L
       var i = 0
       while (i < th.length) {
-        s += (if (((th(i) >> b) & 1L) == 1L) 1L else -1L)
+        s += (if ((a * th(i) + c) % Prime % 2 == 1L) 1L else -1L)
         i += 1
       }
       if (s >= 0) out |= (1L << b)
@@ -285,6 +296,6 @@ case class SimHash32(child: Expression)
     }
     out
   }
-  override protected def withNewChildInternal(newChild: Expression): SimHash32 =
+  override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }

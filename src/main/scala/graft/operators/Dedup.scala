@@ -102,63 +102,97 @@ object Dedup {
   }
 
   /** Single-band min-hash blocking + exact char-n-gram Jaccard: candidates =
-    * pairs sharing the *minimum* hashed char-n-gram (one shuffle on that
-    * 1-element signature — the cheapest LSH configuration), verified exactly.
-    * `n` must be large enough that the min gram is discriminative: on a
-    * small-vocabulary corpus short grams are shared by nearly every document
-    * and the min-block degenerates into one giant bucket (measured at
-    * sf0.1: n=4 → 866k candidate pairs, n=12 → 63k).
+    * pairs sharing the *minimum* hashed char-n-gram (the cheapest LSH
+    * configuration), verified exactly. `n` must be large enough that the min
+    * gram is discriminative: on a small-vocabulary corpus short grams are
+    * shared by nearly every document and the min-block degenerates into one
+    * giant bucket (measured at sf0.1: n=4 → 866k pairs, n=12 → 63k).
+    *
+    * Skew-proof by construction: a popular min-gram block would put a
+    * quadratic in-block self-join on one reducer, so candidate generation
+    * runs on an m×m reducer *grid* — each doc gets a deterministic salt
+    * s = hash(id) mod m; side A replicates to cells (s, j), side B to
+    * cells (i, s), and the join key is (block, cell), so the pair
+    * (s_a, s_b) meets exactly once and a hot block spreads over m²
+    * reducers. Lossless: identical pair set to the naive block join. Only
+    * 24-byte (id, block, salt) rows replicate — the gram arrays join back
+    * by id afterwards, once per doc side of each surviving candidate.
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text",
       n: Int = 12,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      gridM: Int = 4): DataFrame = {
     val sets = withGraftFns(docs)
       .select(col(idCol), expr(s"graft_char_ngram_hashes($textCol, $n)").as("grams"))
+      .select(col(idCol), col("grams"),
+        size(col("grams")).as("ng"), array_min(col("grams")).as("block"))
+    val keyed = sets.select(col(idCol), col("block"),
+      pmod(hash(col(idCol)), lit(gridM)).as("salt"))
+    val aCells = keyed
+      .withColumn("j", explode(expr(s"sequence(0, ${gridM - 1})")))
+      .select(col(idCol).as("id_a"), col("block"), (col("salt") * gridM + col("j")).as("cell"))
+    val bCells = keyed
+      .withColumn("i", explode(expr(s"sequence(0, ${gridM - 1})")))
+      .select(col(idCol).as("id_b"), col("block"), (col("i") * gridM + col("salt")).as("cell"))
+    val cands = aCells
+      .join(bCells, Seq("block", "cell"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
     // shuffle-hash, not broadcast: the build side carries the gram arrays
     // (tens of MB at fixture scale, unbounded at 100 TB) — broadcasting it
     // serializes the whole set table to every task
-    val blocked = sets.select(col(idCol), col("grams"),
-      size(col("grams")).as("ng"), array_min(col("grams")).as("block"))
-      .hint("shuffle_hash")
-    blocked.as("a")
-      .join(blocked.as("b"), col("a.block") === col("b.block")
-        && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        expr("graft_intersect_size(a.grams, b.grams)").as("inter"),
-        col("a.ng").as("na"), col("b.ng").as("nb"))
+    val byId = sets.hint("shuffle_hash")
+    cands
+      .join(byId.select(col(idCol).as("id_a"), col("grams").as("g_a"), col("ng").as("na")), "id_a")
+      .join(byId.select(col(idCol).as("id_b"), col("grams").as("g_b"), col("ng").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("graft_intersect_size(g_a, g_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= threshold)
   }
 
-  /** 32-bit SimHash per document: bit b of the signature is set iff the
-    * (+1/−1) majority vote of that bit across all token hashes is ≥ 0.
-    * Duplicate tokens vote once per occurrence (standard frequency weight).
+  /** `bits`-wide SimHash per document (64 by default, the standard width
+    * for corpus-scale near-dup): output bit b is the sign of the ±1 vote of
+    * permutation-hash b over all token hashes — see
+    * [[graft.functions.expressions.SimHash]] for why the raw ~30-bit token
+    * hashes can't supply 64 raw bit positions. Duplicate tokens vote once
+    * per occurrence (standard frequency weight).
     */
-  def simhashed(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def simhashed(docs: DataFrame, idCol: String, textCol: String, bits: Int = 64): DataFrame =
     withGraftFns(docs)
-      .select(col(idCol), expr(s"graft_simhash32(graft_token_hashes($textCol))").as("sh"))
+      .select(col(idCol), expr(s"graft_simhash(graft_token_hashes($textCol), $bits)").as("sh"))
 
   /** SimHash near-dup pairs over the WHOLE corpus, hamming ≤ `maxHamming`,
-    * found exactly via pigeonhole banding: the 32-bit signature splits
+    * found exactly via pigeonhole banding: the `bits`-wide signature splits
     * into `maxHamming + 1` bands, so any pair within the bound must agree
     * on at least one band — candidates are the band-bucket join (one
     * equi-shuffle, never O(n²)), then verified with popcount. Lossless:
     * identical result set to the all-pairs scan, which is what the oracle
-    * runs at fixture scale.
+    * runs at fixture scale. At 64 bits with hamming ≤ 2 each band carries
+    * ~21 bits (~2M bucket values); at 32 bits a band would hold only ~2^10
+    * values, so at 10⁹ docs every bucket would go quadratic.
+    *
+    * The signature table is cached before the self-join: without that
+    * barrier Catalyst pushes the banding projection into both join sides
+    * and the pushed-down null filter besides, re-tokenizing the corpus 4×
+    * (measured round 1). (id, sh) is 16 bytes/doc — cheap at any scale
+    * (16 GB per 10⁹ docs spread across the cluster; swap for a checkpoint
+    * path when the job graph needs cross-job reuse).
     */
   def simhashNearDups(
       docs: DataFrame,
       subset: org.apache.spark.sql.Column,
       idCol: String = "doc_id",
       textCol: String = "text",
-      maxHamming: Int = 4): DataFrame = {
+      maxHamming: Int = 4,
+      bits: Int = 64): DataFrame = {
     val bands = maxHamming + 1
-    val width = 32 / bands // last band takes the remainder bits
-    val sh = simhashed(docs.where(subset), idCol, textCol)
+    val width = bits / bands // last band takes the remainder bits
+    val sh = simhashed(docs.where(subset), idCol, textCol, bits).cache()
     val banded = sh
       .select(col(idCol), col("sh"), explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bv", expr(
@@ -175,25 +209,52 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Embedding cosine near-duplicates within `subset`: all-pairs cosine ≥
-    * `threshold`. Dot/norm accumulate left-to-right in double (same order as
-    * the oracle's list_sum). The scale path is [[SimilaritySearch.lshTopK]]'s
-    * hyperplane bucketing; this exact variant is the verification oracle.
+  /** Embedding-cosine near-duplicates within `subset` via banded
+    * random-hyperplane LSH: each vector gets a `bands × bandBits`-plane
+    * sign signature ([[SimilaritySearch.hyperplaneBucket]]); candidates are
+    * pairs agreeing on at least one band (equi-shuffle on (band, value) —
+    * never all-pairs), verified with the exact left-to-right-double cosine
+    * ≥ `threshold`. LSH semantics: recall < 1 for marginal pairs (a true
+    * near-dup at cos ≈ 0.9 survives ≥ 1 of 7 bands w.p. ~0.92); the oracle
+    * replays the identical planes so the result set is deterministic.
+    *
+    * Scale shape: signature + norm computed once per vector (cached — the
+    * staging barrier keeps Catalyst from re-inlining the bucket expression
+    * into both self-join sides); candidate generation shuffles only
+    * (id, band, value) rows; the vectors join back by id for verification.
     */
   def cosineNearDups(
       emb: DataFrame,
       subset: org.apache.spark.sql.Column,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      threshold: Double = 0.45): DataFrame = {
+      threshold: Double = 0.45,
+      bands: Int = 7,
+      bandBits: Int = 8): DataFrame = {
+    val planes = bands * bandBits
     // norms precomputed per vector (not per pair); cos = dot/na/nb is the
     // same expression order as the oracle's dot/sqrt(aa)/sqrt(bb)
     val e = emb.where(subset).select(col(idCol), col(vecCol),
-      SimilaritySearch.norm(col(vecCol)).as("nrm"))
-    e.as("a").join(e.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        (SimilaritySearch.dot(col(s"a.$vecCol"), col(s"b.$vecCol"))
-          / col("a.nrm") / col("b.nrm")).as("cos"))
+      SimilaritySearch.norm(col(vecCol)).as("nrm"),
+      SimilaritySearch.hyperplaneBucket(vecCol, planes).as("bucket"))
+      .cache()
+    val banded = e
+      .select(col(idCol), col("bucket"),
+        explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
+      .select(col(idCol), col("band"),
+        expr(s"shiftright(bucket, band * $bandBits) & ${(1L << bandBits) - 1}").as("bv"))
+    val cands = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+        && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // shuffle-hash: the build side carries the embedding arrays
+    val byId = e.hint("shuffle_hash")
+    cands
+      .join(byId.select(col(idCol).as("id_a"), col(vecCol).as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(byId.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("nrm").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (SimilaritySearch.dot(col("v_a"), col("v_b")) / col("n_a") / col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

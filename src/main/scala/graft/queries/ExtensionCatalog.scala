@@ -191,39 +191,65 @@ object ExtensionCatalog {
     CatalogEntry(
       "x08_simhash_dedup",
       (s, dir) =>
-        Dedup.simhashNearDups(t(s, dir, "documents"), lit(true), maxHamming = 2)
+        Dedup.simhashNearDups(t(s, dir, "documents"), lit(true), maxHamming = 3)
           .orderBy("id_a", "id_b"),
+      // Oracle is the brute-force all-pairs scan; the Spark side's
+      // pigeonhole banding is lossless, so the sets agree exactly. Bit b of
+      // the 64-bit signature votes via permutation-hash b of each token
+      // hash (a_b*h + c_b mod P, parity) — bit 63 assembled by adding
+      // i64.min because DuckDB errors on 1 << 63.
       Some(s"""WITH th AS (
               |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
               |  FROM documents),
               |sh AS (
               |  SELECT doc_id,
-              |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 32), b ->
+              |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), b ->
               |      CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hs,
-              |             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+              |             h -> CASE WHEN ((((1 + b * 2654435761) % $Prime) * h
+              |                    + ((7 + b * 40503) % $Prime)) % $Prime) % 2 = 1
+              |                  THEN 1::BIGINT ELSE (-1)::BIGINT END)),
               |             (s2, v) -> s2 + v) >= 0
-              |      THEN (1::BIGINT << b) ELSE 0::BIGINT END)), (acc, v) -> acc + v) AS sh
+              |      THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+              |           ELSE (1::BIGINT << b) END
+              |      ELSE 0::BIGINT END)), (acc, v) -> acc + v) AS sh
               |  FROM th)
               |SELECT * FROM (
               |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
               |    bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
               |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-              |WHERE hamming <= 2 ORDER BY id_a, id_b""".stripMargin),
-      "32-bit SimHash near-dups over the full corpus via lossless pigeonhole banding, hamming ≤ 2 (extension: dedup)"),
+              |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin),
+      "64-bit SimHash near-dups over the full corpus via lossless pigeonhole banding, hamming ≤ 3 (extension: dedup)"),
 
     CatalogEntry(
       "x09_embedding_neardup",
       (s, dir) =>
-        Dedup.cosineNearDups(t(s, dir, "embeddings"), col("vec_id") % 4 === 0,
-          threshold = 0.40)
+        Dedup.cosineNearDups(t(s, dir, "embeddings"), lit(true), threshold = 0.40)
           .orderBy("id_a", "id_b"),
-      Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
-              |SELECT * FROM (
-              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              |    ${dCos("a.embedding", "b.embedding")} AS cos
-              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-              |WHERE cos >= 0.40 ORDER BY id_a, id_b""".stripMargin),
-      "embedding-cosine near-dup pairs on a vec_id%4 shard (extension: dedup)"),
+      // The oracle replays the identical 7-band × 8-plane LSH blocking and
+      // exact-cosine verify — candidate generation is an equi-join on
+      // (band, band-value), never all-pairs, on both engines.
+      Some {
+        val bucket56 = (v: String) =>
+          s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 56), j ->
+             |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
+             |    i -> CASE WHEN ((j * 2654435761 + (i - 1) * 40503) % $Prime) % 2 = 0
+             |         THEN $v[i]::DOUBLE ELSE -($v[i]::DOUBLE) END)), (s2, x) -> s2 + x) > 0
+             |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |bk AS (SELECT vec_id, ${bucket56("embedding")} AS bucket FROM e),
+           |banded AS (
+           |  SELECT vec_id, r.band, (bucket >> (r.band * 8)) & 255 AS bv
+           |  FROM bk, range(0, 7) r(band)),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bv = b.bv AND a.vec_id < b.vec_id)
+           |SELECT * FROM (
+           |  SELECT c.id_a, c.id_b, ${dCos("x.embedding", "y.embedding")} AS cos
+           |  FROM cands c JOIN e x ON c.id_a = x.vec_id JOIN e y ON c.id_b = y.vec_id)
+           |WHERE cos >= 0.40 ORDER BY id_a, id_b""".stripMargin
+      },
+      "embedding-cosine near-dup via banded hyperplane LSH + exact verify, full table (extension: dedup)"),
 
     CatalogEntry(
       "x10_ann_bruteforce",
@@ -302,7 +328,7 @@ object ExtensionCatalog {
           .orderBy("hour", "event_type"),
       Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
              |event_type, COUNT(*) AS n,
-             |SUM(CAST(floor(value * 1000) AS BIGINT)) AS value_milli_sum
+             |CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
              |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       "tumbling-hour event aggregation; sums exact via milli-unit integers (extension: events)"),
 
@@ -325,7 +351,7 @@ object ExtensionCatalog {
              |    ROW_NUMBER() OVER (PARTITION BY event_type
              |      ORDER BY value_milli DESC, user_id) AS rank
              |  FROM (SELECT event_type, user_id,
-             |          SUM(CAST(floor(value * 1000) AS BIGINT)) AS value_milli
+             |          CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli
              |        FROM events GROUP BY 1, 2))
              |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin),
       "top-3 users per event type by exact milli-sum, window row_number (extension: events)"),
@@ -337,7 +363,7 @@ object ExtensionCatalog {
           t(s, dir, "lineitem"), Seq("l_returnflag"), "l_linenumber",
           col("l_orderkey"), buckets = 8)
           .orderBy("l_returnflag"),
-      Some("""SELECT l_returnflag, SUM(l_linenumber) AS sum_l_linenumber, COUNT(*) AS n
+      Some("""SELECT l_returnflag, CAST(SUM(l_linenumber) AS BIGINT) AS sum_l_linenumber, COUNT(*) AS n
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       "salted two-stage aggregation == plain groupBy (skew mitigation for hot keys)"),
 
@@ -357,8 +383,8 @@ object ExtensionCatalog {
              |  FROM g),
              |sess AS (
              |  SELECT user_id, tsu,
-             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
-             |      ROWS UNBOUNDED PRECEDING) AS session_id
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
              |  FROM m)
              |SELECT user_id, session_id, COUNT(*) AS n_events,
              |  MIN(tsu) AS start_us, MAX(tsu) AS end_us,
@@ -497,7 +523,7 @@ object ExtensionCatalog {
             min("k").as("min_k"), max("k").as("max_k"))
           .orderBy("event_type"),
       Some("""SELECT event_type, COUNT(*) AS n,
-             |SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+             |CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
              |MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
              |MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
              |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50

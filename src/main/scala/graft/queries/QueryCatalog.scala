@@ -180,8 +180,12 @@ object QueryCatalog {
       (s, dir) => {
         val orders = t(s, dir, "orders")
         val dim = orders.groupBy("o_custkey").agg(max($("o_totalprice")).as("max_price"))
+        // no broadcast() hint: the dim is a data-derived per-customer
+        // aggregate whose size scales with the fact table — AQE picks
+        // broadcast when it fits (PlanAuditSpec asserts it does at fixture
+        // scale) and falls back to a shuffle join when it wouldn't
         orders
-          .join(broadcast(dim), Seq("o_custkey"))
+          .join(dim, Seq("o_custkey"))
           .where($("o_totalprice") === $("max_price"))
           .select("o_custkey", "o_orderkey", "o_totalprice")
           .orderBy("o_custkey", "o_orderkey")
@@ -321,8 +325,9 @@ object QueryCatalog {
   /** Snowset analysis #1 (query_selectivity_distribution.sql) as a DataFrame
     * chain, re-based: fact=lineitem, warehouseId→l_suppkey, scanBytes→
     * l_extendedprice, scanFiles→l_linenumber, scanOriginalFiles→l_quantity.
-    * The dim side of the join is a grouped aggregate (one row per supplier) —
-    * broadcast so only the fact side streams at 100 TB.
+    * The dim side of the join is a grouped aggregate (one row per supplier);
+    * its cardinality is data-derived, so no broadcast() hint — AQE
+    * broadcasts it when its runtime size fits and shuffle-joins otherwise.
     */
   def selectivityDistribution(lineitem: DataFrame): DataFrame = {
     val ws = lineitem
@@ -330,7 +335,7 @@ object QueryCatalog {
       .agg(max(($("l_extendedprice") / nullif($("l_linenumber").cast("double"), lit(0.0)))
         * $("l_quantity")).as("estimated_warehouse_size"))
     val ratio = lineitem
-      .join(broadcast(ws), Seq("l_suppkey"))
+      .join(ws, Seq("l_suppkey"))
       .select(
         when($("estimated_warehouse_size") > 0,
           $("l_extendedprice") / $("estimated_warehouse_size"))
@@ -353,7 +358,7 @@ object QueryCatalog {
       .agg(max(($("l_extendedprice") / nullif($("l_linenumber").cast("double"), lit(0.0)))
         * $("l_quantity")).as("estimated_warehouse_size"))
     val perWh = lineitem
-      .join(broadcast(ws), Seq("l_suppkey"))
+      .join(ws, Seq("l_suppkey")) // un-hinted: AQE decides (see above)
       .groupBy("l_suppkey", "estimated_warehouse_size")
       .agg((exactSum($("l_extendedprice")) / nullif($("estimated_warehouse_size"), lit(0.0)))
         .as("scanbytes_per_estimated_size"))

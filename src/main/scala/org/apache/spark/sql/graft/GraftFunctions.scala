@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.IntegerType
 
 /** Registers the native hash expressions as SQL functions
   * (`graft_poly_hash`, `graft_char_ngram_hashes`, `graft_token_hashes`,
-  * `graft_shingle_hashes`, `graft_minhash_sig`, `graft_simhash32`).
+  * `graft_shingle_hashes`, `graft_minhash_sig`, `graft_simhash`).
   *
   * Lives under `org.apache.spark.sql` because `SparkSession.sessionState`
   * is `private[sql]`; this is the same access pattern a
@@ -42,8 +42,8 @@ object GraftFunctions {
       args => ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       args => MinHashSig(args.head, intArg(args(1), "graft_minhash_sig")), "built-in")
-    reg.createOrReplaceTempFunction("graft_simhash32",
-      args => SimHash32(args.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash",
+      args => SimHash(args.head, intArg(args(1), "graft_simhash")), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       args => IntersectSize(args.head, args(1)), "built-in")
   }

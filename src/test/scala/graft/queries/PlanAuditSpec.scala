@@ -51,7 +51,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
 
   test("every join query is either broadcast or equi-shuffle (no NLJ on big sides)") {
     val joinQueries = Seq("q11_join_dim_agg", "q17_three_way_join",
-      "x07_minhash_lsh_dedup", "x06_ngram_jaccard_dedup", "x11_ann_lsh")
+      "x07_minhash_lsh_dedup", "x06_ngram_jaccard_dedup", "x11_ann_lsh",
+      "x09_embedding_neardup")
     joinQueries.foreach { name =>
       withClue(name) {
         val p = plans(name)
@@ -59,5 +60,36 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
           p.contains("ShuffledHashJoin")) shouldBe true
       }
     }
+  }
+
+  test("no nested-loop join outside the bounded-broadcast ANN baselines") {
+    // Allowed nested-loop joins are all bounded-broadcast by construction:
+    // x10/x18 cross a ≤10-row query/centroid side against the corpus;
+    // q12/q13 cross-join a literal 1-row grand total; x21 pairs per-SOURCE
+    // sketches (cardinality = distinct sources, not documents). Every
+    // per-document/per-vector query must pair rows through an equi-join.
+    val allowed = Set("x10_ann_bruteforce", "x18_ann_ivf",
+      "q12_cross_join_pct", "q13_selectivity_distribution", "x21_source_sketch")
+    val offenders = plans.filter { case (name, p) =>
+      p.contains("BroadcastNestedLoopJoin") && !allowed(name)
+    }
+    offenders.keys.toSeq shouldBe empty
+  }
+
+  test("un-hinted data-derived dim joins still broadcast at fixture scale via AQE") {
+    // q11/q13/q14 join the fact table to a per-key aggregate of itself.
+    // Round 1 forced broadcast() — wrong at 100× (the hint overrides AQE's
+    // size check). Now un-hinted: AQE must pick broadcast at runtime here,
+    // proving parity plans didn't regress at fixture scale.
+    Seq("q11_join_dim_agg", "q13_selectivity_distribution", "q14_retrieval_rate")
+      .foreach { name =>
+        withClue(name) {
+          val e = QueryCatalog.all.find(_.name == name).get
+          val df = e.build(spark, dir)
+          df.collect() // materialize so AQE finalizes the plan
+          val finalPlan = df.queryExecution.executedPlan.toString
+          finalPlan should include("BroadcastHashJoin")
+        }
+      }
   }
 }
