@@ -43,12 +43,16 @@ object GraftSession {
   // runs every query against them (v1/src/main.rs:118-133). The Spark
   // analog of "cached footers" is a cached *analyzed plan* — schema
   // inference (footer reads) happens once per path, later queries reuse it.
+  // Keyed weakly by the session instance itself (identityHashCode values
+  // can be reused after GC and would pin plans of stopped sessions forever).
   private val tableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
 
-  /** `table` with the analyzed plan memoized per (session, path). */
+  /** `table` with the analyzed plan memoized per (live session, path). */
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableCache.computeIfAbsent(
-      (System.identityHashCode(spark).toString, s"$dir/$name.parquet"),
-      { case (_, path) => spark.read.parquet(path) })
+    tableCache.synchronized {
+      tableCache
+        .computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
+        .computeIfAbsent(s"$dir/$name.parquet", path => spark.read.parquet(path))
+    }
 }

@@ -39,11 +39,21 @@ object Aggregations {
     Spec(op, tokens(2))
   }
 
-  /** Compile one spec. `referenceExact` → SUM of empty is 0 (like v1), not NULL. */
-  def toColumn(spec: Spec, referenceExact: Boolean = false): Column = {
+  /** Compile one spec. `referenceExact` → SUM of empty is 0 (like v1), not
+    * NULL. The zero is typed to SUM's own result type (v1 returns a typed
+    * i64/f64 zero, v1/src/main.rs:1399,1475): coalescing to DOUBLE would
+    * change the output schema on non-empty input and round long sums above
+    * 2^53. `schema` supplies the input column type; without it integral is
+    * assumed (the reference's benchmark columns are i64).
+    */
+  def toColumn(
+      spec: Spec,
+      referenceExact: Boolean = false,
+      schema: Option[StructType] = None): Column = {
     val c = col(spec.column)
     val agg = spec.op match {
-      case "SUM"   => if (referenceExact) coalesce(sum(c), lit(0L).cast("double")) else sum(c)
+      case "SUM" =>
+        if (referenceExact) coalesce(sum(c), sumZero(spec.column, schema)) else sum(c)
       case "AVG"   => avg(c)
       case "COUNT" => count(c)
       case "MIN"   => min(c)
@@ -52,8 +62,23 @@ object Aggregations {
     agg.as(spec.alias)
   }
 
-  def compile(specs: Seq[String], referenceExact: Boolean = false): Seq[Column] =
-    specs.map(s => toColumn(parse(s), referenceExact))
+  /** A zero literal of `sum(col)`'s result type: integral→LONG,
+    * float/double→DOUBLE, DECIMAL(p,s)→DECIMAL(min(38,p+10),s).
+    */
+  private def sumZero(column: String, schema: Option[StructType]): Column =
+    schema.flatMap(_.fields.find(_.name == column)).map(_.dataType) match {
+      case Some(FloatType | DoubleType) => lit(0.0)
+      case Some(d: DecimalType) =>
+        lit(java.math.BigDecimal.ZERO)
+          .cast(DecimalType(math.min(38, d.precision + 10), d.scale))
+      case _ => lit(0L)
+    }
+
+  def compile(
+      specs: Seq[String],
+      referenceExact: Boolean = false,
+      schema: Option[StructType] = None): Seq[Column] =
+    specs.map(s => toColumn(parse(s), referenceExact, schema))
 
   /** SUM/AVG over a double column, made bit-exact and order-independent by
     * accumulating in DECIMAL(38,4) (exact, associative) and casting the final

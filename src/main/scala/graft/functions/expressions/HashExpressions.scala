@@ -209,6 +209,10 @@ case class IntersectSize(left: Expression, right: Expression)
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
   override def dataType: DataType = DoubleType
+  // NULL on mismatched lengths, matching the HOF formulation (zip_with pads
+  // with NULL → the aggregate goes NULL): a malformed embedding must surface
+  // as NULL, not a silently truncated score.
+  override def nullable: Boolean = true
   private def elems(e: Expression, d: Any): Array[Double] =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => d.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
@@ -218,10 +222,10 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val xs = elems(left, a)
     val ys = elems(right, b)
-    val n = math.min(xs.length, ys.length)
+    if (xs.length != ys.length) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs(i) * ys(i); i += 1 }
+    while (i < xs.length) { acc += xs(i) * ys(i); i += 1 }
     acc
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =

@@ -151,15 +151,36 @@ object BytePlanner {
       }
     }
 
+    // Integer stats compare in exact i64 arithmetic (like the reference's
+    // typed kernels): doubles round above 2^53, so an epoch-nano stat
+    // (~1.7e18) within ~128 units of the threshold would prune wrongly.
+    def intervalLong(min: Long, max: Long, x: Long): Boolean = op match {
+      case "<" => min < x
+      case "<=" => min <= x
+      case ">" => max > x
+      case ">=" => max >= x
+      case "==" => min <= x && x <= max
+      case "!=" => !(min == x && max == x)
+    }
+
     (tpe.getPrimitiveTypeName, v) match {
-      case (INT32 | INT64, I64(_) | F64(_)) if !isTimestamp(tpe) =>
+      case (INT32 | INT64, I64(l)) if !isTimestamp(tpe) =>
+        (longOf(s.genericGetMin), longOf(s.genericGetMax)) match {
+          case (Some(mn), Some(mx)) => intervalLong(mn, mx, l)
+          case _ => true
+        }
+      case (INT32 | INT64, F64(_)) if !isTimestamp(tpe) =>
         interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
       case (FLOAT | DOUBLE, I64(_) | F64(_)) =>
         interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
       case (INT64, Ts(ms)) =>
         timestampUnitScale(tpe) match {
           case Some(perMilli) =>
-            interval(num(s.genericGetMin), num(s.genericGetMax), ms.toDouble * perMilli)
+            // exact: epoch-millis × 1e6 < 2^63 through year ~2262
+            (longOf(s.genericGetMin), longOf(s.genericGetMax)) match {
+              case (Some(mn), Some(mx)) => intervalLong(mn, mx, ms * perMilli)
+              case _ => true
+            }
           case None => true
         }
       case (BINARY, Str(x)) =>
@@ -212,6 +233,12 @@ object BytePlanner {
     case I64(l) => l.toDouble
     case F64(d) => d
     case _ => Double.NaN
+  }
+
+  private def longOf(a: Any): Option[Long] = a match {
+    case i: java.lang.Integer => Some(i.longValue())
+    case l: java.lang.Long => Some(l.longValue())
+    case _ => None
   }
 
   private def num(a: Any): Double = a match {

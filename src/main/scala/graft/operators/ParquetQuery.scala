@@ -66,7 +66,7 @@ final case class ParquetQuery(
         base.filter(cond)
     }
     if (aggregations.nonEmpty) {
-      val cols = Aggregations.compile(aggregations, referenceExact)
+      val cols = Aggregations.compile(aggregations, referenceExact, Some(base.schema))
       filtered.agg(cols.head, cols.tail: _*)
     } else {
       selectCols.fold(filtered)(cs => filtered.select(cs.map(org.apache.spark.sql.functions.col): _*))

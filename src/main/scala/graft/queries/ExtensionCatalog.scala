@@ -539,6 +539,9 @@ object ExtensionCatalog {
             expr("graft_shingle_hashes(graft_token_hashes(text), 3)").as("shingles"))
           .groupBy("source")
           .agg(graft.functions.MinHashSketch.sketch(col("shingles"), k = 16).as("sig"))
+          // a source whose docs are all <3 tokens has no shingles → NULL
+          // sketch; drop it like the oracle (whose unnest emits no rows)
+          .where(col("sig").isNotNull)
         sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
           .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
             graft.functions.MinHashSketch.estimatedJaccard(col("a.sig"), col("b.sig"), 16)

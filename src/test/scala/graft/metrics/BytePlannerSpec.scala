@@ -99,6 +99,21 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     eq.survivingGroups should be < eq.rowGroups
   }
 
+  test("i64 stats compare exactly above 2^53 (no double-rounding misprune)") {
+    // At 2^62 the double gap is 1024: 2^62+1025 and 2^62+1026 both round to
+    // 2^62+1024, where `min < x` is false and a double-compare planner would
+    // unsoundly prune a group whose value (base+1025) matches `v < base+1026`.
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner-i64").toString
+    val base = 1L << 62
+    spark.range(1).selectExpr(s"${base}L + 1025 AS v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    BytePlanner.plan(dir, Seq("v"), Some(s"v < ${base + 1026}")).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("v"), Some(s"v > ${base + 1024}")).survivingGroups shouldBe 1
+    // and genuine prunes still prune at exact precision
+    BytePlanner.plan(dir, Seq("v"), Some(s"v < ${base + 1025}")).survivingGroups shouldBe 0
+    BytePlanner.plan(dir, Seq("v"), Some(s"v == ${base + 1024}")).survivingGroups shouldBe 0
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))

@@ -49,6 +49,20 @@ class ParquetQuerySpec extends AnyFunSuite {
     assert(refRow.getAs[Double](0) == 0.0)
   }
 
+  test("referenceExact SUM keeps the widened integral type (typed zero, not double)") {
+    // v1 returns a typed i64 zero on empty input; coalescing to DOUBLE would
+    // change the non-empty schema and round long sums above 2^53
+    val empty = ParquetQuery(spark, li).where("l_orderkey < 0")
+      .aggregate("SUM(l_orderkey)").exactReferenceSemantics.df
+    assert(empty.schema.head.dataType == org.apache.spark.sql.types.LongType)
+    assert(empty.collect().head.getLong(0) == 0L)
+    val plain = ParquetQuery(spark, li).aggregate("SUM(l_orderkey)").df
+    val exact = ParquetQuery(spark, li).aggregate("SUM(l_orderkey)").exactReferenceSemantics.df
+    // same type; nullability legitimately tightens (coalesce can't be null)
+    assert(exact.schema.head.dataType == plain.schema.head.dataType)
+    assert(exact.collect().head.getLong(0) == plain.collect().head.getLong(0))
+  }
+
   test("whereByIndex addresses schema ordinals") {
     val a = ParquetQuery(spark, li).whereByIndex("4 > 30").aggregate("COUNT(l_quantity)").df.collect().head
     val b = ParquetQuery(spark, li).where("l_quantity > 30").aggregate("COUNT(l_quantity)").df.collect().head

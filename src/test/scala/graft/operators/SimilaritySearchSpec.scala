@@ -19,6 +19,15 @@ class SimilaritySearchSpec extends AnyFunSuite with Matchers {
     all(cos) shouldBe 1.0 +- 1e-12
   }
 
+  test("dot of mismatched-length arrays is NULL (malformed embedding must surface)") {
+    val bad = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+      .select(SimilaritySearch.dot($"a", $"b").as("d")).collect().head
+    bad.isNullAt(0) shouldBe true
+    val ok = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+      .select(SimilaritySearch.dot($"a", $"b").as("d")).collect().head
+    ok.getDouble(0) shouldBe 11.0
+  }
+
   test("brute-force top-k returns k ranked neighbors per query, best first") {
     val out = SimilaritySearch.bruteForceTopK(
       emb.where($"vec_id" < 3), emb.where($"vec_id" >= 3), k = 4).collect()
