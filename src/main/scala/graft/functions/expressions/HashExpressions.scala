@@ -234,7 +234,7 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** `graft_hyperplane_bucket(vec, planes)` — random-hyperplane LSH bucket:
   * bit j is the sign of ⟨v, h_j⟩ with deterministic ±1 plane weights
-  * derived from ((j*2654435761 + i*40503) mod P) mod 2. Accumulates in
+  * derived from (((j*100003 + i + 1) * 2654435761) mod P) mod 2. Accumulates in
   * double, ascending i — bit-identical to the HOF formulation and the
   * DuckDB oracle.
   */
@@ -254,7 +254,12 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var s = 0.0
       var i = 0
       while (i < v.length) {
-        val w = (j * 2654435761L + i * 40503L) % Prime
+        // (j*K + i + 1) * A wraps mod P ~10^7 times so parities mix; the
+        // round-1 form (j*A + i*B) % P never wrapped for i < 64, making
+        // parity = parity(base_j) XOR parity(i) — every plane was the SAME
+        // alternating ±1 hyperplane up to global sign, so buckets
+        // degenerated to {pattern, ~pattern} (half the corpus each).
+        val w = ((j * 100003L + i + 1) * 2654435761L) % Prime
         s += (if (w % 2 == 0) v(i) else -v(i))
         i += 1
       }

@@ -63,7 +63,7 @@ object SimilaritySearch {
 
   /** Random-hyperplane signature: bit j is the sign of ⟨v, h_j⟩ where
     * hyperplane weights are deterministic ±1 derived from
-    * ((j*2654435761 + i*40503) mod P) mod 2 — engine-independent, so the
+    * (((j*100003 + i + 1) * 2654435761) mod P) mod 2 — engine-independent, so the
     * oracle replays the identical planes. 2^planes buckets. Native
     * expression ([[graft.functions.expressions.HyperplaneBucket]]).
     */

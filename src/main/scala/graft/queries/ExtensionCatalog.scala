@@ -232,7 +232,7 @@ object ExtensionCatalog {
         val bucket56 = (v: String) =>
           s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 56), j ->
              |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
-             |    i -> CASE WHEN ((j * 2654435761 + (i - 1) * 40503) % $Prime) % 2 = 0
+             |    i -> CASE WHEN (((j * 100003 + i) * 2654435761) % $Prime) % 2 = 0
              |         THEN $v[i]::DOUBLE ELSE -($v[i]::DOUBLE) END)), (s2, x) -> s2 + x) > 0
              |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
         s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -281,7 +281,7 @@ object ExtensionCatalog {
         val bucket = (v: String) =>
           s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
              |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
-             |    i -> CASE WHEN ((j * 2654435761 + (i - 1) * 40503) % $Prime) % 2 = 0
+             |    i -> CASE WHEN (((j * 100003 + i) * 2654435761) % $Prime) % 2 = 0
              |         THEN $v[i]::DOUBLE ELSE -($v[i]::DOUBLE) END)), (s2, x) -> s2 + x) > 0
              |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
         s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

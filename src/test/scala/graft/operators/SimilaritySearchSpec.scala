@@ -40,6 +40,17 @@ class SimilaritySearchSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("hyperplanes are distinct: bucket histogram is not {pattern, ~pattern}") {
+    // Regression: the round-1 weight family (j*A + i*B) % P never wrapped P
+    // for i < 64, so every plane was the same alternating ±1 hyperplane up
+    // to sign — all vectors landed in one bucket or its complement. Real
+    // 8-plane LSH over hundreds of unit vectors must spread far wider.
+    val buckets = emb
+      .select(SimilaritySearch.hyperplaneBucket("embedding", 8).as("b"))
+      .distinct().count()
+    buckets should be > 16L
+  }
+
   test("LSH top-k is a subset of the full ranking and respects buckets") {
     val q = emb.where($"vec_id" < 5)
     val c = emb.where($"vec_id" >= 5)
