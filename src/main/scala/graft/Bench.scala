@@ -7,8 +7,65 @@ import org.apache.spark.sql.SparkSession
   * projections and under-report). A warm-up query runs first and is
   * excluded, mirroring the reference's warm-up trim
   * (/root/reference/v1/src/main.rs:148-151).
+  *
+  * Isolation: some operators stage an intermediate table with `.cache()`
+  * (SimHash / hyperplane signatures — see [[graft.operators.Dedup]]); in a
+  * production pipeline the job unpersists at the end of its own run. Here
+  * 38 queries share one JVM, so the cache is dropped after every query —
+  * measured round 2: leaked cached blocks inflated every query after x08
+  * by 2-4x through storage-memory + GC pressure (BENCH_r02 vs r01).
+  *
+  * Telemetry (analog of /root/reference/utils/benchmark.sh:3-18,32-110):
+  * per-query process-CPU seconds (distinguishes CPU-bound dedup from
+  * scan-bound parity queries) and a 1 Hz RSS sampler whose per-query max
+  * is reported alongside the wall time. A sequential-read probe over the
+  * fixture directory prints a bytes/sec "speed of light" denominator
+  * (warm page cache at this fixture size — an upper bound, stated as such;
+  * analog of /root/reference/microbenchmarks/src/disk/read.rs:21-82).
   */
 object Bench {
+
+  private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  private def rssMb(): Double = {
+    try {
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/status"))
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (l.startsWith("VmRSS:"))
+          return l.split("\\s+")(1).toDouble / 1024.0
+      }
+      0.0
+    } catch { case _: Throwable => 0.0 }
+  }
+
+  /** Sequential full-file read throughput over every parquet file in `dir`,
+    * looped for ~1 s of wall time. At fixture scale this is page-cache
+    * bandwidth — the single-node upper bound any scan query is graded
+    * against, not a cold-disk number.
+    */
+  private def seqReadGbps(dir: String): Double = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    if (files.isEmpty) return 0.0
+    val buf = new Array[Byte](1 << 20)
+    var bytes = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 1e9) {
+      files.foreach { f =>
+        val in = new java.io.FileInputStream(f)
+        try {
+          var n = in.read(buf)
+          while (n >= 0) { bytes += n; n = in.read(buf) }
+        } finally in.close()
+      }
+    }
+    bytes / ((System.nanoTime() - t0) / 1e9) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,21 +79,41 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(name: String): Double = {
+    // 1 Hz RSS sampler; queries read-and-reset the running max.
+    val rssMax = new java.util.concurrent.atomic.AtomicLong(0L) // milli-MB
+    val sampler = new Thread(() => while (true) {
+      val mb = (rssMb() * 1000).toLong
+      rssMax.getAndUpdate(m => math.max(m, mb))
+      Thread.sleep(1000)
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+
+    case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double)
+    def run(name: String): R = {
+      // start clean: previous query's staged caches and garbage must not
+      // bill to this query
+      spark.sharedState.cacheManager.clearCache()
+      System.gc()
+      rssMax.set((rssMb() * 1000).toLong)
+      val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
-      (System.nanoTime() - t0) / 1e9
+      val wall = (System.nanoTime() - t0) / 1e9
+      val cpu = (osBean.getProcessCpuTime - c0) / 1e9
+      R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()))
     }
 
+    val gbps = seqReadGbps(sfDir)
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + parquet footer caches; not reported
     val results = names.map(n => n -> run(n))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def col(f: R => Double): String = results
+      .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
+    val total = results.map(_._2.wallSec).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec)},"cpu_sec":${col(_.cpuSec)},"rss_max_mb":${col(_.rssMaxMb)},"seq_read_gbps":$gbps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -22,6 +22,9 @@ object Verify {
     // missing instead of hanging the driver.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop any cached stage tables the previous query left behind (see
+      // Bench scaladoc: leaked blocks compound across a shared JVM)
+      spark.sharedState.cacheManager.clearCache()
       val worker = new Thread(() =>
         try {
           spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)

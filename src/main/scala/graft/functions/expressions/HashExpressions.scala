@@ -1,8 +1,7 @@
 package graft.functions.expressions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -19,12 +18,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * 48 s query into a hang. These expressions do one tight JVM loop per row
   * instead: same values, none of the interpretive machinery.
   *
+  * Every expression implements `doGenCode` (round-2 verdict: the earlier
+  * `CodegenFallback` versions broke whole-stage codegen spans at each call
+  * site and opted out of subexpression elimination, which is how one
+  * SimHash query ended up tokenizing the corpus 4×). The generated code is
+  * a single static call into the `eval*` helpers below — the loop itself
+  * gains nothing from Janino, but staying inside the span removes the
+  * fallback seam's boxing and lets CSE dedupe repeated calls.
+  *
   * All hashes are base-31 rolling hashes over character codepoints mod
   * 1e9+7, identical to the DuckDB oracle fragments
   * (`list_reduce(list_prepend(0,...), (acc,ch) -> (acc*31+ch) % 1000000007)`).
   */
 object HashExpressions {
   final val Prime = 1000000007L
+
+  /** Fully-qualified name the generated Java uses for static calls. */
+  final val H = "graft.functions.expressions.HashExpressions"
 
   @inline def polyHash(s: String, from: Int, until: Int): Long = {
     var acc = 0L
@@ -54,31 +64,18 @@ object HashExpressions {
   }
 
   val longArray: DataType = ArrayType(LongType, containsNull = false)
-}
 
-import HashExpressions._
+  // ---- static entry points shared by interpreted eval and generated code
+  // (plain signatures only: Janino resolves these through the object's
+  // static forwarders on the HashExpressions class)
 
-/** `graft_poly_hash(str)` — rolling hash of the whole string (fingerprint). */
-case class PolyHash(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    polyHash(s, 0, s.length)
+  def evalPolyHash(s: UTF8String): Long = {
+    val str = s.toString
+    polyHash(str, 0, str.length)
   }
-  override protected def withNewChildInternal(newChild: Expression): PolyHash =
-    copy(child = newChild)
-}
 
-/** `graft_char_ngram_hashes(str, n)` — distinct rolling hashes of every
-  * length-`n` character window (== poly hash of each substring).
-  */
-case class CharNgramHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
-  override def dataType: DataType = longArray
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def evalCharNgramHashes(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
     val len = s.length
     if (len < n) return new GenericArrayData(Array.empty[Long])
     val m = len - n + 1
@@ -87,18 +84,9 @@ case class CharNgramHashes(child: Expression, n: Int)
     while (i < m) { hashes(i) = polyHash(s, i, i + n); i += 1 }
     new GenericArrayData(distinct(hashes, m))
   }
-  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
-    copy(child = newChild)
-}
 
-/** `graft_token_hashes(str)` — rolling hash of every single-space-separated
-  * token, empties preserved (same tokenization as `split(str, ' ')`).
-  */
-case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = longArray
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def evalTokenHashes(input: UTF8String): ArrayData = {
+    val s = input.toString
     val out = Array.newBuilder[Long]
     var start = 0
     var i = 0
@@ -112,20 +100,9 @@ case class TokenHashes(child: Expression)
     }
     new GenericArrayData(out.result())
   }
-  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
-    copy(child = newChild)
-}
 
-/** `graft_shingle_hashes(tokenHashes, n)` — distinct hashes of every
-  * n-token window, combining pre-hashed tokens:
-  * ((h1*31 + h2) % P * 31 + h3) % P.
-  */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(n >= 1)
-  override def dataType: DataType = longArray
-  override def nullSafeEval(input: Any): Any = {
-    val th = input.asInstanceOf[ArrayData].toLongArray()
+  def evalShingleHashes(input: ArrayData, n: Int): ArrayData = {
+    val th = input.toLongArray()
     if (th.length < n) return new GenericArrayData(Array.empty[Long])
     val m = th.length - n + 1
     val hashes = new Array[Long](m)
@@ -139,21 +116,10 @@ case class ShingleHashes(child: Expression, n: Int)
     }
     new GenericArrayData(distinct(hashes, m))
   }
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
-}
 
-/** `graft_minhash_sig(shingleHashes, k)` — k-permutation MinHash signature,
-  * permutation i: ((1 + i*2654435761) % P * s + (7 + i*40503)) % P. NULL on
-  * an empty shingle set (mirrors `array_min(empty) = NULL` in the HOF form,
-  * so LSH band joins drop such rows in both engines).
-  */
-case class MinHashSig(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(k >= 1)
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(input: Any): Any = {
-    val sh = input.asInstanceOf[ArrayData].toLongArray()
+  /** null (NOT an empty array) on an empty shingle set — caller handles. */
+  def evalMinHashSig(input: ArrayData, k: Int): ArrayData = {
+    val sh = input.toLongArray()
     if (sh.isEmpty) return null
     val sig = new Array[Long](k)
     var i = 0
@@ -172,20 +138,10 @@ case class MinHashSig(child: Expression, k: Int)
     }
     new GenericArrayData(sig)
   }
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
-    copy(child = newChild)
-}
 
-/** `graft_intersect_size(a, b)` — |a ∩ b| for two sorted-distinct i64
-  * arrays (as produced by [[CharNgramHashes]]/[[ShingleHashes]]): a merge
-  * walk over primitive longs, no boxing, no per-call hash set.
-  */
-case class IntersectSize(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-  override def dataType: DataType = IntegerType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = a.asInstanceOf[ArrayData].toLongArray()
-    val ys = b.asInstanceOf[ArrayData].toLongArray()
+  def evalIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
     var i = 0; var j = 0; var n = 0
     while (i < xs.length && j < ys.length) {
       val c = java.lang.Long.compare(xs(i), ys(j))
@@ -195,59 +151,28 @@ case class IntersectSize(left: Expression, right: Expression)
     }
     n
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
-    copy(left = l, right = r)
-}
 
-/** Dot product of two float/double array columns, accumulated
-  * left-to-right in double — bit-identical to
-  * `aggregate(zip_with(a, b, (p,q) -> double(p)*double(q)), 0d, +)` and to
-  * the oracle's `list_reduce(list_prepend(0.0, ...), +)`, without the
-  * per-element interpreted-lambda overhead (the embedding pair queries
-  * evaluate this 10⁵–10⁷ times).
-  */
-case class DotProduct(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  // NULL on mismatched lengths, matching the HOF formulation (zip_with pads
-  // with NULL → the aggregate goes NULL): a malformed embedding must surface
-  // as NULL, not a silently truncated score.
-  override def nullable: Boolean = true
-  private def elems(e: Expression, d: Any): Array[Double] =
-    e.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => d.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
-      case DoubleType => d.asInstanceOf[ArrayData].toDoubleArray()
-      case t => throw new IllegalArgumentException(s"graft_dot: unsupported element type $t")
-    }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val xs = elems(left, a)
-    val ys = elems(right, b)
-    if (xs.length != ys.length) return null
+  private def toDoubles(d: ArrayData, isFloat: Boolean): Array[Double] =
+    if (isFloat) {
+      val f = d.toFloatArray()
+      val out = new Array[Double](f.length)
+      var i = 0
+      while (i < f.length) { out(i) = f(i).toDouble; i += 1 }
+      out
+    } else d.toDoubleArray()
+
+  /** Caller guarantees equal lengths (the expressions null out mismatches). */
+  def evalDot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val xs = toDoubles(a, aFloat)
+    val ys = toDoubles(b, bFloat)
     var acc = 0.0
     var i = 0
     while (i < xs.length) { acc += xs(i) * ys(i); i += 1 }
     acc
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
-    copy(left = l, right = r)
-}
 
-/** `graft_hyperplane_bucket(vec, planes)` — random-hyperplane LSH bucket:
-  * bit j is the sign of ⟨v, h_j⟩ with deterministic ±1 plane weights
-  * derived from (((j*100003 + i + 1) * 2654435761) mod P) mod 2. Accumulates in
-  * double, ascending i — bit-identical to the HOF formulation and the
-  * DuckDB oracle.
-  */
-case class HyperplaneBucket(child: Expression, planes: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(planes >= 1 && planes <= 63)
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val v = child.dataType.asInstanceOf[ArrayType].elementType match {
-      case FloatType => input.asInstanceOf[ArrayData].toFloatArray().map(_.toDouble)
-      case DoubleType => input.asInstanceOf[ArrayData].toDoubleArray()
-      case t => throw new IllegalArgumentException(s"graft_hyperplane_bucket: unsupported $t")
-    }
+  def evalHyperplaneBucket(input: ArrayData, planes: Int, isFloat: Boolean): Long = {
+    val v = toDoubles(input, isFloat)
     var bucket = 0L
     var j = 0
     while (j < planes) {
@@ -268,27 +193,9 @@ case class HyperplaneBucket(child: Expression, planes: Int)
     }
     bucket
   }
-  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
-    copy(child = newChild)
-}
 
-/** `graft_simhash(tokenHashes, bits)` — `bits`-wide SimHash (default 64,
-  * the standard width for corpus-scale near-dup): output bit b is set iff
-  * the ±1 vote over all token hashes sums ≥ 0, where token h votes +1 on
-  * bit b iff ((a_b * h + c_b) mod P) mod 2 == 1 with
-  * a_b = (1 + b*2654435761) mod P, c_b = (7 + b*40503) mod P — the same
-  * fixed permutation family as [[MinHashSig]], so every output bit is an
-  * independent hash of the token (the token hashes themselves carry only
-  * ~30 bits, so using bit b of the raw hash would leave bits ≥ 30
-  * constant and collapse the banding space). Replayable in the oracle:
-  * a_b, h < P ≈ 2^30 so a_b*h + c_b < 2^62 never overflows i64.
-  */
-case class SimHash(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
-  require(bits >= 1 && bits <= 64)
-  override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val th = input.asInstanceOf[ArrayData].toLongArray()
+  def evalSimHash(input: ArrayData, bits: Int): Long = {
+    val th = input.toLongArray()
     var out = 0L
     var b = 0
     while (b < bits) {
@@ -305,6 +212,176 @@ case class SimHash(child: Expression, bits: Int)
     }
     out
   }
+
+  private[expressions] def isFloatArray(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FloatType => true
+      case DoubleType => false
+      case t => throw new IllegalArgumentException(s"unsupported array element type $t")
+    }
+}
+
+import HashExpressions._
+
+/** `graft_poly_hash(str)` — rolling hash of the whole string (fingerprint). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    evalPolyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalPolyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** `graft_char_ngram_hashes(str, n)` — distinct rolling hashes of every
+  * length-`n` character window (== poly hash of each substring).
+  */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any =
+    evalCharNgramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalCharNgramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+/** `graft_token_hashes(str)` — rolling hash of every single-space-separated
+  * token, empties preserved (same tokenization as `split(str, ' ')`).
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any =
+    evalTokenHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalTokenHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(tokenHashes, n)` — distinct hashes of every
+  * n-token window, combining pre-hashed tokens:
+  * ((h1*31 + h2) % P * 31 + h3) % P.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any =
+    evalShingleHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalShingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_minhash_sig(shingleHashes, k)` — k-permutation MinHash signature,
+  * permutation i: ((1 + i*2654435761) % P * s + (7 + i*40503)) % P. NULL on
+  * an empty shingle set (mirrors `array_min(empty) = NULL` in the HOF form,
+  * so LSH band joins drop such rows in both engines).
+  */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // NULL on empty input even when the child is non-null
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    evalMinHashSig(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $H.evalMinHashSig($c, $k);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** `graft_intersect_size(a, b)` — |a ∩ b| for two sorted-distinct i64
+  * arrays (as produced by [[CharNgramHashes]]/[[ShingleHashes]]): a merge
+  * walk over primitive longs, no boxing, no per-call hash set.
+  */
+case class IntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$H.evalIntersectSize($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSize =
+    copy(left = l, right = r)
+}
+
+/** Dot product of two float/double array columns, accumulated
+  * left-to-right in double — bit-identical to
+  * `aggregate(zip_with(a, b, (p,q) -> double(p)*double(q)), 0d, +)` and to
+  * the oracle's `list_reduce(list_prepend(0.0, ...), +)`, without the
+  * per-element interpreted-lambda overhead (the embedding pair queries
+  * evaluate this 10⁵–10⁷ times).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  // NULL on mismatched lengths, matching the HOF formulation (zip_with pads
+  // with NULL → the aggregate goes NULL): a malformed embedding must surface
+  // as NULL, not a silently truncated score.
+  override def nullable: Boolean = true
+  private lazy val lf = isFloatArray(left)
+  private lazy val rf = isFloatArray(right)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    if (xs.numElements() != ys.numElements()) null
+    else evalDot(xs, ys, lf, rf)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      if ($a.numElements() != $b.numElements()) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = $H.evalDot($a, $b, $lf, $rf);
+      }
+    """)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `graft_hyperplane_bucket(vec, planes)` — random-hyperplane LSH bucket:
+  * bit j is the sign of ⟨v, h_j⟩ with deterministic ±1 plane weights
+  * derived from (((j*100003 + i + 1) * 2654435761) mod P) mod 2. Accumulates in
+  * double, ascending i — bit-identical to the HOF formulation and the
+  * DuckDB oracle.
+  */
+case class HyperplaneBucket(child: Expression, planes: Int) extends UnaryExpression {
+  require(planes >= 1 && planes <= 63)
+  override def dataType: DataType = LongType
+  private lazy val isFloat = isFloatArray(child)
+  override def nullSafeEval(input: Any): Any =
+    evalHyperplaneBucket(input.asInstanceOf[ArrayData], planes, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalHyperplaneBucket($c, $planes, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
+/** `graft_simhash(tokenHashes, bits)` — `bits`-wide SimHash (default 64,
+  * the standard width for corpus-scale near-dup): output bit b is set iff
+  * the ±1 vote over all token hashes sums ≥ 0, where token h votes +1 on
+  * bit b iff ((a_b * h + c_b) mod P) mod 2 == 1 with
+  * a_b = (1 + b*2654435761) mod P, c_b = (7 + b*40503) mod P — the same
+  * fixed permutation family as [[MinHashSig]], so every output bit is an
+  * independent hash of the token (the token hashes themselves carry only
+  * ~30 bits, so using bit b of the raw hash would leave bits ≥ 30
+  * constant and collapse the banding space). Replayable in the oracle:
+  * a_b, h < P ≈ 2^30 so a_b*h + c_b < 2^62 never overflows i64.
+  */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    evalSimHash(input.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalSimHash($c, $bits)")
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
 }

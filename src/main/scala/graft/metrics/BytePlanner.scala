@@ -96,6 +96,162 @@ object BytePlanner {
     } finally raf.close()
   }
 
+  // ---- page-index planning (F9's finer rung: the reference's Feature enum
+  // stubs page-level pruning at v1/src/main.rs:387-393 as dead code; parquet
+  // ColumnIndex/OffsetIndex make it real here)
+
+  final case class PagePlan(
+      path: String,
+      fileBytes: Long,
+      pages: Int,
+      survivingPages: Int,
+      plannedBytes: Long)
+
+  final case class PagePlans(files: Seq[PagePlan]) {
+    def totalBytes: Long = files.map(_.fileBytes).sum
+    def plannedBytes: Long = files.map(_.plannedBytes).sum
+    def pages: Int = files.map(_.pages).sum
+    def survivingPages: Int = files.map(_.survivingPages).sum
+    def selectivity: Double = if (totalBytes == 0) 0.0 else plannedBytes.toDouble / totalBytes
+  }
+
+  /** Plan at data-page granularity: row groups prune as in [[plan]], then
+    * inside each surviving group the predicate column's ColumnIndex
+    * (per-page min/max) selects surviving pages, their row ranges project
+    * onto every wanted column via its OffsetIndex, and planned bytes are
+    * the surviving pages' compressed sizes (plus the chunk's
+    * dictionary/header overhead whenever any of its pages is read, and the
+    * footer). Single-predicate-column only — the tier sweep's shape; a
+    * multi-column page filter needs parquet's row-range intersection
+    * machinery, which the scan itself (parquet-mr ColumnIndexFilter)
+    * already provides. Falls back to whole-chunk bytes when indexes are
+    * absent. Null-only pages drop: every reference comparison is
+    * null-rejecting.
+    */
+  def planPages(path: String, columns: Seq[String], predicate: String): PagePlans = {
+    val expr = Predicates.parse(predicate)
+    val predCols = Predicates.referencedColumns(expr).distinct
+    require(predCols.size == 1, s"page planning supports one predicate column, got $predCols")
+    PagePlans(listParquet(new java.io.File(path)).map(planFilePages(_, columns, expr, predCols.head)))
+  }
+
+  private def planFilePages(
+      file: String, columns: Seq[String], expr: Expr, predCol: String): PagePlan = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val footerBytes = readFooterLength(file) + 8L
+      val wanted: ColumnChunkMetaData => Boolean =
+        if (columns.isEmpty) _ => true
+        else c => columns.contains(c.getPath.toDotString)
+      var pages = 0
+      var survivingPages = 0
+      var planned = footerBytes
+      blocks.foreach { b =>
+        val chunks = b.getColumns.asScala.toSeq
+        val stats = chunks.map(c => c.getPath.toDotString -> c).toMap
+        val oiAll = chunks.filter(wanted)
+          .map(c => c -> Option(reader.readOffsetIndex(c))).toMap
+        pages += oiAll.valuesIterator.map(_.map(_.getPageCount).getOrElse(1)).sum
+        if (keepRowGroup(expr, stats, not = false)) {
+          val pc = stats(predCol)
+          val ci = Option(reader.readColumnIndex(pc))
+          val oi = Option(reader.readOffsetIndex(pc))
+          (ci, oi) match {
+            case (Some(idx), Some(off)) =>
+              val n = off.getPageCount
+              val rowCount = b.getRowCount
+              // surviving row ranges of the predicate column's pages
+              val ranges = (0 until n).flatMap { i =>
+                val keep = !idx.getNullPages.get(i) &&
+                  keepPage(expr, pc.getPrimitiveType,
+                    idx.getMinValues.get(i), idx.getMaxValues.get(i), predCol, not = false)
+                if (!keep) None
+                else Some((off.getFirstRowIndex(i),
+                  if (i + 1 < n) off.getFirstRowIndex(i + 1) - 1 else rowCount - 1))
+              }
+              chunks.filter(wanted).foreach { c =>
+                oiAll(c) match {
+                  case Some(o) =>
+                    val m = o.getPageCount
+                    val keptSizes = (0 until m).filter { j =>
+                      val lo = o.getFirstRowIndex(j)
+                      val hi = if (j + 1 < m) o.getFirstRowIndex(j + 1) - 1 else rowCount - 1
+                      ranges.exists { case (a, z) => a <= hi && lo <= z }
+                    }.map(o.getCompressedPageSize(_).toLong)
+                    survivingPages += keptSizes.size
+                    if (keptSizes.nonEmpty) {
+                      val allPages = (0 until m).map(o.getCompressedPageSize(_).toLong).sum
+                      // dictionary page + headers ride along once any page reads
+                      planned += keptSizes.sum + math.max(0L, c.getTotalSize - allPages)
+                    }
+                  case None =>
+                    survivingPages += 1
+                    planned += c.getTotalSize
+                }
+              }
+            case _ => // no index written: whole surviving chunks, as plan()
+              chunks.filter(wanted).foreach { c =>
+                survivingPages += oiAll(c).map(_.getPageCount).getOrElse(1)
+                planned += c.getTotalSize
+              }
+          }
+        }
+      }
+      PagePlan(file, new java.io.File(file).length(), pages, survivingPages, planned)
+    } finally reader.close()
+  }
+
+  /** [[keepRowGroup]] transposed to one page of the predicate column:
+    * conditions on other columns stay conservative (true).
+    */
+  private def keepPage(
+      e: Expr,
+      tpe: org.apache.parquet.schema.PrimitiveType,
+      minBuf: java.nio.ByteBuffer,
+      maxBuf: java.nio.ByteBuffer,
+      predCol: String,
+      not: Boolean): Boolean = e match {
+    case And(l, r) =>
+      if (not) keepPage(l, tpe, minBuf, maxBuf, predCol, not) ||
+        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
+      else keepPage(l, tpe, minBuf, maxBuf, predCol, not) &&
+        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
+    case Or(l, r) =>
+      if (not) keepPage(l, tpe, minBuf, maxBuf, predCol, not) &&
+        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
+      else keepPage(l, tpe, minBuf, maxBuf, predCol, not) ||
+        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
+    case Not(x) => keepPage(x, tpe, minBuf, maxBuf, predCol, !not)
+    case Cond(c, op0, v) =>
+      if (c != predCol) true
+      else (decodeBound(tpe, minBuf), decodeBound(tpe, maxBuf)) match {
+        case (Some(mn), Some(mx)) =>
+          keepBounds(tpe, mn, mx, if (not) negate(op0) else op0, v)
+        case _ => true
+      }
+  }
+
+  /** Plain-encoded little-endian bound from a ColumnIndex buffer. */
+  private def decodeBound(
+      tpe: org.apache.parquet.schema.PrimitiveType, buf: java.nio.ByteBuffer): Option[Any] = {
+    if (buf == null || buf.remaining() == 0) return None
+    val b = buf.duplicate().order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tpe.getPrimitiveTypeName match {
+      case INT32 => Some(java.lang.Integer.valueOf(b.getInt))
+      case INT64 => Some(java.lang.Long.valueOf(b.getLong))
+      case FLOAT => Some(java.lang.Float.valueOf(b.getFloat))
+      case DOUBLE => Some(java.lang.Double.valueOf(b.getDouble))
+      case BOOLEAN => Some(java.lang.Boolean.valueOf(b.get() != 0))
+      case BINARY =>
+        val bytes = new Array[Byte](b.remaining())
+        b.get(bytes)
+        Some(Binary.fromConstantByteArray(bytes))
+      case _ => None
+    }
+  }
+
   /** v1 `keep_row_group` (v1/src/main.rs:626-685): true iff the group *may*
     * contain matching rows. `not` carries negation through AND/OR
     * (De Morgan) exactly like the reference's flag.
@@ -137,7 +293,15 @@ object BytePlanner {
   private def keepCond(meta: ColumnChunkMetaData, op: String, v: Value): Boolean = {
     val s = meta.getStatistics
     if (s == null || !s.hasNonNullValue) return true
-    val tpe = meta.getPrimitiveType
+    keepBounds(meta.getPrimitiveType, s.genericGetMin, s.genericGetMax, op, v)
+  }
+
+  /** Interval check for one (min, max) bound pair — the shared kernel of
+    * chunk-level [[keepCond]] and page-level [[keepPage]].
+    */
+  private def keepBounds(
+      tpe: org.apache.parquet.schema.PrimitiveType,
+      mnAny: Any, mxAny: Any, op: String, v: Value): Boolean = {
 
     def interval(min: Double, max: Double, x: Double): Boolean = {
       if (min.isNaN || max.isNaN) return true // never prune on unusable stats
@@ -165,26 +329,26 @@ object BytePlanner {
 
     (tpe.getPrimitiveTypeName, v) match {
       case (INT32 | INT64, I64(l)) if !isTimestamp(tpe) =>
-        (longOf(s.genericGetMin), longOf(s.genericGetMax)) match {
+        (longOf(mnAny), longOf(mxAny)) match {
           case (Some(mn), Some(mx)) => intervalLong(mn, mx, l)
           case _ => true
         }
       case (INT32 | INT64, F64(_)) if !isTimestamp(tpe) =>
-        interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
+        interval(num(mnAny), num(mxAny), numValue(v))
       case (FLOAT | DOUBLE, I64(_) | F64(_)) =>
-        interval(num(s.genericGetMin), num(s.genericGetMax), numValue(v))
+        interval(num(mnAny), num(mxAny), numValue(v))
       case (INT64, Ts(ms)) =>
         timestampUnitScale(tpe) match {
           case Some(perMilli) =>
             // exact: epoch-millis × 1e6 < 2^63 through year ~2262
-            (longOf(s.genericGetMin), longOf(s.genericGetMax)) match {
+            (longOf(mnAny), longOf(mxAny)) match {
               case (Some(mn), Some(mx)) => intervalLong(mn, mx, ms * perMilli)
               case _ => true
             }
           case None => true
         }
       case (BINARY, Str(x)) =>
-        (s.genericGetMin, s.genericGetMax) match {
+        (mnAny, mxAny) match {
           case (mn: Binary, mx: Binary) =>
             val min = mn.toStringUsingUTF8
             val max = mx.toStringUsingUTF8
@@ -199,7 +363,7 @@ object BytePlanner {
           case _ => true
         }
       case (BOOLEAN, Bool(x)) =>
-        (s.genericGetMin, s.genericGetMax) match {
+        (mnAny, mxAny) match {
           case (mn: java.lang.Boolean, mx: java.lang.Boolean) =>
             op match {
               case "==" => (mn.booleanValue() == x) || (mx.booleanValue() == x)

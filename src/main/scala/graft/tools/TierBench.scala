@@ -34,6 +34,20 @@ object TierBench {
       .option("parquet.block.size", (512 * 1024).toString)
       .parquet(staged)
 
+    // Page-index rung (reference F9: dead-code Feature enum,
+    // v1/src/main.rs:387-393): same sorted layout but COARSE row groups and
+    // fine pages, so group-level pruning is blunt and the ColumnIndex does
+    // the work — the delta between rg/page planned bytes below is the
+    // pruning-granularity ablation.
+    val stagedPi = java.nio.file.Files.createTempDirectory("tierbench-pi").toString
+    src.orderBy("l_extendedprice")
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (8 * 1024 * 1024).toString)
+      .option("parquet.page.size", (8 * 1024).toString)
+      .option("parquet.page.row.count.limit", "1000")
+      .parquet(stagedPi)
+
     val qs = src.stat.approxQuantile("l_extendedprice",
       Array(0.0, 0.25, 0.5, 0.75, 0.9), 0.001)
     val maxV = src.agg(max("l_extendedprice")).head.getDouble(0)
@@ -52,12 +66,18 @@ object TierBench {
         q.df.collect().head.getLong(4)
       }
       val plan = BytePlanner.plan(staged, Seq("l_extendedprice"), Some(pred))
+      val rgPi = BytePlanner.plan(stagedPi, Seq("l_extendedprice"), Some(pred))
+      val pi = BytePlanner.planPages(stagedPi, Seq("l_extendedprice"), pred)
       println(
         s"""{"tier":"$name","threshold":$w,"rows":$rows,""" +
           s""""records_read":${rep.recordsRead},"elapsed_sec":${rep.elapsedSec},""" +
           s""""row_groups":${plan.rowGroups},"surviving_groups":${plan.survivingGroups},""" +
           s""""planned_bytes":${plan.plannedBytes},"total_bytes":${plan.totalBytes},""" +
-          f""""planned_selectivity":${plan.selectivity}%.6f}""")
+          f""""planned_selectivity":${plan.selectivity}%.6f,""" +
+          s""""pi_rowgroup_planned_bytes":${rgPi.plannedBytes},""" +
+          s""""pi_pages":${pi.pages},"pi_surviving_pages":${pi.survivingPages},""" +
+          s""""pi_planned_bytes":${pi.plannedBytes},""" +
+          f""""pi_planned_selectivity":${pi.selectivity}%.6f}""")
     }
     spark.stop()
   }

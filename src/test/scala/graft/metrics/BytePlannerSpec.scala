@@ -114,6 +114,51 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     BytePlanner.plan(dir, Seq("v"), Some(s"v == ${base + 1024}")).survivingGroups shouldBe 0
   }
 
+  /** Page-index planning: coarse row groups + fine pages, sorted, so the
+    * ColumnIndex must do the pruning the group stats can't.
+    */
+  private lazy val stagedPi: String = {
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner-pi").toString
+    spark.read.parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+      .orderBy("l_quantity").coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (16 * 1024 * 1024).toString)
+      .option("parquet.page.size", (4 * 1024).toString)
+      .option("parquet.page.row.count.limit", "500")
+      .parquet(dir)
+    dir
+  }
+
+  test("page planning reads fewer bytes than row-group planning at mid selectivity") {
+    val pred = "l_quantity > 25.0"
+    val rg = BytePlanner.plan(stagedPi, Seq("l_quantity"), Some(pred))
+    val pp = BytePlanner.planPages(stagedPi, Seq("l_quantity"), pred)
+    pp.pages should be > rg.rowGroups // fixture really is page-granular
+    pp.survivingPages should be > 0
+    pp.survivingPages should be < pp.pages
+    pp.plannedBytes should be < rg.plannedBytes
+  }
+
+  test("page planning is sound: zero surviving pages ⇒ zero matching rows, and never under-selects") {
+    val quantities = spark.read.parquet(stagedPi).collect()
+      .map(_.getAs[Double]("l_quantity")).sorted
+    for (t <- Seq(0.0, 10.5, 25.0, 49.0, 50.0, 60.0)) {
+      val pred = s"l_quantity > $t"
+      val pp = BytePlanner.planPages(stagedPi, Seq("l_quantity"), pred)
+      val truth = quantities.count(_ > t)
+      withClue(pred) {
+        if (pp.survivingPages == 0) truth shouldBe 0
+        // sorted fixture + 500-row pages: surviving pages must cover every
+        // matching row — the planned page count can't be below ceil(truth/500)
+        if (truth > 0) pp.survivingPages should be >= ((truth + 499) / 500)
+      }
+    }
+    // impossible predicate: only the footer remains
+    val none = BytePlanner.planPages(stagedPi, Seq("l_quantity"), "l_quantity > 9999.0")
+    none.survivingPages shouldBe 0
+    none.plannedBytes should be < 100000L
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))
