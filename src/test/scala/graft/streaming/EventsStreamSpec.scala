@@ -49,6 +49,51 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("streaming sessionization emits the batch session set once closed") {
+    import spark.implicits._
+    // deterministic two-file fixture: per-user event times in ascending
+    // file order, gaps straddling the 100s session gap; the final watermark
+    // event (user 99) pushes every other user's open session past timeout
+    val gapUs = 100L * 1000000L
+    val dir = java.nio.file.Files.createTempDirectory("events-sess-stream").toString
+    def write(name: String, rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("event_id", "user_id", "sec")
+        .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
+          "'c' AS event_type", "1.0 AS value", "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir-stage/$name")
+    // (event_id, user_id, epoch-second)
+    write("f1", Seq((1L, 1L, 100L), (2L, 1L, 150L), (3L, 2L, 100L)))
+    write("f2", Seq((4L, 1L, 400L), (5L, 2L, 180L), (6L, 99L, 100000L)))
+    new java.io.File(dir).mkdirs()
+    def promote(name: String): Unit = {
+      val src = new java.io.File(s"$dir-stage/$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val query = EventsStream.streamingSessionize(spark, dir, "sess_stream_test", gapUs)
+    try {
+      promote("f1"); query.processAllAvailable()
+      promote("f2"); query.processAllAvailable()
+      // one more empty pass so the advanced watermark fires the timeouts
+      query.processAllAvailable()
+      val got = spark.table("sess_stream_test")
+        .select("user_id", "n_events", "start_us", "end_us")
+        .collect().map(_.toSeq).toSet
+      // user 1: (100,150) then gap 250s -> new session (400); user 2: one
+      // session (100,180); user 99's own session still open (no later
+      // watermark) — everything closed must match the batch truth
+      got should contain allOf (
+        Seq(1L, 2L, 100000000L, 150000000L),
+        Seq(1L, 1L, 400000000L, 400000000L),
+        Seq(2L, 2L, 100000000L, 180000000L))
+      got.map(_.head) should not contain 99L
+      // session ordinals increase in close order per user
+      val u1 = spark.table("sess_stream_test").where($"user_id" === 1L)
+        .orderBy("session_id").select("start_us").as[Long].collect()
+      u1 shouldBe u1.sorted
+    } finally query.stop()
+  }
+
   test("batch sessionization splits on the gap and preserves event counts") {
     val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
     val sessions = EventsStream.sessionize(events, gapUs = 1800L * 1000000L)
