@@ -96,6 +96,89 @@ object BytePlanner {
     } finally raf.close()
   }
 
+  /** [[plan]] + bloom-filter consultation (the OTHER half of the
+    * reference's dead-code Feature ladder, v1/src/main.rs:387-393): an
+    * equality condition on a chunk whose bloom filter reports the value
+    * definitely-absent drops the row group even when min/max can't —
+    * the case stats never catch on UNSORTED data, where every group's
+    * range covers every point probe. No false negatives in the filter ⇒
+    * pruning stays sound; non-equality ops and missing filters fall back
+    * to stats-only. Requires the fixture written with
+    * `parquet.bloom.filter.enabled#<col>` — note parquet-mr omits the
+    * bloom when a chunk stays fully dictionary-encoded (the dictionary is
+    * already an exact membership structure there); real key columns at
+    * corpus scale overflow the dictionary and get the filter.
+    */
+  def planBloom(path: String, columns: Seq[String], predicate: Option[String]): Plan = {
+    val expr = predicate.map(Predicates.parse)
+    Plan(listParquet(new java.io.File(path)).map { file =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val footerBytes = readFooterLength(file) + 8L
+        val surviving = blocks.filter { b =>
+          val stats = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
+          val blooms = reader.getBloomFilterDataReader(b)
+          expr.forall(e => keepRowGroup(e, stats, not = false) &&
+            keepBloom(e, stats, c => Option(blooms.readBloomFilter(c)), not = false))
+        }
+        val wanted: ColumnChunkMetaData => Boolean =
+          if (columns.isEmpty) _ => true
+          else c => columns.contains(c.getPath.toDotString)
+        val planned = surviving
+          .flatMap(_.getColumns.asScala.filter(wanted))
+          .map(_.getTotalSize)
+          .sum + footerBytes
+        FilePlan(file, new java.io.File(file).length(), footerBytes,
+          blocks.size, surviving.size, planned)
+      } finally reader.close()
+    })
+  }
+
+  /** De-Morgan recursion as [[keepRowGroup]], but the leaf test is a bloom
+    * point probe: only an (effective) `==` can prune, everything else keeps.
+    */
+  private def keepBloom(
+      e: Expr,
+      stats: Map[String, ColumnChunkMetaData],
+      bloomOf: ColumnChunkMetaData => Option[
+        org.apache.parquet.column.values.bloomfilter.BloomFilter],
+      not: Boolean): Boolean = e match {
+    case And(l, r) =>
+      if (not) keepBloom(l, stats, bloomOf, not) || keepBloom(r, stats, bloomOf, not)
+      else keepBloom(l, stats, bloomOf, not) && keepBloom(r, stats, bloomOf, not)
+    case Or(l, r) =>
+      if (not) keepBloom(l, stats, bloomOf, not) && keepBloom(r, stats, bloomOf, not)
+      else keepBloom(l, stats, bloomOf, not) || keepBloom(r, stats, bloomOf, not)
+    case Not(x) => keepBloom(x, stats, bloomOf, !not)
+    case Cond(c, op0, v) =>
+      val op = if (not) negate(op0) else op0
+      if (op != "==") true
+      else (for {
+        meta <- stats.get(c)
+        bf <- bloomOf(meta)
+        h <- hashFor(bf, meta, v)
+      } yield bf.findHash(h)).getOrElse(true)
+  }
+
+  /** Bloom hash of the literal in the chunk's PHYSICAL type; None (keep) on
+    * any type mismatch — hashing through the wrong width would be unsound.
+    */
+  private def hashFor(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      meta: ColumnChunkMetaData, v: Value): Option[Long] =
+    (meta.getPrimitiveType.getPrimitiveTypeName, v) match {
+      case (INT32, I64(l)) if !isTimestamp(meta.getPrimitiveType) && l.isValidInt =>
+        Some(bf.hash(l.toInt))
+      case (INT64, I64(l)) if !isTimestamp(meta.getPrimitiveType) => Some(bf.hash(l))
+      case (DOUBLE, F64(d)) => Some(bf.hash(d))
+      case (DOUBLE, I64(l)) => Some(bf.hash(l.toDouble))
+      case (FLOAT, F64(d)) if d.toFloat.toDouble == d => Some(bf.hash(d.toFloat))
+      case (BINARY, Str(s)) => Some(bf.hash(Binary.fromString(s)))
+      case _ => None
+    }
+
   // ---- page-index planning (F9's finer rung: the reference's Feature enum
   // stubs page-level pruning at v1/src/main.rs:387-393 as dead code; parquet
   // ColumnIndex/OffsetIndex make it real here)

@@ -159,6 +159,61 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     none.plannedBytes should be < 100000L
   }
 
+  /** Bloom rung: UNSORTED layout (every group's min/max range covers every
+    * point probe, so stats alone prune nothing) with bloom filters written
+    * on the key column.
+    */
+  private lazy val stagedBloom: String = {
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner-bloom").toString
+    spark.read.parquet(s"${SparkTestSession.sf001}/lineitem.parquet")
+      .orderBy(org.apache.spark.sql.functions.expr("hash(l_orderkey)")) // decorrelate ⇒ unsorted keys
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("parquet.block.size", (256 * 1024).toString)
+      .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+      // parquet-mr silently skips the bloom when a chunk stays fully
+      // dictionary-encoded (the dictionary already gives exact membership);
+      // a corpus-scale key column overflows the dictionary anyway
+      .option("parquet.enable.dictionary#l_orderkey", "false")
+      .parquet(dir)
+    dir
+  }
+
+  test("bloom filter prunes equality probes stats can't, and never a present key") {
+    val keys = spark.read.parquet(stagedBloom).collect()
+      .map(_.getAs[Long]("l_orderkey")).toSet
+    // TPC-H orderkeys are sparse: find absent keys strictly inside [min,max]
+    val absent = (keys.min to keys.max).iterator.filterNot(keys).take(3).toSeq
+    absent should not be empty
+    absent.foreach { k =>
+      val stats = BytePlanner.plan(stagedBloom, Seq("l_orderkey"), Some(s"l_orderkey == $k"))
+      val bloom = BytePlanner.planBloom(stagedBloom, Seq("l_orderkey"), Some(s"l_orderkey == $k"))
+      withClue(s"absent key $k") {
+        // min/max is (near-)blind on the hash-shuffled layout: most groups'
+        // ranges cover the probe; the bloom filter kills every one
+        stats.survivingGroups should be > (stats.rowGroups / 2)
+        bloom.survivingGroups shouldBe 0
+        bloom.plannedBytes shouldBe bloom.files.map(_.footerBytes).sum
+      }
+    }
+    // soundness: present keys always keep ≥1 group (no false negatives)
+    keys.take(5).foreach { k =>
+      BytePlanner.planBloom(stagedBloom, Seq("l_orderkey"), Some(s"l_orderkey == $k"))
+        .survivingGroups should be > 0
+    }
+    // non-equality ops fall back to stats-only behavior
+    val range = BytePlanner.planBloom(stagedBloom, Seq("l_orderkey"), Some("l_orderkey > 0"))
+    range.survivingGroups shouldBe range.rowGroups
+    // a bloom-absent conjunct kills the conjunction; a disjunction survives
+    // through its other arm
+    val k0 = absent.head
+    BytePlanner.planBloom(stagedBloom, Seq("l_orderkey"),
+      Some(s"l_orderkey == $k0 AND l_quantity > 0.0")).survivingGroups shouldBe 0
+    BytePlanner.planBloom(stagedBloom, Seq("l_orderkey"),
+      Some(s"l_orderkey == $k0 OR l_quantity > 0.0"))
+      .survivingGroups should be > 0
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))
