@@ -563,6 +563,144 @@ object ExtensionCatalog {
               |  len(list_filter(range(1, 17), j -> a.sig[j] = b.sig[j]))::DOUBLE / 16 AS est_jaccard
               |FROM sigv a JOIN sigv b ON a.source < b.source
               |ORDER BY source_a, source_b""".stripMargin),
-      "typed Aggregator[IN,BUF,OUT]: group-level MinHash sketch per source + pairwise estimated Jaccard (extension: dedup/sketch)")
+      "typed Aggregator[IN,BUF,OUT]: group-level MinHash sketch per source + pairwise estimated Jaccard (extension: dedup/sketch)"),
+
+    CatalogEntry(
+      "x22_topk_per_group",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("l_returnflag")
+              .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))))
+          .where(col("rank") <= 3)
+          .select("l_returnflag", "rank", "l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy("l_returnflag", "rank"),
+      Some("""SELECT l_returnflag, rank, l_orderkey, l_linenumber, l_extendedprice FROM (
+             |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rank
+             |  FROM lineitem)
+             |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin),
+      "top-k per group via ranked window — Spark plans WindowGroupLimit, so each map task " +
+        "keeps only k rows per group before the shuffle (extension: analytics)"),
+
+    CatalogEntry(
+      "x23_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"),
+            max("l_extendedprice").as("max_price"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             |SUM(l_quantity) AS sum_qty, MAX(l_extendedprice) AS max_price
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "ROLLUP multi-level aggregate: detail + subtotal + grand total in one Expand pass " +
+        "(extension: analytics; l_quantity is integral so the double SUM is exact)"),
+
+    CatalogEntry(
+      "x24_pivot",
+      (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val hours = t(s, dir, "events")
+          .withColumn("hour", expr("(ts div 1000 div 3600000000) % 24"))
+          .groupBy("hour")
+          .pivot("event_type", types)
+          .agg(count(lit(1)))
+        types.foldLeft(hours)((df, c) =>
+          df.withColumn(c, coalesce(col(c), lit(0L))))
+          .orderBy("hour")
+      },
+      Some("""SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+             |COUNT(*) FILTER (event_type = 'click') AS click,
+             |COUNT(*) FILTER (event_type = 'error') AS error,
+             |COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+             |COUNT(*) FILTER (event_type = 'signup') AS signup,
+             |COUNT(*) FILTER (event_type = 'view') AS view
+             |FROM events GROUP BY 1 ORDER BY hour""".stripMargin),
+      "pivot: long→wide conditional aggregation with a STATIC value list (dynamic pivot " +
+        "would need a driver-side distinct pass first) (extension: analytics)"),
+
+    CatalogEntry(
+      "x25_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"), col("tsu").as("click_us"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purch_id"), col("user_id"), col("tsu").as("purch_us"))
+        graft.operators.AsOfJoin
+          .lastPrior(clicks, purchases, key = "user_id",
+            leftTime = "click_us", rightTime = "purch_us",
+            carry = Seq("purch_id", "purch_us"), rightTieBreak = "purch_id")
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS purch_id, user_id, epoch_us(ts) AS purch_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |best AS (
+             |  SELECT c.click_id, c.user_id, c.click_us, max(p.purch_us) AS asof_purch_us
+             |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.purch_us <= c.click_us
+             |  GROUP BY 1, 2, 3)
+             |SELECT b.click_id, b.user_id, b.click_us,
+             |  (SELECT max(p2.purch_id) FROM p p2
+             |   WHERE p2.user_id = b.user_id AND p2.purch_us = b.asof_purch_us) AS asof_purch_id,
+             |  b.asof_purch_us
+             |FROM best b ORDER BY click_id""".stripMargin),
+      "as-of join (each click → the user's most recent prior purchase) via the union-window " +
+        "formulation: one key shuffle, no inequality nested-loop (extension: events/temporal)"),
+
+    CatalogEntry(
+      "x26_dedup_components",
+      (s, dir) => {
+        val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+        graft.operators.Components.connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |-- transitive closure: reach(v, u) = u reachable from v
+              |closure AS (
+              |  WITH RECURSIVE reach(v, u) AS (
+              |    SELECT src, src FROM edges
+              |    UNION
+              |    SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+              |  SELECT v, u FROM reach)
+              |SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
+              |FROM closure GROUP BY v ORDER BY doc_id""".stripMargin),
+      "connected components over near-dup pairs (min-label propagation; each round one " +
+        "equi-shuffle, rounds = component diameter) (extension: dedup consolidation)")
   )
 }

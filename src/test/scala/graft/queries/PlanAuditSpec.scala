@@ -76,6 +76,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     offenders.keys.toSeq shouldBe empty
   }
 
+  test("top-k per group plans WindowGroupLimit (map-side k-row truncation)") {
+    // without it, every group's full row set crosses the shuffle just to be
+    // discarded by the rank filter — the difference between shuffling k·G
+    // rows and shuffling the corpus
+    plans("x22_topk_per_group") should include("WindowGroupLimit")
+  }
+
+  test("as-of join is one window pass, no inequality join") {
+    val p = plans("x25_asof_join")
+    p should not include "BroadcastNestedLoopJoin"
+    p should not include "CartesianProduct"
+    p should include("Window")
+  }
+
   test("un-hinted data-derived dim joins still broadcast at fixture scale via AQE") {
     // q11/q13/q14 join the fact table to a per-key aggregate of itself.
     // Round 1 forced broadcast() — wrong at 100× (the hint overrides AQE's
