@@ -701,6 +701,35 @@ object ExtensionCatalog {
               |SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
               |FROM closure GROUP BY v ORDER BY doc_id""".stripMargin),
       "connected components over near-dup pairs (min-label propagation; each round one " +
-        "equi-shuffle, rounds = component diameter) (extension: dedup consolidation)")
+        "equi-shuffle, rounds = component diameter) (extension: dedup consolidation)"),
+
+    CatalogEntry(
+      "x27_embedding_centroids",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(
+            // nano-floored integer accumulation: float→double is exact,
+            // ×1e9 and floor are bit-identical IEEE ops in both engines,
+            // the i64 sum is exact and associative (partial-agg order can
+            // never flip a bit), and the final double divisions are single
+            // IEEE ops on identical operands. (A DECIMAL(38,12) sum is NOT
+            // replayable: every double's decimal expansion terminates in 5,
+            // so scale-12 rounding hits genuine ties where Spark HALF_UPs
+            // and DuckDB half-evens — measured 1 tie in 640 groups.)
+            ((sum(floor(col("v").cast("double") * 1e9).cast("long")).cast("double")
+              / count(lit(1))) / 1e9).as("centroid"),
+            count(lit(1)).as("n"))
+          .orderBy("label", "pos"),
+      Some("""SELECT label, r.i AS pos,
+             |  CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             |    / COUNT(*) / 1e9 AS centroid,
+             |  COUNT(*) AS n
+             |FROM embeddings e, range(0, 64) r(i)
+             |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
+      "per-label embedding centroids in long (label, pos) form — the cluster-update step " +
+        "IVF/k-means training runs at scale; nano-quantized integer sums make it order-free " +
+        "(extension: similarity/embedding ops)")
   )
 }
