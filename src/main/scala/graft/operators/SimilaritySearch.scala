@@ -116,6 +116,47 @@ object SimilaritySearch {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** One spherical k-means (Lloyd) iteration: assign every corpus vector
+    * to its nearest centroid by cosine (ties to the lower centroid id),
+    * then replace each centroid with the NORMALIZED mean of its assigned
+    * vectors — the update that provably never decreases the summed-cosine
+    * objective, which makes convergence testable. Drives [[ivfTopK]]'s
+    * centroid training: iterate until the objective stalls, then feed the
+    * result in as the inverted-list centroids.
+    *
+    * Scale shape: centroids broadcast for assignment (they are k rows);
+    * the update is one (cent_id, pos) hash-aggregate over the exploded
+    * corpus — no corpus self-join, no iteration-to-iteration lineage
+    * growth if the caller localCheckpoints between rounds. Empty clusters
+    * drop (standard Lloyd; k shrinks rather than keeping a dead centroid).
+    */
+  def kmeansIterate(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
+    val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
+      .crossJoin(cent)
+      .select(col("cid"), col("cv"), col("cent_id"),
+        (dot(col("cv"), col("centv")) / col("cn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+    val means = assigned
+      .select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "v")))
+      .groupBy("cent_id", "pos")
+      .agg(avg(col("v").cast("double")).as("m"))
+      .groupBy("cent_id")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), x -> x.m)").as("mean"))
+    means
+      .select(col("cent_id").as(idCol),
+        expr("transform(mean, x -> CAST(x / sqrt(aggregate(transform(mean, y -> y * y), " +
+          "0d, (a, b) -> a + b)) AS FLOAT))").as(vecCol))
+  }
+
   /** LSH-bucketed ANN: queries only meet corpus vectors in the same
     * hyperplane bucket (approximate — may return < k or miss true
     * neighbors; deterministic given the fixed planes).

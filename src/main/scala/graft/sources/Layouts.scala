@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Parquet WRITE-path layouts that make the read-path pruning ladder work
+  * (row-group stats → page index → bloom, see
+  * [[graft.metrics.BytePlanner]]). The reference reads layouts it assumes
+  * someone else staged (v1/src/main.rs:122-128 takes the files as given);
+  * a library a pipeline actually migrates to must also produce them.
+  *
+  * Layout rules at 100 TB:
+  *  - range-prunable columns (time, monotone ids) want the data SORTED on
+  *    them so row-group/page min-max ranges are disjoint — `sortedStats`;
+  *  - point-probed high-cardinality keys want bloom filters (and those
+  *    only materialize once the column overflows dictionary encoding) —
+  *    `bloomKeys`;
+  *  - co-located joins/aggregations want bucketed tables so repeated
+  *    queries skip the shuffle entirely — `bucketed` (bucket count fixes
+  *    write-side parallelism: pick ~ data / 128 MB, NOT executor count).
+  */
+object Layouts {
+
+  /** Repartition-by-range + in-partition sort on `sortCols`, so every
+    * row group AND page holds a disjoint interval of the sort key: a
+    * range predicate then prunes groups via stats and pages via the
+    * column index. `groupBytes`/`pageRows` trade pruning granularity
+    * against metadata size (the reference's near-storage trade, F5/F9).
+    */
+  def sortedStats(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    val cols = sortCols.map(col)
+    val ranged =
+      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
+      else df.repartitionByRange(cols: _*)
+    ranged
+      .sortWithinPartitions(cols: _*)
+      .write.mode("overwrite")
+      .option("parquet.block.size", groupBytes.toString)
+      .option("parquet.page.row.count.limit", pageRows.toString)
+      .parquet(path)
+  }
+
+  /** Bloom filters on point-probe keys. Dictionary encoding is disabled
+    * for those columns: parquet-mr silently skips the bloom while a chunk
+    * stays fully dictionary-encoded, which a small fixture would — and a
+    * real key column overflows the dictionary anyway.
+    */
+  def bloomKeys(df: DataFrame, path: String, keys: Seq[String]): Unit =
+    keys.foldLeft(df.write.mode("overwrite")) { (w, k) =>
+      w.option(s"parquet.bloom.filter.enabled#$k", "true")
+        .option(s"parquet.enable.dictionary#$k", "false")
+    }.parquet(path)
+
+  /** Hash-bucketed + sorted table: two tables bucketed the same way
+    * sort-merge-join with NO exchange on either side (BucketingSpec pins
+    * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in
+    * the catalog, not the footer).
+    */
+  def bucketed(
+      df: DataFrame,
+      table: String,
+      bucketCols: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}

@@ -6,6 +6,41 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
 class SimilaritySearchSpec extends AnyFunSuite with Matchers {
+
+  test("spherical k-means iteration never decreases the summed-cosine objective") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    val e = spark.read.parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+    def objective(centroids: org.apache.spark.sql.DataFrame): Double = {
+      import org.apache.spark.sql.expressions.Window
+      val cent = broadcast(centroids.select(col("vec_id").as("cent_id"),
+        col("embedding").as("centv"), SimilaritySearch.norm(col("embedding")).as("centn")))
+      val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("cent_id"))
+      e.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          SimilaritySearch.norm(col("embedding")).as("cn"))
+        .crossJoin(cent)
+        .select(col("cid"), col("cent_id"),
+          (SimilaritySearch.dot(col("cv"), col("centv")) / col("cn") / col("centn")).as("csim"))
+        .withColumn("r", org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("r") === 1)
+        .agg(sum("csim")).collect().head.getDouble(0)
+    }
+    var cents = e.where(col("vec_id") % 25 === 0) // 2 seeds at sf0.001
+    var prev = objective(cents)
+    for (round <- 1 to 3) {
+      cents = SimilaritySearch.kmeansIterate(e, cents).localCheckpoint(true)
+      val cur = objective(cents)
+      withClue(s"round $round: $prev -> $cur") {
+        cur should be >= prev - 1e-9
+      }
+      prev = cur
+    }
+    // centroids keep the corpus shape and are unit-normalized
+    val row = cents.collect().head
+    row.getAs[Seq[Float]]("embedding").length shouldBe 64
+    val n = math.sqrt(row.getAs[Seq[Float]]("embedding").map(v => v.toDouble * v).sum)
+    n shouldBe 1.0 +- 1e-5
+  }
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
