@@ -730,6 +730,31 @@ object ExtensionCatalog {
              |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
       "per-label embedding centroids in long (label, pos) form — the cluster-update step " +
         "IVF/k-means training runs at scale; nano-quantized integer sums make it order-free " +
-        "(extension: similarity/embedding ops)")
+        "(extension: similarity/embedding ops)"),
+
+    CatalogEntry(
+      "x28_deterministic_split",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val sampled = graft.operators.Sampling.stratifiedSample(
+          t(s, dir, "documents"), "doc_id", "source",
+          Map("src1" -> 100, "src2" -> 50, "src3" -> 25))
+        graft.operators.Sampling.split(sampled, "doc_id", trainPct = 80, valPct = 10)
+          .select("doc_id", "source", "split")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT doc_id, source,
+              |    ${dPoly("CAST(doc_id AS VARCHAR)")} % 100 AS b
+              |  FROM documents),
+              |kept AS (
+              |  SELECT * FROM h WHERE b < CASE source
+              |    WHEN 'src1' THEN 100 WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
+              |    ELSE 0 END)
+              |SELECT doc_id, source,
+              |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              |FROM kept ORDER BY doc_id""".stripMargin),
+      "deterministic hash-bucket stratified sampling + train/val/test split — map-side only, " +
+        "stable under repartitioning and incremental ingest (extension: pipeline/sampling)")
   )
 }
