@@ -755,6 +755,112 @@ object ExtensionCatalog {
               |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
               |FROM kept ORDER BY doc_id""".stripMargin),
       "deterministic hash-bucket stratified sampling + train/val/test split — map-side only, " +
-        "stable under repartitioning and incremental ingest (extension: pipeline/sampling)")
+        "stable under repartitioning and incremental ingest (extension: pipeline/sampling)"),
+
+    CatalogEntry(
+      "x29_vocab_topk",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("token"))
+          .limit(100)
+          .withColumn("rank", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(desc("n"), asc("token"))))
+          .orderBy("rank"),
+      Some("""WITH tok AS (
+             |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+             |cnt AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY token)
+             |SELECT token, n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank
+             |FROM cnt ORDER BY n DESC, token LIMIT 100""".stripMargin),
+      "vocabulary construction: corpus-wide token counts, deterministic top-100 — the " +
+        "canonical map-side-combine aggregate + TakeOrderedAndProject (never a global sort) " +
+        "(extension: text analysis)"),
+
+    CatalogEntry(
+      "x30_contamination",
+      (s, dir) => {
+        val sp = graft.operators.Sampling
+          .split(t(s, dir, "documents"), "doc_id", trainPct = 80, valPct = 10)
+          .select(col("doc_id"), col("split"))
+        val pairs = Dedup.minhashNearDups(t(s, dir, "documents"),
+          k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+        pairs
+          .join(sp.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "split_a"), "id_a")
+          .join(sp.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "split_b"), "id_b")
+          .where((col("split_a") === "train" && col("split_b") === "test") ||
+            (col("split_a") === "test" && col("split_b") === "train"))
+          .select(
+            when(col("split_a") === "test", col("id_a")).otherwise(col("id_b")).as("test_doc"),
+            when(col("split_a") === "test", col("id_b")).otherwise(col("id_a")).as("train_doc"),
+            col("jac"))
+          .orderBy("test_doc", "train_doc")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b, jac FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |lab AS (
+              |  SELECT doc_id,
+              |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT doc_id, ${dPoly("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents))
+              |SELECT CASE WHEN la.split = 'test' THEN p.id_a ELSE p.id_b END AS test_doc,
+              |  CASE WHEN la.split = 'test' THEN p.id_b ELSE p.id_a END AS train_doc, p.jac
+              |FROM pairs p JOIN lab la ON p.id_a = la.doc_id JOIN lab lb ON p.id_b = lb.doc_id
+              |WHERE (la.split = 'train' AND lb.split = 'test')
+              |   OR (la.split = 'test' AND lb.split = 'train')
+              |ORDER BY test_doc, train_doc""".stripMargin),
+      "train/test contamination: near-dup pairs crossing the x28 split boundary — the " +
+        "decontamination pass every eval pipeline needs (extension: pipeline composition)"),
+
+    CatalogEntry(
+      "x31_repetition_score",
+      (s, dir) => {
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            expr("CAST(size(graft_char_ngram_hashes(text, 8)) AS BIGINT)").as("distinct_grams"),
+            greatest(length(col("text")).cast("long") - 7, lit(0L)).as("total_grams"))
+          .withColumn("distinct_ratio",
+            when(col("total_grams") > 0,
+              col("distinct_grams").cast("double") / col("total_grams")).otherwise(lit(null)))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, distinct_grams, total_grams,
+              |  CASE WHEN total_grams > 0
+              |    THEN distinct_grams::DOUBLE / total_grams ELSE NULL END AS distinct_ratio
+              |FROM (
+              |  SELECT doc_id,
+              |    len(list_distinct(list_transform(
+              |      CASE WHEN length(text) >= 8
+              |        THEN list_transform(range(1, length(text) - 6), i -> text[i:i+7])
+              |        ELSE [] END,
+              |      s -> ${dPoly("s")}))) AS distinct_grams,
+              |    greatest(length(text) - 7, 0) AS total_grams
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      "repetition scoring: distinct/total 8-gram ratio — the degenerate-text quality signal " +
+        "(boilerplate and looping generations score low) (extension: text analysis)")
   )
 }
