@@ -51,5 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size", "|a ∩ b| of sorted-distinct i64 arrays"),
       (args: Seq[Expression]) => IntersectSize(args.head, args(1))))
+    // custom whole-operator plan: AsOfJoinNode → AsOfJoinExec
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

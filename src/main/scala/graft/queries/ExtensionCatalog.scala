@@ -631,8 +631,11 @@ object ExtensionCatalog {
           .select(col("event_id").as("click_id"), col("user_id"), col("tsu").as("click_us"))
         val purchases = ev.where(col("event_type") === "purchase")
           .select(col("event_id").as("purch_id"), col("user_id"), col("tsu").as("purch_us"))
-        graft.operators.AsOfJoin
-          .lastPrior(clicks, purchases, key = "user_id",
+        // the plan-native operator (AsOfJoinNode → AsOfJoinExec, one merge
+        // pass per co-partition); AsOfJoinSpec pins its equivalence to the
+        // compositional union-window form in operators.AsOfJoin
+        org.apache.spark.sql.graft.GraftPlans
+          .asOfJoin(clicks, purchases, key = "user_id",
             leftTime = "click_us", rightTime = "purch_us",
             carry = Seq("purch_id", "purch_us"), rightTieBreak = "purch_id")
           .orderBy("click_id")

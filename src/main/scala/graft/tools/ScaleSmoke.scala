@@ -31,10 +31,32 @@ object ScaleSmoke {
     val groups = time("exact dedup")(
       Dedup.exact(big).where(col("n_dups") >= copies).count())
     println(s"[scale] full-copy duplicate groups: $groups (expect ~$n0)")
-    val pairs = time("minhash near-dups")(
-      Dedup.minhashNearDups(big, k = 16, bands = 8, shingleN = 3, threshold = 0.5).count())
+    val pairDf = Dedup.minhashNearDups(big, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+    val pairs = time("minhash near-dups")(pairDf.count())
     val expected = n0 * copies * (copies - 1) / 2
     println(s"[scale] near-dup pairs: $pairs (>= $expected from replication alone)")
+    // components over the replicated pair graph: every text's copies form
+    // one dense cluster, so vertex count ≈ docs and rounds stay at the
+    // cluster diameter (1-2) — the shape a 100 TB dedup graph has
+    val comp = time("connected components")(
+      graft.operators.Components.connectedComponents(pairDf.localCheckpoint(true)))
+    val clusters = comp.select("rep_id").distinct().count()
+    println(s"[scale] components: ${comp.count()} vertices in $clusters clusters")
+    // as-of join at events scale: replicate events the same way
+    val ev = GraftSession.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), expr("ts div 1000").as("tsu"))
+    val bigEv = (0 until copies)
+      .map(i => ev.select((col("event_id") + lit(i * 10000000L)).as("event_id"),
+        (col("user_id") + lit(i * 1000L)).as("user_id"), col("event_type"), col("tsu")))
+      .reduce(_ unionAll _)
+    val clicks = bigEv.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("tsu").as("click_us"))
+    val purchases = bigEv.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purch_id"), col("user_id"), col("tsu").as("purch_us"))
+    val asof = time("as-of join")(
+      graft.operators.AsOfJoin.lastPrior(clicks, purchases, "user_id",
+        "click_us", "purch_us", Seq("purch_id"), "purch_id").count())
+    println(s"[scale] as-of rows: $asof (one per click)")
     spark.stop()
   }
 }

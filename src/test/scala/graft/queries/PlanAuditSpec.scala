@@ -83,11 +83,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     plans("x22_topk_per_group") should include("WindowGroupLimit")
   }
 
-  test("as-of join is one window pass, no inequality join") {
+  test("as-of join is the plan-native merge operator, no inequality join") {
     val p = plans("x25_asof_join")
     p should not include "BroadcastNestedLoopJoin"
     p should not include "CartesianProduct"
-    p should include("Window")
+    p should include("AsOfJoin") // custom AsOfJoinExec via AsOfJoinStrategy
+    p should not include "Window" // and NOT the union-window fallback shape
   }
 
   test("un-hinted data-derived dim joins still broadcast at fixture scale via AQE") {
