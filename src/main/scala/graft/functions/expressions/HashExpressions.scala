@@ -80,8 +80,22 @@ object HashExpressions {
     if (len < n) return new GenericArrayData(Array.empty[Long])
     val m = len - n + 1
     val hashes = new Array[Long](m)
-    var i = 0
-    while (i < m) { hashes(i) = polyHash(s, i, i + n); i += 1 }
+    // rolling update: h' = (h - s[i]·31^(n-1))·31 + s[i+n], all mod P —
+    // O(len) instead of O(n·len); identical values to the windowed
+    // polyHash. Bounds: h < P ≈ 2^30, drop term < 2^17·P < 2^47,
+    // normalized difference < P, ×31 + char < 2^35 — no i64 overflow.
+    var pow = 1L // 31^(n-1) mod P
+    var j = 1
+    while (j < n) { pow = pow * 31 % Prime; j += 1 }
+    var h = polyHash(s, 0, n)
+    hashes(0) = h
+    var i = 1
+    while (i < m) {
+      h = (((h - s.charAt(i - 1) * pow % Prime + Prime) % Prime) * 31 +
+        s.charAt(i + n - 1)) % Prime
+      hashes(i) = h
+      i += 1
+    }
     new GenericArrayData(distinct(hashes, m))
   }
 

@@ -93,9 +93,14 @@ object Dedup {
     cands
       .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
       .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("graft_intersect_size(sh_a, sh_b)").as("inter"),
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      // lossless prefilter: jac ≤ min/max of the set sizes, so pairs
+      // failing min ≥ t·max can skip the O(|a|+|b|) merge intersection
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"),
+        expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= threshold)
@@ -148,6 +153,10 @@ object Dedup {
     cands
       .join(byId.select(col(idCol).as("id_a"), col("grams").as("g_a"), col("ng").as("na")), "id_a")
       .join(byId.select(col(idCol).as("id_b"), col("grams").as("g_b"), col("ng").as("nb")), "id_b")
+      // lossless prefilter: jac ≤ min/max of the set sizes (see
+      // minhashNearDups) — skips the merge walk for size-mismatched pairs
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
       .select(col("id_a"), col("id_b"),
         expr("graft_intersect_size(g_a, g_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
