@@ -53,5 +53,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => IntersectSize(args.head, args(1))))
     // custom whole-operator plan: AsOfJoinNode → AsOfJoinExec
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // expression fusions (size(ngram_hashes) → count-only kernel)
+    ext.injectOptimizerRule(_ => graft.plans.GraftRewrites)
   }
 }

@@ -74,16 +74,17 @@ object HashExpressions {
     polyHash(str, 0, str.length)
   }
 
-  def evalCharNgramHashes(input: UTF8String, n: Int): ArrayData = {
-    val s = input.toString
+  /** All m = len-n+1 window hashes (undeduplicated), by rolling update:
+    * h' = (h - s[i]·31^(n-1))·31 + s[i+n], all mod P — O(len) instead of
+    * O(n·len); identical values to the windowed polyHash. Bounds:
+    * h < P ≈ 2^30, drop term < 2^17·P < 2^47, normalized difference < P,
+    * ×31 + char < 2^35 — no i64 overflow.
+    */
+  private def ngramHashesRaw(s: String, n: Int): Array[Long] = {
     val len = s.length
-    if (len < n) return new GenericArrayData(Array.empty[Long])
+    if (len < n) return Array.empty[Long]
     val m = len - n + 1
     val hashes = new Array[Long](m)
-    // rolling update: h' = (h - s[i]·31^(n-1))·31 + s[i+n], all mod P —
-    // O(len) instead of O(n·len); identical values to the windowed
-    // polyHash. Bounds: h < P ≈ 2^30, drop term < 2^17·P < 2^47,
-    // normalized difference < P, ×31 + char < 2^35 — no i64 overflow.
     var pow = 1L // 31^(n-1) mod P
     var j = 1
     while (j < n) { pow = pow * 31 % Prime; j += 1 }
@@ -96,7 +97,30 @@ object HashExpressions {
       hashes(i) = h
       i += 1
     }
-    new GenericArrayData(distinct(hashes, m))
+    hashes
+  }
+
+  def evalCharNgramHashes(input: UTF8String, n: Int): ArrayData = {
+    val hashes = ngramHashesRaw(input.toString, n)
+    if (hashes.isEmpty) return new GenericArrayData(Array.empty[Long])
+    new GenericArrayData(distinct(hashes, hashes.length))
+  }
+
+  /** Count of distinct n-gram hashes without materializing the output
+    * array — the fusion target of [[graft.plans.GraftRewrites]] for
+    * `size(graft_char_ngram_hashes(s, n))`.
+    */
+  def evalCharNgramDistinctCount(input: UTF8String, n: Int): Int = {
+    val hashes = ngramHashesRaw(input.toString, n)
+    if (hashes.isEmpty) return 0
+    java.util.Arrays.sort(hashes)
+    var k = 1
+    var i = 1
+    while (i < hashes.length) {
+      if (hashes(i) != hashes(i - 1)) k += 1
+      i += 1
+    }
+    k
   }
 
   def evalTokenHashes(input: UTF8String): ArrayData = {
@@ -259,6 +283,21 @@ case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"$H.evalCharNgramHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): CharNgramHashes =
+    copy(child = newChild)
+}
+
+/** `size(graft_char_ngram_hashes(s, n))` fused: the distinct count without
+  * materializing the array (no GenericArrayData, no copy). Produced by the
+  * [[graft.plans.GraftRewrites]] optimizer rule, never parsed directly.
+  */
+case class CharNgramDistinctCount(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(input: Any): Any =
+    evalCharNgramDistinctCount(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalCharNgramDistinctCount($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): CharNgramDistinctCount =
     copy(child = newChild)
 }
 

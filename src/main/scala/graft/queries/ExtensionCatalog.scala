@@ -841,6 +841,8 @@ object ExtensionCatalog {
       "x31_repetition_score",
       (s, dir) => {
         org.apache.spark.sql.graft.GraftFunctions.register(s)
+        // size(ngram_hashes) fuses to the count-only kernel (GraftRewrites)
+        org.apache.spark.sql.graft.GraftFunctions.ensureOptimizations(s)
         t(s, dir, "documents")
           .select(col("doc_id"),
             expr("CAST(size(graft_char_ngram_hashes(text, 8)) AS BIGINT)").as("distinct_grams"),

@@ -29,6 +29,15 @@ object GraftFunctions {
       s"$fn expects a literal int argument, got: $other")
   }
 
+  /** Attach [[graft.plans.GraftRewrites]] to a live session (idempotent) —
+    * the non-extensions route to the optimizer fusions.
+    */
+  def ensureOptimizations(spark: SparkSession): Unit = {
+    val es = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!es.extraOptimizations.contains(graft.plans.GraftRewrites))
+      es.extraOptimizations = es.extraOptimizations :+ graft.plans.GraftRewrites
+  }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
