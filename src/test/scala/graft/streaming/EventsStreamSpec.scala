@@ -94,6 +94,36 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("stream-static broadcast join enriches events without stream-side state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("events-enrich").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // static dim: user → segment; broadcast every micro-batch, no state
+    val dim = (0L until 150L).map(u => (u, s"seg${u % 3}")).toDF("user_id", "segment")
+    val stream = spark.readStream.schema(EventsStream.schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = stream.join(broadcast(dim), Seq("user_id"), "left")
+      .groupBy("segment").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enrich_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_test").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
+      val want = events.join(broadcast(dim), Seq("user_id"), "left")
+        .groupBy("segment").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      got shouldBe want
+      got.keySet should contain allOf ("seg0", "seg1", "seg2")
+      // the stream ran micro-batches (progress recorded)
+      (q.lastProgress != null) shouldBe true
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the gap and preserves event counts") {
     val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
     val sessions = EventsStream.sessionize(events, gapUs = 1800L * 1000000L)
