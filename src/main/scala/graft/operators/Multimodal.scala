@@ -98,6 +98,46 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(doc_id: Long, win_idx: Int, rms: Double, zero_crossings: Long)
+
+  /** Audio-shaped featurization: the payload as unsigned 8-bit PCM centered
+    * at 128, windowed (`win` samples, `hop` stride), per window the RMS
+    * (integer-exact sum of squares, one sqrt on an identical double in any
+    * engine) and the zero-crossing count (sign changes — integer-exact).
+    * The `???` in a real pipeline is the codec decode to PCM; the windowed
+    * DSP after it is exactly this shape. Map-side only, payloads never
+    * shuffle; one row explodes to its window count.
+    */
+  def audioWindows(media: DataFrame, win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        val n = r.payload.length
+        val nw = if (n >= win) (n - win) / hop + 1 else 0
+        (0 until nw).iterator.map { w =>
+          val start = w * hop
+          var s = 0L
+          var i = start
+          while (i < start + win) {
+            val c = (r.payload(i) & 0xff) - 128
+            s += c.toLong * c
+            i += 1
+          }
+          var zc = 0L
+          i = start
+          while (i < start + win - 1) {
+            val a = (r.payload(i) & 0xff) - 128
+            val b = (r.payload(i + 1) & 0xff) - 128
+            if (a * b < 0) zc += 1
+            i += 1
+          }
+          AudioWindow(r.doc_id, w, math.sqrt(s.toDouble / win), zc)
+        }
+      }
+    }
+  }
+
   /** Full stub pipeline as a DataFrame (feature array exploded to fixed
     * columns so the parquet dump is flat and oracle-comparable).
     */

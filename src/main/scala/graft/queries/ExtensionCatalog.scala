@@ -866,6 +866,29 @@ object ExtensionCatalog {
               |  FROM documents)
               |ORDER BY doc_id""".stripMargin),
       "repetition scoring: distinct/total 8-gram ratio — the degenerate-text quality signal " +
-        "(boilerplate and looping generations score low) (extension: text analysis)")
+        "(boilerplate and looping generations score low) (extension: text analysis)"),
+
+    CatalogEntry(
+      "x32_audio_windows",
+      (s, dir) =>
+        Multimodal.audioWindows(
+          Multimodal.asMediaTable(t(s, dir, "documents")), win = 256, hop = 128)
+          .toDF().orderBy("doc_id", "win_idx"),
+      Some("""WITH m AS (
+             |  SELECT doc_id, list_transform(string_split(text, ''), ch -> ascii(ch) - 128) AS smp
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, smp, u.i AS win_idx
+             |  FROM m, UNNEST(range(0, CASE WHEN len(smp) >= 256
+             |    THEN (len(smp) - 256) // 128 + 1 ELSE 0 END)) u(i))
+             |SELECT doc_id, win_idx,
+             |  sqrt(list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 257),
+             |    k -> (smp[win_idx * 128 + k] * smp[win_idx * 128 + k])::BIGINT)),
+             |    (a, b) -> a + b)::DOUBLE / 256) AS rms,
+             |  len(list_filter(range(1, 256),
+             |    k -> smp[win_idx * 128 + k] * smp[win_idx * 128 + k + 1] < 0)) AS zero_crossings
+             |FROM w ORDER BY doc_id, win_idx""".stripMargin),
+      "audio-shaped windowed DSP: per-window RMS + zero crossings over PCM-interpreted " +
+        "payload bytes (decode stubbed; integer-exact then one sqrt) (extension: multimodal)")
   )
 }
