@@ -198,28 +198,53 @@ object BytePlanner {
     def selectivity: Double = if (totalBytes == 0) 0.0 else plannedBytes.toDouble / totalBytes
   }
 
+  /** Sorted disjoint inclusive row intervals within one row group. */
+  private type RowRanges = Seq[(Long, Long)]
+
+  private def intersectRanges(a: RowRanges, b: RowRanges): RowRanges = {
+    val out = Seq.newBuilder[(Long, Long)]
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val lo = math.max(a(i)._1, b(j)._1)
+      val hi = math.min(a(i)._2, b(j)._2)
+      if (lo <= hi) out += ((lo, hi))
+      if (a(i)._2 < b(j)._2) i += 1 else j += 1
+    }
+    out.result()
+  }
+
+  private def unionRanges(a: RowRanges, b: RowRanges): RowRanges = {
+    val all = (a ++ b).sortBy(_._1)
+    if (all.isEmpty) return all
+    val out = Seq.newBuilder[(Long, Long)]
+    var (curLo, curHi) = all.head
+    all.tail.foreach { case (lo, hi) =>
+      if (lo <= curHi + 1) curHi = math.max(curHi, hi)
+      else { out += ((curLo, curHi)); curLo = lo; curHi = hi }
+    }
+    out += ((curLo, curHi))
+    out.result()
+  }
+
   /** Plan at data-page granularity: row groups prune as in [[plan]], then
-    * inside each surviving group the predicate column's ColumnIndex
-    * (per-page min/max) selects surviving pages, their row ranges project
-    * onto every wanted column via its OffsetIndex, and planned bytes are
-    * the surviving pages' compressed sizes (plus the chunk's
-    * dictionary/header overhead whenever any of its pages is read, and the
-    * footer). Single-predicate-column only — the tier sweep's shape; a
-    * multi-column page filter needs parquet's row-range intersection
-    * machinery, which the scan itself (parquet-mr ColumnIndexFilter)
-    * already provides. Falls back to whole-chunk bytes when indexes are
-    * absent. Null-only pages drop: every reference comparison is
+    * inside each surviving group the predicate evaluates to surviving ROW
+    * RANGES by range algebra over each condition column's ColumnIndex
+    * (per-page min/max → page row ranges; AND intersects, OR unions, NOT
+    * carries through by De Morgan — the same machinery parquet-mr's
+    * ColumnIndexFilter applies inside a scan). The ranges project onto
+    * every wanted column via its OffsetIndex; planned bytes are the
+    * surviving pages' compressed sizes plus the chunk's dictionary/header
+    * overhead whenever any of its pages is read, plus the footer. A
+    * condition whose column lacks an index contributes "all rows"
+    * (conservative); null-only pages drop — every reference comparison is
     * null-rejecting.
     */
   def planPages(path: String, columns: Seq[String], predicate: String): PagePlans = {
     val expr = Predicates.parse(predicate)
-    val predCols = Predicates.referencedColumns(expr).distinct
-    require(predCols.size == 1, s"page planning supports one predicate column, got $predCols")
-    PagePlans(listParquet(new java.io.File(path)).map(planFilePages(_, columns, expr, predCols.head)))
+    PagePlans(listParquet(new java.io.File(path)).map(planFilePages(_, columns, expr)))
   }
 
-  private def planFilePages(
-      file: String, columns: Seq[String], expr: Expr, predCol: String): PagePlan = {
+  private def planFilePages(file: String, columns: Seq[String], expr: Expr): PagePlan = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
@@ -238,82 +263,75 @@ object BytePlanner {
           .map(c => c -> Option(reader.readOffsetIndex(c))).toMap
         pages += oiAll.valuesIterator.map(_.map(_.getPageCount).getOrElse(1)).sum
         if (keepRowGroup(expr, stats, not = false)) {
-          val pc = stats(predCol)
-          val ci = Option(reader.readColumnIndex(pc))
-          val oi = Option(reader.readOffsetIndex(pc))
-          (ci, oi) match {
-            case (Some(idx), Some(off)) =>
-              val n = off.getPageCount
-              val rowCount = b.getRowCount
-              // surviving row ranges of the predicate column's pages
-              val ranges = (0 until n).flatMap { i =>
-                val keep = !idx.getNullPages.get(i) &&
-                  keepPage(expr, pc.getPrimitiveType,
-                    idx.getMinValues.get(i), idx.getMaxValues.get(i), predCol, not = false)
-                if (!keep) None
-                else Some((off.getFirstRowIndex(i),
-                  if (i + 1 < n) off.getFirstRowIndex(i + 1) - 1 else rowCount - 1))
-              }
-              chunks.filter(wanted).foreach { c =>
-                oiAll(c) match {
-                  case Some(o) =>
-                    val m = o.getPageCount
-                    val keptSizes = (0 until m).filter { j =>
-                      val lo = o.getFirstRowIndex(j)
-                      val hi = if (j + 1 < m) o.getFirstRowIndex(j + 1) - 1 else rowCount - 1
-                      ranges.exists { case (a, z) => a <= hi && lo <= z }
-                    }.map(o.getCompressedPageSize(_).toLong)
-                    survivingPages += keptSizes.size
-                    if (keptSizes.nonEmpty) {
-                      val allPages = (0 until m).map(o.getCompressedPageSize(_).toLong).sum
-                      // dictionary page + headers ride along once any page reads
-                      planned += keptSizes.sum + math.max(0L, c.getTotalSize - allPages)
-                    }
-                  case None =>
-                    survivingPages += 1
-                    planned += c.getTotalSize
+          val rowCount = b.getRowCount
+          val all: RowRanges = Seq((0L, rowCount - 1))
+
+          /** None = "all rows" (no index usable for this subtree). */
+          def ranges(e: Expr, not: Boolean): Option[RowRanges] = e match {
+            case And(l, r) =>
+              if (not) orOf(ranges(l, not), ranges(r, not))
+              else andOf(ranges(l, not), ranges(r, not))
+            case Or(l, r) =>
+              if (not) andOf(ranges(l, not), ranges(r, not))
+              else orOf(ranges(l, not), ranges(r, not))
+            case Not(x) => ranges(x, !not)
+            case Cond(c, op0, v) =>
+              val op = if (not) negate(op0) else op0
+              for {
+                chunk <- stats.get(c)
+                ci <- Option(reader.readColumnIndex(chunk))
+                oi <- Option(reader.readOffsetIndex(chunk))
+              } yield {
+                val n = oi.getPageCount
+                (0 until n).flatMap { i =>
+                  val keep = !ci.getNullPages.get(i) &&
+                    ((decodeBound(chunk.getPrimitiveType, ci.getMinValues.get(i)),
+                      decodeBound(chunk.getPrimitiveType, ci.getMaxValues.get(i))) match {
+                      case (Some(mn), Some(mx)) =>
+                        keepBounds(chunk.getPrimitiveType, mn, mx, op, v)
+                      case _ => true
+                    })
+                  if (!keep) None
+                  else Some((oi.getFirstRowIndex(i),
+                    if (i + 1 < n) oi.getFirstRowIndex(i + 1) - 1 else rowCount - 1))
                 }
               }
-            case _ => // no index written: whole surviving chunks, as plan()
-              chunks.filter(wanted).foreach { c =>
-                survivingPages += oiAll(c).map(_.getPageCount).getOrElse(1)
+          }
+          def andOf(a: Option[RowRanges], b: Option[RowRanges]) = (a, b) match {
+            case (Some(x), Some(y)) => Some(intersectRanges(x, y))
+            case (x, None) => x
+            case (None, y) => y
+          }
+          def orOf(a: Option[RowRanges], b: Option[RowRanges]) = (a, b) match {
+            case (Some(x), Some(y)) => Some(unionRanges(x, y))
+            case _ => None // either side unbounded ⇒ all rows
+          }
+
+          val surviving = ranges(expr, not = false).getOrElse(all)
+          chunks.filter(wanted).foreach { c =>
+            oiAll(c) match {
+              case Some(o) =>
+                val m = o.getPageCount
+                val keptSizes = (0 until m).filter { j =>
+                  val lo = o.getFirstRowIndex(j)
+                  val hi = if (j + 1 < m) o.getFirstRowIndex(j + 1) - 1 else rowCount - 1
+                  surviving.exists { case (a, z) => a <= hi && lo <= z }
+                }.map(o.getCompressedPageSize(_).toLong)
+                survivingPages += keptSizes.size
+                if (keptSizes.nonEmpty) {
+                  val allPages = (0 until m).map(o.getCompressedPageSize(_).toLong).sum
+                  // dictionary page + headers ride along once any page reads
+                  planned += keptSizes.sum + math.max(0L, c.getTotalSize - allPages)
+                }
+              case None =>
+                survivingPages += 1
                 planned += c.getTotalSize
-              }
+            }
           }
         }
       }
       PagePlan(file, new java.io.File(file).length(), pages, survivingPages, planned)
     } finally reader.close()
-  }
-
-  /** [[keepRowGroup]] transposed to one page of the predicate column:
-    * conditions on other columns stay conservative (true).
-    */
-  private def keepPage(
-      e: Expr,
-      tpe: org.apache.parquet.schema.PrimitiveType,
-      minBuf: java.nio.ByteBuffer,
-      maxBuf: java.nio.ByteBuffer,
-      predCol: String,
-      not: Boolean): Boolean = e match {
-    case And(l, r) =>
-      if (not) keepPage(l, tpe, minBuf, maxBuf, predCol, not) ||
-        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
-      else keepPage(l, tpe, minBuf, maxBuf, predCol, not) &&
-        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
-    case Or(l, r) =>
-      if (not) keepPage(l, tpe, minBuf, maxBuf, predCol, not) &&
-        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
-      else keepPage(l, tpe, minBuf, maxBuf, predCol, not) ||
-        keepPage(r, tpe, minBuf, maxBuf, predCol, not)
-    case Not(x) => keepPage(x, tpe, minBuf, maxBuf, predCol, !not)
-    case Cond(c, op0, v) =>
-      if (c != predCol) true
-      else (decodeBound(tpe, minBuf), decodeBound(tpe, maxBuf)) match {
-        case (Some(mn), Some(mx)) =>
-          keepBounds(tpe, mn, mx, if (not) negate(op0) else op0, v)
-        case _ => true
-      }
   }
 
   /** Plain-encoded little-endian bound from a ColumnIndex buffer. */

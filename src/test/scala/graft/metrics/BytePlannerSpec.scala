@@ -139,6 +139,31 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     pp.plannedBytes should be < rg.plannedBytes
   }
 
+  test("multi-column page predicates combine by row-range algebra") {
+    val single = BytePlanner.planPages(stagedPi, Seq("l_quantity"), "l_quantity > 25.0")
+    // AND with an unselective second column: its pages all survive, so the
+    // intersection equals the single-column ranges
+    val andTrue = BytePlanner.planPages(stagedPi, Seq("l_quantity"),
+      "l_quantity > 25.0 AND l_extendedprice > 0.0")
+    andTrue.survivingPages shouldBe single.survivingPages
+    // AND with an impossible second column empties the intersection
+    val andFalse = BytePlanner.planPages(stagedPi, Seq("l_quantity"),
+      "l_quantity > 25.0 AND l_extendedprice < 0.0")
+    andFalse.survivingPages shouldBe 0
+    // OR unions: at least as many pages as either arm alone
+    val either = BytePlanner.planPages(stagedPi, Seq("l_quantity"),
+      "l_quantity > 45.0 OR l_quantity < 5.0")
+    val high = BytePlanner.planPages(stagedPi, Seq("l_quantity"), "l_quantity > 45.0")
+    val low = BytePlanner.planPages(stagedPi, Seq("l_quantity"), "l_quantity < 5.0")
+    either.survivingPages should be >= math.max(high.survivingPages, low.survivingPages)
+    either.survivingPages should be <= high.survivingPages + low.survivingPages
+    // De Morgan: NOT(a OR b) ≡ narrow band — still prunable
+    val band = BytePlanner.planPages(stagedPi, Seq("l_quantity"),
+      "NOT ( l_quantity <= 20.0 OR l_quantity >= 30.0 )")
+    band.survivingPages should be > 0
+    band.survivingPages should be < band.pages
+  }
+
   test("page planning is sound: zero surviving pages ⇒ zero matching rows, and never under-selects") {
     val quantities = spark.read.parquet(stagedPi).collect()
       .map(_.getAs[Double]("l_quantity")).sorted
