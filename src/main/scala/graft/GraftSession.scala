@@ -55,4 +55,22 @@ object GraftSession {
         .computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
         .computeIfAbsent(s"$dir/$name.parquet", path => spark.read.parquet(path))
     }
+
+  /** All fixture table names (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The SQL surface: register every fixture table as a temp view and the
+    * graft functions on the session, so `spark.sql("SELECT graft_poly_hash
+    * (text) FROM documents ...")` works directly — the way the reference's
+    * own analysis corpus is written (the datasets/snowset SQL files).
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    org.apache.spark.sql.graft.GraftFunctions.ensureOptimizations(spark)
+    tableNames.foreach { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      if (f.exists()) cachedTable(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
 }
