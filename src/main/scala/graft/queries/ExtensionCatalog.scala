@@ -889,6 +889,55 @@ object ExtensionCatalog {
              |    k -> smp[win_idx * 128 + k] * smp[win_idx * 128 + k + 1] < 0)) AS zero_crossings
              |FROM w ORDER BY doc_id, win_idx""".stripMargin),
       "audio-shaped windowed DSP: per-window RMS + zero crossings over PCM-interpreted " +
-        "payload bytes (decode stubbed; integer-exact then one sqrt) (extension: multimodal)")
+        "payload bytes (decode stubbed; integer-exact then one sqrt) (extension: multimodal)"),
+
+    CatalogEntry(
+      "x33_percentiles",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  quantile_cont(l_quantity, 0.25) AS p25,
+             |  quantile_cont(l_quantity, 0.5) AS p50,
+             |  quantile_cont(l_quantity, 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      "exact per-group percentiles (interpolated rank) — engine-exact here because " +
+        "l_quantity is integral-valued, so the lerp arithmetic cannot diverge; the 100 TB " +
+        "path swaps in approx_percentile's mergeable sketch (extension: analytics)"),
+
+    CatalogEntry(
+      "x34_histogram",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          // fixed [0, 110000) domain, 11 bins of 10000 — floor on integral-
+          // cent prices is exact in both engines
+          .withColumn("bin", floor(col("l_extendedprice") / 10000).cast("long"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            min("l_extendedprice").as("lo"), max("l_extendedprice").as("hi"))
+          .orderBy("bin"),
+      Some("""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+             |COUNT(*) AS n, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+             |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin),
+      "fixed-width histogram: one map-side bin expression + hash aggregate — the " +
+        "distribution profile every data-quality dashboard starts from (extension: analytics)"),
+
+    CatalogEntry(
+      "x35_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
+      "CUBE: all 2^k grouping sets in one Expand pass — completes the rollup/cube " +
+        "multi-level aggregate family (extension: analytics)")
   )
 }
