@@ -938,6 +938,67 @@ object ExtensionCatalog {
              |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
              |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin),
       "CUBE: all 2^k grouping sets in one Expand pass — completes the rollup/cube " +
-        "multi-level aggregate family (extension: analytics)")
+        "multi-level aggregate family (extension: analytics)"),
+
+    CatalogEntry(
+      "x36_set_ops",
+      (s, dir) => {
+        // suppliers of cheap parts vs suppliers of heavy parts: INTERSECT
+        // and EXCEPT are hash-dedup + co-partitioned set membership
+        val li = t(s, dir, "lineitem")
+        val cheap = li.where(col("l_extendedprice") < 20000).select("l_suppkey")
+        val heavy = li.where(col("l_quantity") > 40).select("l_suppkey")
+        cheap.intersect(heavy)
+          .withColumn("op", lit("both"))
+          .unionByName(cheap.except(heavy).withColumn("op", lit("cheap_only")))
+          .orderBy("op", "l_suppkey")
+      },
+      Some("""WITH cheap AS (SELECT l_suppkey FROM lineitem WHERE l_extendedprice < 20000),
+             |heavy AS (SELECT l_suppkey FROM lineitem WHERE l_quantity > 40)
+             |SELECT l_suppkey, 'both' AS op FROM (SELECT * FROM cheap INTERSECT SELECT * FROM heavy)
+             |UNION ALL
+             |SELECT l_suppkey, 'cheap_only' AS op FROM (SELECT * FROM cheap EXCEPT SELECT * FROM heavy)
+             |ORDER BY op, l_suppkey""".stripMargin),
+      "set operators INTERSECT/EXCEPT (distinct semantics, one hash-shuffle each) + UNION " +
+        "composition (extension: analytics / §2.6 family)"),
+
+    CatalogEntry(
+      "x37_anti_semi_subquery",
+      (s, dir) => {
+        // customers with orders but no high-value order: semi ∧ anti —
+        // the EXISTS/NOT EXISTS pair as left_semi/left_anti joins
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        val big = o.where(col("o_totalprice") > 150000).select("o_custkey")
+        c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
+          .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |                  AND o.o_totalprice > 150000)
+             |ORDER BY c_custkey""".stripMargin),
+      "EXISTS / NOT EXISTS as left_semi / left_anti equi-joins — no subquery re-execution, " +
+        "one hash join each (extension: analytics / §2.5 family)"),
+
+    CatalogEntry(
+      "x38_date_parts",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).cast("long").as("y"),
+            month(col("o_orderdate")).cast("long").as("m"), col("o_totalprice"))
+          .groupBy("y", "m")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Aggregations.exactSum(col("o_totalprice")).as("sum_price"))
+          .orderBy("y", "m"),
+      Some("""SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+             |CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             |COUNT(*) AS n,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+             |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin),
+      "calendar breakdown: year/month extraction + monthly aggregate with exact money " +
+        "sums (extension: analytics / §2.7 datetime family)")
   )
 }
