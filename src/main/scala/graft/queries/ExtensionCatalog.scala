@@ -969,7 +969,7 @@ object ExtensionCatalog {
         // the EXISTS/NOT EXISTS pair as left_semi/left_anti joins
         val c = t(s, dir, "customer")
         val o = t(s, dir, "orders")
-        val big = o.where(col("o_totalprice") > 150000).select("o_custkey")
+        val big = o.where(col("o_totalprice") > 350000).select("o_custkey")
         c.join(o.select("o_custkey"), col("c_custkey") === col("o_custkey"), "left_semi")
           .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_mktsegment")
@@ -978,7 +978,7 @@ object ExtensionCatalog {
       Some("""SELECT c_custkey, c_mktsegment FROM customer c
              |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
              |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
-             |                  AND o.o_totalprice > 150000)
+             |                  AND o.o_totalprice > 350000)
              |ORDER BY c_custkey""".stripMargin),
       "EXISTS / NOT EXISTS as left_semi / left_anti equi-joins — no subquery re-execution, " +
         "one hash join each (extension: analytics / §2.5 family)"),
