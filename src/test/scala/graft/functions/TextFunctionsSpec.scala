@@ -10,6 +10,22 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("HLL sketch path: approx_count_distinct lands within rsd of exact") {
+    // the 100 TB cardinality path — a mergeable sketch instead of a
+    // hash-shuffle distinct; not oracle-gated (engine-specific sketch),
+    // bounded here against the exact count
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val tokens = docs.select(explode(split(col("text"), " ")).as("token"))
+    val exact = tokens.distinct().count()
+    val approx = tokens.agg(approx_count_distinct("token", 0.02)).collect().head.getLong(0)
+    math.abs(approx - exact).toDouble / exact should be < 0.1
+    // and the fingerprint column's HLL agrees with its exact distinct too
+    val fpExact = docs.select(fingerprint("text")).distinct().count()
+    val fpApprox = docs.agg(approx_count_distinct(fingerprint("text"), 0.02))
+      .collect().head.getLong(0)
+    math.abs(fpApprox - fpExact).toDouble / fpExact should be < 0.1
+  }
+
   /** Reference implementation of the shared rolling hash. */
   private def polyRef(s: String): Long =
     s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % Prime)
