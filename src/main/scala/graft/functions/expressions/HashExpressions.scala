@@ -209,21 +209,36 @@ object HashExpressions {
     acc
   }
 
+  /** ±1 plane-weight sign matrix, memoized per (planes, dim): the weight
+    * formula is pure in (j, i), and recomputing it per ROW costs more
+    * multiply-mods than the dot products themselves (56×64 per vector).
+    * Values: sign(j, i) = true ⇒ +v(i).
+    *
+    * (j*K + i + 1) * A wraps mod P ~10^7 times so parities mix; the
+    * round-1 form (j*A + i*B) % P never wrapped for i < 64, making
+    * parity = parity(base_j) XOR parity(i) — every plane was the SAME
+    * alternating ±1 hyperplane up to global sign, so buckets degenerated
+    * to {pattern, ~pattern} (half the corpus each).
+    */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Boolean]]]()
+
+  private def planeSigns(planes: Int, dim: Int): Array[Array[Boolean]] =
+    signCache.computeIfAbsent((planes, dim), { case (p, d) =>
+      Array.tabulate(p, d)((j, i) => ((j * 100003L + i + 1) * 2654435761L) % Prime % 2 == 0)
+    })
+
   def evalHyperplaneBucket(input: ArrayData, planes: Int, isFloat: Boolean): Long = {
     val v = toDoubles(input, isFloat)
+    val signs = planeSigns(planes, v.length)
     var bucket = 0L
     var j = 0
     while (j < planes) {
+      val row = signs(j)
       var s = 0.0
       var i = 0
       while (i < v.length) {
-        // (j*K + i + 1) * A wraps mod P ~10^7 times so parities mix; the
-        // round-1 form (j*A + i*B) % P never wrapped for i < 64, making
-        // parity = parity(base_j) XOR parity(i) — every plane was the SAME
-        // alternating ±1 hyperplane up to global sign, so buckets
-        // degenerated to {pattern, ~pattern} (half the corpus each).
-        val w = ((j * 100003L + i + 1) * 2654435761L) % Prime
-        s += (if (w % 2 == 0) v(i) else -v(i))
+        s += (if (row(i)) v(i) else -v(i))
         i += 1
       }
       if (s > 0) bucket |= (1L << j)
