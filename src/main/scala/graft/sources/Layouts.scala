@@ -57,6 +57,52 @@ object Layouts {
         .option(s"parquet.enable.dictionary#$k", "false")
     }.parquet(path)
 
+  /** Z-order (Morton) layout over exactly two numeric columns: each value
+    * maps to an 8-bit bucket of its [min, max] span, the bucket bits
+    * interleave into a 16-bit Z-value, and the data is range-partitioned +
+    * sorted on it. Consecutive Z runs are small rectangles of the value
+    * plane, so row-group/page min-max stats stay narrow on BOTH columns —
+    * a range predicate on EITHER prunes, where a plain sort clusters only
+    * its leading column. Uniform bucketing keeps the mapping a pure
+    * map-side expression (the two min/max pairs are the only driver-side
+    * stats); skewed columns would swap in approx-quantile boundaries, same
+    * interleave.
+    */
+  def zordered(
+      df: DataFrame,
+      path: String,
+      colA: String,
+      colB: String,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{expr, max => fmax, min => fmin}
+    val r = df.agg(
+      fmin(col(colA).cast("double")), fmax(col(colA).cast("double")),
+      fmin(col(colB).cast("double")), fmax(col(colB).cast("double"))).head()
+    def b(c: String, lo: Double, hi: Double): String =
+      if (hi <= lo) "0L"
+      else s"CAST(least(greatest(($c - $lo) / ${hi - lo}, 0d), 1d) * 255 AS BIGINT)"
+    val ba = b(colA, r.getDouble(0), r.getDouble(1))
+    val bb = b(colB, r.getDouble(2), r.getDouble(3))
+    // interleave: bit k of A → bit 2k+1, bit k of B → bit 2k
+    val z = (0 until 8).map { k =>
+      s"(shiftleft(shiftright($ba, $k) & 1, ${2 * k + 1}) | " +
+        s"shiftleft(shiftright($bb, $k) & 1, ${2 * k}))"
+    }.mkString(" | ")
+    val withZ = df.withColumn("__z", expr(z))
+    val ranged =
+      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
+      else withZ.repartitionByRange(col("__z"))
+    ranged
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", groupBytes.toString)
+      .option("parquet.page.row.count.limit", pageRows.toString)
+      .parquet(path)
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

@@ -24,6 +24,32 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     spark.read.parquet(dir).count() shouldBe lineitem.count()
   }
 
+  test("zordered layout prunes pages on EITHER interleaved column") {
+    val zDir = java.nio.file.Files.createTempDirectory("layout-z").toString
+    Layouts.zordered(lineitem, zDir, "l_extendedprice", "l_quantity",
+      groupBytes = 16 * 1024 * 1024, pageRows = 500, partitions = 1)
+    val sortDir = java.nio.file.Files.createTempDirectory("layout-sort1").toString
+    Layouts.sortedStats(lineitem, sortDir, Seq("l_extendedprice"),
+      groupBytes = 16 * 1024 * 1024, pageRows = 500, partitions = 1)
+    def frac(dir: String, pred: String, c: String): Double = {
+      val pp = BytePlanner.planPages(dir, Seq(c), pred)
+      pp.survivingPages.toDouble / pp.pages
+    }
+    // leading-column predicate: both layouts prune
+    frac(zDir, "l_extendedprice > 90000.0", "l_extendedprice") should be < 0.8
+    frac(sortDir, "l_extendedprice > 90000.0", "l_extendedprice") should be < 0.8
+    // second-column predicate: the single-sort layout is blind, Z is not
+    val zQty = frac(zDir, "l_quantity > 45.0", "l_quantity")
+    val sortQty = frac(sortDir, "l_quantity > 45.0", "l_quantity")
+    zQty should be < 0.8
+    sortQty should be > 0.95 // quantity uncorrelated with the sort key
+    zQty should be < sortQty
+    // conjunction across both columns prunes harder than either alone
+    val both = frac(zDir, "l_extendedprice > 90000.0 AND l_quantity > 45.0", "l_quantity")
+    both should be <= zQty
+    spark.read.parquet(zDir).count() shouldBe lineitem.count()
+  }
+
   test("bloomKeys layout lets point probes prune what stats cannot") {
     val dir = java.nio.file.Files.createTempDirectory("layout-bloom").toString
     // write in incoming (unsorted-by-key) order: stats are blind to probes
