@@ -999,6 +999,32 @@ object ExtensionCatalog {
              |CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
              |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin),
       "calendar breakdown: year/month extraction + monthly aggregate with exact money " +
-        "sums (extension: analytics / §2.7 datetime family)")
+        "sums (extension: analytics / §2.7 datetime family)"),
+
+    CatalogEntry(
+      "x39_token_shards",
+      (s, dir) => {
+        // pack the corpus into ~2000-token shards in stable doc_id order:
+        // shard = exclusive-prefix-sum(tokens) div budget — the
+        // distributed two-pass prefix sum, NOT a single-partition window
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.tokenCount("text").cast("long").as("n_tokens"))
+        graft.operators.PrefixSum
+          .runningTotal(docs, "doc_id", "n_tokens", "cum_tokens")
+          .withColumn("shard", ((col("cum_tokens") - col("n_tokens")) / 2000).cast("long"))
+          .select("doc_id", "n_tokens", "cum_tokens", "shard")
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, n_tokens, cum_tokens,
+             |  (cum_tokens - n_tokens) // 2000 AS shard
+             |FROM (
+             |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+             |    SUM(len(string_split(text, ' '))::BIGINT)
+             |      OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      "token-budget sharding via distributed two-pass prefix sum (range partitions + " +
+        "per-partition windows + P driver scalars) — training-batch packing without a " +
+        "single-partition global window (extension: pipeline)")
   )
 }

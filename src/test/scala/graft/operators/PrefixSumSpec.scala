@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class PrefixSumSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("two-pass prefix sum equals the sequential truth regardless of partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(100).toLong))
+    val truth = rows.scanLeft(0L)(_ + _._2).tail // inclusive running totals
+    for (parts <- Seq(1, 3, 17)) {
+      val out = PrefixSum.runningTotal(
+          rows.toDF("id", "v").repartition(parts), "id", "v", "cum")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+      rows.zip(truth).foreach { case ((id, _), t) =>
+        withClue(s"parts=$parts id=$id") { out(id) shouldBe t }
+      }
+    }
+  }
+
+  test("plan has no single-partition global window") {
+    val df = PrefixSum.runningTotal(
+      spark.range(1000).selectExpr("id", "id % 7 AS v"), "id", "v", "cum")
+    // the window partitions by __pid — a global-order window would show an
+    // empty partitionBy (all rows in one window group)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("Window")
+    plan should include("__pid")
+  }
+}
