@@ -103,6 +103,29 @@ object Layouts {
       .parquet(path)
   }
 
+  /** Small-file compaction: rewrite a directory of many parquet files into
+    * ceil(bytes / targetBytes) files, optionally re-sorted so statistics
+    * stay prunable after the rewrite. The operational counterpart of every
+    * streaming sink (micro-batches leave file-per-trigger debris; metadata
+    * and task-startup costs grow with file count, not data size).
+    */
+  def compact(
+      inDir: String,
+      outDir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val bytes = Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    shaped.write.mode("overwrite").parquet(outDir)
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

@@ -50,6 +50,23 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     spark.read.parquet(zDir).count() shouldBe lineitem.count()
   }
 
+  test("compact merges small-file debris and can restore sortedness") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val inDir = java.nio.file.Files.createTempDirectory("compact-in").toString
+    // simulate streaming debris: 40 tiny files
+    lineitem.repartition(40).write.mode("overwrite").parquet(inDir)
+    val nIn = new java.io.File(inDir).listFiles().count(_.getName.endsWith(".parquet"))
+    nIn should be >= 30
+    val outDir = java.nio.file.Files.createTempDirectory("compact-out").toString
+    Layouts.compact(inDir, outDir, targetBytes = 512 * 1024, sortCols = Seq("l_quantity"))
+    val nOut = new java.io.File(outDir).listFiles().count(_.getName.endsWith(".parquet"))
+    nOut should be < nIn / 3
+    spark.read.parquet(outDir).count() shouldBe lineitem.count()
+    // re-sorting restored prunable statistics across the output files
+    val p = BytePlanner.plan(outDir, Seq("l_quantity"), Some("l_quantity > 45.0"))
+    p.survivingGroups should be < p.rowGroups
+  }
+
   test("bloomKeys layout lets point probes prune what stats cannot") {
     val dir = java.nio.file.Files.createTempDirectory("layout-bloom").toString
     // write in incoming (unsorted-by-key) order: stats are blind to probes
