@@ -6,6 +6,49 @@ import org.scalatest.matchers.should.Matchers
 
 class StreamDedupSpec extends AnyFunSuite with Matchers {
 
+  test("foreachBatch merge: only never-seen fingerprints reach the sink across batches") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    org.apache.spark.sql.graft.GraftFunctions.register(spark)
+    val in = java.nio.file.Files.createTempDirectory("fb-in").toString
+    val sink = java.nio.file.Files.createTempDirectory("fb-out").toString + "/dedup"
+    def land(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("fb-stage").toString
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    // the streaming-upsert pattern: each micro-batch anti-joins the SINK's
+    // existing fingerprints (idempotent merge), so re-delivered texts never
+    // append — state lives in the target table, not the stream
+    val q = spark.readStream.schema(StreamDedup.docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .withColumn("fp", expr("graft_poly_hash(lower(trim(text)))"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = batch.dropDuplicates("fp")
+        val novel =
+          if (new java.io.File(sink).exists())
+            fresh.join(batch.sparkSession.read.parquet(sink).select("fp"), Seq("fp"), "left_anti")
+          else fresh
+        novel.write.mode("append").parquet(sink)
+      }
+      .start()
+    try {
+      land("b1", Seq((1L, "alpha"), (2L, "beta")))
+      q.processAllAvailable()
+      land("b2", Seq((3L, "alpha"), (4L, "gamma"))) // alpha re-delivered
+      q.processAllAvailable()
+      val texts = spark.read.parquet(sink).select("text").collect().map(_.getString(0))
+      texts.length shouldBe 3 // alpha only once
+      texts.toSet shouldBe Set("alpha", "beta", "gamma")
+    } finally q.stop()
+  }
+
   test("checkpointed restart is exactly-once: no reprocessing, no loss") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
