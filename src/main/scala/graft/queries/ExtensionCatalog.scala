@@ -1025,6 +1025,53 @@ object ExtensionCatalog {
              |ORDER BY doc_id""".stripMargin),
       "token-budget sharding via distributed two-pass prefix sum (range partitions + " +
         "per-partition windows + P driver scalars) — training-batch packing without a " +
-        "single-partition global window (extension: pipeline)")
+        "single-partition global window (extension: pipeline)"),
+
+    CatalogEntry(
+      "x40_interval_join",
+      (s, dir) => {
+        // interval-containment join: attribute each 'error' event to the
+        // session window (x16 semantics) that contains it. Equi-join on
+        // user_id carries the pairing; the range condition is a
+        // post-filter inside the hash join, never an inequality
+        // nested-loop — per-user interval lists stay small while users
+        // shard freely.
+        val events = t(s, dir, "events")
+        val sessions = graft.streaming.EventsStream
+          .sessionize(events, gapUs = 1800L * 1000000L)
+          .select(col("user_id"), col("session_id"), col("start_us"), col("end_us"))
+        val errors = events.where(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), expr("ts div 1000").as("tsu"))
+        errors.join(sessions, Seq("user_id"))
+          .where(col("tsu") >= col("start_us") && col("tsu") <= col("end_us"))
+          .select("event_id", "user_id", "session_id", "tsu")
+          .orderBy("event_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, tsu,
+             |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess0 AS (
+             |  SELECT user_id, tsu,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM m),
+             |sessions AS (
+             |  SELECT user_id, session_id, MIN(tsu) AS start_us, MAX(tsu) AS end_us
+             |  FROM sess0 GROUP BY user_id, session_id),
+             |errors AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+             |  WHERE event_type = 'error')
+             |SELECT e.event_id, e.user_id, s.session_id, e.tsu
+             |FROM errors e JOIN sessions s
+             |  ON e.user_id = s.user_id AND e.tsu >= s.start_us AND e.tsu <= s.end_us
+             |ORDER BY e.event_id""".stripMargin),
+      "interval-containment join: events attributed to their session windows — equi-join " +
+        "on the key with the range as an in-join filter, no nested-loop (extension: " +
+        "events/temporal)")
   )
 }
