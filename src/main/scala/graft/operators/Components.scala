@@ -35,27 +35,19 @@ object Components {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
-    // labels only ever decrease, so the exact label sum is strictly
-    // monotone until the fixpoint: one scalar aggregate per round replaces
-    // a changed-flag join (decimal accumulation — a corpus-scale sum of
-    // i64 ids overflows long)
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      val next = edges
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("lbl"))
-        .unionByName(labels) // self: min over (self ∪ neighbors)
-        .groupBy("id")
-        .agg(min("lbl").as("lbl"))
+        .groupBy(col("src").as("id"))
+        .agg(min("lbl").as("nbr_lbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), col("nbr_lbl")).as("lbl"),
+          (col("nbr_lbl") < col("lbl")).as("changed"))
         .localCheckpoint(true)
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      labels = next
+      converged = next.where(col("changed")).limit(1).isEmpty
+      labels = next.select("id", "lbl")
       round += 1
     }
     require(converged, s"components did not converge in $maxRounds rounds")

@@ -52,7 +52,7 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   test("every join query is either broadcast or equi-shuffle (no NLJ on big sides)") {
     val joinQueries = Seq("q11_join_dim_agg", "q17_three_way_join",
       "x07_minhash_lsh_dedup", "x06_ngram_jaccard_dedup", "x11_ann_lsh",
-      "x09_embedding_neardup")
+      "x09_embedding_neardup", "x40_interval_join", "x30_contamination")
     joinQueries.foreach { name =>
       withClue(name) {
         val p = plans(name)
