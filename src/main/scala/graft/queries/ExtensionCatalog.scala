@@ -407,9 +407,14 @@ object ExtensionCatalog {
         val withFp = quality
           .withColumn("fp", expr("graft_poly_hash(lower(trim(text)))"))
         val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        // staging barrier: exactKept feeds four consumers (shingle sets ×2
+        // inside minhashNearDups via its signature table, the drop list,
+        // and the final anti-join) — without it every consumer re-runs the
+        // quality arithmetic + fingerprint groupBy over the raw corpus
         val exactKept = withFp
           .join(keepers, Seq("fp", "doc_id"), "left_semi")
           .select("doc_id", "text")
+          .cache()
         // stage 3: near-dup removal — drop the larger id of each MinHash pair
         val drops = Dedup
           .minhashNearDups(exactKept, k = 16, bands = 8, shingleN = 3, threshold = 0.5)

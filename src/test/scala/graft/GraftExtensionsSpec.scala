@@ -25,6 +25,22 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
         .collect().head
       r.getLong(0) shouldBe 96354L
       r.getInt(1) shouldBe 2
+      // leg 2: the injected optimizer rule fuses through this session
+      // (non-literal input — a literal would constant-fold before we look)
+      val fused = spark.sql(
+        "SELECT size(graft_char_ngram_hashes(CAST(id AS STRING) || 'abcdefgh', 3)) AS d " +
+          "FROM range(1)")
+      fused.queryExecution.optimizedPlan.toString.toLowerCase should
+        include("charngramdistinctcount")
+      fused.collect().head.getInt(0) shouldBe 7 // "0abcdefgh": 7 distinct 3-grams
+      // leg 3: the injected planner strategy plans AsOfJoinNode
+      import spark.implicits._
+      val out = org.apache.spark.sql.graft.GraftPlans.asOfJoin(
+        Seq((1L, 10L, 100L)).toDF("k", "t", "lid"),
+        Seq((1L, 5L, 900L)).toDF("k", "rt", "rid"),
+        "k", "t", "rt", Seq("rid"), "rid")
+      out.queryExecution.executedPlan.toString should include("AsOfJoin")
+      out.collect().head.getAs[Long]("asof_rid") shouldBe 900L
     } finally {
       prev.foreach(SparkSession.setDefaultSession)
       prev.foreach(SparkSession.setActiveSession)
