@@ -1077,6 +1077,65 @@ object ExtensionCatalog {
              |ORDER BY e.event_id""".stripMargin),
       "interval-containment join: events attributed to their session windows — equi-join " +
         "on the key with the range as an in-join filter, no nested-loop (extension: " +
-        "events/temporal)")
+        "events/temporal)"),
+
+    CatalogEntry(
+      "x41_session_funnel",
+      (s, dir) => {
+        // funnel: sessions where a signup is later followed by a purchase.
+        // Each session's events collapse to an ordered initial string
+        // (deterministic (tsu, event_id) sort inside the aggregate), then
+        // the funnel is a regex containment — sequence matching as one
+        // groupBy, no self-joins per funnel step.
+        val events = t(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("initial", substring(col("event_type"), 1, 1))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tsu", "event_id")
+        val sessioned = events
+          .withColumn("prev_ts", lag("tsu", 1).over(w))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull || col("tsu") - col("prev_ts") > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_session").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        sessioned
+          .groupBy("user_id", "session_id")
+          .agg(
+            concat_ws("", expr(
+              "transform(array_sort(collect_list(struct(tsu, event_id, initial))), x -> x.initial)"))
+              .as("seq"),
+            count(lit(1)).as("n_events"))
+          .withColumn("converted", col("seq").rlike("s.*p"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("converted"), 1L).otherwise(0L)).as("n_converted"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT user_id, event_id, epoch_us(ts) AS tsu,
+             |    substr(event_type, 1, 1) AS initial,
+             |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, event_id, tsu, initial,
+             |    CASE WHEN prev_ts IS NULL OR tsu - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+             |  FROM g),
+             |sess AS (
+             |  SELECT user_id, event_id, tsu, initial,
+             |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             |  FROM m),
+             |seqs AS (
+             |  SELECT user_id, session_id,
+             |    string_agg(initial, '' ORDER BY tsu, event_id) AS seq,
+             |    COUNT(*) AS n_events
+             |  FROM sess GROUP BY user_id, session_id)
+             |SELECT user_id, COUNT(*) AS n_sessions,
+             |  CAST(SUM(CASE WHEN regexp_matches(seq, 's.*p') THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_converted
+             |FROM seqs GROUP BY user_id ORDER BY user_id""".stripMargin),
+      "session funnel: ordered event-sequence matching (signup then purchase) as one " +
+        "aggregate + regex — no per-step self-joins (extension: events/analytics)")
   )
 }
