@@ -23,6 +23,28 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
       Map(5L -> 5L, 6L -> 5L, 10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
   }
 
+  test("star contraction matches label propagation on a random graph") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(150)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val viaProp = cc(pairs.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct)
+    val viaStar = Components.starContraction(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaStar shouldBe viaProp
+  }
+
+  test("long chains: propagation stalls at diameter rounds, star contraction does not") {
+    // a 200-node path has diameter 199 — label propagation moves the min
+    // one hop per round and must give up at maxRounds
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    an[IllegalArgumentException] should be thrownBy
+      Components.connectedComponents(chain.toDF("id_a", "id_b"), maxRounds = 20)
+    val star = Components.starContraction(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star.keySet shouldBe (0L to 199L).toSet
+    star.values.toSet shouldBe Set(0L) // one component, rooted at the min id
+  }
+
   test("matches a union-find oracle on a random graph") {
     val rnd = new scala.util.Random(42)
     val pairs = Seq.fill(200)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
