@@ -31,7 +31,10 @@ object PrefixSum {
     val local = parted.withColumn("__run", sum(col(valueCol)).over(w))
     // P partition totals → exclusive offsets; range partitioner assigns
     // ascending pids to ascending ranges, so offsets accumulate in pid order
-    val totals = local.groupBy("__pid").agg(max("__run").as("__tot"))
+    // coalesce: a partition whose values are all NULL has a NULL running
+    // max (SUM skips nulls) and contributes nothing to later offsets
+    val totals = local.groupBy("__pid")
+      .agg(coalesce(max("__run"), lit(0L)).as("__tot"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     var acc = 0L
     val offsets = totals.map { case (pid, tot) =>
