@@ -29,22 +29,34 @@ object PrefixSum {
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(col(valueCol)).over(w))
-    // P partition totals → exclusive offsets; range partitioner assigns
-    // ascending pids to ascending ranges, so offsets accumulate in pid order
-    // coalesce: a partition whose values are all NULL has a NULL running
-    // max (SUM skips nulls) and contributes nothing to later offsets
+    // P partition (total, non-null count) pairs → exclusive offsets; range
+    // partitioning assigns ascending pids to ascending ranges, so offsets
+    // accumulate in pid order. Totals come from SUM of the values (NOT the
+    // max of the running column, which is wrong under negative values) and
+    // the non-null count disambiguates "no prior values" from "prior
+    // values summing to zero" for the NULL-row semantics below.
     val totals = local.groupBy("__pid")
-      .agg(coalesce(max("__run"), lit(0L)).as("__tot"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (pid, tot) =>
-      val off = acc; acc += tot; (pid, off)
+      .agg(coalesce(sum(valueCol), lit(0L)).as("__tot"), count(valueCol).as("__cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var accSum = 0L
+    var accCnt = 0L
+    val offsets = totals.map { case (pid, tot, cnt) =>
+      val o = (pid, accSum, accCnt)
+      accSum += tot; accCnt += cnt
+      o
     }
     val spark = df.sparkSession
     import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off", "__offcnt"))
+    // window-SUM semantics for NULL values: the running total skips them,
+    // so a row in a leading all-NULL span still carries the prior
+    // partitions' total — and is NULL only when nothing non-null precedes
+    // it anywhere
     local.join(offDf, "__pid")
-      .withColumn(out, col("__run") + col("__off"))
-      .drop("__pid", "__run", "__off")
+      .withColumn(out,
+        when(col("__run").isNotNull, col("__run") + col("__off"))
+          .when(col("__offcnt") > 0, col("__off"))
+          .otherwise(lit(null)))
+      .drop("__pid", "__run", "__off", "__offcnt")
   }
 }

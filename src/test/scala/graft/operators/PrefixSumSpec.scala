@@ -22,6 +22,33 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("NULLs and negatives match window-SUM semantics across partition boundaries") {
+    // values include NULLs (skipped by SUM) and negatives (running total
+    // is non-monotone — a max-based partition total would be wrong)
+    val rnd = new scala.util.Random(29)
+    val rows: Seq[(Long, Option[Long])] = Seq.tabulate(500) { i =>
+      (i.toLong, if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(21).toLong - 10))
+    }
+    // sequential truth with window semantics: cum = sum of prior non-nulls
+    // incl. self; NULL only before any non-null value exists
+    var acc = 0L
+    var seen = false
+    val truth = rows.map { case (id, v) =>
+      v.foreach { x => acc += x; seen = true }
+      id -> (if (seen) Some(acc) else None)
+    }.toMap
+    for (parts <- Seq(1, 7)) {
+      val df = rows.map { case (id, v) => (id, v.map(Long.box).orNull) }
+        .toDF("id", "v").repartition(parts)
+      val out = PrefixSum.runningTotal(df, "id", "v", "cum")
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[java.lang.Long]("cum")).map(_.toLong)).toMap
+      rows.foreach { case (id, _) =>
+        withClue(s"parts=$parts id=$id") { out(id) shouldBe truth(id) }
+      }
+    }
+  }
+
   test("plan has no single-partition global window") {
     val df = PrefixSum.runningTotal(
       spark.range(1000).selectExpr("id", "id % 7 AS v"), "id", "v", "cum")
