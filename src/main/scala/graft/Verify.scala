@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name filter] — the
+    // driver always passes two; the filter is a local iteration aid.
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +25,9 @@ object Verify {
     // (tagged via job group) and move on — the query simply reports as
     // missing instead of hanging the driver.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       // drop any cached stage tables the previous query left behind (see
       // Bench scaladoc: leaked blocks compound across a shared JVM)
       spark.sharedState.cacheManager.clearCache()

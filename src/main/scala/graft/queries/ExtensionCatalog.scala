@@ -1136,6 +1136,352 @@ object ExtensionCatalog {
              |    AS n_converted
              |FROM seqs GROUP BY user_id ORDER BY user_id""".stripMargin),
       "session funnel: ordered event-sequence matching (signup then purchase) as one " +
-        "aggregate + regex — no per-step self-joins (extension: events/analytics)")
+        "aggregate + regex — no per-step self-joins (extension: events/analytics)"),
+
+    CatalogEntry(
+      "x42_tfidf",
+      (s, dir) => {
+        // TF-IDF with a rational idf (tf * N / df): one exactly-rounded
+        // double division instead of ln(N/df) — libm log is not correctly
+        // rounded, so it could differ between engines; N/df is. Monotone in
+        // the classic score for fixed tf, identical ranking semantics.
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        tf.join(df, "term").crossJoin(n)
+          .withColumn("score", (col("tf") * col("n")).cast("double") / col("df"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select("doc_id", "rank", "term", "tf", "df", "score")
+          .orderBy("doc_id", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |ranked AS (
+             |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+             |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.term) AS rank
+             |  FROM tf, df, n WHERE tf.term = df.term)
+             |SELECT doc_id, rank, term, tf, df, score FROM ranked
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+      "TF-IDF top-3 terms per document: tf shuffle on (doc, term) with map-side combine, " +
+        "df as a second-level aggregate of tf (never rescans the corpus), AQE-broadcast " +
+        "vocabulary join, per-doc top-k via WindowGroupLimit (extension: text analysis)"),
+
+    CatalogEntry(
+      "x43_bigram_lm",
+      (s, dir) => {
+        // bigram language-model counts: adjacent-token pairs via one
+        // windowed lead per doc (single shuffle on doc_id), then the
+        // conditional probability P(w2|w1) = n(w1,w2)/n(w1) from integer
+        // counts — the KenLM-style count table a corpus LM starts from.
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val big = tok.withColumn("w2", lead("w1", 1).over(w))
+          .where(col("w2").isNotNull)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        val uni = big.groupBy("w1").agg(sum("n2").as("n1"))
+        big.join(uni, "w1")
+          .select(col("w1"), col("w2"), col("n2"),
+            (col("n2").cast("double") / col("n1").cast("double")).as("p"))
+          .orderBy(desc("n2"), asc("w1"), asc("w2"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |bg AS (SELECT unnest(list_transform(range(1, len(lst)),
+             |  i -> {'w1': lst[i], 'w2': lst[i + 1]})) AS b FROM toks),
+             |big AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+             |uni AS (SELECT w1, SUM(n2) AS n1 FROM big GROUP BY 1)
+             |SELECT big.w1, big.w2, big.n2, CAST(big.n2 AS DOUBLE) / CAST(uni.n1 AS DOUBLE) AS p
+             |FROM big, uni WHERE big.w1 = uni.w1
+             |ORDER BY big.n2 DESC, big.w1, big.w2 LIMIT 100""".stripMargin),
+      "bigram LM count table with conditional probabilities — windowed lead for adjacency " +
+        "(no per-position self-join), unigram totals re-aggregated from bigram counts " +
+        "(extension: text analysis)"),
+
+    CatalogEntry(
+      "x44_inverted_index",
+      (s, dir) => {
+        // posting lists for rare bigram terms (df ≤ 5% of corpus — the
+        // relative threshold keeps the entry meaningful at every sf).
+        // zip_with over two slices, NOT element_at-in-lambda: CollapseProject
+        // would inline the split() producer into every element access.
+        val docs = t(s, dir, "documents")
+        val bg = docs
+          .select(col("doc_id"), split(col("text"), " ").as("lst"))
+          .select(col("doc_id"), explode(expr(
+            "zip_with(slice(lst, 1, size(lst) - 1), slice(lst, 2, size(lst) - 1), " +
+              "(x, y) -> concat(x, '_', y))")).as("term"))
+          .distinct()
+        val n = docs.agg(count(lit(1)).as("n"))
+        bg.groupBy("term")
+          .agg(count(lit(1)).as("df"),
+            expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 20), " +
+              "x -> cast(x AS STRING)), ',')").as("postings"))
+          .crossJoin(n)
+          .where(col("df") * 20 <= col("n"))
+          .select("term", "df", "postings")
+          .orderBy("term")
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |bg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(lst)),
+             |  i -> lst[i] || '_' || lst[i + 1])) AS term FROM toks),
+             |inv AS (SELECT term, COUNT(*) AS df,
+             |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',') AS postings
+             |  FROM bg GROUP BY term)
+             |SELECT term, df, postings FROM inv
+             |WHERE df * 20 <= (SELECT COUNT(*) FROM documents)
+             |ORDER BY term""".stripMargin),
+      "inverted index over bigram terms: distinct postings, capped sorted posting lists, " +
+        "relative document-frequency cutoff — retrieval-index construction as one shuffle " +
+        "on term (extension: text analysis / retrieval)"),
+
+    CatalogEntry(
+      "x45_cluster_reps",
+      (s, dir) => {
+        // near-dup consolidation end-game: cluster docs via MinHash pairs +
+        // connected components, then keep one representative per cluster
+        // (longest text, ties to smallest id) — the "which copy survives"
+        // step after x26's clustering.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+        val comp = graft.operators.Components.connectedComponents(pairs)
+          .withColumnRenamed("rep_id", "cluster_id")
+        val joined = comp.join(
+          docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cluster_id").orderBy(desc("n_chars"), asc("id"))
+        val best = joined.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("cluster_id"), col("id").as("rep_doc"), col("n_chars").as("rep_chars"))
+        val sizes = comp.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        best.join(sizes, "cluster_id")
+          .select("cluster_id", "cluster_size", "rep_doc", "rep_chars")
+          .orderBy("cluster_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |closure AS (
+              |  WITH RECURSIVE reach(v, u) AS (
+              |    SELECT src, src FROM edges
+              |    UNION
+              |    SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+              |  SELECT v, u FROM reach),
+              |comp AS (SELECT v AS id, CAST(min(u) AS BIGINT) AS cluster_id FROM closure GROUP BY v),
+              |joined AS (
+              |  SELECT c.cluster_id, c.id, d.n_chars FROM comp c JOIN documents d ON c.id = d.doc_id),
+              |best AS (
+              |  SELECT cluster_id, id AS rep_doc, n_chars AS rep_chars,
+              |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, id) AS rn
+              |  FROM joined),
+              |sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+              |SELECT b.cluster_id, s.cluster_size, b.rep_doc, b.rep_chars
+              |FROM best b JOIN sizes s ON b.cluster_id = s.cluster_id
+              |WHERE b.rn = 1 ORDER BY b.cluster_id""".stripMargin),
+      "near-dup cluster representative selection: components over MinHash pairs, then one " +
+        "row_number per cluster picks the survivor — the final emit step of corpus dedup " +
+        "(extension: dedup consolidation)"),
+
+    CatalogEntry(
+      "x46_fuzzy_name_match",
+      (s, dir) => {
+        // dictionary-level fuzzy matching: edit distance runs on DISTINCT
+        // names (64 here; bounded vocab at any corpus scale), never on rows.
+        // Blocking on the trailing noun token makes the join an equi-join —
+        // same role as an LSH band key; distance ≤ 2 edits stays within the
+        // adjective at this name shape.
+        val names = t(s, dir, "part")
+          .groupBy("p_name").agg(count(lit(1)).as("n_parts"))
+          .withColumn("block", substring_index(col("p_name"), " ", -1))
+        val a = names.select(col("p_name").as("name_a"), col("n_parts").as("n_a"), col("block"))
+        val b = names.select(col("p_name").as("name_b"), col("n_parts").as("n_b"), col("block"))
+        a.join(b, Seq("block"))
+          .where(col("name_a") < col("name_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+          .select(col("name_a"), col("name_b"),
+            levenshtein(col("name_a"), col("name_b")).cast("long").as("dist"),
+            col("n_a"), col("n_b"))
+          .orderBy("name_a", "name_b")
+      },
+      Some("""WITH names AS (
+             |  SELECT p_name, COUNT(*) AS n_parts, split_part(p_name, ' ', 2) AS block
+             |  FROM part GROUP BY 1),
+             |m AS (
+             |  SELECT a.p_name AS name_a, b.p_name AS name_b,
+             |    levenshtein(a.p_name, b.p_name) AS dist,
+             |    a.n_parts AS n_a, b.n_parts AS n_b
+             |  FROM names a JOIN names b
+             |    ON a.block = b.block AND a.p_name < b.p_name
+             |    AND levenshtein(a.p_name, b.p_name) <= 2)
+             |SELECT name_a, name_b, CAST(dist AS BIGINT) AS dist, n_a, n_b
+             |FROM m ORDER BY name_a, name_b""".stripMargin),
+      "fuzzy string matching (levenshtein ≤ 2) on the distinct-name dictionary with " +
+        "suffix-token blocking — the scale-correct shape: dedupe the vocabulary, then " +
+        "broadcast the mapping back to rows (extension: entity resolution)"),
+
+    CatalogEntry(
+      "x47_winsorized_stats",
+      (s, dir) => {
+        // two-pass robust statistics: per-group p05/p95 (exact lerp on
+        // integral-valued quantities), broadcast the 3-row percentile table
+        // back, clip, and aggregate with nano-floored integer sums (the
+        // clipped bound can be fractional; see x27 for why DECIMAL is not
+        // replayable).
+        val li = t(s, dir, "lineitem")
+        val pct = li.groupBy("l_returnflag").agg(
+          expr("percentile(l_quantity, 0.05)").as("p05"),
+          expr("percentile(l_quantity, 0.95)").as("p95"))
+        li.join(pct, "l_returnflag")
+          .withColumn("clipped", least(greatest(col("l_quantity"), col("p05")), col("p95")))
+          .groupBy("l_returnflag", "p05", "p95")
+          .agg(
+            ((sum(floor(col("clipped") * 1e6).cast("long")).cast("double")
+              / count(lit(1))) / 1e6).as("winsorized_mean"),
+            count(lit(1)).as("n"))
+          .select("l_returnflag", "p05", "p95", "winsorized_mean", "n")
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH pct AS (
+             |  SELECT l_returnflag,
+             |    quantile_cont(l_quantity, 0.05) AS p05,
+             |    quantile_cont(l_quantity, 0.95) AS p95
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l.l_returnflag, p.p05, p.p95,
+             |  CAST(SUM(CAST(floor(least(greatest(l.l_quantity, p.p05), p.p95) * 1e6) AS BIGINT)) AS DOUBLE)
+             |    / COUNT(*) / 1e6 AS winsorized_mean,
+             |  COUNT(*) AS n
+             |FROM lineitem l JOIN pct p ON l.l_returnflag = p.l_returnflag
+             |GROUP BY 1, p.p05, p.p95 ORDER BY 1""".stripMargin),
+      "winsorized mean: percentile pass + broadcast clip-bounds join + one aggregate — " +
+        "outlier-robust column profiling in two scans, no sort of the fact table " +
+        "(extension: analytics / data quality)"),
+
+    CatalogEntry(
+      "x48_group_regression",
+      (s, dir) => {
+        // per-group least squares from a single pass of integer partial
+        // aggregates: all five sums are exact BIGINTs, so partial-agg order
+        // cannot perturb them; slope/intercept are then a fixed chain of
+        // IEEE double ops on identical operands in both engines. (At 100 TB
+        // the i64 products need a decimal widen; fixture domains keep them
+        // far from overflow.)
+        val li = t(s, dir, "lineitem")
+        val x = col("l_linenumber").cast("long")
+        val y = col("l_quantity").cast("long")
+        val sums = li.groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+        val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        sums.select(col("l_returnflag"), col("n"), slope.as("slope"),
+            ((col("sy").cast("double") - slope * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH s AS (
+             |  SELECT l_returnflag, COUNT(*) AS n,
+             |    SUM(CAST(l_linenumber AS BIGINT)) AS sx,
+             |    SUM(CAST(l_quantity AS BIGINT)) AS sy,
+             |    SUM(CAST(l_linenumber AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxy,
+             |    SUM(CAST(l_linenumber AS BIGINT) * CAST(l_linenumber AS BIGINT)) AS sxx
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag, n,
+             |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+             |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+             |     / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept
+             |FROM s ORDER BY 1""".stripMargin),
+      "group-wise linear regression (slope + intercept) from one pass of exact integer " +
+        "moment sums — the mergeable-statistics pattern every distributed ML-lite " +
+        "aggregation uses (extension: analytics)"),
+
+    CatalogEntry(
+      "x49_minhash_estimate",
+      (s, dir) => {
+        // sketch-quality measurement: for every LSH candidate pair, the
+        // MinHash positional-match estimate of Jaccard vs the exact value —
+        // the calibration readout that justifies a 16-perm sketch before
+        // relying on it at corpus scale.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val sigs = Dedup.minhashSignature(docs, k = 16, shingleN = 3)
+        val cands = Dedup.lshCandidates(sigs, "doc_id", bands = 8, rowsPerBand = 2)
+        val a = sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"), col("sig").as("sig_a"))
+        val b = sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"), col("sig").as("sig_b"))
+        cands.join(a, "id_a").join(b, "id_b")
+          .select(col("id_a"), col("id_b"),
+            (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))").cast("double")
+              / 16.0).as("est_jac"),
+            expr("graft_intersect_size(sh_a, sh_b)").as("inter"),
+            size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+          .select(col("id_a"), col("id_b"), col("est_jac"),
+            (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+          .withColumn("abs_err", abs(col("est_jac") - col("jac")))
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT c.id_a, c.id_b,
+              |    CAST(len(list_filter(range(1, 17), i -> x.sig[i] = y.sig[i])) AS DOUBLE) / 16.0 AS est_jac,
+              |    CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sigs x ON c.id_a = x.doc_id JOIN sigs y ON c.id_b = y.doc_id)
+              |SELECT id_a, id_b, est_jac, jac, abs(est_jac - jac) AS abs_err
+              |FROM pairs ORDER BY id_a, id_b""".stripMargin),
+      "MinHash sketch calibration: positional-match Jaccard estimate vs exact, per LSH " +
+        "candidate pair — measures the sketch before the pipeline trusts it " +
+        "(extension: dedup / sketch quality)")
   )
 }

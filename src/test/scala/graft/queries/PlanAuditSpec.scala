@@ -65,11 +65,13 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   test("no nested-loop join outside the bounded-broadcast ANN baselines") {
     // Allowed nested-loop joins are all bounded-broadcast by construction:
     // x10/x18 cross a ≤10-row query/centroid side against the corpus;
-    // q12/q13 cross-join a literal 1-row grand total; x21 pairs per-SOURCE
+    // q12/q13 cross-join a literal 1-row grand total, and x42/x44 a 1-row
+    // corpus count (relative-df thresholds); x21 pairs per-SOURCE
     // sketches (cardinality = distinct sources, not documents). Every
     // per-document/per-vector query must pair rows through an equi-join.
     val allowed = Set("x10_ann_bruteforce", "x18_ann_ivf",
-      "q12_cross_join_pct", "q13_selectivity_distribution", "x21_source_sketch")
+      "q12_cross_join_pct", "q13_selectivity_distribution", "x21_source_sketch",
+      "x42_tfidf", "x44_inverted_index")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
