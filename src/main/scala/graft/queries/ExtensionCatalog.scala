@@ -1224,12 +1224,19 @@ object ExtensionCatalog {
               "(x, y) -> concat(x, '_', y))")).as("term"))
           .distinct()
         val n = docs.agg(count(lit(1)).as("n"))
-        bg.groupBy("term")
-          .agg(count(lit(1)).as("df"),
-            expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 20), " +
-              "x -> cast(x AS STRING)), ',')").as("postings"))
+        // df-filter BEFORE collecting postings: a hot term at corpus scale
+        // would otherwise accumulate a multi-million-element list only to be
+        // dropped by the cutoff. The surviving-term set is small → the join
+        // back to pairs broadcasts.
+        val rare = bg.groupBy("term").agg(count(lit(1)).as("df"))
           .crossJoin(n)
           .where(col("df") * 20 <= col("n"))
+          .select("term", "df")
+        bg.join(rare, "term")
+          .groupBy("term")
+          .agg(first("df").as("df"),
+            expr("array_join(transform(slice(sort_array(collect_list(doc_id)), 1, 20), " +
+              "x -> cast(x AS STRING)), ',')").as("postings"))
           .select("term", "df", "postings")
           .orderBy("term")
       },

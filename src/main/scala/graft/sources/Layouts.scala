@@ -46,6 +46,17 @@ object Layouts {
       .parquet(path)
   }
 
+  /** Hive-style partition directories on a low-cardinality column: the
+    * coarsest pruning tier — a partition filter skips whole directories
+    * before any footer is read, and a join against a filtered dim on the
+    * partition key prunes at RUNTIME via dynamic partition pruning (the
+    * subquery-driven partition filter Spark injects; see LayoutsSpec).
+    * Keep cardinality low: every distinct value is a directory, and tiny
+    * partitions recreate the small-file problem `compact` exists to fix.
+    */
+  def hivePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
   /** Bloom filters on point-probe keys. Dictionary encoding is disabled
     * for those columns: parquet-mr silently skips the bloom while a chunk
     * stays fully dictionary-encoded, which a small fixture would — and a

@@ -185,4 +185,41 @@ object EventsStream {
       .outputMode("update")
       .start()
   }
+
+  /** Stream-stream interval join: each purchase attributed to the same
+    * user's signups within the preceding `windowSec` seconds. Watermarks on
+    * BOTH sides + the time-range join condition let Spark expire state —
+    * the unbounded-state trap a naive stream-stream equi-join hits at
+    * 100 TB/day ingest. The same plan runs batch (spec cross-checks).
+    */
+  def attribution(events: DataFrame, windowSec: Long): DataFrame = {
+    val ev = events.select(col("event_id"), col("user_id"), col("event_type"),
+      timestamp_micros(expr("ts div 1000")).as("t"))
+    val signups = ev.where(col("event_type") === "signup")
+      .select(col("user_id"), col("t").as("signup_t"), col("event_id").as("signup_id"))
+      .withWatermark("signup_t", "1 hour")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("t").as("purchase_t"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_t", "1 hour")
+    signups.join(purchases,
+      expr(s"""user_id = p_user AND purchase_t >= signup_t
+              |AND purchase_t <= signup_t + interval $windowSec seconds""".stripMargin))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        col("signup_t"), col("purchase_t"))
+  }
+
+  /** [[attribution]] over a file stream into an append-mode memory sink. */
+  def runAttributionToMemorySink(spark: SparkSession, dir: String,
+      windowSec: Long, sinkName: String) = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    attribution(stream, windowSec).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+  }
 }

@@ -78,4 +78,31 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     BytePlanner.planBloom(dir, Seq("l_orderkey"), Some(s"l_orderkey == ${keys.head}"))
       .survivingGroups should be > 0
   }
+
+  test("hivePartitioned layout gets dynamic partition pruning from a filtered dim join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("layout-hive").toString
+    Layouts.hivePartitioned(lineitem, dir, "l_returnflag")
+    // one directory per flag value
+    new java.io.File(dir).listFiles().map(_.getName)
+      .count(_.startsWith("l_returnflag=")) shouldBe 3
+    // static pruning: a literal partition predicate never lists other dirs
+    val fact = spark.read.parquet(dir)
+    val static = fact.where($"l_returnflag" === "A")
+    static.queryExecution.executedPlan.toString should include ("PartitionFilters: [")
+    static.count() shouldBe lineitem.where($"l_returnflag" === "A").count()
+    // dynamic pruning: the partition filter is only known at RUNTIME via
+    // the dim subquery — the plan carries a dynamicpruning expression.
+    // The dim must be a file relation: a LocalRelation folds the filter
+    // away (ConvertToLocalRelation), leaving DPP no selective predicate.
+    val dimDir = java.nio.file.Files.createTempDirectory("layout-hive-dim").toString
+    Seq(("A", "accepted"), ("X", "unused")).toDF("flag", "label")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.where($"label" === "accepted"),
+      $"l_returnflag" === $"flag")
+    val plan = joined.queryExecution.executedPlan.toString
+    plan.toLowerCase should include ("dynamicpruning")
+    joined.count() shouldBe lineitem.where($"l_returnflag" === "A").count()
+  }
 }

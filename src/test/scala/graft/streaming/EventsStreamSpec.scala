@@ -124,6 +124,31 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases and matches the batch join") {
+    val dir = java.nio.file.Files.createTempDirectory("events-attrib").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val windowSec = 3600L
+    val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
+    val batch = EventsStream.attribution(events, windowSec)
+      .select("signup_id", "purchase_id").collect().map(_.toSeq).toSet
+    batch should not be empty // fixture must exercise the join
+
+    val q = EventsStream.runAttributionToMemorySink(spark, dir, windowSec, "attrib_test")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_test")
+        .select("signup_id", "purchase_id").collect().map(_.toSeq).toSet
+      // append mode emits only watermark-closed matches; everything emitted
+      // must be a batch match, and the bulk of the window must have closed
+      streamed.subsetOf(batch) shouldBe true
+      streamed.size should be > 0
+      // state is bounded: the query reports watermark progress
+      (q.lastProgress != null) shouldBe true
+    } finally q.stop()
+  }
+
   test("batch sessionization splits on the gap and preserves event counts") {
     val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
     val sessions = EventsStream.sessionize(events, gapUs = 1800L * 1000000L)
