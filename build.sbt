@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Print the forked child's stdout raw (no "[info] " prefix) so the
+// bench/verify JSON lines on stdout stay machine-parseable, and drop the
+// trailing "[success] ..." logger line so the bench JSON is the last line
+// of output (the driver keeps only a bounded tail).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

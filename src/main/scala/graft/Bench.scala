@@ -110,10 +110,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + parquet footer caches; not reported
     val results = names.map(n => n -> run(n))
-    def col(f: R => Double): String = results
-      .map { case (k, r) => "\"" + k + "\":" + f(r) }.mkString("{", ",", "}")
-    val total = results.map(_._2.wallSec).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec)},"cpu_sec":${col(_.cpuSec)},"rss_max_mb":${col(_.rssMaxMb)},"seq_read_gbps":$gbps,"sf":"$sfDir"}""")
+    def round(x: Double, p: Double): Double = math.round(x * p) / p
+    def col(f: R => Double, p: Double): String = results
+      .map { case (k, r) => "\"" + k + "\":" + round(f(r), p) }.mkString("{", ",", "}")
+    val total = round(results.map(_._2.wallSec).sum, 1000)
+    // Telemetry goes to a file, not stdout: the driver captures only a
+    // bounded tail of the output, and the required stdout JSON line must fit
+    // in it whole — per-query cpu/rss tripled its length in round 3 and
+    // pushed the total out of the capture window. Per-query wall seconds are
+    // centisecond-rounded for the same reason.
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench-telemetry.json"),
+      telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

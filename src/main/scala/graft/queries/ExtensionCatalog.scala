@@ -1020,8 +1020,8 @@ object ExtensionCatalog {
           .select("doc_id", "n_tokens", "cum_tokens", "shard")
           .orderBy("doc_id")
       },
-      Some("""SELECT doc_id, n_tokens, cum_tokens,
-             |  (cum_tokens - n_tokens) // 2000 AS shard
+      Some("""SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             |  CAST((cum_tokens - n_tokens) // 2000 AS BIGINT) AS shard
              |FROM (
              |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
              |    SUM(len(string_split(text, ' '))::BIGINT)

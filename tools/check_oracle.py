@@ -39,6 +39,20 @@ def cells_equal(a, b):
     return eq, eq
 
 
+def _canon_type(t):
+    t = str(t).lower()
+    # Spark writes TIMESTAMP_NTZ/µs vs DuckDB's timestamp — same driver type.
+    if t.startswith("timestamp"):
+        return "timestamp"
+    # Integer WIDTH is immaterial to the driver's hash (r03: ten queries with
+    # spark int32 vs oracle int64 all passed); what breaks it is HUGEINT,
+    # which arrives as decimal128(38,0) and stays distinct here.
+    if t in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32"):
+        return "int"
+    aliases = {"large_string": "string", "large_binary": "binary"}
+    return aliases.get(t, t)
+
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -62,6 +76,23 @@ def main():
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL  {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+            failures += 1
+            continue
+        # The driver's hash is TYPED: a DuckDB HUGEINT (SUM of integers,
+        # incl. windowed SUM) vs Spark BIGINT fails it even when every value
+        # matches. DBAPI description is too coarse (all ints are "NUMBER"),
+        # so compare Arrow schemas, which keep int64 vs decimal128 distinct.
+        otypes = {f.name: str(f.type)
+                  for f in con.execute(oracle[name]).fetch_arrow_table().schema}
+        stypes = {f.name: str(f.type) for f in con.execute(
+            f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+        ).fetch_arrow_table().schema}
+        type_diff = [(c, stypes[c], otypes[c]) for c in stypes
+                     if _canon_type(stypes[c]) != _canon_type(otypes[c])]
+        if type_diff:
+            c, st, ot = type_diff[0]
+            print(f"FAIL  {name}: column type spark[{c}]={st} oracle[{c}]={ot}"
+                  " (driver hash is typed — CAST the oracle)")
             failures += 1
             continue
         _, oc = canon(orows, ocols)
