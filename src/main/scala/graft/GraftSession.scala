@@ -15,11 +15,14 @@ object GraftSession {
     * on a real cluster shuffle.partitions would instead track total executor cores
     * (AQE coalesces the excess at runtime).
     */
-  def build(appName: String = "graft", cores: Int = 32): SparkSession = {
-    val spark = SparkSession
+  def build(appName: String = "graft", cores: Int = 32,
+            extraConf: Map[String, String] = Map.empty): SparkSession = {
+    val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

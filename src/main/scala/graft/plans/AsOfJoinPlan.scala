@@ -122,7 +122,10 @@ final case class AsOfJoinExec(
               if (c < 0) rBuf.next() // passed key: discard
               else if (c == 0 && timeOrd.compare(ht, t) <= 0) {
                 rBuf.next()
-                lastKey = hk
+                // hk may be a buffer-backed value (UTF8String/Binary) that
+                // the sorted iterator reuses on the next row — copy it, like
+                // the .copy() on the carried projection below
+                lastKey = InternalRow.copyValue(hk)
                 lastCarried = carriedProj(head).copy()
               } else advance = false
             }

@@ -69,6 +69,33 @@ class AsOfJoinPlanSpec extends AnyFunSuite with Matchers {
     out(102L) shouldBe None // null left time
   }
 
+  test("string keys: cached key survives iterator buffer reuse") {
+    // Regression: lastKey was cached without copying; for buffer-backed key
+    // types (UTF8String) the sorted iterator overwrites it on the next
+    // right row, so stale payloads attached to the WRONG key. Long keys
+    // (all other specs) never trip this. Many keys per partition + a right
+    // row stream that keeps advancing is exactly the reuse shape.
+    val rnd = new scala.util.Random(11)
+    // > 2000 rows per sort partition so the session's forced-spill
+    // threshold kicks in and the right iterator reads through the
+    // buffer-reusing spill reader
+    val left = Seq.tabulate(3000)(i =>
+      (s"user_${rnd.nextInt(40)}", rnd.nextInt(1000).toLong, i.toLong))
+    val right = Seq.tabulate(6000)(i =>
+      (s"user_${rnd.nextInt(40)}", rnd.nextInt(1000).toLong, (10000 + i).toLong))
+    val out = GraftPlans.asOfJoin(
+        left.toDF("k", "t", "lid").repartition(1),
+        right.toDF("k", "rt", "rid").repartition(1),
+        "k", "t", "rt", Seq("rid"), "rid")
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+    left.foreach { case (k, t, lid) =>
+      val expected = right.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+      withClue(s"left ($k, $t, $lid)") { out(lid) shouldBe expected }
+    }
+  }
+
   test("randomized equivalence against a driver-side oracle") {
     val rnd = new scala.util.Random(7)
     val left = Seq.tabulate(400)(i =>
