@@ -20,9 +20,20 @@ object PrefixSum {
 
   /** Adds `<out>` = inclusive running total of `valueCol` in ascending
     * `orderCol` order, exact over the whole dataset. `orderCol` must be
-    * globally unique (it is the total order).
+    * globally unique (it is the total order). `valueCol` must be an
+    * integral type: the partition offsets accumulate in a Long (exact);
+    * fractional offsets would reintroduce the float-associativity drift
+    * this operator exists to avoid — pre-scale to fixed-point integers
+    * (e.g. micro-units) instead.
     */
   def runningTotal(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val vt = df.schema(valueCol).dataType
+    val integral = vt == ByteType || vt == ShortType || vt == IntegerType || vt == LongType
+    require(integral,
+      s"PrefixSum.runningTotal: valueCol '$valueCol' must be integral " +
+        s"(got ${vt.simpleString}); scale doubles/decimals to fixed-point " +
+        "integer units first")
     val parted = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())

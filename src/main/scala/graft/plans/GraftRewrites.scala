@@ -21,6 +21,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object GraftRewrites extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case Size(CharNgramHashes(child, n), _) => CharNgramDistinctCount(child, n)
+      // only when legacySizeOfNull is off: under spark.sql.legacy.sizeOfNull
+      // size(NULL) = -1, while the fused kernel is null-intolerant (NULL in →
+      // NULL out) — rewriting there would change results
+      case Size(CharNgramHashes(child, n), legacy) if !legacy =>
+        CharNgramDistinctCount(child, n)
     }
 }

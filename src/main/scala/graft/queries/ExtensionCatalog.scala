@@ -753,10 +753,11 @@ object ExtensionCatalog {
       },
       Some(s"""WITH h AS (
               |  SELECT doc_id, source,
-              |    ${dPoly("CAST(doc_id AS VARCHAR)")} % 100 AS b
+              |    ${dPoly("'strat:' || CAST(doc_id AS VARCHAR)")} % 100 AS bs,
+              |    ${dPoly("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
               |  FROM documents),
               |kept AS (
-              |  SELECT * FROM h WHERE b < CASE source
+              |  SELECT * FROM h WHERE bs < CASE source
               |    WHEN 'src1' THEN 100 WHEN 'src2' THEN 50 WHEN 'src3' THEN 25
               |    ELSE 0 END)
               |SELECT doc_id, source,
@@ -832,7 +833,7 @@ object ExtensionCatalog {
               |lab AS (
               |  SELECT doc_id,
               |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-              |  FROM (SELECT doc_id, ${dPoly("CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents))
+              |  FROM (SELECT doc_id, ${dPoly("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b FROM documents))
               |SELECT CASE WHEN la.split = 'test' THEN p.id_a ELSE p.id_b END AS test_doc,
               |  CASE WHEN la.split = 'test' THEN p.id_b ELSE p.id_a END AS train_doc, p.jac
               |FROM pairs p JOIN lab la ON p.id_a = la.doc_id JOIN lab lb ON p.id_b = lb.doc_id

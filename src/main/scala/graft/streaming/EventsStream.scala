@@ -108,7 +108,8 @@ object EventsStream {
     */
   def streamingSessionize(
       spark: SparkSession, dir: String, sinkName: String, gapUs: Long,
-      lateness: String = "0 seconds") = {
+      lateness: String = "0 seconds",
+      idleRetentionMs: Long = 30L * 24 * 3600 * 1000) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
     val stream = spark.readStream
@@ -121,9 +122,17 @@ object EventsStream {
         val out = Seq.newBuilder[Session]
         var st = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 1L))
         if (state.hasTimedOut) {
-          if (st.n > 0)
+          if (st.n > 0) {
             out += Session(user, st.nextId, st.n, st.startUs, st.endUs, st.endUs - st.startUs)
-          state.remove()
+            // Tombstone: keep only the counter, so the user's NEXT session
+            // does not reuse the just-emitted session_id ((user_id,
+            // session_id) stays unique in the sink, matching the batch
+            // numbering). It expires after idleRetentionMs of further quiet
+            // — bounded state; an id restart after a month of silence is
+            // the accepted trade vs. state that grows with all users ever.
+            state.update(SessState(-1L, -1L, 0L, st.nextId + 1))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + idleRetentionMs)
+          } else state.remove() // expired tombstone
         } else {
           evs.foreach { case (_, tsu, _, _) =>
             if (st.n == 0L) st = SessState(tsu, tsu, 1L, st.nextId)

@@ -22,6 +22,17 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("non-integral value columns are rejected up front with a clear error") {
+    // the Long offset accumulator can't represent fractional totals;
+    // silently it would ClassCastException deep in the totals collect
+    val df = Seq((1L, 1.5), (2L, 2.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PrefixSum.runningTotal(df, "id", "v", "cum")
+    }
+    e.getMessage should include("must be integral")
+    e.getMessage should include("fixed-point")
+  }
+
   test("NULLs and negatives match window-SUM semantics across partition boundaries") {
     // values include NULLs (skipped by SUM) and negatives (running total
     // is non-monotone — a max-based partition total would be wrong)

@@ -39,6 +39,22 @@ class SamplingSpec extends AnyFunSuite with Matchers {
     byLabel("train").toDouble / docs.count() shouldBe 0.8 +- 0.1
   }
 
+  test("sampling and split bucketings are independent (salted hashes)") {
+    // Regression: both operators hashed the bare id, so a stratum sampled
+    // at rate r <= trainPct survived ONLY in buckets < r — split() then
+    // labeled every surviving row 'train' and val/test got zero rows.
+    val sampled = Sampling.stratifiedSample(docs, "doc_id", "source",
+      (0 until 20).map(i => s"src$i" -> 50).toMap)
+    val s = Sampling.split(sampled, "doc_id", trainPct = 80, valPct = 10)
+    val byLabel = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLabel.keySet shouldBe Set("train", "val", "test")
+    // ~10% of the sampled rows in val and test each, not zero
+    val n = sampled.count().toDouble
+    byLabel("val") / n shouldBe 0.10 +- 0.07
+    byLabel("test") / n shouldBe 0.10 +- 0.07
+  }
+
   test("stratified rates apply per stratum; unlisted strata drop") {
     val out = Sampling.stratifiedSample(docs, "doc_id", "source",
       Map("src1" -> 100, "src2" -> 0))

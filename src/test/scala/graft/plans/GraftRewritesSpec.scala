@@ -26,6 +26,27 @@ class GraftRewritesSpec extends AnyFunSuite with Matchers {
       viaArray.collect().map(r => (r.getLong(0), r.getInt(1))).toMap
   }
 
+  test("rule does not fire under legacy sizeOfNull semantics") {
+    GraftFunctions.register(spark)
+    GraftFunctions.ensureOptimizations(spark)
+    // ANSI mode (default-on in Spark 4) forces size(NULL)=NULL regardless
+    // of the legacy flag; the legacy behavior needs both toggles
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.sizeOfNull", "true")
+    try {
+      // legacy: size(NULL) = -1; the null-intolerant fused kernel would
+      // return NULL — the rule must leave the plan alone
+      val df = spark.sql(
+        "SELECT size(graft_char_ngram_hashes(CAST(NULL AS STRING), 8)) AS d")
+      df.queryExecution.optimizedPlan.toString.toLowerCase should
+        not include "charngramdistinctcount"
+      df.collect().head.getInt(0) shouldBe -1
+    } finally {
+      spark.conf.set("spark.sql.legacy.sizeOfNull", "false")
+      spark.conf.unset("spark.sql.ansi.enabled")
+    }
+  }
+
   test("rule leaves other size() calls alone") {
     GraftFunctions.ensureOptimizations(spark)
     val df = spark.range(3).selectExpr("size(array(id, id)) AS s")

@@ -64,6 +64,10 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     // (event_id, user_id, epoch-second)
     write("f1", Seq((1L, 1L, 100L), (2L, 1L, 150L), (3L, 2L, 100L)))
     write("f2", Seq((4L, 1L, 400L), (5L, 2L, 180L), (6L, 99L, 100000L)))
+    // f3: user 1 returns AFTER its open session timed out — the tombstone
+    // must carry the session counter so the new session gets a fresh id;
+    // user 99's later event pushes the watermark to close it
+    write("f3", Seq((7L, 1L, 100500L), (8L, 99L, 300000L)))
     new java.io.File(dir).mkdirs()
     def promote(name: String): Unit = {
       val src = new java.io.File(s"$dir-stage/$name").listFiles()
@@ -91,6 +95,17 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
       val u1 = spark.table("sess_stream_test").where($"user_id" === 1L)
         .orderBy("session_id").select("start_us").as[Long].collect()
       u1 shouldBe u1.sorted
+
+      // a timeout-closed user that returns must get a FRESH session_id:
+      // (user_id, session_id) unique in the sink (regression: state.remove()
+      // on timeout dropped the counter and restarted numbering at 1)
+      promote("f3"); query.processAllAvailable()
+      query.processAllAvailable()
+      val u1Sessions = spark.table("sess_stream_test")
+        .where($"user_id" === 1L).select("session_id").as[Long].collect()
+      u1Sessions.length shouldBe 3
+      u1Sessions.distinct.length shouldBe 3
+      u1Sessions.max shouldBe 3L
     } finally query.stop()
   }
 
