@@ -120,9 +120,14 @@ object Bench {
     // pushed the total out of the capture window. Per-query wall seconds are
     // centisecond-rounded for the same reason.
     val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps}"""
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench-telemetry.json"),
-      telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // A telemetry failure (read-only cwd under spark-submit, missing target/)
+    // must never suppress the stdout result line below.
+    try {
+      val path = java.nio.file.Paths.get("target/bench-telemetry.json")
+      Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(path,
+        telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable => System.err.println(s"[bench] telemetry write failed: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
   }

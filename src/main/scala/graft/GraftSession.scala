@@ -14,15 +14,22 @@ object GraftSession {
   /** Tuned local session. `cores` drives both parallelism and shuffle width —
     * on a real cluster shuffle.partitions would instead track total executor cores
     * (AQE coalesces the excess at runtime).
+    *
+    * `extraConf` is applied LAST so callers can override any default above
+    * (e.g. force-spill thresholds in tests). Note `getOrCreate` reuses a live
+    * session and ignores all configs — conf-sensitive callers (spill tests)
+    * must run with no pre-existing session, asserted here to fail loudly
+    * rather than silently drop their confs.
     */
   def build(appName: String = "graft", cores: Int = 32,
             extraConf: Map[String, String] = Map.empty): SparkSession = {
+    if (extraConf.nonEmpty)
+      require(SparkSession.getActiveSession.isEmpty && SparkSession.getDefaultSession.isEmpty,
+        s"extraConf ${extraConf.keys.mkString(",")} would be ignored: a SparkSession already exists")
     val builder = SparkSession
       .builder()
       .master(s"local[$cores]")
       .appName(appName)
-    extraConf.foreach { case (k, v) => builder.config(k, v) }
-    val spark = builder
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -32,7 +39,8 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extraConf.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     org.apache.spark.sql.graft.GraftFunctions.register(spark)
     spark

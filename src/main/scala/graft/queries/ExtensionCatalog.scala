@@ -1017,7 +1017,9 @@ object ExtensionCatalog {
           .select(col("doc_id"), TextFunctions.tokenCount("text").cast("long").as("n_tokens"))
         graft.operators.PrefixSum
           .runningTotal(docs, "doc_id", "n_tokens", "cum_tokens")
-          .withColumn("shard", ((col("cum_tokens") - col("n_tokens")) / 2000).cast("long"))
+          // integral division, not double: ((a/2000.0).cast(long)) loses
+          // exactness once cum_tokens exceeds 2^53 — plausible at 100 TB.
+          .withColumn("shard", expr("(cum_tokens - n_tokens) div 2000"))
           .select("doc_id", "n_tokens", "cum_tokens", "shard")
           .orderBy("doc_id")
       },

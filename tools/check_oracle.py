@@ -63,13 +63,18 @@ def main():
     failures = 0
     for name in sorted(oracle):
         try:
-            ores = con.execute(oracle[name])
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
-            sres = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols = [d[0] for d in sres.description]
-            srows = sres.fetchall()
+            # One execution per side: the Arrow table yields both the row
+            # data and the typed schema (a second execute doubled gate
+            # runtime on the expensive dedup queries).
+            otab = con.execute(oracle[name]).fetch_arrow_table()
+            ocols = otab.column_names
+            orows = list(zip(*[otab.column(c).to_pylist() for c in ocols])) \
+                if ocols else []
+            stab = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+            scols = stab.column_names
+            srows = list(zip(*[stab.column(c).to_pylist() for c in scols])) \
+                if scols else []
         except Exception as e:
             print(f"FAIL  {name}: {type(e).__name__}: {e}")
             failures += 1
@@ -82,11 +87,8 @@ def main():
         # incl. windowed SUM) vs Spark BIGINT fails it even when every value
         # matches. DBAPI description is too coarse (all ints are "NUMBER"),
         # so compare Arrow schemas, which keep int64 vs decimal128 distinct.
-        otypes = {f.name: str(f.type)
-                  for f in con.execute(oracle[name]).fetch_arrow_table().schema}
-        stypes = {f.name: str(f.type) for f in con.execute(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
-        ).fetch_arrow_table().schema}
+        otypes = {f.name: str(f.type) for f in otab.schema}
+        stypes = {f.name: str(f.type) for f in stab.schema}
         type_diff = [(c, stypes[c], otypes[c]) for c in stypes
                      if _canon_type(stypes[c]) != _canon_type(otypes[c])]
         if type_diff:
