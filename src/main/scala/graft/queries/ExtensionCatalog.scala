@@ -1492,6 +1492,412 @@ object ExtensionCatalog {
               |FROM pairs ORDER BY id_a, id_b""".stripMargin),
       "MinHash sketch calibration: positional-match Jaccard estimate vs exact, per LSH " +
         "candidate pair — measures the sketch before the pipeline trusts it " +
-        "(extension: dedup / sketch quality)")
+        "(extension: dedup / sketch quality)"),
+
+    CatalogEntry(
+      "x50_doc_chunks",
+      (s, dir) => {
+        // training-sample chunking: fixed 40-token windows with stride 30
+        // (overlap 10) — the doc→sample explode every pretraining pipeline
+        // runs. Narrow (no shuffle): sequence+explode+slice per row, so it
+        // scales with output size only; the final ORDER BY is oracle-imposed.
+        val docs = t(s, dir, "documents")
+        docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .withColumn("n", size(col("toks")).cast("long"))
+          .withColumn("n_chunks",
+            when(col("n") <= 40, lit(1L))
+              .otherwise(lit(1L) + expr("(n - 40 + 29) div 30")))
+          .withColumn("chunk_id", explode(sequence(lit(0L), col("n_chunks") - 1)))
+          .withColumn("start_tok", col("chunk_id") * 30)
+          .withColumn("end_tok", least(col("start_tok") + 40, col("n")))
+          .withColumn("chunk_text", array_join(
+            slice(col("toks"), (col("start_tok") + 1).cast("int"),
+              (col("end_tok") - col("start_tok")).cast("int")), " "))
+          .select("doc_id", "chunk_id", "start_tok", "end_tok", "chunk_text")
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(text, ' ') AS toks,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+             |c AS (SELECT doc_id, toks, n,
+             |  CASE WHEN n <= 40 THEN 1 ELSE 1 + (n - 40 + 29) // 30 END AS n_chunks FROM tok),
+             |e AS (SELECT doc_id, toks, n, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+             |SELECT doc_id, chunk_id, chunk_id * 30 AS start_tok,
+             |  least(chunk_id * 30 + 40, n) AS end_tok,
+             |  array_to_string(toks[chunk_id * 30 + 1 : least(chunk_id * 30 + 40, n)], ' ') AS chunk_text
+             |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+      "fixed-window token chunking with overlap (40/stride 30): sequence+explode+slice, " +
+        "zero shuffles — the doc-to-training-sample splitter (extension: text pipeline)"),
+
+    CatalogEntry(
+      "x51_trailing_window",
+      (s, dir) => {
+        // per-event trailing-1h activity (count + exact milli-sum) per user:
+        // a RANGE frame on the event-time axis — rate limiting / burst
+        // features. One shuffle on user_id; frames evaluated by a single
+        // ordered pass per partition. ts is epoch-nano BIGINT (nanosAsLong);
+        // computed at µs so the oracle's µs-truncated timestamps agree.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("tsu")
+          .rangeBetween(-3600000000L, org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("vm", floor(col("value") * 1000).cast("long"))
+          .select(col("event_id"), col("user_id"), col("tsu"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum("vm").over(w).as("vm_1h"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, epoch_us(ts) AS tsu,
+             |  COUNT(*) OVER w AS n_1h,
+             |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS vm_1h
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |ORDER BY event_id""".stripMargin),
+      "trailing 1-hour per-user event features via RANGE frame on event time — " +
+        "burst/rate features with one shuffle and a single ordered pass per user " +
+        "(extension: events / feature engineering)"),
+
+    CatalogEntry(
+      "x52_bm25",
+      (s, dir) => {
+        // BM25 (k1=1.2, b=0.75) top-10 docs per query term. The idf uses the
+        // rational Robertson form ((N-df+0.5)/(df+0.5)) WITHOUT the log —
+        // libm log is not correctly rounded so it could differ across
+        // engines; the rational form is monotone in it, so rankings are
+        // identical. Per-(term,doc) scores only — no cross-term float sum,
+        // whose accumulation order a groupBy cannot pin.
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = tok.where(col("term").isin("spark", "table", "join"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+        tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(stats)
+          .withColumn("avgdl", col("total").cast("double") / col("n"))
+          .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select("term", "rank", "doc_id", "tf", "dl", "score")
+          .orderBy("term", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             |       WHERE term IN ('spark', 'table', 'join') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+             |scored AS (
+             |  -- ::DOUBLE on every literal: a bare 2.2 is DECIMAL in DuckDB
+             |  -- (exact decimal arithmetic), while Spark does IEEE double
+             |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+             |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+             |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+             |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+             |ranked AS (SELECT term, doc_id, tf, dl, score,
+             |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |SELECT term, rank, doc_id, tf, dl, score FROM ranked
+             |WHERE rank <= 10 ORDER BY term, rank""".stripMargin),
+      "BM25 top-10 per query term (rational idf, no cross-term float sum): tf filter " +
+        "pushed to the term explode, doc-length table reused, AQE-broadcast joins " +
+        "(extension: retrieval)"),
+
+    CatalogEntry(
+      "x53_pmi_collocations",
+      (s, dir) => {
+        // pointwise mutual information, rational form: n_ab*N / (n_a*n_b) is
+        // monotone in PMI = log of it, so the top-100 ranking is identical
+        // and no non-reproducible libm log enters the result. Products stay
+        // in BIGINT (n_ab*N < 2^53 up to ~10^8-token shards; beyond that,
+        // compute per-shard and merge counts first).
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        val uni = tok.groupBy("w").agg(count(lit(1)).as("n1"))
+        val total = uni.agg(sum("n1").as("n_tok"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val big = tok.withColumn("wb", lead("w", 1).over(win))
+          .where(col("wb").isNotNull)
+          .groupBy(col("w").as("w1"), col("wb").as("w2"))
+          .agg(count(lit(1)).as("n_ab"))
+          .where(col("n_ab") >= 3)
+        big
+          .join(uni.select(col("w").as("w1"), col("n1").as("n_a")), "w1")
+          .join(uni.select(col("w").as("w2"), col("n1").as("n_b")), "w2")
+          .crossJoin(total)
+          .withColumn("pmi_ratio",
+            (col("n_ab") * col("n_tok")).cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .select("w1", "w2", "n_ab", "n_a", "n_b", "pmi_ratio")
+          .orderBy(desc("pmi_ratio"), asc("w1"), asc("w2"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |tok AS (SELECT doc_id, unnest(lst) AS w FROM toks),
+             |uni AS (SELECT w, COUNT(*) AS n1 FROM tok GROUP BY 1),
+             |tot AS (SELECT SUM(n1) AS n_tok FROM uni),
+             |bg AS (SELECT unnest(list_transform(range(1, len(lst)),
+             |  i -> {'w1': lst[i], 'w2': lst[i + 1]})) AS b FROM toks),
+             |big AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_ab FROM bg
+             |        GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT big.w1, big.w2, big.n_ab, a.n1 AS n_a, b.n1 AS n_b,
+             |  CAST(big.n_ab * tot.n_tok AS DOUBLE) / CAST(a.n1 * b.n1 AS DOUBLE) AS pmi_ratio
+             |FROM big, uni a, uni b, tot WHERE big.w1 = a.w AND big.w2 = b.w
+             |ORDER BY pmi_ratio DESC, big.w1, big.w2 LIMIT 100""".stripMargin),
+      "PMI collocation mining (rational, log-free): bigram counts from one windowed lead, " +
+        "two broadcast joins against the unigram table, exact integer products " +
+        "(extension: text analysis)"),
+
+    CatalogEntry(
+      "x54_zscore_outliers",
+      (s, dir) => {
+        // top-20 per-type z-score outliers. Mean/σ are derived from EXACT
+        // integer moments (count, Σvm, Σvm²) so partial-aggregation order
+        // can never flip a bit; the float ops that remain (two divisions, a
+        // sqrt, one subtraction) mirror the oracle's tree node for node.
+        val ev = t(s, dir, "events")
+          .withColumn("vm", floor(col("value") * 1000).cast("long"))
+        val st = ev.groupBy("event_type").agg(
+          count(lit(1)).as("cnt"), sum("vm").as("s1"),
+          sum(expr("vm * vm")).as("s2"))
+        ev.join(st, "event_type")
+          .withColumn("mean", col("s1").cast("double") / col("cnt"))
+          .withColumn("sd", sqrt(
+            (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt"))
+              / col("cnt")))
+          .withColumn("z", (col("vm") - col("mean")) / col("sd"))
+          .select("event_id", "event_type", "vm", "z")
+          .orderBy(abs(col("z")).desc, col("event_id"))
+          .limit(20)
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type,
+             |    CAST(floor(value * 1000) AS BIGINT) AS vm FROM events),
+             |st AS (SELECT event_type, COUNT(*) AS cnt,
+             |    CAST(SUM(vm) AS BIGINT) AS s1, CAST(SUM(vm * vm) AS BIGINT) AS s2
+             |  FROM ev GROUP BY 1),
+             |z AS (SELECT ev.event_id, ev.event_type, ev.vm,
+             |    (ev.vm - CAST(st.s1 AS DOUBLE) / st.cnt) /
+             |      sqrt((CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * st.s1 / st.cnt) / st.cnt) AS z
+             |  FROM ev JOIN st ON ev.event_type = st.event_type)
+             |SELECT event_id, event_type, vm, z FROM z
+             |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin),
+      "per-group z-score outlier detection from exact integer moments (cnt, Σx, Σx²): one " +
+        "aggregate + AQE-broadcast join back, TakeOrdered top-20 — no second scan, no " +
+        "order-sensitive float accumulation (extension: data quality / anomaly)"),
+
+    CatalogEntry(
+      "x55_embedding_quantize",
+      (s, dir) => {
+        // int8-style scalar quantization per vector: q_i = round((x_i-mn)
+        // *255/(mx-mn)); emits the integer checksum and the max absolute
+        // reconstruction error. Elementwise HOFs here (500-5k vectors); the
+        // 100 TB path compiles the same lambda into a native expression the
+        // way DotProduct does (graft.functions.expressions).
+        t(s, dir, "embeddings")
+          .withColumn("mn", expr("CAST(array_min(embedding) AS DOUBLE)"))
+          .withColumn("mx", expr("CAST(array_max(embedding) AS DOUBLE)"))
+          .withColumn("sc", col("mx") - col("mn"))
+          .where(col("sc") > 0)
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - mn) * CAST(255.0 AS DOUBLE) / sc) AS BIGINT))"))
+          .withColumn("q_sum", expr("aggregate(q, CAST(0 AS BIGINT), (a, b) -> a + b)"))
+          .withColumn("max_err", expr(
+            "array_max(zip_with(embedding, q, (x, qi) -> abs(CAST(x AS DOUBLE) - (mn + qi * sc / CAST(255.0 AS DOUBLE)))))"))
+          .select("vec_id", "mn", "mx", "q_sum", "max_err")
+          .orderBy("vec_id")
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding,
+             |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+             |    CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+             |q AS (SELECT vec_id, embedding, mn, mx, mx - mn AS sc,
+             |    list_transform(embedding,
+             |      x -> CAST(round((CAST(x AS DOUBLE) - mn) * 255.0::DOUBLE / (mx - mn)) AS BIGINT)) AS ql
+             |  FROM base WHERE mx - mn > 0)
+             |SELECT vec_id, mn, mx,
+             |  CAST(list_aggregate(ql, 'sum') AS BIGINT) AS q_sum,
+             |  list_max(list_transform(range(1, len(embedding) + 1),
+             |    i -> abs(CAST(embedding[i] AS DOUBLE) - (mn + ql[i] * (mx - mn) / 255.0::DOUBLE)))) AS max_err
+             |FROM q ORDER BY vec_id""".stripMargin),
+      "per-vector int8 scalar quantization with reconstruction-error audit: elementwise " +
+        "transform/zip_with, zero shuffles; round() is half-away-from-zero in both engines " +
+        "on the non-negative domain (extension: embeddings / compression)"),
+
+    CatalogEntry(
+      "x56_quality_band_filter",
+      (s, dir) => {
+        // Gopher-style length-band filtering: drop docs outside the corpus
+        // [P05, P95] token-count band, report survivors per (lang, source).
+        // Exact percentile is fine here (integral values → engine-exact
+        // lerp, see x33); the 100 TB path swaps in approx_percentile's
+        // mergeable sketch and broadcasts the two bounds exactly as here.
+        val docs = t(s, dir, "documents")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        val bounds = docs.agg(
+          expr("percentile(n_tokens, CAST(0.05 AS DOUBLE))").as("lo"),
+          expr("percentile(n_tokens, CAST(0.95 AS DOUBLE))").as("hi"))
+        docs.crossJoin(broadcast(bounds))
+          .where(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH d AS (SELECT lang, source,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+             |b AS (SELECT quantile_cont(n_tokens, 0.05::DOUBLE) AS lo,
+             |             quantile_cont(n_tokens, 0.95::DOUBLE) AS hi FROM d)
+             |SELECT lang, source, COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+             |FROM d, b WHERE n_tokens >= lo AND n_tokens <= hi
+             |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin),
+      "percentile-band corpus filter (Gopher-style): one stats pass computes the [P05,P95] " +
+        "band, broadcast back over the scan — two passes total, no wide shuffle " +
+        "(extension: data quality)"),
+
+    CatalogEntry(
+      "x57_centroid_outliers",
+      (s, dir) => {
+        // embedding outlier mining: squared L2 distance to the own-label
+        // centroid, top-20 farthest. Centroids use x27's nano-floored
+        // integer accumulation (order-free exact), the distance folds
+        // left-to-right in double — both replayable by the oracle.
+        val emb = t(s, dir, "embeddings")
+        val cen = emb
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "pos")
+          .agg(((sum(floor(col("v").cast("double") * 1e9).cast("long")).cast("double")
+            / count(lit(1))) / 1e9).as("c"))
+          .groupBy("label")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> s.c)").as("cen"))
+        emb.join(broadcast(cen), "label")
+          .withColumn("d2", expr(
+            "aggregate(zip_with(embedding, cen, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
+              "CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+          .select("vec_id", "label", "d2")
+          .orderBy(desc("d2"), asc("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH cl AS (SELECT label, r.i AS pos,
+             |    CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+             |      / COUNT(*) / 1e9 AS c
+             |  FROM embeddings e, range(0, 64) r(i) GROUP BY 1, 2),
+             |cen AS (SELECT label, list(c ORDER BY pos) AS cen FROM cl GROUP BY label),
+             |d AS (SELECT e.vec_id, e.label,
+             |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+             |      i -> (CAST(e.embedding[i] AS DOUBLE) - cen.cen[i]) * (CAST(e.embedding[i] AS DOUBLE) - cen.cen[i]))),
+             |      (a, v) -> a + v) AS d2
+             |  FROM embeddings e JOIN cen ON e.label = cen.label)
+             |SELECT vec_id, label, d2 FROM d ORDER BY d2 DESC, vec_id LIMIT 20""".stripMargin),
+      "distance-to-own-centroid outlier detection: broadcast the tiny centroid table, " +
+        "map-side fold per vector, TakeOrdered top-20 — the mislabeled-embedding sweep " +
+        "before training (extension: embeddings / data quality)"),
+
+    CatalogEntry(
+      "x58_incremental_dedup",
+      (s, dir) => {
+        // ingest-time dedup: the 'new batch' (doc_id % 10 = 0) is admitted
+        // only if no near-dup (MinHash candidate + exact Jaccard ≥ 0.5)
+        // exists against the standing corpus. Reuses the x07 pipeline and
+        // keeps only cross-set pairs; the left_anti join is the admission
+        // gate a streaming ingest would run per micro-batch.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+        val dupNew = pairs
+          .where((col("id_a") % 10 === 0) =!= (col("id_b") % 10 === 0))
+          .select(when(col("id_a") % 10 === 0, col("id_a")).otherwise(col("id_b")).as("doc_id"))
+          .distinct()
+        docs.where(col("doc_id") % 10 === 0)
+          .join(dupNew, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |dup_new AS (
+              |  SELECT DISTINCT CASE WHEN id_a % 10 = 0 THEN id_a ELSE id_b END AS doc_id
+              |  FROM pairs WHERE (id_a % 10 = 0) <> (id_b % 10 = 0))
+              |SELECT doc_id, lang, source FROM documents
+              |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM dup_new)
+              |ORDER BY doc_id""".stripMargin),
+      "incremental batch-vs-corpus dedup: x07's LSH restricted to cross-set candidate " +
+        "pairs, left_anti admission gate — the per-micro-batch ingest check " +
+        "(extension: dedup / ingest)"),
+
+    CatalogEntry(
+      "x59_rank_fusion",
+      (s, dir) => {
+        // reciprocal-rank fusion of two retrieval systems (cosine and L2)
+        // for one query vector: rrf = Σ 1/(60+rank) over the systems' top-50
+        // lists. Global ranks are safe to take from orderBy().limit(50) —
+        // TakeOrdered is distributed; the 50-row window that numbers them is
+        // a no-op partition. No libm, only exactly-rounded divisions.
+        val emb = t(s, dir, "embeddings")
+        val q = broadcast(emb.where(col("vec_id") === 0).select(col("embedding").as("qv")))
+        val scored = emb.where(col("vec_id") =!= 0).crossJoin(q)
+          .select(col("vec_id"),
+            SimilaritySearch.cosine(col("embedding"), col("qv")).as("cos"),
+            expr("aggregate(zip_with(embedding, qv, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0.0 AS DOUBLE), (a, v) -> a + v)").as("d2"))
+        val wc = org.apache.spark.sql.expressions.Window.orderBy(desc("cos"), asc("vec_id"))
+        val wl = org.apache.spark.sql.expressions.Window.orderBy(asc("d2"), asc("vec_id"))
+        val topc = scored.orderBy(desc("cos"), asc("vec_id")).limit(50)
+          .withColumn("r_cos", row_number().over(wc)).select("vec_id", "r_cos")
+        val topl = scored.orderBy(asc("d2"), asc("vec_id")).limit(50)
+          .withColumn("r_l2", row_number().over(wl)).select("vec_id", "r_l2")
+        topc.join(topl, Seq("vec_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("r_cos")), lit(0.0))
+              + coalesce(lit(1.0) / (lit(60) + col("r_l2")), lit(0.0)))
+          .orderBy(desc("rrf"), asc("vec_id"))
+          .limit(10)
+          .select("vec_id", "r_cos", "r_l2", "rrf")
+      },
+      Some(s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+              |sc AS (SELECT e.vec_id, ${dCos("e.embedding", "q.qv")} AS cos,
+              |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),
+              |      i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE))),
+              |      (a, v) -> a + v) AS d2
+              |  FROM embeddings e, q WHERE e.vec_id <> 0),
+              |tc AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r_cos
+              |       FROM sc ORDER BY cos DESC, vec_id LIMIT 50),
+              |tl AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY d2, vec_id) AS r_l2
+              |       FROM sc ORDER BY d2, vec_id LIMIT 50)
+              |SELECT COALESCE(tc.vec_id, tl.vec_id) AS vec_id, tc.r_cos, tl.r_l2,
+              |  COALESCE(1.0::DOUBLE / (60 + tc.r_cos), 0.0::DOUBLE)
+              |    + COALESCE(1.0::DOUBLE / (60 + tl.r_l2), 0.0::DOUBLE) AS rrf
+              |FROM tc FULL OUTER JOIN tl ON tc.vec_id = tl.vec_id
+              |ORDER BY rrf DESC, COALESCE(tc.vec_id, tl.vec_id) LIMIT 10""".stripMargin),
+      "reciprocal-rank fusion of cosine and L2 retrieval lists: two TakeOrdered top-50s, " +
+        "full-outer merge, rational 1/(60+rank) scores — the multi-retriever ensembling " +
+        "step of RAG pipelines (extension: retrieval)")
   )
 }

@@ -17,14 +17,19 @@ object QueryTimer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
-    if (args.contains("explain")) df.explain("formatted")
-    val t0 = System.nanoTime()
-    if (args.contains("count")) println(s"[timer] rows: ${df.count()}")
-    else if (args.contains("parquet"))
-      df.write.mode("overwrite").parquet("/tmp/qt_out")
-    else df.write.format("noop").mode("overwrite").save()
-    println(f"[timer] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // comma-separated names: earlier ones double as in-JVM warm-up, so the
+    // last number is a warm measurement (Bench-style) not a cold-JIT one
+    name.split(",").foreach { n =>
+      spark.sharedState.cacheManager.clearCache()
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (args.contains("explain")) df.explain("formatted")
+      val t0 = System.nanoTime()
+      if (args.contains("count")) println(s"[timer] rows: ${df.count()}")
+      else if (args.contains("parquet"))
+        df.write.mode("overwrite").parquet("/tmp/qt_out")
+      else df.write.format("noop").mode("overwrite").save()
+      println(f"[timer] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
     spark.stop()
   }
 }

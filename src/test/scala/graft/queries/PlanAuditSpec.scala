@@ -67,11 +67,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // x10/x18 cross a ≤10-row query/centroid side against the corpus;
     // q12/q13 cross-join a literal 1-row grand total, and x42/x44 a 1-row
     // corpus count (relative-df thresholds); x21 pairs per-SOURCE
-    // sketches (cardinality = distinct sources, not documents). Every
+    // sketches (cardinality = distinct sources, not documents); x52/x53
+    // cross a 1-row corpus-stats aggregate (N, total tokens), x56 a 1-row
+    // percentile-bounds aggregate, and x59 the single query vector. Every
     // per-document/per-vector query must pair rows through an equi-join.
     val allowed = Set("x10_ann_bruteforce", "x18_ann_ivf",
       "q12_cross_join_pct", "q13_selectivity_distribution", "x21_source_sketch",
-      "x42_tfidf", "x44_inverted_index")
+      "x42_tfidf", "x44_inverted_index",
+      "x52_bm25", "x53_pmi_collocations", "x56_quality_band_filter", "x59_rank_fusion")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
