@@ -127,7 +127,10 @@ object Bench {
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
         telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case e: Throwable => System.err.println(s"[bench] telemetry write failed: $e") }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] telemetry write failed: $e")
+    }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -730,12 +730,16 @@ object ExtensionCatalog {
               / count(lit(1))) / 1e9).as("centroid"),
             count(lit(1)).as("n"))
           .orderBy("label", "pos"),
-      Some("""SELECT label, r.i AS pos,
-             |  CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+      // aligned unnest + generate_subscripts mirrors posexplode exactly and
+      // tracks the fixture's dimensionality (a hardcoded range(0, 64) would
+      // silently truncate/extend if the fixture changed)
+      Some("""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    unnest(embedding) AS v FROM embeddings)
+             |SELECT label, pos,
+             |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
              |    / COUNT(*) / 1e9 AS centroid,
              |  COUNT(*) AS n
-             |FROM embeddings e, range(0, 64) r(i)
-             |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
+             |FROM ex GROUP BY 1, 2 ORDER BY label, pos""".stripMargin),
       "per-label embedding centroids in long (label, pos) form — the cluster-update step " +
         "IVF/k-means training runs at scale; nano-quantized integer sums make it order-free " +
         "(extension: similarity/embedding ops)"),
@@ -1552,8 +1556,8 @@ object ExtensionCatalog {
              |  COUNT(*) OVER w AS n_1h,
              |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS vm_1h
              |FROM events
-             |WINDOW w AS (PARTITION BY user_id ORDER BY ts
-             |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+             |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
              |ORDER BY event_id""".stripMargin),
       "trailing 1-hour per-user event features via RANGE frame on event time — " +
         "burst/rate features with one shuffle and a single ordered pass per user " +
@@ -1669,11 +1673,17 @@ object ExtensionCatalog {
         val st = ev.groupBy("event_type").agg(
           count(lit(1)).as("cnt"), sum("vm").as("s1"),
           sum(expr("vm * vm")).as("s2"))
+        // zero-variance guard: a constant group gives z = 0/0, which is NaN
+        // in Spark (sorts FIRST under abs desc) but NULL/err in DuckDB; and a
+        // cancellation-negative variance would make DuckDB's sqrt raise.
+        // greatest(...,0) + sd > 0 — sd is bit-identical in both engines
+        // (same IEEE tree on exact integer moments), so the filter agrees.
         ev.join(st, "event_type")
           .withColumn("mean", col("s1").cast("double") / col("cnt"))
-          .withColumn("sd", sqrt(
+          .withColumn("sd", sqrt(greatest(
             (col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("cnt"))
-              / col("cnt")))
+              / col("cnt"), lit(0.0))))
+          .where(col("sd") > 0)
           .withColumn("z", (col("vm") - col("mean")) / col("sd"))
           .select("event_id", "event_type", "vm", "z")
           .orderBy(abs(col("z")).desc, col("event_id"))
@@ -1684,10 +1694,12 @@ object ExtensionCatalog {
              |st AS (SELECT event_type, COUNT(*) AS cnt,
              |    CAST(SUM(vm) AS BIGINT) AS s1, CAST(SUM(vm * vm) AS BIGINT) AS s2
              |  FROM ev GROUP BY 1),
-             |z AS (SELECT ev.event_id, ev.event_type, ev.vm,
-             |    (ev.vm - CAST(st.s1 AS DOUBLE) / st.cnt) /
-             |      sqrt((CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * st.s1 / st.cnt) / st.cnt) AS z
-             |  FROM ev JOIN st ON ev.event_type = st.event_type)
+             |zs AS (SELECT ev.event_id, ev.event_type, ev.vm,
+             |    CAST(st.s1 AS DOUBLE) / st.cnt AS mean,
+             |    sqrt(greatest((CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) * st.s1 / st.cnt) / st.cnt, 0.0)) AS sd
+             |  FROM ev JOIN st ON ev.event_type = st.event_type),
+             |z AS (SELECT event_id, event_type, vm, (vm - mean) / sd AS z
+             |  FROM zs WHERE sd > 0)
              |SELECT event_id, event_type, vm, z FROM z
              |ORDER BY abs(z) DESC, event_id LIMIT 20""".stripMargin),
       "per-group z-score outlier detection from exact integer moments (cnt, Σx, Σx²): one " +
@@ -1785,10 +1797,12 @@ object ExtensionCatalog {
           .orderBy(desc("d2"), asc("vec_id"))
           .limit(20)
       },
-      Some("""WITH cl AS (SELECT label, r.i AS pos,
-             |    CAST(SUM(CAST(floor(CAST(e.embedding[r.i + 1] AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
+      Some("""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    unnest(embedding) AS v FROM embeddings),
+             |cl AS (SELECT label, pos,
+             |    CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e9) AS BIGINT)) AS DOUBLE)
              |      / COUNT(*) / 1e9 AS c
-             |  FROM embeddings e, range(0, 64) r(i) GROUP BY 1, 2),
+             |  FROM ex GROUP BY 1, 2),
              |cen AS (SELECT label, list(c ORDER BY pos) AS cen FROM cl GROUP BY label),
              |d AS (SELECT e.vec_id, e.label,
              |    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len(e.embedding) + 1),

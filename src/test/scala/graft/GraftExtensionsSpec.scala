@@ -42,8 +42,18 @@ class GraftExtensionsSpec extends AnyFunSuite with Matchers {
       out.queryExecution.executedPlan.toString should include("AsOfJoin")
       out.collect().head.getAs[Long]("asof_rid") shouldBe 900L
     } finally {
-      prev.foreach(SparkSession.setDefaultSession)
-      prev.foreach(SparkSession.setActiveSession)
+      if (prev.isEmpty) {
+        // Nothing to restore: this spec created the session (and possibly the
+        // SparkContext). Leaving it registered would make a later
+        // SparkTestSession.build (which passes extraConf) trip GraftSession's
+        // no-pre-existing-session require — tear it all down instead.
+        SparkSession.getDefaultSession.foreach(_.stop())
+        SparkSession.clearDefaultSession()
+        SparkSession.clearActiveSession()
+      } else {
+        prev.foreach(SparkSession.setDefaultSession)
+        prev.foreach(SparkSession.setActiveSession)
+      }
     }
   }
 }
