@@ -1912,6 +1912,211 @@ object ExtensionCatalog {
               |ORDER BY rrf DESC, COALESCE(tc.vec_id, tl.vec_id) LIMIT 10""".stripMargin),
       "reciprocal-rank fusion of cosine and L2 retrieval lists: two TakeOrdered top-50s, " +
         "full-outer merge, rational 1/(60+rank) scores — the multi-retriever ensembling " +
-        "step of RAG pipelines (extension: retrieval)")
+        "step of RAG pipelines (extension: retrieval)"),
+
+    CatalogEntry(
+      "x60_shingle_novelty",
+      (s, dir) => {
+        // per-document novelty: the fraction of a doc's distinct 3-shingles
+        // whose global FIRST occurrence (min doc_id) is this doc — the
+        // "how much of this is new text" signal dedup pipelines use to rank
+        // crawl snapshots. Two shuffles: one on shingle hash (min is
+        // map-side combinable, so a popular shingle costs one long per
+        // partition, not a hot reducer), one back on doc_id. Docs with < 3
+        // tokens have no shingles and drop out — same on both sides.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val sh = t(s, dir, "documents").select(col("doc_id"),
+          explode(expr("graft_shingle_hashes(graft_token_hashes(text), 3)")).as("sh"))
+        val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+        sh.join(first, "sh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, unnest($dShingles) AS sh FROM base),
+              |fst AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+              |agg AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+              |    CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |  FROM sh s JOIN fst f ON s.sh = f.sh GROUP BY 1)
+              |SELECT doc_id, n_shingles, n_novel,
+              |  CAST(n_novel AS DOUBLE) / n_shingles AS novelty
+              |FROM agg ORDER BY doc_id""".stripMargin),
+      "first-occurrence novelty scoring: min(doc_id) per shingle hash, joined back — " +
+        "ranks crawl snapshots by fresh content; both aggregations map-side combinable " +
+        "(extension: dedup / text analysis)"),
+
+    CatalogEntry(
+      "x61_skyline",
+      (s, dir) => {
+        // pareto frontier of users over (event count, exact milli-value sum)
+        // — "most active AND highest value" without a fixed weighting.
+        // Skyline is distributive: a locally-dominated point is globally
+        // dominated, so a per-bucket pass (16-way, windowed cummax) prunes
+        // to a handful of candidates and only THOSE cross the single global
+        // window — the unpartitioned pass never sees the full table.
+        // Exactly-tied points keep the lowest user_id (both engines run the
+        // identical window rule, so the tie semantics agree).
+        val W = org.apache.spark.sql.expressions.Window
+        val ua = t(s, dir, "events")
+          .withColumn("vm", floor(col("value") * 1000).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum("vm").as("vm_sum"))
+        val wLocal = W.partitionBy("b")
+          .orderBy(desc("n_events"), desc("vm_sum"), asc("user_id"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        val wGlobal = W.orderBy(desc("n_events"), desc("vm_sum"), asc("user_id"))
+          .rowsBetween(W.unboundedPreceding, -1)
+        ua.withColumn("b", pmod(col("user_id"), lit(16)))
+          .withColumn("pm", max("vm_sum").over(wLocal))
+          .where(col("pm").isNull || col("vm_sum") > col("pm"))
+          .withColumn("pm2", max("vm_sum").over(wGlobal))
+          .where(col("pm2").isNull || col("vm_sum") > col("pm2"))
+          .select("user_id", "n_events", "vm_sum")
+          .orderBy(desc("n_events"), asc("user_id"))
+      },
+      Some("""WITH ua AS (SELECT user_id, COUNT(*) AS n_events,
+             |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS vm_sum
+             |  FROM events GROUP BY 1),
+             |f AS (SELECT user_id, n_events, vm_sum,
+             |    MAX(vm_sum) OVER (ORDER BY n_events DESC, vm_sum DESC, user_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+             |  FROM ua)
+             |SELECT user_id, n_events, vm_sum FROM f
+             |WHERE pm IS NULL OR vm_sum > pm
+             |ORDER BY n_events DESC, user_id""".stripMargin),
+      "2-D skyline (pareto frontier) via sorted cummax: bucketed local pass prunes, " +
+        "global pass only sees survivors — non-dominated user cohort selection " +
+        "(extension: events / analytics)"),
+
+    CatalogEntry(
+      "x62_scd2_history",
+      (s, dir) => {
+        // event-sourced SCD2 dimension build: collapse each user's event
+        // stream into runs of consecutive equal event_type, emitting
+        // (version, valid_from, valid_to) intervals — valid_to is NULL for
+        // the open current run. All windows partition by user_id: one
+        // shuffle, per-user ordered passes, no global sort anywhere.
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy("tsu", "event_id")
+        val runs = t(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .withColumn("chg",
+            when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+          .withColumn("version",
+            sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .groupBy("user_id", "version")
+          .agg(min("event_type").as("event_type"), // constant within a run
+            min("tsu").as("valid_from"), count(lit(1)).as("n_events"))
+        runs
+          .withColumn("valid_to",
+            lead("valid_from", 1).over(W.partitionBy("user_id").orderBy("version")))
+          .select("user_id", "version", "event_type", "valid_from", "valid_to", "n_events")
+          .orderBy("user_id", "version")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+             |  FROM events),
+             |m AS (SELECT *, LAG(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY tsu, event_id) AS prev FROM ev),
+             |g AS (SELECT *, CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+             |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+             |  FROM m),
+             |runs AS (SELECT user_id, version, MIN(event_type) AS event_type,
+             |    MIN(tsu) AS valid_from, COUNT(*) AS n_events
+             |  FROM g GROUP BY 1, 2)
+             |SELECT user_id, version, event_type, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+             |  n_events
+             |FROM runs ORDER BY user_id, version""".stripMargin),
+      "SCD2 validity intervals from an event stream: run-numbering via windowed change " +
+        "flags, lead() closes each interval — the dimension-snapshot builder, one shuffle " +
+        "(extension: events / ETL)"),
+
+    CatalogEntry(
+      "x63_hot_keys",
+      (s, dir) => {
+        // join-key skew report: top-20 hottest l_suppkey values with their
+        // share of rows and skew factor (cnt / mean-cnt). The operational
+        // pre-check before a big join — a skew factor ≫ 1 is the signal to
+        // salt or AQE-split that key. One map-side-combinable count, a
+        // 1-row stats broadcast, TakeOrdered 20.
+        val c = t(s, dir, "lineitem").groupBy("l_suppkey")
+          .agg(count(lit(1)).as("cnt"))
+        val st = c.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+        c.crossJoin(st)
+          .withColumn("share", col("cnt").cast("double") / col("total"))
+          .withColumn("skew", col("cnt").cast("double") * col("n_keys") / col("total"))
+          .select("l_suppkey", "cnt", "total", "n_keys", "share", "skew")
+          .orderBy(desc("cnt"), asc("l_suppkey"))
+          .limit(20)
+      },
+      Some("""WITH c AS (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1),
+             |st AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS n_keys FROM c)
+             |SELECT l_suppkey, cnt, total, n_keys,
+             |  CAST(cnt AS DOUBLE) / total AS share,
+             |  CAST(cnt AS DOUBLE) * n_keys / total AS skew
+             |FROM c, st ORDER BY cnt DESC, l_suppkey LIMIT 20""".stripMargin),
+      "hot-key skew diagnostics: per-key counts vs mean, top-20 — the pre-join probe " +
+        "that decides salting/AQE-skew handling at scale (extension: ops / diagnostics)"),
+
+    CatalogEntry(
+      "x64_source_concentration",
+      (s, dir) => {
+        // per-lang Herfindahl concentration of sources: HHI = Σ share_i².
+        // Computed as Σcnt²/total² — exact integer numerator and a single
+        // double division, so no order-sensitive float accumulation exists
+        // at all (a Σ(cnt/total)² would sum doubles in shuffle order).
+        val c = t(s, dir, "documents").groupBy("lang", "source")
+          .agg(count(lit(1)).as("cnt"))
+        c.groupBy("lang")
+          .agg(sum(col("cnt") * col("cnt")).as("s2"), sum("cnt").as("tot"),
+            count(lit(1)).as("n_sources"))
+          .withColumn("hhi",
+            col("s2").cast("double") / (col("tot").cast("double") * col("tot")))
+          .select("lang", "n_sources", "tot", "hhi")
+          .orderBy("lang")
+      },
+      Some("""WITH c AS (SELECT lang, source, COUNT(*) AS cnt
+             |  FROM documents GROUP BY 1, 2),
+             |a AS (SELECT lang, CAST(SUM(cnt * cnt) AS BIGINT) AS s2,
+             |    CAST(SUM(cnt) AS BIGINT) AS tot, COUNT(*) AS n_sources
+             |  FROM c GROUP BY 1)
+             |SELECT lang, n_sources, tot,
+             |  CAST(s2 AS DOUBLE) / (CAST(tot AS DOUBLE) * tot) AS hhi
+             |FROM a ORDER BY lang""".stripMargin),
+      "per-language source-concentration (HHI) from exact integer moments — the " +
+        "diversity audit of a training mix; two tiny aggregations, zero float sums " +
+        "(extension: data quality)"),
+
+    CatalogEntry(
+      "x65_length_deciles",
+      (s, dir) => {
+        // per-lang document-length deciles + percent_rank: the binning step
+        // of length-balanced sampling. The (n_chars, doc_id) tiebreak makes
+        // every rank — hence ntile boundary and percent_rank — fully
+        // deterministic. Partitioned by lang: per-group single pass; at
+        // 100 TB per-lang ranks would move to the x39 prefix-sum pattern.
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("lang").orderBy(asc("n_chars"), asc("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            ntile(10).over(w).as("decile"),
+            percent_rank().over(w).as("pr"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang, n_chars,
+             |  NTILE(10) OVER w AS decile,
+             |  PERCENT_RANK() OVER w AS pr
+             |FROM documents
+             |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+             |ORDER BY doc_id""".stripMargin),
+      "per-language length deciles and percent ranks with deterministic tiebreaks — " +
+        "the length-balanced sampling binner (extension: text pipeline / sampling)")
   )
 }
