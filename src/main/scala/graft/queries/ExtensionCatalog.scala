@@ -2117,6 +2117,209 @@ object ExtensionCatalog {
              |WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
              |ORDER BY doc_id""".stripMargin),
       "per-language length deciles and percent ranks with deterministic tiebreaks — " +
-        "the length-balanced sampling binner (extension: text pipeline / sampling)")
+        "the length-balanced sampling binner (extension: text pipeline / sampling)"),
+
+    CatalogEntry(
+      "x66_debounce",
+      (s, dir) => {
+        // ingest debounce: keep only the FIRST event of each burst per
+        // (user, type), where a burst is a chain of events each ≤ 2 h after
+        // the previous — the duplicate-click / retry-storm filter shape
+        // (window sized to the fixture's arrival rate so the filter is
+        // non-vacuous: gap p1 ≈ 30 min). Classic gaps-and-islands: one lag
+        // per key partition, no state beyond the window sort. One shuffle
+        // on (user_id, event_type).
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id", "event_type").orderBy("tsu", "event_id")
+        t(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("prev", lag("tsu", 1).over(w))
+          .where(col("prev").isNull || col("tsu") - col("prev") > 7200000000L)
+          .select("event_id", "user_id", "event_type", "tsu")
+          .orderBy("event_id")
+      },
+      Some("""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu
+             |  FROM events),
+             |m AS (SELECT *, LAG(tsu) OVER
+             |    (PARTITION BY user_id, event_type ORDER BY tsu, event_id) AS prev
+             |  FROM ev)
+             |SELECT event_id, user_id, event_type, tsu FROM m
+             |WHERE prev IS NULL OR tsu - prev > 7200000000
+             |ORDER BY event_id""".stripMargin),
+      "burst debounce (keep first of each ≤2h chain) via gaps-and-islands lag — the " +
+        "retry-storm filter shape at ingest, one shuffle (extension: events / ingest)"),
+
+    CatalogEntry(
+      "x67_oov_rate",
+      (s, dir) => {
+        // per-doc out-of-vocabulary rate against the corpus top-100 vocab
+        // (count desc, token asc tiebreak). The vocab is a TakeOrdered-100
+        // → broadcast; the doc-side pass is map-only after one token-count
+        // shuffle. Rate = exact count ratio, one double division.
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("term")).limit(100)
+          .select(col("term"), lit(1L).as("in_v"))
+        tok.join(broadcast(vocab), Seq("term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             |  FROM documents),
+             |vocab AS (SELECT term FROM tok GROUP BY term
+             |  ORDER BY COUNT(*) DESC, term LIMIT 100),
+             |agg AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+             |    CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |  FROM tok t LEFT JOIN vocab v ON t.term = v.term GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_oov,
+             |  CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+             |FROM agg ORDER BY doc_id""".stripMargin),
+      "out-of-vocabulary rate per document vs broadcast top-100 vocab — the tokenizer-" +
+        "coverage audit before training (extension: text analysis)"),
+
+    CatalogEntry(
+      "x68_snapshot_diff",
+      (s, dir) => {
+        // snapshot reconciliation: two views of per-order state (odd vs even
+        // line numbers standing in for old/new loads) full-outer joined on
+        // the key, classified added / removed / changed / same, and rolled
+        // up to a 4-row summary. The CDC-audit shape: one co-partitioned
+        // full-outer join, summary is a tiny final aggregate. l_quantity is
+        // integral so the double sums are exact (x33 note).
+        val li = t(s, dir, "lineitem")
+        def snap(parity: Int) = li.where(col("l_linenumber") % 2 === parity)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("qty"))
+        val a = snap(1).select(col("l_orderkey"), col("cnt").as("cnt_a"), col("qty").as("qty_a"))
+        val b = snap(0).select(col("l_orderkey"), col("cnt").as("cnt_b"), col("qty").as("qty_b"))
+        a.join(b, Seq("l_orderkey"), "full_outer")
+          .withColumn("status",
+            when(col("cnt_a").isNull, "added")
+              .when(col("cnt_b").isNull, "removed")
+              .when(col("cnt_a") =!= col("cnt_b") || col("qty_a") =!= col("qty_b"), "changed")
+              .otherwise("same"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(coalesce(col("cnt_a"), lit(0L))).as("lines_a"),
+            sum(coalesce(col("cnt_b"), lit(0L))).as("lines_b"))
+          .orderBy("status")
+      },
+      Some("""WITH a AS (SELECT l_orderkey, COUNT(*) AS cnt_a, SUM(l_quantity) AS qty_a
+             |  FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY 1),
+             |b AS (SELECT l_orderkey, COUNT(*) AS cnt_b, SUM(l_quantity) AS qty_b
+             |  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY 1),
+             |j AS (SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS k,
+             |    cnt_a, qty_a, cnt_b, qty_b,
+             |    CASE WHEN cnt_a IS NULL THEN 'added'
+             |         WHEN cnt_b IS NULL THEN 'removed'
+             |         WHEN cnt_a <> cnt_b OR qty_a <> qty_b THEN 'changed'
+             |         ELSE 'same' END AS status
+             |  FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey)
+             |SELECT status, COUNT(*) AS n_orders,
+             |  CAST(SUM(COALESCE(cnt_a, 0)) AS BIGINT) AS lines_a,
+             |  CAST(SUM(COALESCE(cnt_b, 0)) AS BIGINT) AS lines_b
+             |FROM j GROUP BY 1 ORDER BY status""".stripMargin),
+      "snapshot reconciliation: full-outer key diff classified added/removed/changed/same, " +
+        "rolled to a summary — the CDC audit between loads (extension: ETL / data quality)"),
+
+    CatalogEntry(
+      "x69_event_gap_stats",
+      (s, dir) => {
+        // inter-arrival-time profile per event type: lag over the type's
+        // time-ordered stream, then count/min/max, an exact-ratio mean and
+        // interpolated p50/p90 (gaps are integral µs, so the lerp cannot
+        // diverge between engines — x33 precedent). The per-type window is
+        // the skew caveat: at 100 TB a hot type's sort moves to the x39
+        // prefix-sum pattern.
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("event_type").orderBy("tsu", "event_id")
+        t(s, dir, "events")
+          .withColumn("tsu", expr("ts div 1000"))
+          .withColumn("prev", lag("tsu", 1).over(w))
+          .where(col("prev").isNotNull)
+          .withColumn("gap", col("tsu") - col("prev"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_gaps"), min("gap").as("gap_min"),
+            max("gap").as("gap_max"), sum("gap").as("gsum"),
+            expr("percentile(gap, 0.5)").as("p50"),
+            expr("percentile(gap, 0.9)").as("p90"))
+          .withColumn("gap_mean", col("gsum").cast("double") / col("n_gaps"))
+          .select("event_type", "n_gaps", "gap_min", "gap_max", "gap_mean", "p50", "p90")
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_id, event_type, epoch_us(ts) AS tsu FROM events),
+             |m AS (SELECT event_type, tsu - LAG(tsu) OVER
+             |    (PARTITION BY event_type ORDER BY tsu, event_id) AS gap FROM ev),
+             |g AS (SELECT event_type, COUNT(*) AS n_gaps, MIN(gap) AS gap_min,
+             |    MAX(gap) AS gap_max, CAST(SUM(gap) AS BIGINT) AS gsum,
+             |    quantile_cont(gap, 0.5) AS p50, quantile_cont(gap, 0.9) AS p90
+             |  FROM m WHERE gap IS NOT NULL GROUP BY 1)
+             |SELECT event_type, n_gaps, gap_min, gap_max,
+             |  CAST(gsum AS DOUBLE) / n_gaps AS gap_mean, p50, p90
+             |FROM g ORDER BY event_type""".stripMargin),
+      "inter-event gap distribution per type: windowed lag + exact moments + interpolated " +
+        "percentiles — the arrival-rate profile behind capacity planning " +
+        "(extension: events / analytics)"),
+
+    CatalogEntry(
+      "x70_grouping_sets",
+      (s, dir) => {
+        // explicit GROUPING SETS ((lang),(source),()) — the third grouping
+        // shape after rollup (x23) and cube (x35): independent marginals
+        // plus the grand total in ONE pass (Spark expands to a single
+        // aggregate, not three scans). grouping_id disambiguates rows; both
+        // engines put the first column in the most significant bit.
+        t(s, dir, "documents")
+          .groupingSets(
+            Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+            col("lang"), col("source"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            sum("n_chars").as("chars"))
+          .select("gid", "lang", "source", "n", "chars")
+          .orderBy(asc("gid"), asc_nulls_first("lang"), asc_nulls_first("source"))
+      },
+      Some("""SELECT GROUPING(lang, source) AS gid, lang, source,
+             |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+             |FROM documents
+             |GROUP BY GROUPING SETS ((lang), (source), ())
+             |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin),
+      "explicit grouping sets: lang and source marginals plus grand total in one " +
+        "aggregate pass, grouping_id-tagged (extension: analytics)"),
+
+    CatalogEntry(
+      "x71_dense_timeseries",
+      (s, dir) => {
+        // zero-filled hourly series per event type: counts exist only where
+        // events do, so the dense grid is (distinct types) × sequence(min
+        // hour, max hour) — both tiny — left-joined back onto the sparse
+        // counts. The gap-filling shape dashboards and forecast models
+        // need; the grid build never touches the fact table again.
+        val ev = t(s, dir, "events")
+          .withColumn("h", expr("(ts div 1000) div 3600000000"))
+        val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+        val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        val grid = cnts.select("event_type").distinct()
+          .crossJoin(bounds)
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
+        grid.join(cnts, Seq("event_type", "h"), "left")
+          .withColumn("n", coalesce(col("n"), lit(0L)))
+          .orderBy("event_type", "h")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+             |cnts AS (SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+             |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+             |grid AS (SELECT t.event_type, gs.h
+             |  FROM (SELECT DISTINCT event_type FROM cnts) t
+             |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs)
+             |SELECT g.event_type, g.h, COALESCE(c.n, 0) AS n
+             |FROM grid g LEFT JOIN cnts c ON g.event_type = c.event_type AND g.h = c.h
+             |ORDER BY g.event_type, g.h""".stripMargin),
+      "gap-filled hourly time series: sparse counts left-joined onto a types × " +
+        "sequence(min,max) grid built without rescanning the facts " +
+        "(extension: events / time series)")
   )
 }

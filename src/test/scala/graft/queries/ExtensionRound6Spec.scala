@@ -123,6 +123,83 @@ class ExtensionRound6Spec extends AnyFunSuite with Matchers {
     out("de") shouldBe 1.0
   }
 
+  test("x66: a chain within the window collapses to its first event, a gap splits it") {
+    // user 1 type A at 0h, 1h, 5h: 0→1h (≤2h, dropped), 1h→5h (>2h, kept)
+    val h = 3600L * 1000000000L // ns per hour
+    val tmp = writeEvents(Seq(
+      (1L, 0L, 1L, "A", 0.0, "{}"),
+      (2L, 1L * h, 1L, "A", 0.0, "{}"),
+      (3L, 5L * h, 1L, "A", 0.0, "{}")))
+    val kept = entry("x66_debounce").build(spark, tmp)
+      .select("event_id").as[Long].collect().toSeq
+    kept shouldBe Seq(1L, 3L)
+  }
+
+  test("x67: a token outside the top-100 vocab counts as OOV, vocab tokens do not") {
+    // 100 tokens appearing twice fill the vocab; "rare" (count 1) is OOV.
+    val common = (1 to 100).map(i => f"a$i%03d").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, s"$common rare", "en", "s", 1L),
+      (2L, common, "en", "s", 1L)))
+    val out = entry("x67_oov_rate").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))).toMap
+    out(1L) shouldBe ((101L, 1L))
+    out(2L) shouldBe ((100L, 0L))
+  }
+
+  test("x68: summary line counts reconcile with the raw parity split") {
+    val rows = entry("x68_snapshot_diff").build(spark, dir).collect()
+    rows.map(_.getAs[String]("status")).toSet subsetOf
+      Set("added", "removed", "changed", "same") shouldBe true
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    rows.map(_.getAs[Long]("lines_a")).sum shouldBe
+      li.where($"l_linenumber" % 2 === 1).count()
+    rows.map(_.getAs[Long]("lines_b")).sum shouldBe
+      li.where($"l_linenumber" % 2 === 0).count()
+  }
+
+  test("x69: gaps of 10s and 20s give mean/p50 15s, min 10s, max 20s") {
+    val sNs = 1000000000L
+    val tmp = writeEvents(Seq(
+      (1L, 0L, 1L, "A", 0.0, "{}"),
+      (2L, 10L * sNs, 1L, "A", 0.0, "{}"),
+      (3L, 30L * sNs, 2L, "A", 0.0, "{}"))) // per-TYPE gaps, users irrelevant
+    val r = entry("x69_event_gap_stats").build(spark, tmp).collect().head
+    r.getAs[Long]("n_gaps") shouldBe 2L
+    r.getAs[Long]("gap_min") shouldBe 10000000L
+    r.getAs[Long]("gap_max") shouldBe 20000000L
+    r.getAs[Double]("gap_mean") shouldBe 15e6
+    r.getAs[Double]("p50") shouldBe 15e6
+  }
+
+  test("x70: grouping sets emit lang marginals (gid 1), source marginals (2), total (3)") {
+    val tmp = writeDocs(Seq(
+      (1L, "t", "en", "s1", 10L), (2L, "t", "en", "s2", 20L), (3L, "t", "de", "s1", 30L)))
+    val rows = entry("x70_grouping_sets").build(spark, tmp).collect()
+    val byGid = rows.groupBy(_.getAs[Long]("gid"))
+    byGid.keySet shouldBe Set(1L, 2L, 3L)
+    byGid(1L).map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap shouldBe
+      Map("en" -> 2L, "de" -> 1L)
+    byGid(2L).map(r => r.getAs[String]("source") -> r.getAs[Long]("n")).toMap shouldBe
+      Map("s1" -> 2L, "s2" -> 1L)
+    byGid(3L).head.getAs[Long]("chars") shouldBe 60L
+  }
+
+  test("x71: missing hours appear with zero counts for every type") {
+    val h = 3600L * 1000000000L
+    val tmp = writeEvents(Seq(
+      (1L, 0L, 1L, "A", 0.0, "{}"),
+      (2L, 2L * h, 1L, "A", 0.0, "{}"),
+      (3L, 1L * h, 1L, "B", 0.0, "{}")))
+    val out = entry("x71_dense_timeseries").build(spark, tmp)
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("h")) ->
+        r.getAs[Long]("n")).toMap
+    out shouldBe Map(
+      ("A", 0L) -> 1L, ("A", 1L) -> 0L, ("A", 2L) -> 1L,
+      ("B", 0L) -> 0L, ("B", 1L) -> 1L, ("B", 2L) -> 0L)
+  }
+
   test("x65: deciles cover 1..10, percent_rank is monotone in length per lang") {
     val rows = entry("x65_length_deciles").build(spark, dir).collect()
     rows.map(_.getAs[Int]("decile")).min shouldBe 1
