@@ -106,6 +106,37 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Containment near-dup: the same LSH candidate generation as
+    * [[minhashNearDups]], but scored by |A∩B| / min(|A|,|B|) — the
+    * quote/subset detector Jaccard misses (a doc fully contained in a 10×
+    * larger one has jac ≤ 0.1 but containment 1.0). Candidate recall is
+    * still bounded by MinHash-on-Jaccard banding, which is why this runs at
+    * a lower band threshold than a dedicated containment index would; a
+    * 100 TB deployment chasing asymmetric pairs would band the containee's
+    * bottom-k shingles instead (the same lshCandidates shape, smaller key).
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
+    val cands = lshCandidates(sigs, idCol, bands, k / bands)
+    val sets = sigs.select(col(idCol), col("shingles"))
+    cands
+      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
+      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("graft_intersect_size(sh_a, sh_b)").as("inter"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .withColumn("cont", col("inter").cast("double") / least(col("na"), col("nb")))
+      .where(col("cont") >= threshold)
+      .select("id_a", "id_b", "na", "nb", "cont")
+  }
+
   /** Single-band min-hash blocking + exact char-n-gram Jaccard: candidates =
     * pairs sharing the *minimum* hashed char-n-gram (the cheapest LSH
     * configuration), verified exactly. `n` must be large enough that the min

@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, PageRank, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2320,6 +2320,77 @@ object ExtensionCatalog {
              |ORDER BY g.event_type, g.h""".stripMargin),
       "gap-filled hourly time series: sparse counts left-joined onto a types × " +
         "sequence(min,max) grid built without rescanning the facts " +
-        "(extension: events / time series)")
+        "(extension: events / time series)"),
+
+    CatalogEntry(
+      "x72_containment_dedup",
+      (s, dir) =>
+        Dedup.containmentPairs(t(s, dir, "documents"), k = 16, bands = 8,
+          shingleN = 3, threshold = 0.8)
+          .orderBy("id_a", "id_b"),
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
+              |SELECT * FROM (
+              |  SELECT c.id_a, c.id_b, len(x.shingles) AS na, len(y.shingles) AS nb,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / least(len(x.shingles), len(y.shingles)) AS cont
+              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |WHERE cont >= 0.8 ORDER BY id_a, id_b""".stripMargin),
+      "containment near-dup (|A∩B| / min set size ≥ 0.8) over MinHash+LSH candidates — " +
+        "the quote/subset detector symmetric Jaccard misses (extension: dedup)"),
+
+    CatalogEntry(
+      "x73_pagerank",
+      (s, dir) => {
+        // 3-iteration PageRank over the customer→supplier order graph in
+        // exact integer micro-units (see operators.PageRank for why the
+        // oracle can replay it bit-for-bit). The supplier id space is
+        // offset by 1e6 to disjoin it from customer keys.
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+        val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("src"), (col("l_suppkey") + 1000000L).as("dst"))
+          .distinct()
+        PageRank.run(edges, iters = 3)
+          .orderBy(desc("score"), asc("node")).limit(20)
+      },
+      Some {
+        val iters = (1 to 3).map { i =>
+          s"""c$i AS (SELECT e.dst AS node,
+             |    CAST(SUM(((s.score * 85) // 100) // d.deg) AS BIGINT) AS m
+             |  FROM edges e JOIN s${i - 1} s ON e.src = s.node
+             |  JOIN deg d ON e.src = d.src GROUP BY 1),
+             |s$i AS (SELECT n.node,
+             |    150000000 // (SELECT n FROM nn) + COALESCE(c.m, 0) AS score
+             |  FROM nodes n LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH edges AS (
+           |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |nn AS (SELECT COUNT(*) AS n FROM nodes),
+           |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+           |s0 AS (SELECT node, 1000000000 // (SELECT n FROM nn) AS score FROM nodes),
+           |$iters
+           |SELECT node, score FROM s3 ORDER BY score DESC, node LIMIT 20""".stripMargin
+      },
+      "3-iteration integer-exact PageRank on the customer→supplier graph: one " +
+        "co-partitioned join + one shuffle aggregate per unrolled iteration, no float " +
+        "accumulation anywhere (extension: graph / analytics)")
   )
 }

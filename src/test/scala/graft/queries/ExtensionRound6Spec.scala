@@ -200,6 +200,32 @@ class ExtensionRound6Spec extends AnyFunSuite with Matchers {
       ("B", 0L) -> 0L, ("B", 1L) -> 1L, ("B", 2L) -> 0L)
   }
 
+  test("x72: a fully contained shingle set scores containment 1.0 at sub-threshold jaccard") {
+    // A's shingles {abc,bcd,cde} ⊂ B's {abc,bcd,cde,def}: cont = 3/3 = 1.0
+    // while jac = 3/4 — the asymmetric signal this entry adds over x07.
+    val tmp = writeDocs(Seq(
+      (1L, "a b c d e", "en", "s", 9L),
+      (2L, "a b c d e f", "en", "s", 11L)))
+    val rows = entry("x72_containment_dedup").build(spark, tmp).collect()
+    rows.length shouldBe 1
+    val r = rows.head
+    (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) shouldBe ((1L, 2L))
+    (r.getAs[Int]("na"), r.getAs[Int]("nb")) shouldBe ((3, 4))
+    r.getAs[Double]("cont") shouldBe 1.0
+  }
+
+  test("x73: PageRank concentrates score on the shared sink, by hand") {
+    // edges 1→11, 2→11, 2→12; N=4, init 250e6, base 150e6//4 = 37.5e6.
+    // From iteration 2 on sources hold base only, so s3 is stationary:
+    // 11 = 37.5e6 + 31.875e6 + 15.9375e6, 12 = 37.5e6 + 15.9375e6.
+    val edges = Seq((1L, 11L), (2L, 11L), (2L, 12L)).toDF("src", "dst")
+    val out = graft.operators.PageRank.run(edges, iters = 3)
+      .orderBy($"score".desc, $"node")
+      .collect().map(r => (r.getAs[Long]("node"), r.getAs[Long]("score"))).toSeq
+    out shouldBe Seq(
+      (11L, 85312500L), (12L, 53437500L), (1L, 37500000L), (2L, 37500000L))
+  }
+
   test("x65: deciles cover 1..10, percent_rank is monotone in length per lang") {
     val rows = entry("x65_length_deciles").build(spark, dir).collect()
     rows.map(_.getAs[Int]("decile")).min shouldBe 1
