@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, PageRank, SimilaritySearch}
+import graft.operators.{Dedup, Multimodal, PageRank, Profile, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2391,6 +2391,292 @@ object ExtensionCatalog {
       },
       "3-iteration integer-exact PageRank on the customer→supplier graph: one " +
         "co-partitioned join + one shuffle aggregate per unrolled iteration, no float " +
-        "accumulation anywhere (extension: graph / analytics)")
+        "accumulation anywhere (extension: graph / analytics)"),
+
+    CatalogEntry(
+      "x74_column_profile",
+      (s, dir) =>
+        Profile.columnProfile(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"))
+          .orderBy("column_name"),
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |  COUNT(DISTINCT $c) AS n_distinct FROM orders""".stripMargin)
+          .mkString("", "\nUNION ALL ", "\nORDER BY column_name")
+      },
+      "per-column intake profile (null + exact distinct counts) in ONE scan — Catalyst " +
+        "expands the multi-column DISTINCTs into a single two-phase aggregate; the " +
+        "100 TB variant swaps in approx_count_distinct's mergeable HLL " +
+        "(extension: data quality)"),
+
+    CatalogEntry(
+      "x75_constraint_audit",
+      (s, dir) =>
+        Profile.constraintAudit(t(s, dir, "lineitem"), Seq(
+          "discount_le_5pct" -> (col("l_discount") > 0.05),
+          "price_positive" -> (col("l_extendedprice") <= 0),
+          "quantity_le_25" -> (col("l_quantity") > 25),
+          "returnflag_enum" -> !col("l_returnflag").isin("A", "N", "R"),
+          "ship_before_1999" -> (col("l_shipdate") >= lit("1999-01-01").cast("timestamp")),
+          "tax_le_4pct" -> (col("l_tax") > 0.04)))
+          .orderBy("rule"),
+      Some("""WITH a AS (SELECT COUNT(*)::BIGINT AS n_rows,
+             |  CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             |  CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             |  CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS v5,
+             |  CAST(SUM(CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS BIGINT) AS v6
+             |  FROM lineitem),
+             |r AS (
+             |  SELECT 'discount_le_5pct' AS rule, v1 AS n_violations, n_rows FROM a
+             |  UNION ALL SELECT 'price_positive', v2, n_rows FROM a
+             |  UNION ALL SELECT 'quantity_le_25', v3, n_rows FROM a
+             |  UNION ALL SELECT 'returnflag_enum', v4, n_rows FROM a
+             |  UNION ALL SELECT 'ship_before_1999', v5, n_rows FROM a
+             |  UNION ALL SELECT 'tax_le_4pct', v6, n_rows FROM a)
+             |SELECT rule, n_violations, n_rows,
+             |  n_violations::DOUBLE / n_rows::DOUBLE AS violation_rate
+             |FROM r ORDER BY rule""".stripMargin),
+      "declarative rule audit (range / enum / cross-field) — all rules evaluated in one " +
+        "scan as map-side-combinable conditional sums; the gate a 100 TB ingest batch " +
+        "passes before entering the corpus (extension: data quality)"),
+
+    CatalogEntry(
+      "x76_k_anonymity",
+      (s, dir) =>
+        Profile.kAnonymity(t(s, dir, "events"), Seq("user_id", "event_type"),
+          Seq(2, 5, 10, 25)),
+      Some("""WITH g AS (SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+             |  FROM events GROUP BY 1, 2),
+             |k AS (SELECT unnest([2, 5, 10, 25]) AS k)
+             |SELECT k.k, COUNT(*)::BIGINT AS n_groups,
+             |  CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT) AS groups_below,
+             |  CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT) AS rows_below
+             |FROM g, k GROUP BY k.k ORDER BY k""".stripMargin),
+      "k-anonymity audit over (user_id, event_type) quasi-identifiers: one shuffle " +
+        "builds the group-size table, the k-threshold sweep runs on |groups| rows — " +
+        "re-identification risk before a corpus ships (extension: data quality)"),
+
+    CatalogEntry(
+      "x77_iqr_outliers",
+      (s, dir) => {
+        // milli-unit integer values make the quantile lerp exact (dyadic
+        // fraction × integer gap, x33's argument) and the fence arithmetic
+        // (±1.5×IQR) stays exact too: q1/q3 carry ≤2 fraction bits.
+        val e = t(s, dir, "events").select(col("event_type"),
+          floor(col("value") * 1000).cast("long").as("vm"))
+        val f = e.groupBy("event_type").agg(
+          expr("percentile(vm, 0.25)").as("q1"),
+          expr("percentile(vm, 0.75)").as("q3"))
+          .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+          .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+        e.join(f, "event_type")
+          .groupBy("event_type", "q1", "q3", "lo", "hi")
+          .agg(
+            sum(when(col("vm") < col("lo"), 1L).otherwise(0L)).as("n_below"),
+            sum(when(col("vm") > col("hi"), 1L).otherwise(0L)).as("n_above"),
+            count(lit(1)).as("n_total"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+             |  FROM events),
+             |q AS (SELECT event_type, quantile_cont(vm, 0.25) AS q1,
+             |    quantile_cont(vm, 0.75) AS q3 FROM e GROUP BY 1),
+             |f AS (SELECT event_type, q1, q3, q1 - 1.5 * (q3 - q1) AS lo,
+             |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+             |SELECT e.event_type, q1, q3, lo, hi,
+             |  CAST(SUM(CASE WHEN vm < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+             |  CAST(SUM(CASE WHEN vm > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+             |  COUNT(*)::BIGINT AS n_total
+             |FROM e JOIN f ON e.event_type = f.event_type
+             |GROUP BY 1, 2, 3, 4, 5 ORDER BY 1""".stripMargin),
+      "Tukey-fence (1.5×IQR) outlier counts per event type: tiny per-group quantile " +
+        "aggregate re-joined to the facts (AQE broadcasts it), second pass counts — " +
+        "the robust-stats complement to x54's z-scores (extension: analytics)"),
+
+    CatalogEntry(
+      "x78_event_streaks",
+      (s, dir) => {
+        // gaps-and-islands: a change flag per row (lag), running sum of
+        // flags numbers the islands, the longest island per user wins.
+        // Both windows partition by user_id — one shuffle, ordered passes.
+        val W = org.apache.spark.sql.expressions.Window
+        val w = W.partitionBy("user_id").orderBy("tsu", "event_id")
+        val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000").as("tsu"), col("event_type"))
+        val runs = e
+          .withColumn("chg",
+            when(lag("event_type", 1).over(w) === col("event_type"), 0L).otherwise(1L))
+          .withColumn("island",
+            sum("chg").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .groupBy("user_id", "island", "event_type")
+          .agg(count(lit(1)).as("run_len"))
+        runs
+          .withColumn("rn", row_number().over(
+            W.partitionBy("user_id").orderBy(desc("run_len"), desc("event_type"))))
+          .where(col("rn") === 1)
+          .select(col("user_id"), col("run_len").as("best_len"),
+            col("event_type").as("best_type"))
+          .orderBy(desc("best_len"), asc("user_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+             |  FROM events),
+             |c AS (SELECT *, CASE WHEN lag(event_type) OVER
+             |    (PARTITION BY user_id ORDER BY tsu, event_id) = event_type
+             |    THEN 0 ELSE 1 END AS chg FROM e),
+             |i AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |    ROWS UNBOUNDED PRECEDING) AS island FROM c),
+             |r AS (SELECT user_id, island, event_type, COUNT(*)::BIGINT AS run_len
+             |  FROM i GROUP BY 1, 2, 3),
+             |b AS (SELECT user_id, run_len AS best_len, event_type AS best_type,
+             |  row_number() OVER (PARTITION BY user_id
+             |    ORDER BY run_len DESC, event_type DESC) AS rn FROM r)
+             |SELECT user_id, best_len, best_type FROM b WHERE rn = 1
+             |ORDER BY best_len DESC, user_id LIMIT 20""".stripMargin),
+      "gaps-and-islands longest same-type streak per user: lag change-flag + running " +
+        "sum numbers islands in one user-partitioned pass, no self-join " +
+        "(extension: events)"),
+
+    CatalogEntry(
+      "x79_mixture_budget",
+      (s, dir) => {
+        // target corpus mixture: per-language quotas of a 200-doc budget,
+        // picked by salted-hash rank so membership is a pure function of
+        // doc_id (Sampling's rule applied to budgeted quotas — incremental
+        // rebuilds cannot flip earlier picks below quota). es/zh shares are
+        // deliberate: zh is in the mixture, es is not and drops out.
+        val want = Map("en" -> 80, "de" -> 40, "fr" -> 40, "zh" -> 40)
+        val wantCol = want.foldLeft(lit(null).cast("int")) { case (acc, (k, v)) =>
+          when(col("lang") === k, lit(v)).otherwise(acc)
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("h", "doc_id")
+        t(s, dir, "documents")
+          .where(col("lang").isin("en", "de", "fr", "zh"))
+          .select(col("lang"), col("doc_id"),
+            expr(fingerprintExpr("concat('mix:', cast(doc_id as string))")).as("h"),
+            wantCol.as("want_n"))
+          .withColumn("rk", row_number().over(w))
+          .groupBy("lang", "want_n")
+          .agg(count(lit(1)).as("n_have"),
+            sum(when(col("rk") <= col("want_n"), 1L).otherwise(0L)).as("n_taken"),
+            sum(when(col("rk") <= col("want_n"), col("doc_id")).otherwise(0L)).as("id_checksum"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH d AS (SELECT lang, doc_id, ${dPoly("'mix:' || doc_id")} AS h
+              |  FROM documents WHERE lang IN ('en','de','fr','zh')),
+              |w AS (SELECT unnest(['de','en','fr','zh']) AS lang,
+              |  unnest([40, 80, 40, 40]) AS want_n),
+              |r AS (SELECT lang, doc_id, h,
+              |  row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk FROM d)
+              |SELECT r.lang, want_n, COUNT(*)::BIGINT AS n_have,
+              |  CAST(SUM(CASE WHEN rk <= want_n THEN 1 ELSE 0 END) AS BIGINT) AS n_taken,
+              |  CAST(SUM(CASE WHEN rk <= want_n THEN doc_id ELSE 0 END) AS BIGINT) AS id_checksum
+              |FROM r JOIN w ON r.lang = w.lang GROUP BY 1, 2 ORDER BY 1""".stripMargin),
+      "budgeted mixture rebalance: per-language doc quotas filled by salted-hash rank " +
+        "— deterministic 'shuffle', stable under repartitioning and incremental ingest; " +
+        "the dataset-mixing move of corpus curation (extension: sampling)"),
+
+    CatalogEntry(
+      "x80_linear_count_distinct",
+      (s, dir) => {
+        // Linear counting: per source, filled hash buckets b of m=65536 give
+        // est = round(-m·ln((m-b)/m)). Distinct (source, bucket) pairs are
+        // capped at sources×m regardless of row count — the mergeable-sketch
+        // shape that replaces the exact-DISTINCT leg (kept here as the
+        // comparison) at 100 TB. (m-b)/m is a dyadic-exact double; ln/round
+        // follow the x42 idf precedent.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val m = 65536
+        t(s, dir, "documents")
+          .select(col("source"),
+            explode(expr("graft_shingle_hashes(graft_token_hashes(text), 3)")).as("sh"))
+          .groupBy("source")
+          .agg(
+            countDistinct(pmod(col("sh"), lit(m.toLong))).as("filled"),
+            countDistinct(col("sh")).as("exact_distinct"))
+          .withColumn("est_distinct",
+            round(-lit(m.toDouble) *
+              log((lit(m.toLong) - col("filled")).cast("double") / lit(m.toDouble)))
+              .cast("long"))
+          .withColumn("err_pct",
+            (col("est_distinct") - col("exact_distinct")).cast("double") * 100.0 /
+              col("exact_distinct").cast("double"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT source,
+              |  list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT source, unnest($dShingles) AS sh FROM base),
+              |g AS (SELECT source, COUNT(DISTINCT sh % 65536) AS filled,
+              |  COUNT(DISTINCT sh) AS exact_distinct FROM sh GROUP BY 1),
+              |e AS (SELECT source, filled, exact_distinct,
+              |  CAST(round(-65536.0 * ln((65536 - filled)::DOUBLE / 65536.0)) AS BIGINT)
+              |    AS est_distinct FROM g)
+              |SELECT source, filled, exact_distinct, est_distinct,
+              |  (est_distinct - exact_distinct)::DOUBLE * 100.0 / exact_distinct::DOUBLE
+              |    AS err_pct
+              |FROM e ORDER BY source""".stripMargin),
+      "linear-counting distinct-shingle estimate per source vs the exact count: the " +
+        "bucket bitmap is bounded by m per group however large the data — cardinality " +
+        "estimation as a sketch, not a full DISTINCT shuffle (extension: sketches)"),
+
+    CatalogEntry(
+      "x81_doc_surprisal",
+      (s, dir) => {
+        // Perplexity-style atypicality filter: score each doc by the mean
+        // surprisal -ln P(w2|w1) of its bigrams under the corpus LM (x43's
+        // count table). Surprisals are rounded to integer micro-nats before
+        // the per-doc SUM, so aggregation order cannot flip a bit (the
+        // PageRank micro-unit rule). Joins: bigrams→LM on (w1,w2) — shuffle
+        // on the composite key, map-side combinable counts feeding it.
+        val W = org.apache.spark.sql.expressions.Window
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        val bg = tok
+          .withColumn("w2", lead("w1", 1).over(W.partitionBy("doc_id").orderBy("pos")))
+          .where(col("w2").isNotNull)
+          .select("doc_id", "w1", "w2")
+        val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        val lm = big
+          .join(big.groupBy("w1").agg(sum("n2").as("n1")), "w1")
+          .select(col("w1"), col("w2"),
+            round(-log(col("n2").cast("double") / col("n1").cast("double")) * 1e6)
+              .cast("long").as("surp_micro"))
+        bg.join(lm, Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(sum("surp_micro").as("total_micro"), count(lit(1)).as("n_bigrams"))
+          .select(col("doc_id"), col("n_bigrams"), col("total_micro"),
+            expr("total_micro div n_bigrams").as("avg_surprisal_micro"))
+          .orderBy(desc("avg_surprisal_micro"), asc("doc_id"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |bgu AS (SELECT doc_id, unnest(list_transform(range(1, len(lst)),
+             |  i -> {'w1': lst[i], 'w2': lst[i + 1]})) AS b FROM toks),
+             |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bgu),
+             |big AS (SELECT w1, w2, COUNT(*)::BIGINT AS n2 FROM bg GROUP BY 1, 2),
+             |uni AS (SELECT w1, CAST(SUM(n2) AS BIGINT) AS n1 FROM big GROUP BY 1),
+             |lm AS (SELECT big.w1, big.w2,
+             |  CAST(round(-ln(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE)) * 1000000.0) AS BIGINT)
+             |    AS surp_micro
+             |  FROM big JOIN uni ON big.w1 = uni.w1),
+             |sc AS (SELECT doc_id, CAST(SUM(surp_micro) AS BIGINT) AS total_micro,
+             |  COUNT(*)::BIGINT AS n_bigrams
+             |  FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2 GROUP BY 1)
+             |SELECT doc_id, n_bigrams, total_micro,
+             |  total_micro // n_bigrams AS avg_surprisal_micro
+             |FROM sc ORDER BY avg_surprisal_micro DESC, doc_id LIMIT 20""".stripMargin),
+      "per-doc mean bigram surprisal under the corpus LM — the perplexity quality " +
+        "filter; integer micro-nat accumulation keeps the per-doc sums " +
+        "order-independent and oracle-exact (extension: text analysis)")
   )
 }

@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.SparkTestSession
+import graft.operators.Profile
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Known-answer tests for the data-quality / curation entries (x74–x81) on
+  * toy data — the oracle gate proves fixture equivalence; these pin the
+  * semantics on inputs small enough to check by hand.
+  */
+class ExtensionQualitySpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def entry(name: String) = QueryCatalog.all.find(_.name == name).get
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("qdocs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  // events fixture is read with nanosAsLong → `ts` is an epoch-nano BIGINT.
+  private def writeEvents(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("qev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    tmp
+  }
+
+  test("columnProfile counts nulls and exact distincts per column in one pass") {
+    val df = Seq(
+      (Some(1), Some("a")), (Some(1), None), (Some(2), Some("b")), (None, Some("b"))
+    ).toDF("x", "y")
+    val out = Profile.columnProfile(df, Seq("x", "y"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out("x") shouldBe ((1L, 2L)) // one null; distinct {1, 2}
+    out("y") shouldBe ((1L, 2L)) // one null; distinct {a, b}
+  }
+
+  test("constraintAudit: NULL predicate rows are non-violations; rates are per-rule") {
+    val df = Seq(Some(5), Some(50), None, Some(7)).toDF("v")
+    val out = Profile.constraintAudit(df, Seq(
+      "v_le_10" -> (col("v") > 10),   // violated by 50 only; NULL row passes
+      "v_not_null" -> col("v").isNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out("v_le_10") shouldBe ((1L, 4L))
+    out("v_not_null") shouldBe ((1L, 4L))
+  }
+
+  test("kAnonymity reports groups and rows below each k") {
+    // QI groups: (u1,a)=3 rows, (u1,b)=1, (u2,a)=2 → below k=2: 1 group/1 row;
+    // below k=5: all 3 groups / 6 rows.
+    val df = Seq((1, "a"), (1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "a"))
+      .toDF("u", "t")
+    val out = Profile.kAnonymity(df, Seq("u", "t"), Seq(2, 5))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    out(2) shouldBe ((3L, 1L, 1L))
+    out(5) shouldBe ((3L, 3L, 6L))
+  }
+
+  test("x77: a value far outside the fences is counted, fences come from milli-units") {
+    // 9 values at 1.0..9.0 and one at 1000.0 for type 'a': q1/q3 over
+    // integral millis, hi fence well under 1000000 → exactly one n_above.
+    val rows = (1 to 9).map(i => (i.toLong, i.toLong * 1000000000L, 1L, "a", i.toDouble, "{}")) :+
+      (10L, 10L * 1000000000L, 1L, "a", 1000.0, "{}")
+    val tmp = writeEvents(rows)
+    val r = entry("x77_iqr_outliers").build(spark, tmp).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_above") shouldBe 1L
+    r.head.getAs[Long]("n_below") shouldBe 0L
+    r.head.getAs[Long]("n_total") shouldBe 10L
+  }
+
+  test("x78: longest same-type run wins, ordered by event time") {
+    // user 1: a a a b b → best streak (a, 3). user 2: b a → ties of length 1
+    // break on max event_type → (b, 1).
+    val tmp = writeEvents(Seq(
+      (1L, 1000L, 1L, "a", 0.0, "{}"),
+      (2L, 2000L, 1L, "a", 0.0, "{}"),
+      (3L, 3000L, 1L, "a", 0.0, "{}"),
+      (4L, 4000L, 1L, "b", 0.0, "{}"),
+      (5L, 5000L, 1L, "b", 0.0, "{}"),
+      (6L, 1000L, 2L, "b", 0.0, "{}"),
+      (7L, 2000L, 2L, "a", 0.0, "{}")))
+    val out = entry("x78_event_streaks").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("best_len"), r.getAs[String]("best_type"))).toMap
+    out(1L) shouldBe ((3L, "a"))
+    out(2L) shouldBe ((1L, "b"))
+  }
+
+  test("x79: quotas cap the take; strata outside the mixture drop out") {
+    // 5 'en' docs (want 80 → take all 5), 1 'es' doc (not in mixture → absent).
+    val tmp = writeDocs((1L to 5L).map(i => (i, s"doc $i", "en", "s", 5L)) :+
+      (9L, "adios", "es", "s", 5L))
+    val out = entry("x79_mixture_budget").build(spark, tmp).collect()
+    out.map(_.getAs[String]("lang")).toSet shouldBe Set("en")
+    val en = out.head
+    en.getAs[Long]("n_have") shouldBe 5L
+    en.getAs[Long]("n_taken") shouldBe 5L
+    en.getAs[Long]("id_checksum") shouldBe 15L // all five picked: 1+2+3+4+5
+  }
+
+  test("x80: with no bucket collisions the linear-count estimate is exact") {
+    // tiny shingle sets: filled buckets == distinct shingles, and
+    // -m·ln(1-b/m) rounds back to b for b ≪ m=65536.
+    val tmp = writeDocs(Seq(
+      (1L, "a b c d e", "en", "s1", 9L),
+      (2L, "f g h i j", "en", "s2", 9L)))
+    entry("x80_linear_count_distinct").build(spark, tmp).collect().foreach { r =>
+      r.getAs[Long]("est_distinct") shouldBe r.getAs[Long]("exact_distinct")
+      r.getAs[Double]("err_pct") shouldBe 0.0
+    }
+  }
+
+  test("x81: the doc with the rare continuation is the most surprising") {
+    // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
+    val tmp = writeDocs(Seq(
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a b", "en", "s", 3L),
+      (3L, "a b", "en", "s", 3L),
+      (4L, "a c", "en", "s", 3L)))
+    val out = entry("x81_doc_surprisal").build(spark, tmp).collect()
+    out.head.getAs[Long]("doc_id") shouldBe 4L
+    // -ln(1/4)·1e6 = 1386294 micro-nats over one bigram
+    out.head.getAs[Long]("avg_surprisal_micro") shouldBe 1386294L
+  }
+}
