@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, PageRank, Profile, SimilaritySearch}
+import graft.operators.{Dedup, KMeans, Multimodal, PageRank, Profile, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2677,6 +2677,89 @@ object ExtensionCatalog {
              |FROM sc ORDER BY avg_surprisal_micro DESC, doc_id LIMIT 20""".stripMargin),
       "per-doc mean bigram surprisal under the corpus LM — the perplexity quality " +
         "filter; integer micro-nat accumulation keeps the per-doc sums " +
-        "order-independent and oracle-exact (extension: text analysis)")
+        "order-independent and oracle-exact (extension: text analysis)"),
+
+    CatalogEntry(
+      "x82_temporal_split",
+      (s, dir) => {
+        // time-based train/test split at the P75 timestamp with a leakage
+        // audit: users present on both sides of the cutoff leak identity
+        // signal across the split. 0.75 is deliberate — a dyadic quantile
+        // over integer µs keeps the interpolated cutoff bit-exact (x77's
+        // rule); the 1-row cutoff broadcasts.
+        val ev = t(s, dir, "events").select(col("user_id"), expr("ts div 1000").as("tsu"))
+        val cut = ev.agg(expr("percentile(tsu, 0.75d)").as("cutoff"))
+        ev.crossJoin(cut)
+          .groupBy("user_id")
+          .agg(
+            sum(when(col("tsu") < col("cutoff"), 1L).otherwise(0L)).as("n_tr"),
+            sum(when(col("tsu") >= col("cutoff"), 1L).otherwise(0L)).as("n_te"))
+          .agg(
+            sum("n_tr").as("n_train"),
+            sum("n_te").as("n_test"),
+            sum(when(col("n_tr") > 0, 1L).otherwise(0L)).as("users_train"),
+            sum(when(col("n_te") > 0, 1L).otherwise(0L)).as("users_test"),
+            sum(when(col("n_tr") > 0 && col("n_te") > 0, 1L).otherwise(0L)).as("users_both"),
+            count(lit(1)).as("users_total"))
+          .withColumn("leakage_rate",
+            col("users_both").cast("double") / col("users_total").cast("double"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+             |cut AS (SELECT quantile_cont(tsu, 0.75) AS cutoff FROM e),
+             |u AS (SELECT user_id,
+             |  CAST(SUM(CASE WHEN tsu < cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_tr,
+             |  CAST(SUM(CASE WHEN tsu >= cutoff THEN 1 ELSE 0 END) AS BIGINT) AS n_te
+             |  FROM e, cut GROUP BY 1)
+             |SELECT CAST(SUM(n_tr) AS BIGINT) AS n_train,
+             |  CAST(SUM(n_te) AS BIGINT) AS n_test,
+             |  CAST(SUM(CASE WHEN n_tr > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_train,
+             |  CAST(SUM(CASE WHEN n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_test,
+             |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_both,
+             |  COUNT(*)::BIGINT AS users_total,
+             |  CAST(SUM(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+             |    / COUNT(*)::DOUBLE AS leakage_rate
+             |FROM u""".stripMargin),
+      "temporal train/test split at the P75 timestamp + cross-split user-leakage audit " +
+        "— the time-series eval hygiene check; one scan, one user-keyed aggregate " +
+        "(extension: sampling / evaluation)"),
+
+    CatalogEntry(
+      "x83_kmeans_refine",
+      (s, dir) => KMeans.summary(t(s, dir, "embeddings"), iters = 2),
+      Some {
+        // mirrors KMeans.assignInt: shifted integer ramp, per-label seeds,
+        // 2 unrolled Lloyd rounds, truncating integer-mean centroids
+        // (DuckDB // and Spark div both truncate toward zero).
+        val q = "CAST(round((CAST(embedding[i] AS DOUBLE) + 1.0) * 500.0) AS BIGINT)"
+        s"""WITH elu AS (SELECT vec_id, label,
+           |    unnest(list_transform(range(1, len(embedding) + 1),
+           |      i -> {'dim': i, 'q': $q})) AS u
+           |  FROM embeddings),
+           |el AS (SELECT vec_id, label, u.dim AS dim, u.q AS q FROM elu),
+           |c0 AS (SELECT label AS cluster, dim, CAST(SUM(q) AS BIGINT) // COUNT(*) AS c
+           |  FROM el GROUP BY 1, 2),
+           |d1 AS (SELECT el.vec_id, c.cluster,
+           |    CAST(SUM((q - c.c) * (q - c.c)) AS BIGINT) AS d2
+           |  FROM el JOIN c0 c ON el.dim = c.dim GROUP BY 1, 2),
+           |a1 AS (SELECT vec_id, cluster FROM (SELECT vec_id, cluster,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d1)
+           |  WHERE rn = 1),
+           |c1 AS (SELECT a.cluster, el.dim, CAST(SUM(el.q) AS BIGINT) // COUNT(*) AS c
+           |  FROM el JOIN a1 a ON el.vec_id = a.vec_id GROUP BY 1, 2),
+           |d2_ AS (SELECT el.vec_id, c.cluster,
+           |    CAST(SUM((q - c.c) * (q - c.c)) AS BIGINT) AS d2
+           |  FROM el JOIN c1 c ON el.dim = c.dim GROUP BY 1, 2),
+           |a2 AS (SELECT vec_id, cluster, d2 FROM (SELECT vec_id, cluster, d2,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn FROM d2_)
+           |  WHERE rn = 1)
+           |SELECT cluster, COUNT(*)::BIGINT AS n_members,
+           |  CAST(SUM(vec_id) AS BIGINT) AS id_checksum,
+           |  CAST(SUM(d2) AS BIGINT) AS inertia
+           |FROM a2 GROUP BY 1 ORDER BY cluster""".stripMargin
+      },
+      "2 unrolled integer-exact Lloyd iterations refining per-label centroid seeds: " +
+        "broadcast k×d centroids, map-side k-way distance expansion, one shuffle per " +
+        "round — k-means with a static job graph and a bit-exact oracle replay " +
+        "(extension: embeddings / clustering)")
   )
 }

@@ -117,6 +117,43 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("x82: P75 cutoff splits 3/1 and flags the user straddling it") {
+    // tsu µs = 1,2,3,4 → cutoff = 3.25; user 1 fully in train, user 2 has
+    // one event each side → users_both = 1, leakage 0.5.
+    val tmp = writeEvents(Seq(
+      (1L, 1000L, 1L, "a", 0.0, "{}"),
+      (2L, 2000L, 1L, "a", 0.0, "{}"),
+      (3L, 3000L, 2L, "a", 0.0, "{}"),
+      (4L, 4000L, 2L, "a", 0.0, "{}")))
+    val r = entry("x82_temporal_split").build(spark, tmp).collect().head
+    r.getAs[Long]("n_train") shouldBe 3L
+    r.getAs[Long]("n_test") shouldBe 1L
+    r.getAs[Long]("users_both") shouldBe 1L
+    r.getAs[Double]("leakage_rate") shouldBe 0.5
+  }
+
+  test("x83: a Lloyd round corrects a mislabeled vector and empties its seed cluster") {
+    // Two tight groups at ±0.4; vec 5 sits in group A but is labeled 1.
+    // Its seed cluster's centroid is pulled toward A, and after one
+    // refinement every A-member lands in cluster 0 (argmin ties break low).
+    import graft.operators.KMeans
+    val a = Array.fill(4)(0.4f)
+    val b = Array.fill(4)(-0.4f)
+    val tmp = java.nio.file.Files.createTempDirectory("qemb").toString
+    Seq(
+      (1L, a, 0), (2L, a, 0), (3L, a, 0),
+      (4L, b, 1), (5L, a, 1), // 5 is mislabeled: an A-point seeded into B
+      (6L, b, 1), (7L, b, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val emb = spark.read.parquet(s"$tmp/embeddings.parquet")
+    val out = KMeans.summary(emb, iters = 2)
+      .collect().map(r => r.getAs[Int]("cluster") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("id_checksum"))).toMap
+    out(0) shouldBe ((4L, 1L + 2L + 3L + 5L)) // vec 5 reassigned to the A cluster
+    out(1) shouldBe ((3L, 4L + 6L + 7L))
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(

@@ -71,14 +71,14 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // cross a 1-row corpus-stats aggregate (N, total tokens), x56 a 1-row
     // percentile-bounds aggregate, and x59 the single query vector; x63
     // crosses a 1-row (total, n_keys) aggregate, x71 a 1-row (min, max)
-    // hour-bounds aggregate, and x73 the 1-row node count that seeds each
-    // PageRank iteration. Every per-document/per-vector query must pair
-    // rows through an equi-join.
+    // hour-bounds aggregate, x73 the 1-row node count that seeds each
+    // PageRank iteration, and x82 the 1-row P75-cutoff aggregate. Every
+    // per-document/per-vector query must pair rows through an equi-join.
     val allowed = Set("x10_ann_bruteforce", "x18_ann_ivf",
       "q12_cross_join_pct", "q13_selectivity_distribution", "x21_source_sketch",
       "x42_tfidf", "x44_inverted_index",
       "x52_bm25", "x53_pmi_collocations", "x56_quality_band_filter", "x59_rank_fusion",
-      "x63_hot_keys", "x71_dense_timeseries", "x73_pagerank")
+      "x63_hot_keys", "x71_dense_timeseries", "x73_pagerank", "x82_temporal_split")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
