@@ -2760,6 +2760,43 @@ object ExtensionCatalog {
       "2 unrolled integer-exact Lloyd iterations refining per-label centroid seeds: " +
         "broadcast k×d centroids, map-side k-way distance expansion, one shuffle per " +
         "round — k-means with a static job graph and a bit-exact oracle replay " +
-        "(extension: embeddings / clustering)")
+        "(extension: embeddings / clustering)"),
+
+    CatalogEntry(
+      "x84_countmin_heavy_hitters",
+      (s, dir) => {
+        // one pass folds every event into a 4×256 count-min sketch (the
+        // buffer, not the rows, crosses the shuffle); the exact top-10
+        // leg exists only to audit the estimates, which the CMS guarantee
+        // bounds from above (est ≥ exact, E[over] ≤ 2N/w per row pair).
+        val ev = t(s, dir, "events").select(col("user_id"),
+          expr(fingerprintExpr("cast(user_id as string)")).as("kh"))
+        val sk = ev.agg(
+          graft.functions.CountMinSketch.sketch(col("kh"), d = 4, w = 256).as("sketch"))
+        ev.groupBy("user_id", "kh").agg(count(lit(1)).as("exact_n"))
+          .orderBy(desc("exact_n"), asc("user_id")).limit(10)
+          .crossJoin(sk)
+          .select(col("user_id"), col("exact_n"),
+            graft.functions.CountMinSketch.estimate(col("sketch"), col("kh"), d = 4, w = 256)
+              .as("est_n"))
+          .withColumn("overcount", col("est_n") - col("exact_n"))
+          .orderBy(desc("exact_n"), asc("user_id"))
+      },
+      Some(s"""WITH k AS (SELECT user_id, ${dPoly("CAST(user_id AS VARCHAR)")} AS kh,
+              |  COUNT(*)::BIGINT AS exact_n FROM events GROUP BY 1, 2),
+              |h AS (SELECT user_id, kh, exact_n, r.i,
+              |    ((((1 + r.i * 2654435761) % $Prime) * kh + (7 + r.i * 40503)) % $Prime) % 256 AS j
+              |  FROM k, range(0, 4) r(i)),
+              |cells AS (SELECT i, j, CAST(SUM(exact_n) AS BIGINT) AS cell
+              |  FROM h GROUP BY 1, 2),
+              |est AS (SELECT user_id, exact_n, MIN(cell) AS est_n
+              |  FROM h JOIN cells ON h.i = cells.i AND h.j = cells.j GROUP BY 1, 2),
+              |top AS (SELECT user_id, exact_n, est_n, est_n - exact_n AS overcount
+              |  FROM est ORDER BY exact_n DESC, user_id LIMIT 10)
+              |SELECT * FROM top ORDER BY exact_n DESC, user_id""".stripMargin),
+      "count-min sketch heavy hitters: mergeable 4×256 Aggregator buffer (d·w longs per " +
+        "partition cross the shuffle, never the keys), estimates audited against the " +
+        "exact top-10 — always an overestimate, bounded by 2N/w " +
+        "(extension: sketches)")
   )
 }
