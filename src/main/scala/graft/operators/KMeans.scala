@@ -27,11 +27,13 @@ object KMeans {
     * final assignment (vec_id, cluster, d2).
     */
   def assignInt(emb: DataFrame, iters: Int): DataFrame = {
-    // (vec_id, label, dim, q) — quantized once, reused by every round
+    // (vec_id, label, dim, q) — quantized once and cached: every assign and
+    // recompute round consumes it (uncached, 2·iters+1 full re-scans)
     val el = emb.select(col("vec_id"), col("label"),
       posexplode(expr(
         "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0d) * 500.0d) AS BIGINT))"))
         .as(Seq("dim", "q")))
+      .cache()
 
     // seeds: per-label integer-mean centroids
     val seed = el.groupBy(col("label").as("cluster"), col("dim"))
