@@ -2800,6 +2800,81 @@ object ExtensionCatalog {
       "count-min sketch heavy hitters: mergeable 4×256 Aggregator buffer (d·w longs per " +
         "partition cross the shuffle, never the keys), estimates audited against the " +
         "exact top-10 — always an overestimate, bounded by 2N/w " +
-        "(extension: sketches)")
+        "(extension: sketches)"),
+
+    CatalogEntry(
+      "x85_referential_integrity",
+      (s, dir) => {
+        // FK audit across the star schema: orphan = child key with no
+        // parent. Each leg is a left_anti against the (distinct) parent
+        // keys — broadcast when the dim fits, shuffle otherwise; AQE
+        // decides, nothing is hinted. One row per relation.
+        def leg(rel: String, child: DataFrame, ck: String,
+                parent: DataFrame, pk: String): DataFrame = {
+          val orphans = child.select(col(ck))
+            .join(parent.select(col(pk)), col(ck) === col(pk), "left_anti")
+          child.agg(count(lit(1)).as("n_child_rows"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(rel).as("relation"), col("n_child_rows"), col("n_orphans"),
+              (col("n_orphans").cast("double") / col("n_child_rows").cast("double"))
+                .as("orphan_rate"))
+        }
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        leg("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+          .unionAll(leg("lineitem.partkey->part", li, "l_partkey",
+            t(s, dir, "part"), "p_partkey"))
+          .unionAll(leg("lineitem.suppkey->supplier", li, "l_suppkey",
+            t(s, dir, "supplier"), "s_suppkey"))
+          .unionAll(leg("orders.custkey->customer", o, "o_custkey",
+            t(s, dir, "customer"), "c_custkey"))
+          .orderBy("relation")
+      },
+      Some {
+        def leg(rel: String, child: String, ck: String, parent: String, pk: String) =
+          s"""SELECT '$rel' AS relation,
+             |  (SELECT COUNT(*) FROM $child)::BIGINT AS n_child_rows,
+             |  (SELECT COUNT(*) FROM $child WHERE $ck NOT IN (SELECT $pk FROM $parent))::BIGINT
+             |    AS n_orphans,
+             |  (SELECT COUNT(*) FROM $child WHERE $ck NOT IN (SELECT $pk FROM $parent))::DOUBLE
+             |    / (SELECT COUNT(*) FROM $child)::DOUBLE AS orphan_rate""".stripMargin
+        Seq(
+          leg("lineitem.orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+          leg("lineitem.partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+          leg("lineitem.suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+          leg("orders.custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+          .mkString("", "\nUNION ALL ", "\nORDER BY relation")
+      },
+      "foreign-key orphan audit across the star schema: one left_anti per relation, " +
+        "un-hinted (AQE broadcasts dims that fit) — cross-table integrity before a " +
+        "batch joins the corpus (extension: data quality)"),
+
+    CatalogEntry(
+      "x86_weighted_sample",
+      (s, dir) => {
+        // priority (exponential-race) sampling ∝ n_chars: key_i =
+        // -ln(u_i)/w_i with u_i a salted-hash uniform — the smallest 30
+        // keys are a weighted sample without replacement. Deterministic:
+        // membership is a pure function of doc_id (Sampling's rule), so
+        // repartitioning or incremental ingest cannot flip picks. Keys are
+        // rounded to integer pico-units before ranking, keeping the sort
+        // axis engine-exact.
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            expr(fingerprintExpr("concat('ws:', cast(doc_id as string))")).as("hp"))
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            round(-log((col("hp") + 1).cast("double") / lit(Prime.toDouble)) /
+              col("n_chars").cast("double") * lit(1e12)).cast("long").as("key_pico"))
+          .orderBy("key_pico", "doc_id")
+          .limit(30)
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, n_chars,
+              |  ${dPoly("'ws:' || doc_id")} AS hp FROM documents)
+              |SELECT doc_id, source, n_chars,
+              |  CAST(round(-ln((hp + 1)::DOUBLE / 1000000007.0)
+              |    / n_chars::DOUBLE * 1e12) AS BIGINT) AS key_pico
+              |FROM d ORDER BY key_pico, doc_id LIMIT 30""".stripMargin),
+      "deterministic weighted sampling (exponential race, P[pick] ∝ n_chars): salted-" +
+        "hash uniforms, map-side keys, one TakeOrdered — the weighted complement of " +
+        "x28's uniform split (extension: sampling)")
   )
 }

@@ -154,6 +154,36 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out(1) shouldBe ((3L, 4L + 6L + 7L))
   }
 
+  test("x85: a dangling child key is counted as an orphan on its leg only") {
+    val tmp = java.nio.file.Files.createTempDirectory("qfk").toString
+    Seq((1L, 10L, 20L), (2L, 10L, 20L), (99L, 10L, 20L)) // orderkey 99 dangles
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, 5L), (2L, 5L)).toDF("o_orderkey", "o_custkey")
+      .write.parquet(s"$tmp/orders.parquet")
+    Seq(Tuple1(10L)).toDF("p_partkey").write.parquet(s"$tmp/part.parquet")
+    Seq(Tuple1(20L)).toDF("s_suppkey").write.parquet(s"$tmp/supplier.parquet")
+    Seq(Tuple1(5L)).toDF("c_custkey").write.parquet(s"$tmp/customer.parquet")
+    val out = entry("x85_referential_integrity").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("relation") -> r.getAs[Long]("n_orphans")).toMap
+    out("lineitem.orderkey->orders") shouldBe 1L
+    out("lineitem.partkey->part") shouldBe 0L
+    out("lineitem.suppkey->supplier") shouldBe 0L
+    out("orders.custkey->customer") shouldBe 0L
+  }
+
+  test("x86: a doc with overwhelming weight races to the front") {
+    // key = -ln(u)/w: w=1e9 shrinks any draw below the w=1 competitors'
+    val tmp = writeDocs(Seq(
+      (1L, "big", "en", "s", 1000000000L),
+      (2L, "a", "en", "s", 1L),
+      (3L, "b", "en", "s", 1L),
+      (4L, "c", "en", "s", 1L)))
+    val out = entry("x86_weighted_sample").build(spark, tmp).collect()
+    out.head.getAs[Long]("doc_id") shouldBe 1L
+    out.length shouldBe 4
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
