@@ -2875,6 +2875,45 @@ object ExtensionCatalog {
               |FROM d ORDER BY key_pico, doc_id LIMIT 30""".stripMargin),
       "deterministic weighted sampling (exponential race, P[pick] ∝ n_chars): salted-" +
         "hash uniforms, map-side keys, one TakeOrdered — the weighted complement of " +
-        "x28's uniform split (extension: sampling)")
+        "x28's uniform split (extension: sampling)"),
+
+    CatalogEntry(
+      "x87_trigram_search",
+      (s, dir) => {
+        // distributed substring search: a char-trigram posting index makes
+        // LIKE '%pat%' a selective equi-probe — candidates must contain ALL
+        // pattern trigrams (count-distinct == |tris|), then only candidates
+        // are verified with contains(). At 100 TB the posting table is the
+        // persisted index; the full-corpus LIKE scan never happens.
+        val pat = "table part"
+        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+        val docs = t(s, dir, "documents")
+        val posting = docs.where(length(col("text")) >= 3)
+          .select(col("doc_id"), explode(array_distinct(expr(
+            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
+            .as("tri"))
+        val cands = posting
+          .where(col("tri").isin(tris: _*))
+          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+          .where(col("nt") === tris.size)
+        cands.join(docs, "doc_id")
+          .where(col("text").contains(pat))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
+             |    range(1, length('table part') - 1),
+             |    i -> substring('table part', i, 3))) AS tri),
+             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+             |  FROM documents WHERE length(text) >= 3),
+             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+             |  GROUP BY doc_id
+             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      "char-trigram posting index + all-trigrams candidate intersection + contains() " +
+        "verify on candidates only — substring search without a full-corpus LIKE scan " +
+        "(extension: retrieval)")
   )
 }

@@ -184,6 +184,19 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out.length shouldBe 4
   }
 
+  test("x87: trigram candidates without the actual substring are verified away") {
+    // doc 2 contains every trigram of 'table part' ('table par art' covers
+    // tab/abl/ble/'le '/'e p'/' pa'/par/art) but not the substring itself —
+    // it must survive the index probe and die in the contains() verify.
+    val tmp = writeDocs(Seq(
+      (1L, "x table part y", "en", "s", 14L),
+      (2L, "table par art", "en", "s", 13L),
+      (3L, "nothing here", "en", "s", 12L)))
+    val out = entry("x87_trigram_search").build(spark, tmp)
+      .collect().map(_.getAs[Long]("doc_id"))
+    out.toSeq shouldBe Seq(1L)
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
