@@ -27,13 +27,13 @@ object KMeans {
     * final assignment (vec_id, cluster, d2).
     */
   def assignInt(emb: DataFrame, iters: Int): DataFrame = {
-    // (vec_id, label, dim, q) — quantized once and cached: every assign and
-    // recompute round consumes it (uncached, 2·iters+1 full re-scans)
+    // (vec_id, label, dim, q) — consumed by every assign/recompute round;
+    // the repeated scan+explode is cheap map work and ReuseExchange dedups
+    // the shuffles, which measured faster than an explicit .cache()
     val el = emb.select(col("vec_id"), col("label"),
       posexplode(expr(
         "transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) + 1.0d) * 500.0d) AS BIGINT))"))
         .as(Seq("dim", "q")))
-      .cache()
 
     // seeds: per-label integer-mean centroids
     val seed = el.groupBy(col("label").as("cluster"), col("dim"))

@@ -2641,13 +2641,14 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val tok = docs.select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
-        // staged once (the x08 lesson): both the LM counts and the scoring
-        // join consume bg — uncached, the tokenize+window pass runs twice
+        // bg feeds both the LM counts and the scoring join; its doc_id
+        // shuffle is deduplicated by ReuseExchange, which measured faster
+        // here than an explicit .cache() (InMemoryRelation materialization
+        // costs more than the second post-shuffle window pass)
         val bg = tok
           .withColumn("w2", lead("w1", 1).over(W.partitionBy("doc_id").orderBy("pos")))
           .where(col("w2").isNotNull)
           .select("doc_id", "w1", "w2")
-          .cache()
         val big = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
         val lm = big
           .join(big.groupBy("w1").agg(sum("n2").as("n1")), "w1")
