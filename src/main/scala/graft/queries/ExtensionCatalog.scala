@@ -2915,6 +2915,54 @@ object ExtensionCatalog {
              |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
       "char-trigram posting index + all-trigrams candidate intersection + contains() " +
         "verify on candidates only — substring search without a full-corpus LIKE scan " +
-        "(extension: retrieval)")
+        "(extension: retrieval)"),
+
+    CatalogEntry(
+      "x88_dataset_card",
+      (s, dir) => {
+        // the per-source datasheet a corpus release ships with: volume,
+        // token mass, exact-dup rate, language mix entropy. Two shuffles
+        // (per-source, per-source×lang); entropy terms are rounded to
+        // integer micro-nats BEFORE the per-source sum (the x81 rule), so
+        // the only float math is per-row scalar.
+        val d = t(s, dir, "documents").select(col("source"), col("lang"),
+          tokenCount("text").cast("long").as("nt"),
+          expr(fingerprintExpr("lower(trim(text))")).as("fp"))
+        val base = d.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("nt").as("total_tokens"),
+          countDistinct(col("fp")).as("n_distinct_texts"))
+          .withColumn("dup_rate",
+            (col("n_docs") - col("n_distinct_texts")).cast("double") /
+              col("n_docs").cast("double"))
+        val ent = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .join(base.select("source", "n_docs"), "source")
+          .select(col("source"),
+            round(-(col("c").cast("double") / col("n_docs").cast("double")) *
+              log(col("c").cast("double") / col("n_docs").cast("double")) * lit(1e6))
+              .cast("long").as("term"))
+          .groupBy("source").agg(sum("term").as("lang_entropy_micro"))
+        base.join(ent, "source").orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, lang,
+              |    len(string_split(text, ' '))::BIGINT AS nt,
+              |    ${dPoly("lower(trim(text))")} AS fp FROM documents),
+              |base AS (SELECT source, COUNT(*)::BIGINT AS n_docs,
+              |    CAST(SUM(nt) AS BIGINT) AS total_tokens,
+              |    COUNT(DISTINCT fp) AS n_distinct_texts FROM d GROUP BY 1),
+              |b2 AS (SELECT *, (n_docs - n_distinct_texts)::DOUBLE / n_docs::DOUBLE
+              |    AS dup_rate FROM base),
+              |lc AS (SELECT source, lang, COUNT(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+              |ent AS (SELECT lc.source,
+              |    CAST(SUM(CAST(round(-(c::DOUBLE / n_docs::DOUBLE)
+              |      * ln(c::DOUBLE / n_docs::DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+              |      AS lang_entropy_micro
+              |  FROM lc JOIN b2 ON lc.source = b2.source GROUP BY 1)
+              |SELECT b2.source, n_docs, total_tokens, n_distinct_texts, dup_rate,
+              |  lang_entropy_micro
+              |FROM b2 JOIN ent ON b2.source = ent.source ORDER BY 1""".stripMargin),
+      "per-source dataset card (volume, token mass, exact-dup rate, language-mix " +
+        "entropy in micro-nats) — the release datasheet, two map-side-combined " +
+        "shuffles over the corpus (extension: data quality / reporting)")
   )
 }

@@ -197,6 +197,25 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out.toSeq shouldBe Seq(1L)
   }
 
+  test("x88: dup rate and language entropy are computed per source") {
+    // s1: 3 docs, two identical → dup_rate 1/3, one lang → entropy 0.
+    // s2: 2 docs, 50/50 langs → entropy = 2·round(0.5·ln2·1e6) = 693148.
+    val tmp = writeDocs(Seq(
+      (1L, "same text", "en", "s1", 9L),
+      (2L, "same text", "en", "s1", 9L),
+      (3L, "other text", "en", "s1", 10L),
+      (4L, "un texte", "fr", "s2", 8L),
+      (5L, "a text", "en", "s2", 6L)))
+    val out = entry("x88_dataset_card").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("dup_rate"),
+          r.getAs[Long]("lang_entropy_micro"))).toMap
+    out("s1")._1 shouldBe 3L
+    out("s1")._2 shouldBe (1.0 / 3.0)
+    out("s1")._3 shouldBe 0L
+    out("s2")._3 shouldBe 693148L
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
