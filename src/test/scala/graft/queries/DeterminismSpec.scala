@@ -22,7 +22,14 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "x05_exact_dedup", // hash groupBy
     "x07_minhash_lsh_dedup", // band-join + jaccard
     "x10_ann_bruteforce", // float ranking
-    "x17_corpus_clean") // full pipeline
+    "x17_corpus_clean", // full pipeline
+    "x77_iqr_outliers", // interpolated quantiles + fence arithmetic
+    "x80_linear_count_distinct", // bucket fill + ln estimate
+    "x81_doc_surprisal", // micro-nat integer sums, integer div
+    "x83_kmeans_refine", // argmin ties + truncating integer means
+    "x84_countmin_heavy_hitters", // sketch buffer merge order
+    "x86_weighted_sample", // pico-unit exponential-race keys
+    "x88_dataset_card") // entropy micro-nat terms
 
   test("catalog results are invariant to shuffle partition count") {
     val wide = spark.newSession()
