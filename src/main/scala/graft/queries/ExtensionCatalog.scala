@@ -2963,6 +2963,87 @@ object ExtensionCatalog {
               |FROM b2 JOIN ent ON b2.source = ent.source ORDER BY 1""".stripMargin),
       "per-source dataset card (volume, token mass, exact-dup rate, language-mix " +
         "entropy in micro-nats) — the release datasheet, two map-side-combined " +
-        "shuffles over the corpus (extension: data quality / reporting)")
+        "shuffles over the corpus (extension: data quality / reporting)"),
+
+    CatalogEntry(
+      "x89_retention_cohorts",
+      (s, dir) => {
+        // daily-cohort retention: cohort = a user's first active day,
+        // matrix cell (cohort, offset) = distinct users active offset days
+        // later. Two user-keyed aggregates + one small self-join on the
+        // cohort-size column — no per-event self-join anywhere; integer
+        // day arithmetic end-to-end.
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+        val act = ev.distinct()
+        val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val cells = act.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+          .agg(countDistinct("user_id").as("n_active"))
+        val sizes = cells.where(col("offset_days") === 0)
+          .select(col("cohort_day"), col("n_active").as("cohort_n"))
+        cells.join(sizes, "cohort_day")
+          .select(col("cohort_day"), col("offset_days"), col("n_active"), col("cohort_n"),
+            (col("n_active").cast("double") / col("cohort_n").cast("double"))
+              .as("retention_rate"))
+          .orderBy("cohort_day", "offset_days")
+      },
+      Some("""WITH act AS (SELECT DISTINCT user_id,
+             |    epoch_us(ts) // 86400000000 AS day FROM events),
+             |cohort AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+             |cells AS (SELECT cohort_day, day - cohort_day AS offset_days,
+             |    COUNT(DISTINCT a.user_id)::BIGINT AS n_active
+             |  FROM act a JOIN cohort c ON a.user_id = c.user_id GROUP BY 1, 2),
+             |sizes AS (SELECT cohort_day, n_active AS cohort_n FROM cells
+             |  WHERE offset_days = 0)
+             |SELECT c.cohort_day, offset_days, n_active, cohort_n,
+             |  n_active::DOUBLE / cohort_n::DOUBLE AS retention_rate
+             |FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+             |ORDER BY 1, 2""".stripMargin),
+      "daily-cohort retention matrix (cohort = first active day, D-n rates): two " +
+        "user-keyed aggregates, no event self-join — the product-analytics staple " +
+        "(extension: events)"),
+
+    CatalogEntry(
+      "x90_vocab_drift",
+      (s, dir) => {
+        // ingest-drift monitor: token-set Jaccard between consecutive
+        // doc_id batches. Distinct (batch, token) pairs shuffle once; the
+        // consecutive-batch overlap is an equi-join on (token, batch+1) —
+        // batches only ever meet their neighbor, never all-pairs.
+        val bt = t(s, dir, "documents")
+          .select(expr("doc_id div 100").as("batch"),
+            explode(split(col("text"), " ")).as("tok"))
+          .distinct()
+        val sizes = bt.groupBy("batch").agg(count(lit(1)).as("n_toks"))
+        val inter = bt.as("a")
+          .join(bt.as("b"),
+            col("a.tok") === col("b.tok") && col("b.batch") === col("a.batch") + 1)
+          .groupBy(col("a.batch").as("batch"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(sizes.select(col("batch"), col("n_toks").as("n_a")), "batch")
+          .join(sizes.select((col("batch") - 1).as("batch"), col("n_toks").as("n_b")), "batch")
+          .select(col("batch"), (col("batch") + 1).as("next_batch"),
+            col("n_a"), col("n_b"), col("n_inter"),
+            (col("n_inter").cast("double") /
+              (col("n_a") + col("n_b") - col("n_inter")).cast("double")).as("jaccard"))
+          .orderBy("batch")
+      },
+      Some("""WITH bt AS (SELECT DISTINCT doc_id // 100 AS batch,
+             |    unnest(string_split(text, ' ')) AS tok FROM documents),
+             |sizes AS (SELECT batch, COUNT(*)::BIGINT AS n_toks FROM bt GROUP BY 1),
+             |inter AS (SELECT a.batch AS batch, COUNT(*)::BIGINT AS n_inter
+             |  FROM bt a JOIN bt b ON a.tok = b.tok AND b.batch = a.batch + 1
+             |  GROUP BY 1)
+             |SELECT i.batch, i.batch + 1 AS next_batch,
+             |  sa.n_toks AS n_a, sb.n_toks AS n_b, n_inter,
+             |  n_inter::DOUBLE / (sa.n_toks + sb.n_toks - n_inter)::DOUBLE AS jaccard
+             |FROM inter i JOIN sizes sa ON i.batch = sa.batch
+             |JOIN sizes sb ON i.batch + 1 = sb.batch
+             |ORDER BY 1""".stripMargin),
+      "vocabulary drift between consecutive ingest batches: distinct (batch, token) " +
+        "pairs, neighbor-only equi-join Jaccard — the corpus-shift monitor an " +
+        "incremental pipeline watches (extension: data quality / text)")
   )
 }

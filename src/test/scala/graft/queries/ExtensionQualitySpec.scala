@@ -216,6 +216,31 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out("s2")._3 shouldBe 693148L
   }
 
+  test("x89: a user active on days 0 and 2 fills the (0, 2) retention cell") {
+    val day = 86400000000000L // ns
+    val tmp = writeEvents(Seq(
+      (1L, 0L, 1L, "a", 0.0, "{}"), // user 1: day 0 only
+      (2L, 0L, 2L, "a", 0.0, "{}"), // user 2: days 0 and 2
+      (3L, 2 * day, 2L, "a", 0.0, "{}")))
+    val out = entry("x89_retention_cohorts").build(spark, tmp)
+      .collect().map(r => (r.getAs[Long]("cohort_day"), r.getAs[Long]("offset_days")) ->
+        (r.getAs[Long]("n_active"), r.getAs[Double]("retention_rate"))).toMap
+    out((0L, 0L)) shouldBe ((2L, 1.0))
+    out((0L, 2L)) shouldBe ((1L, 0.5))
+    out.keySet shouldBe Set((0L, 0L), (0L, 2L))
+  }
+
+  test("x90: half-overlapping neighbor batches score jaccard 1/3") {
+    // batch 0 (doc 0-99): tokens {a b}; batch 1 (100-199): {b c} → 1/3
+    val tmp = writeDocs(Seq(
+      (1L, "a b", "en", "s", 3L),
+      (150L, "b c", "en", "s", 3L)))
+    val r = entry("x90_vocab_drift").build(spark, tmp).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_inter") shouldBe 1L
+    r.head.getAs[Double]("jaccard") shouldBe (1.0 / 3.0)
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
