@@ -3044,6 +3044,63 @@ object ExtensionCatalog {
              |ORDER BY 1""".stripMargin),
       "vocabulary drift between consecutive ingest batches: distinct (batch, token) " +
         "pairs, neighbor-only equi-join Jaccard — the corpus-shift monitor an " +
-        "incremental pipeline watches (extension: data quality / text)")
+        "incremental pipeline watches (extension: data quality / text)"),
+
+    CatalogEntry(
+      "x91_ann_recall",
+      (s, dir) => {
+        // the accuracy audit every approximate index owes its users:
+        // recall@5 of the LSH path (x11) against brute-force truth (x10),
+        // per query vector. Composes the two existing operators; the only
+        // new work is a left join on (query, corpus) pairs.
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 10); val c = e.where(col("vec_id") >= 10)
+        val truth = SimilaritySearch.bruteForceTopK(q, c, k = 5)
+          .select("query_id", "corpus_id")
+        val approx = SimilaritySearch.lshTopK(q, c, k = 5, planes = 8)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+        truth.join(approx, Seq("query_id", "corpus_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some {
+        val bucket = (v: String) =>
+          s"""list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8), j ->
+             |  CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, len($v) + 1),
+             |    i -> CASE WHEN (((j * 100003 + i) * 2654435761) % $Prime) % 2 = 0
+             |         THEN $v[i]::DOUBLE ELSE -($v[i]::DOUBLE) END)), (s2, x) -> s2 + x) > 0
+             |  THEN (1::BIGINT << j) ELSE 0::BIGINT END)), (acc, x) -> acc + x)""".stripMargin
+        s"""WITH tr AS (SELECT query_id, corpus_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${dCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+           |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q,
+           |         (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+           |  WHERE rank <= 5),
+           |qb AS (SELECT vec_id AS query_id, embedding AS qv,
+           |  ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id < 10),
+           |cb AS (SELECT vec_id AS corpus_id, embedding AS cv,
+           |  ${bucket("embedding")} AS bucket FROM embeddings WHERE vec_id >= 10),
+           |ap AS (SELECT query_id, corpus_id FROM (
+           |    SELECT qb.query_id, cb.corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qb.query_id
+           |        ORDER BY ${dCos("qb.qv", "cb.cv")} DESC, cb.corpus_id) AS rank
+           |    FROM qb JOIN cb ON qb.bucket = cb.bucket)
+           |  WHERE rank <= 5)
+           |SELECT tr.query_id,
+           |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+           |    / 5.0 AS recall
+           |FROM tr LEFT JOIN ap ON tr.query_id = ap.query_id
+           |  AND tr.corpus_id = ap.corpus_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      "recall@5 audit of the LSH ANN path against brute-force truth, per query — " +
+        "the accuracy contract an approximate index ships with " +
+        "(extension: similarity search / evaluation)")
   )
 }

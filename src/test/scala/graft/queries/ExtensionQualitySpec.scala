@@ -241,6 +241,16 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     r.head.getAs[Double]("jaccard") shouldBe (1.0 / 3.0)
   }
 
+  test("x91: recall is bounded and covers every query vector") {
+    val out = entry("x91_ann_recall").build(spark, SparkTestSession.sf0001).collect()
+    out.length shouldBe 10 // one row per query vector, zero-hit queries included
+    out.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      hits should (be >= 0L and be <= 5L)
+      r.getAs[Double]("recall") shouldBe hits / 5.0
+    }
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
