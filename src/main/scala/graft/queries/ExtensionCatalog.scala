@@ -3101,6 +3101,74 @@ object ExtensionCatalog {
       },
       "recall@5 audit of the LSH ANN path against brute-force truth, per query — " +
         "the accuracy contract an approximate index ships with " +
-        "(extension: similarity search / evaluation)")
+        "(extension: similarity search / evaluation)"),
+
+    CatalogEntry(
+      "x92_lsh_dedup_recall",
+      (s, dir) => {
+        // x91's contract applied to dedup: did MinHash+LSH banding find
+        // every pair an exact all-pairs Jaccard pass finds? Truth is
+        // bounded to a doc_id<1000 shard (the x09 rule — all-pairs exists
+        // only as a fenced verification leg); the LSH side runs the x07
+        // operator on the same shard.
+        val shard = t(s, dir, "documents").where(col("doc_id") < 1000)
+        val sh = Dedup.minhashSignature(shard, k = 16, shingleN = 3)
+          .select(col("doc_id"), col("shingles"))
+        val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            TextFunctions.jaccard(col("a.shingles"), col("b.shingles")).as("jac"))
+          .where(col("jac") >= 0.5)
+          .select("id_a", "id_b")
+        val approx = Dedup.minhashNearDups(shard, k = 16, bands = 8,
+          shingleN = 3, threshold = 0.5).select("id_a", "id_b")
+        truth.agg(count(lit(1)).as("n_truth"))
+          .crossJoin(truth.join(approx, Seq("id_a", "id_b"), "left_semi")
+            .agg(count(lit(1)).as("n_found")))
+          .select(col("n_truth"), col("n_found"),
+            (col("n_truth") - col("n_found")).as("n_missed"),
+            when(col("n_truth") > 0,
+              col("n_found").cast("double") / col("n_truth").cast("double"))
+              .as("recall"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE doc_id < 1000),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |truth AS (SELECT id_a, id_b FROM (
+              |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / (len(a.shingles) + len(b.shingles)
+              |         - len(list_intersect(a.shingles, b.shingles))) AS jac
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jac >= 0.5),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |approx AS (SELECT id_a, id_b FROM (
+              |  SELECT c.id_a, c.id_b,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / (len(x.shingles) + len(y.shingles)
+              |         - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |t AS (SELECT COUNT(*)::BIGINT AS n_truth FROM truth),
+              |f AS (SELECT COUNT(*)::BIGINT AS n_found FROM truth
+              |  WHERE (id_a, id_b) IN (SELECT (id_a, id_b) FROM approx))
+              |SELECT n_truth, n_found, n_truth - n_found AS n_missed,
+              |  CASE WHEN n_truth > 0
+              |    THEN n_found::DOUBLE / n_truth::DOUBLE ELSE NULL END AS recall
+              |FROM t, f""".stripMargin),
+      "dedup recall audit: MinHash+LSH pair discovery vs exact all-pairs Jaccard truth " +
+        "on a fenced shard — quantifies what banding misses before you trust it at " +
+        "100 TB (extension: dedup / evaluation)")
   )
 }

@@ -251,6 +251,19 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("x92: near-identical docs form a truth pair and LSH finds it") {
+    // docs 1/2 share all but one token (jaccard of shingle sets ≥ 0.5);
+    // doc 3 is unrelated → n_truth = n_found = 1, recall 1.0
+    val tmp = writeDocs(Seq(
+      (1L, "a b c d e f g h", "en", "s", 15L),
+      (2L, "a b c d e f g z", "en", "s", 15L),
+      (3L, "q r s t u v w x", "en", "s", 15L)))
+    val r = entry("x92_lsh_dedup_recall").build(spark, tmp).collect().head
+    r.getAs[Long]("n_truth") shouldBe 1L
+    r.getAs[Long]("n_found") shouldBe 1L
+    r.getAs[Double]("recall") shouldBe 1.0
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(

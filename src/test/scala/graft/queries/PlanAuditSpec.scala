@@ -80,8 +80,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x52_bm25", "x53_pmi_collocations", "x56_quality_band_filter", "x59_rank_fusion",
       "x63_hot_keys", "x71_dense_timeseries", "x73_pagerank", "x82_temporal_split",
       // x84 crosses the 1-row sketch aggregate; x85 pairs 1-row count
-      // aggregates; x91 inherits x10's bounded-broadcast truth leg
-      "x84_countmin_heavy_hitters", "x85_referential_integrity", "x91_ann_recall")
+      // aggregates; x91 inherits x10's bounded-broadcast truth leg; x92's
+      // truth leg is the fenced all-pairs shard (the x09 rule) + 1-row counts
+      "x84_countmin_heavy_hitters", "x85_referential_integrity", "x91_ann_recall",
+      "x92_lsh_dedup_recall")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
