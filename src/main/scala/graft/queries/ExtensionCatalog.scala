@@ -3113,8 +3113,16 @@ object ExtensionCatalog {
         // operator on the same shard.
         val shard = t(s, dir, "documents").where(col("doc_id") < 1000)
         val sh = Dedup.minhashSignature(shard, k = 16, shingleN = 3)
-          .select(col("doc_id"), col("shingles"))
-        val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("ns"))
+        // jac ≥ 0.5 ⟹ min(|A|,|B|) ≥ 0.5·max(|A|,|B|): the size-ratio bound
+        // rejects pairs INSIDE the join condition (two int compares) before
+        // any set intersection runs, never touching the truth set. On this
+        // fixture's near-uniform doc lengths it prunes little (measured);
+        // on a real corpus length spread it is the standard first fence.
+        val truth = sh.as("a").join(sh.as("b"),
+            col("a.doc_id") < col("b.doc_id") &&
+              least(col("a.ns"), col("b.ns")).cast("double") >=
+                greatest(col("a.ns"), col("b.ns")).cast("double") * 0.5)
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
             TextFunctions.jaccard(col("a.shingles"), col("b.shingles")).as("jac"))
           .where(col("jac") >= 0.5)
