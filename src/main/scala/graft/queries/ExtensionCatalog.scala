@@ -3177,6 +3177,46 @@ object ExtensionCatalog {
               |FROM t, f""".stripMargin),
       "dedup recall audit: MinHash+LSH pair discovery vs exact all-pairs Jaccard truth " +
         "on a fenced shard — quantifies what banding misses before you trust it at " +
-        "100 TB (extension: dedup / evaluation)")
+        "100 TB (extension: dedup / evaluation)"),
+
+    CatalogEntry(
+      "x93_join_size_sketch",
+      (s, dir) => {
+        // join-size estimation from the count-min inner product: the
+        // self-join cardinality on user_id is Σ c_u², and min_i Σ_j
+        // cell[i][j]² upper-bounds it from the same one-pass sketch x84
+        // builds — what a planner consults BEFORE committing to a shuffle
+        // join at 100 TB. The exact leg (a full groupBy) is the audit.
+        val d = 4; val w = 256
+        val ev = t(s, dir, "events").select(col("user_id"),
+          expr(fingerprintExpr("cast(user_id as string)")).as("kh"))
+        val sk = ev.agg(
+          graft.functions.CountMinSketch.sketch(col("kh"), d, w).as("sketch"))
+        val rows = (0 until d).map(i =>
+          expr(s"aggregate(transform(slice(sketch, ${i * w + 1}, $w), x -> x * x), " +
+            "CAST(0 AS BIGINT), (a, b) -> a + b)"))
+        val est = sk.select(least(rows: _*).as("est_size"))
+        val exact = ev.groupBy("user_id").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("exact_size"))
+        exact.crossJoin(est)
+          .select(col("exact_size"), col("est_size"),
+            (col("est_size").cast("double") / col("exact_size").cast("double"))
+              .as("over_ratio"))
+      },
+      Some(s"""WITH k AS (SELECT user_id, ${dPoly("CAST(user_id AS VARCHAR)")} AS kh,
+              |  COUNT(*)::BIGINT AS c FROM events GROUP BY 1, 2),
+              |h AS (SELECT kh, c, r.i,
+              |    ((((1 + r.i * 2654435761) % $Prime) * kh + (7 + r.i * 40503)) % $Prime) % 256 AS j
+              |  FROM k, range(0, 4) r(i)),
+              |cells AS (SELECT i, j, CAST(SUM(c) AS BIGINT) AS cell FROM h GROUP BY 1, 2),
+              |ip AS (SELECT i, CAST(SUM(cell * cell) AS BIGINT) AS s FROM cells GROUP BY 1),
+              |est AS (SELECT MIN(s) AS est_size FROM ip),
+              |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size FROM k)
+              |SELECT exact_size, est_size,
+              |  est_size::DOUBLE / exact_size::DOUBLE AS over_ratio
+              |FROM ex, est""".stripMargin),
+      "self-join cardinality (Σc²) estimated by the count-min inner product vs the " +
+        "exact aggregate — sketch-driven join planning, always an upper bound " +
+        "(extension: sketches / planning)")
   )
 }

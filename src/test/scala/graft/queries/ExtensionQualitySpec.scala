@@ -264,6 +264,18 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("recall") shouldBe 1.0
   }
 
+  test("x93: the CMS inner product never underestimates the self-join size") {
+    // 3 users with 3/2/1 events → exact Σc² = 14; the estimate upper-bounds it
+    val rows = (Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++ Seq(3L)).zipWithIndex.map {
+      case (u, i) => (i.toLong, i.toLong * 1000L, u, "a", 0.0, "{}")
+    }
+    val tmp = writeEvents(rows)
+    val r = entry("x93_join_size_sketch").build(spark, tmp).collect().head
+    r.getAs[Long]("exact_size") shouldBe 14L
+    r.getAs[Long]("est_size") should be >= 14L
+    r.getAs[Double]("over_ratio") should be >= 1.0
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
