@@ -3217,6 +3217,70 @@ object ExtensionCatalog {
               |FROM ex, est""".stripMargin),
       "self-join cardinality (Σc²) estimated by the count-min inner product vs the " +
         "exact aggregate — sketch-driven join planning, always an upper bound " +
-        "(extension: sketches / planning)")
+        "(extension: sketches / planning)"),
+
+    CatalogEntry(
+      "x94_anomaly_days",
+      (s, dir) => {
+        // robust time-series anomaly flagging: a day is anomalous for an
+        // event type when its count deviates from the type's median daily
+        // count by more than 3×MAD. Median over integer counts is
+        // dyadic-exact (x77's rule), and so is the MAD (median of |x-med|,
+        // values carrying ≤1 fraction bit). Two tiny per-type aggregates;
+        // the daily count table is the only corpus-sized shuffle.
+        val daily = t(s, dir, "events")
+          .groupBy(col("event_type"), expr("(ts div 1000) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val med = daily.groupBy("event_type")
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val mad = daily.join(med, "event_type")
+          .groupBy(col("event_type"), col("med"))
+          .agg(expr("percentile(abs(n - med), 0.5)").as("mad"))
+        daily.join(mad, "event_type")
+          .where(abs(col("n") - col("med")) > lit(3.0) * col("mad"))
+          .select(col("event_type"), col("day"), col("n"), col("med"), col("mad"))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1, 2),
+             |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+             |  FROM daily GROUP BY 1),
+             |mad AS (SELECT d.event_type, med, quantile_cont(abs(n - med), 0.5) AS mad
+             |  FROM daily d JOIN med m ON d.event_type = m.event_type GROUP BY 1, 2)
+             |SELECT d.event_type, day, n, m.med, m.mad
+             |FROM daily d JOIN mad m ON d.event_type = m.event_type
+             |WHERE abs(n - m.med) > 3.0 * m.mad
+             |ORDER BY 1, 2""".stripMargin),
+      "median±3×MAD anomaly days per event type: the robust volume monitor over a " +
+        "daily count table — corpus shuffles once, the per-type stats are tiny " +
+        "(extension: events / monitoring)"),
+
+    CatalogEntry(
+      "x95_score_calibration",
+      (s, dir) => {
+        // cross-source score calibration: raw n_chars is incomparable
+        // across sources with different length distributions; its
+        // within-source percent_rank is uniform by construction. The
+        // decile histogram per source demonstrates the flattening — the
+        // move that makes a single quality threshold meaningful corpus-wide.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("n_chars", "doc_id")
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"))
+          .withColumn("pr", percent_rank().over(w))
+          .select(col("source"),
+            least(floor(col("pr") * 10).cast("int"), lit(9)).as("decile"))
+          .groupBy("source", "decile").agg(count(lit(1)).as("n"))
+          .orderBy("source", "decile")
+      },
+      Some("""WITH pr AS (SELECT source, doc_id, n_chars,
+             |    percent_rank() OVER (PARTITION BY source
+             |      ORDER BY n_chars, doc_id) AS pr FROM documents)
+             |SELECT source, LEAST(CAST(floor(pr * 10) AS INTEGER), 9) AS decile,
+             |  COUNT(*)::BIGINT AS n
+             |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "within-source percent_rank calibration of a raw score + per-source decile " +
+        "histogram — aligns incomparable source distributions so one corpus-wide " +
+        "threshold works (extension: data quality / curation)")
   )
 }

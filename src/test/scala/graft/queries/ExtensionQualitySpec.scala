@@ -276,6 +276,27 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     r.getAs[Double]("over_ratio") should be >= 1.0
   }
 
+  test("x94: a single spike day is flagged against a flat baseline") {
+    // type 'a': 7 days at 2 events, day 7 at 6 events → med 2, MAD 0,
+    // only the spike exceeds 3×MAD
+    val day = 86400000000000L
+    val rows = (0 until 7).flatMap(d =>
+      Seq.tabulate(2)(j => ((d * 10 + j).toLong, d * day + j * 1000L, 1L, "a", 0.0, "{}"))) ++
+      Seq.tabulate(6)(j => ((700 + j).toLong, 7 * day + j * 1000L, 1L, "a", 0.0, "{}"))
+    val out = entry("x94_anomaly_days").build(spark, writeEvents(rows)).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("day") shouldBe 7L
+    out.head.getAs[Long]("n") shouldBe 6L
+  }
+
+  test("x95: distinct lengths calibrate to a flat decile histogram") {
+    val tmp = writeDocs((1L to 20L).map(i => (i, "t", "en", "s", 100L + i)))
+    val out = entry("x95_score_calibration").build(spark, tmp)
+      .collect().map(r => r.getAs[Int]("decile") -> r.getAs[Long]("n")).toMap
+    out.keySet shouldBe (0 to 9).toSet
+    out.values.foreach(_ shouldBe 2L) // 20 docs, 10 deciles, uniform by construction
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
