@@ -3281,6 +3281,50 @@ object ExtensionCatalog {
              |FROM pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "within-source percent_rank calibration of a raw score + per-source decile " +
         "histogram — aligns incomparable source distributions so one corpus-wide " +
-        "threshold works (extension: data quality / curation)")
+        "threshold works (extension: data quality / curation)"),
+
+    CatalogEntry(
+      "x96_boilerplate_ratio",
+      (s, dir) => {
+        // boilerplate detection: fingerprint non-overlapping 16-token
+        // chunks, count each fingerprint across the WHOLE corpus, and score
+        // every doc by the fraction of its chunks that also appear
+        // elsewhere — headers/footers/licenses light up. One chunk-level
+        // shuffle (map-side combined counts), one join back.
+        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
+            .as("fp"))
+        val counts = chunks.groupBy("fp").agg(count(lit(1)).as("cnt"))
+        chunks.join(counts, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .select(col("doc_id"), col("n_chunks"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_chunks").cast("double"))
+              .as("boilerplate_ratio"))
+          .where(col("n_shared") > 0)
+          .orderBy(desc("boilerplate_ratio"), asc("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS lst
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 16),
+              |chunks AS (SELECT doc_id, unnest(list_transform(range(0, len(lst) // 16),
+              |    i -> ${dPoly("array_to_string(lst[i * 16 + 1 : i * 16 + 16], ' ')")})) AS fp
+              |  FROM base),
+              |counts AS (SELECT fp, COUNT(*)::BIGINT AS cnt FROM chunks GROUP BY 1),
+              |sc AS (SELECT doc_id, COUNT(*)::BIGINT AS n_chunks,
+              |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+              |  FROM chunks c JOIN counts t ON c.fp = t.fp GROUP BY 1)
+              |SELECT doc_id, n_chunks, n_shared,
+              |  n_shared::DOUBLE / n_chunks::DOUBLE AS boilerplate_ratio
+              |FROM sc WHERE n_shared > 0
+              |ORDER BY boilerplate_ratio DESC, doc_id LIMIT 50""".stripMargin),
+      "cross-corpus repeated-chunk (boilerplate) scoring: 16-token chunk fingerprints " +
+        "counted corpus-wide, per-doc shared fraction — the header/license detector " +
+        "that precedes near-dup removal (extension: dedup / text)")
   )
 }

@@ -297,6 +297,24 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out.values.foreach(_ shouldBe 2L) // 20 docs, 10 deciles, uniform by construction
   }
 
+  test("x96: a chunk shared verbatim across docs marks both as boilerplate") {
+    // 16-token header shared by docs 1 and 2; doc 2 has a second, unique
+    // chunk → ratios 1.0 and 0.5. doc 3 (all unique) is filtered out.
+    val header = (1 to 16).map(i => s"h$i").mkString(" ")
+    val unique = (1 to 16).map(i => s"u$i").mkString(" ")
+    val other = (1 to 16).map(i => s"z$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, header, "en", "s", 10L),
+      (2L, s"$header $unique", "en", "s", 10L),
+      (3L, other, "en", "s", 10L)))
+    val out = entry("x96_boilerplate_ratio").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("boilerplate_ratio"))).toMap
+    out(1L) shouldBe ((1L, 1.0))
+    out(2L) shouldBe ((1L, 0.5))
+    out.keySet shouldBe Set(1L, 2L)
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
