@@ -3325,6 +3325,43 @@ object ExtensionCatalog {
               |ORDER BY boilerplate_ratio DESC, doc_id LIMIT 50""".stripMargin),
       "cross-corpus repeated-chunk (boilerplate) scoring: 16-token chunk fingerprints " +
         "counted corpus-wide, per-doc shared fraction — the header/license detector " +
-        "that precedes near-dup removal (extension: dedup / text)")
+        "that precedes near-dup removal (extension: dedup / text)"),
+
+    CatalogEntry(
+      "x97_negative_sampling",
+      (s, dir) => {
+        // contrastive-pair generation: for each anchor, 3 deterministic
+        // negatives drawn from OTHER labels by salted pair-hash rank —
+        // reproducible across runs/partitionings (Sampling's rule on the
+        // pair key), no RNG state to ship. Anchors broadcast (bounded);
+        // rank is a per-anchor window on the hash axis.
+        val e = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
+        val anchors = e.where(col("vec_id") < 5)
+          .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+        val pairHash = fingerprintExpr(
+          "concat('neg:', cast(anchor_id as string), ':', cast(vec_id as string))")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("anchor_id").orderBy("h", "neg_id")
+        broadcast(anchors).join(e, col("label") =!= col("anchor_label"))
+          .select(col("anchor_id"), col("vec_id").as("neg_id"),
+            expr(pairHash).as("h"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 3)
+          .select("anchor_id", "neg_id", "rank")
+          .orderBy("anchor_id", "rank")
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+              |  FROM embeddings WHERE vec_id < 5),
+              |c AS (SELECT a.anchor_id, e.vec_id AS neg_id,
+              |    ${dPoly("'neg:' || anchor_id || ':' || e.vec_id")} AS h
+              |  FROM a JOIN embeddings e ON e.label <> a.anchor_label),
+              |r AS (SELECT anchor_id, neg_id,
+              |    row_number() OVER (PARTITION BY anchor_id ORDER BY h, neg_id) AS rank
+              |  FROM c)
+              |SELECT anchor_id, neg_id, rank FROM r WHERE rank <= 3
+              |ORDER BY 1, 3""".stripMargin),
+      "deterministic negative sampling for contrastive training: per-anchor top-3 " +
+        "different-label candidates by salted pair-hash rank — reproducible pair " +
+        "generation without RNG state (extension: sampling / training prep)")
   )
 }

@@ -29,7 +29,8 @@ class DeterminismSpec extends AnyFunSuite with Matchers {
     "x83_kmeans_refine", // argmin ties + truncating integer means
     "x84_countmin_heavy_hitters", // sketch buffer merge order
     "x86_weighted_sample", // pico-unit exponential-race keys
-    "x88_dataset_card") // entropy micro-nat terms
+    "x88_dataset_card", // entropy micro-nat terms
+    "x94_anomaly_days") // dyadic median/MAD fences
 
   test("catalog results are invariant to shuffle partition count") {
     val wide = spark.newSession()

@@ -315,6 +315,23 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out.keySet shouldBe Set(1L, 2L)
   }
 
+  test("x97: negatives never share the anchor's label and come 3 per anchor") {
+    val tmp = java.nio.file.Files.createTempDirectory("qneg").toString
+    val vecs = (0L until 20L).map(i => (i, Array.fill(4)(i.toFloat / 20), (i % 4).toInt))
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val labelOf = vecs.map(v => v._1 -> v._3).toMap
+    val out = entry("x97_negative_sampling").build(spark, tmp).collect()
+    out.length shouldBe 15 // 5 anchors × 3 negatives
+    out.foreach { r =>
+      val a = r.getAs[Long]("anchor_id"); val n = r.getAs[Long]("neg_id")
+      labelOf(n) should not be labelOf(a)
+    }
+    // determinism: a second build returns the identical pair set
+    val again = entry("x97_negative_sampling").build(spark, tmp).collect()
+    again.map(_.toString).sorted shouldBe out.map(_.toString).sorted
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(

@@ -83,7 +83,8 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // aggregates; x91 inherits x10's bounded-broadcast truth leg; x92's
       // truth leg is the fenced all-pairs shard (the x09 rule) + 1-row counts
       "x84_countmin_heavy_hitters", "x85_referential_integrity", "x91_ann_recall",
-      "x92_lsh_dedup_recall", "x93_join_size_sketch")
+      "x92_lsh_dedup_recall", "x93_join_size_sketch",
+      "x97_negative_sampling") // ≤5 broadcast anchors × label-exclusion predicate
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
