@@ -3362,6 +3362,64 @@ object ExtensionCatalog {
               |ORDER BY 1, 3""".stripMargin),
       "deterministic negative sampling for contrastive training: per-anchor top-3 " +
         "different-label candidates by salted pair-hash rank — reproducible pair " +
-        "generation without RNG state (extension: sampling / training prep)")
+        "generation without RNG state (extension: sampling / training prep)"),
+
+    CatalogEntry(
+      "x98_psi_drift",
+      (s, dir) => {
+        // population stability index per event type between the month's
+        // halves: PSI = Σ_b (p_b - q_b)·ln(p_b/q_b) over 10 fixed
+        // value-milli bands, add-one smoothed so empty bands stay finite.
+        // Each term is rounded to integer micro-nats before the per-type
+        // sum (the x81 rule); one corpus shuffle builds the band counts.
+        import s.implicits._
+        val ev = t(s, dir, "events").select(col("event_type"),
+          expr("least(cast(floor(value * 1000) as bigint) div 50000, 9)").as("band"),
+          when(expr("(ts div 1000) div 86400000000") % 31 < 15, lit("a"))
+            .otherwise(lit("b")).as("half"))
+        val counts = ev.groupBy("event_type", "band", "half")
+          .agg(count(lit(1)).as("c"))
+        val tot = ev.groupBy("event_type", "half").agg(count(lit(1)).as("n"))
+        // dense (type, half) × band grid so empty bands still get smoothed mass
+        val grid = tot.crossJoin((0L to 9L).toDF("band"))
+        val p = grid.join(counts, Seq("event_type", "band", "half"), "left")
+          .select(col("event_type"), col("band"), col("half"),
+            ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+              (col("n") + 10).cast("double")).as("share"))
+        val wide = p.groupBy("event_type", "band")
+          .agg(max(when(col("half") === "a", col("share"))).as("pa"),
+            max(when(col("half") === "b", col("share"))).as("pb"))
+        wide.select(col("event_type"),
+          round((col("pa") - col("pb")) * log(col("pa") / col("pb")) * lit(1e6))
+            .cast("long").as("term"))
+          .groupBy("event_type").agg(sum("term").as("psi_micro"))
+          .orderBy("event_type")
+      },
+      Some("""WITH ev AS (SELECT event_type,
+             |    LEAST(CAST(floor(value * 1000) AS BIGINT) // 50000, 9) AS band,
+             |    CASE WHEN (epoch_us(ts) // 86400000000) % 31 < 15
+             |      THEN 'a' ELSE 'b' END AS half FROM events),
+             |counts AS (SELECT event_type, band, half, COUNT(*)::BIGINT AS c
+             |  FROM ev GROUP BY 1, 2, 3),
+             |tot AS (SELECT event_type, half, COUNT(*)::BIGINT AS n
+             |  FROM ev GROUP BY 1, 2),
+             |grid AS (SELECT event_type, half, n, b.band
+             |  FROM tot, (SELECT unnest(range(0, 10)) AS band) b),
+             |p AS (SELECT g.event_type, g.band, g.half,
+             |    (COALESCE(c.c, 0) + 1)::DOUBLE / (g.n + 10)::DOUBLE AS share
+             |  FROM grid g LEFT JOIN counts c ON g.event_type = c.event_type
+             |    AND g.band = c.band AND g.half = c.half),
+             |wide AS (SELECT event_type, band,
+             |    MAX(CASE WHEN half = 'a' THEN share END) AS pa,
+             |    MAX(CASE WHEN half = 'b' THEN share END) AS pb
+             |  FROM p GROUP BY 1, 2)
+             |SELECT event_type,
+             |  CAST(SUM(CAST(round((pa - pb) * ln(pa / pb) * 1000000.0) AS BIGINT))
+             |    AS BIGINT) AS psi_micro
+             |FROM wide GROUP BY 1 ORDER BY 1""".stripMargin),
+      "population stability index per event type between month halves: 10 fixed " +
+        "milli-unit bands, add-one smoothing, integer micro-nat terms — the standard " +
+        "distribution-drift monitor for a serving/training split " +
+        "(extension: monitoring)")
   )
 }

@@ -332,6 +332,19 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     again.map(_.toString).sorted shouldBe out.map(_.toString).sorted
   }
 
+  test("x98: identical halves score PSI 0; a shifted half scores positive") {
+    val day = 86400000000000L
+    // type 'a': value 1.0 in both halves → all bands identical → PSI 0.
+    // type 'b': band 0 in half one, band 9 (value 490) in half two → PSI ≫ 0.
+    val rows = Seq(
+      (1L, 0L, 1L, "a", 1.0, "{}"), (2L, 20 * day, 1L, "a", 1.0, "{}"),
+      (3L, 0L, 1L, "b", 1.0, "{}"), (4L, 20 * day, 1L, "b", 490.0, "{}"))
+    val out = entry("x98_psi_drift").build(spark, writeEvents(rows))
+      .collect().map(r => r.getAs[String]("event_type") -> r.getAs[Long]("psi_micro")).toMap
+    out("a") shouldBe 0L
+    out("b") should be > 0L
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(

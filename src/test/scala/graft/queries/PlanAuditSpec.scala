@@ -84,7 +84,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // truth leg is the fenced all-pairs shard (the x09 rule) + 1-row counts
       "x84_countmin_heavy_hitters", "x85_referential_integrity", "x91_ann_recall",
       "x92_lsh_dedup_recall", "x93_join_size_sketch",
-      "x97_negative_sampling") // ≤5 broadcast anchors × label-exclusion predicate
+      // x97: ≤5 broadcast anchors × label-exclusion predicate; x98: per-type
+      // totals × the 10-row literal band grid
+      "x97_negative_sampling", "x98_psi_drift")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
