@@ -3420,6 +3420,52 @@ object ExtensionCatalog {
       "population stability index per event type between month halves: 10 fixed " +
         "milli-unit bands, add-one smoothing, integer micro-nat terms — the standard " +
         "distribution-drift monitor for a serving/training split " +
-        "(extension: monitoring)")
+        "(extension: monitoring)"),
+
+    CatalogEntry(
+      "x99_dup_rate_ci",
+      (s, dir) => {
+        // audit numbers need error bars: the per-source exact-dup rate
+        // (x88's signal) with its Wilson 95% interval, so a small source's
+        // noisy 12% and a large source's solid 12% stop looking alike.
+        // All inputs are exact integer counts; the interval itself is
+        // per-row scalar double (sqrt precedent: cosine distances).
+        val z2 = 1.96 * 1.96
+        val d = t(s, dir, "documents").select(col("source"),
+          expr(fingerprintExpr("lower(trim(text))")).as("fp"))
+        val base = d.groupBy("source").agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("fp")).as("nd"))
+          .withColumn("p", (col("n") - col("nd")).cast("double") / col("n").cast("double"))
+        base.select(col("source"), col("n"), col("p").as("dup_rate"),
+          ((col("p") + lit(z2) / (col("n") * 2) -
+            lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              lit(z2) / (col("n") * col("n") * 4))) /
+            (lit(1.0) + lit(z2) / col("n"))).as("ci_lo"),
+          ((col("p") + lit(z2) / (col("n") * 2) +
+            lit(1.96) * sqrt(col("p") * (lit(1.0) - col("p")) / col("n") +
+              lit(z2) / (col("n") * col("n") * 4))) /
+            (lit(1.0) + lit(z2) / col("n"))).as("ci_hi"))
+          .orderBy("source")
+      },
+      Some(s"""WITH d AS (SELECT source, ${dPoly("lower(trim(text))")} AS fp
+              |  FROM documents),
+              |b AS (SELECT source, COUNT(*)::BIGINT AS n,
+              |    COUNT(DISTINCT fp) AS nd FROM d GROUP BY 1),
+              |p AS (SELECT source, n,
+              |    (n - nd)::DOUBLE / n::DOUBLE AS p FROM b)
+              |SELECT source, n, p AS dup_rate,
+              |  (p + (1.96::DOUBLE * 1.96::DOUBLE) / (n * 2)
+              |     - 1.96::DOUBLE * sqrt(p * (1.0::DOUBLE - p) / n
+              |       + (1.96::DOUBLE * 1.96::DOUBLE) / (n * n * 4)))
+              |    / (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n) AS ci_lo,
+              |  (p + (1.96::DOUBLE * 1.96::DOUBLE) / (n * 2)
+              |     + 1.96::DOUBLE * sqrt(p * (1.0::DOUBLE - p) / n
+              |       + (1.96::DOUBLE * 1.96::DOUBLE) / (n * n * 4)))
+              |    / (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n) AS ci_hi
+              |FROM p ORDER BY 1""".stripMargin),
+      "per-source exact-dup rate with Wilson 95% interval — audit metrics with error " +
+        "bars, so small-sample rates carry their uncertainty " +
+        "(extension: data quality / reporting)")
   )
 }

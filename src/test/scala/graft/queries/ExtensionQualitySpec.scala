@@ -345,6 +345,22 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     out("b") should be > 0L
   }
 
+  test("x99: the Wilson interval brackets the dup rate and shrinks with n") {
+    // s1: 4 docs, 1 dup pair → p=0.25; s2: same rate from 8 docs → tighter CI
+    val tmp = writeDocs(
+      Seq((1L, "aa", "en", "s1", 2L), (2L, "aa", "en", "s1", 2L),
+        (3L, "bb", "en", "s1", 2L), (4L, "cc", "en", "s1", 2L)) ++
+        (1 to 6).map(i => (10L + i, s"t$i", "en", "s2", 2L)) ++
+        Seq((17L, "zz", "en", "s2", 2L), (18L, "zz", "en", "s2", 2L)))
+    val out = entry("x99_dup_rate_ci").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Double]("dup_rate"), r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))).toMap
+    val (p1, lo1, hi1) = out("s1"); val (p2, lo2, hi2) = out("s2")
+    p1 shouldBe 0.25; p2 shouldBe 0.125
+    lo1 should be < p1; hi1 should be > p1
+    (hi2 - lo2) should be < (hi1 - lo1) // more data, tighter interval
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
