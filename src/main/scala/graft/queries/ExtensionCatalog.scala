@@ -3466,6 +3466,116 @@ object ExtensionCatalog {
               |FROM p ORDER BY 1""".stripMargin),
       "per-source exact-dup rate with Wilson 95% interval — audit metrics with error " +
         "bars, so small-sample rates carry their uncertainty " +
-        "(extension: data quality / reporting)")
+        "(extension: data quality / reporting)"),
+
+    CatalogEntry(
+      "x100_pipeline_card",
+      (s, dir) => {
+        // the capstone pipeline a corpus release actually runs: quality
+        // filter (x02) → boilerplate filter (x96, computed over the
+        // survivors) → exact dedup (x05) → near-dup removal (x07) →
+        // per-source dataset card (x88's volume leg). Every stage is the
+        // already-proven operator; chunk-less docs pass the boilerplate
+        // stage by definition.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            TextFunctions.qualityScore(TextFunctions.qualitySignals("text")))
+          .where(col("quality_score") >= 0.64)
+          .select("doc_id", "source", "text")
+        // exact dedup runs BEFORE boilerplate: N verbatim copies of a good
+        // doc must collapse to one survivor, not inflate chunk counts until
+        // the boilerplate stage deletes every copy (found by the stage spec)
+        val withFp = quality.withColumn("fp", expr("graft_poly_hash(lower(trim(text)))"))
+        val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        // staging barrier, as in x17: exactKept feeds the chunk table, the
+        // ratio join, the signature table, and the final anti-join
+        val exactKept = withFp
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select("doc_id", "source", "text")
+          .cache()
+        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
+        val chunks = exactKept.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
+            .as("cfp"))
+        val cnt = chunks.groupBy("cfp").agg(count(lit(1)).as("cnt"))
+        val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nsh"))
+        val afterBp = exactKept.join(ratios, Seq("doc_id"), "left")
+          .where(col("nsh").isNull ||
+            col("nsh").cast("double") / col("nc").cast("double") <= 0.5)
+          .select("doc_id", "source", "text")
+        val drops = Dedup
+          .minhashNearDups(afterBp, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        afterBp.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("source"), tokenCount("text").cast("long").as("nt"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("nt").as("total_tokens"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base0 AS (
+              |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+              |scored AS (
+              |  SELECT doc_id, source, text,
+              |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3
+              |    + len(list_distinct(toks))::DOUBLE / len(toks) * 0.4
+              |    + (1.0 - abs(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+              |                 / len(toks) - 0.08)) * 0.3 AS score
+              |  FROM base0),
+              |q AS (SELECT doc_id, source, text FROM scored WHERE score >= 0.64),
+              |fps AS (SELECT doc_id, source, text, ${dPoly("lower(trim(text))")} AS fp FROM q),
+              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+              |ek0 AS (SELECT f.doc_id, f.source, f.text FROM fps f
+              |       JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+              |bp0 AS (SELECT doc_id, string_split(text, ' ') AS lst FROM ek0
+              |  WHERE len(string_split(text, ' ')) >= 16),
+              |bchunks AS (SELECT doc_id, unnest(list_transform(range(0, len(lst) // 16),
+              |    i -> ${dPoly("array_to_string(lst[i * 16 + 1 : i * 16 + 16], ' ')")})) AS cfp
+              |  FROM bp0),
+              |bcnt AS (SELECT cfp, COUNT(*)::BIGINT AS cnt FROM bchunks GROUP BY 1),
+              |brat AS (SELECT doc_id, COUNT(*)::BIGINT AS nc,
+              |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nsh
+              |  FROM bchunks c JOIN bcnt t ON c.cfp = t.cfp GROUP BY 1),
+              |ek AS (SELECT e.doc_id, e.source, e.text FROM ek0 e LEFT JOIN brat b
+              |  ON e.doc_id = b.doc_id
+              |  WHERE b.doc_id IS NULL OR b.nsh::DOUBLE / b.nc::DOUBLE <= 0.5),
+              |base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM ek),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT * FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |fin AS (SELECT doc_id, source, text FROM ek
+              |  WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+              |SELECT source, COUNT(*)::BIGINT AS n_docs,
+              |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+              |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin),
+      "the release pipeline end-to-end: quality → exact dedup → boilerplate → " +
+        "near-dup removal → per-source dataset card — dedup precedes boilerplate so " +
+        "verbatim copies collapse to a survivor instead of deleting each other " +
+        "(extension: pipeline composition)")
   )
 }

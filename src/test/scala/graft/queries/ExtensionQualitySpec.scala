@@ -361,6 +361,20 @@ class ExtensionQualitySpec extends AnyFunSuite with Matchers {
     (hi2 - lo2) should be < (hi1 - lo1) // more data, tighter interval
   }
 
+  test("x100: each pipeline stage removes its target; the card counts survivors") {
+    // good = 92 distinct tokens + 8 stopwords (quality ≈ 0.97, passes);
+    // its verbatim copy dies in exact dedup; "x x x" dies in quality.
+    val good = ((1 to 92).map(i => s"w$i") ++ Seq.fill(8)("the")).mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, good, "en", "s", good.length.toLong),
+      (2L, good, "en", "s", good.length.toLong),
+      (3L, "x x x", "en", "s", 5L)))
+    val out = entry("x100_pipeline_card").build(spark, tmp).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("n_docs") shouldBe 1L
+    out.head.getAs[Long]("total_tokens") shouldBe 100L
+  }
+
   test("x81: the doc with the rare continuation is the most surprising") {
     // 'a b' appears 3×, 'a c' once → P(c|a)=1/4 ≪ P(b|a)=3/4; doc 4 tops.
     val tmp = writeDocs(Seq(
