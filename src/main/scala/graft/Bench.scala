@@ -89,7 +89,7 @@ object Bench {
     sampler.setDaemon(true)
     sampler.start()
 
-    case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double)
+    case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double, failed: Boolean)
     def run(name: String): R = {
       // start clean: previous query's staged caches and garbage must not
       // bill to this query
@@ -98,12 +98,21 @@ object Bench {
       rssMax.set((rssMb() * 1000).toLong)
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
+      // NonFatal only: an OOM/VM error must crash the run (rc != 0), not
+      // produce a silently short bench that reads as a speedup. Recoverable
+      // per-query failures are counted and reported as failed_queries.
+      val failed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          false
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: $e"); true
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-      R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()))
+      R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()), failed)
     }
 
     val gbps = seqReadGbps(sfDir)
@@ -131,7 +140,20 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] telemetry write failed: $e")
     }
+    // Two stdout lines, full map first, compact totals LAST. The driver
+    // captures a bounded tail (2000 chars in rounds 6-7) and the 117-entry
+    // per-query map alone is ~3.5 KB, so a single line loses its own head —
+    // that is exactly how BENCH_r06/r07 ended up with "parsed": null. The
+    // final line is self-contained (total, failure count, slowest queries)
+    // and sized to survive any sane tail window.
+    val failedNames = results.collect { case (k, r) if r.failed => k }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
+    val slowest = results.sortBy(-_._2.wallSec).take(12)
+      .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
+      .mkString("{", ",", "}")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

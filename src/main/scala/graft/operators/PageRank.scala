@@ -19,6 +19,17 @@ import org.apache.spark.sql.functions._
   * one shuffle aggregation (contributions by destination) — the standard
   * distributed PageRank step. Iterations are unrolled by the caller's
   * `iters`, not driver-side convergence probes, so the job graph is static.
+  *
+  * Materialization: the caller's `edges` is typically a join over fact
+  * tables. Left lazy, each unrolled iteration re-inlines that derivation
+  * into every use — at 3 iterations the round-6 plan held 44 FileScans of
+  * the fact tables and zero ReusedExchange. `localCheckpoint` puts a hard
+  * barrier under `edges`/`nodes`/`deg` (computed once, iterated over many
+  * times) and truncates each iteration's score lineage so the job graph
+  * stays flat however many iterations the caller unrolls. This is the
+  * crossing-a-composed-stage-boundary case where an explicit barrier beats
+  * relying on ReuseExchange; on a real cluster with lossy executors you'd
+  * swap in reliable `checkpoint` against the checkpoint dir — same shape.
   */
 object PageRank {
 
@@ -26,22 +37,26 @@ object PageRank {
     * (node, score) after `iters` damped iterations from a uniform start.
     */
   def run(edges: DataFrame, iters: Int = 3): DataFrame = {
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct()
+    val e = edges.localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     val nn = nodes.agg(count(lit(1)).as("n"))
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     val init = nodes.crossJoin(nn)
       .select(col("node"), expr("CAST(1000000000 AS BIGINT) div n").as("score"))
-    (1 to iters).foldLeft(init) { (score, _) =>
-      val contrib = edges
+    (1 to iters).foldLeft(init) { (score, i) =>
+      val next = e
         .join(score.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .groupBy("dst")
         .agg(sum(expr("((score * 85) div 100) div deg")).as("m"))
-      nodes.crossJoin(nn)
-        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      val stepped = nodes.crossJoin(nn)
+        .join(next.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (expr("CAST(150000000 AS BIGINT) div n") + coalesce(col("m"), lit(0L))).as("score"))
+      // flatten lineage between iterations; leave the last lazy so the
+      // caller's orderBy/limit fuses onto it
+      if (i < iters) stepped.localCheckpoint() else stepped
     }
   }
 }

@@ -304,8 +304,13 @@ object QueryCatalog {
         val l = t(s, dir, "lineitem")
         val o = t(s, dir, "orders")
         val c = t(s, dir, "customer")
+        // no broadcast() hint on customer: it is a base table that grows
+        // linearly with scale factor, so a hard hint would force an
+        // executor-OOM broadcast at 100x. AQE broadcasts it while it fits
+        // (PlanAuditSpec asserts that at fixture scale) and falls back to a
+        // shuffle join when it no longer does.
         l.join(o, l("l_orderkey") === o("o_orderkey"))
-          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
           .groupBy("c_mktsegment")
           .agg(
             count(lit(1)).as("n"),

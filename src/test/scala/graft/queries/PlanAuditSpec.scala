@@ -93,6 +93,20 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     offenders.keys.toSeq shouldBe empty
   }
 
+  test("x73 PageRank iterates over materialized edges, not re-inlined fact joins") {
+    // Round 6 defect: edges (lineitem⋈orders→distinct) was left lazy, so the
+    // 3 unrolled iterations re-inlined it into every use — 44 FileScans of
+    // the fact tables, zero reuse. With the localCheckpoint barrier the
+    // iterated plan reads the materialized edge/node/deg RDDs and the fact
+    // tables never appear in the iteration plan at all.
+    val p = plans("x73_pagerank")
+    val fileScans = "FileScan".r.findAllIn(p).length
+    withClue(s"expected 0 FileScans in the iterated plan, got $fileScans:\n") {
+      fileScans shouldBe 0
+    }
+    p should include("Scan ExistingRDD") // the checkpointed edge table
+  }
+
   test("top-k per group plans WindowGroupLimit (map-side k-row truncation)") {
     // without it, every group's full row set crosses the shuffle just to be
     // discarded by the rank filter — the difference between shuffling k·G
@@ -113,7 +127,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
     // Round 1 forced broadcast() — wrong at 100× (the hint overrides AQE's
     // size check). Now un-hinted: AQE must pick broadcast at runtime here,
     // proving parity plans didn't regress at fixture scale.
-    Seq("q11_join_dim_agg", "q13_selectivity_distribution", "q14_retrieval_rate")
+    // q17's customer side is a base dim (grows with SF), un-hinted in round 8
+    // for the same reason — AQE must still broadcast it at fixture scale.
+    Seq("q11_join_dim_agg", "q13_selectivity_distribution", "q14_retrieval_rate",
+      "q17_three_way_join")
       .foreach { name =>
         withClue(name) {
           val e = QueryCatalog.all.find(_.name == name).get
