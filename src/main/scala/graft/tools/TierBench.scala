@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.metrics.{BytePlanner, IoMetrics}
+import graft.metrics.{BytePlanner, IoMetrics, RangedReader}
 import graft.operators.ParquetQuery
 import org.apache.spark.sql.functions._
 
@@ -68,12 +68,20 @@ object TierBench {
       val plan = BytePlanner.plan(staged, Seq("l_extendedprice"), Some(pred))
       val rgPi = BytePlanner.plan(stagedPi, Seq("l_extendedprice"), Some(pred))
       val pi = BytePlanner.planPages(stagedPi, Seq("l_extendedprice"), pred)
+      // execute the plan: coalesced 512 KiB ranged reads (v2's second half);
+      // measured == planned is the invariant RangedReaderSpec proves, and
+      // the sweep asserts it on every row so a drifting planner fails here
+      val measured = RangedReader.run(staged, Seq("l_extendedprice"), Some(pred))
+      require(measured.bytesRead == plan.plannedBytes,
+        s"ranged read ${measured.bytesRead} != planned ${plan.plannedBytes} at tier $name")
       println(
         s"""{"tier":"$name","threshold":$w,"rows":$rows,""" +
           s""""records_read":${rep.recordsRead},"elapsed_sec":${rep.elapsedSec},""" +
           s""""row_groups":${plan.rowGroups},"surviving_groups":${plan.survivingGroups},""" +
           s""""planned_bytes":${plan.plannedBytes},"total_bytes":${plan.totalBytes},""" +
           f""""planned_selectivity":${plan.selectivity}%.6f,""" +
+          s""""measured_bytes":${measured.bytesRead},"read_ranges":${measured.ranges},""" +
+          f""""ranged_read_gbps":${measured.gbps}%.3f,""" +
           s""""pi_rowgroup_planned_bytes":${rgPi.plannedBytes},""" +
           s""""pi_pages":${pi.pages},"pi_surviving_pages":${pi.survivingPages},""" +
           s""""pi_planned_bytes":${pi.plannedBytes},""" +
