@@ -3576,6 +3576,57 @@ object ExtensionCatalog {
       "the release pipeline end-to-end: quality → exact dedup → boilerplate → " +
         "near-dup removal → per-source dataset card — dedup precedes boilerplate so " +
         "verbatim copies collapse to a survivor instead of deleting each other " +
-        "(extension: pipeline composition)")
+        "(extension: pipeline composition)"),
+
+    CatalogEntry(
+      "x101_posting_probe",
+      (s, dir) => {
+        // x87's substring search, but against the PERSISTED trigram index
+        // (Layouts.postingIndex — term-sorted parquet, staged once per
+        // fixture dir and reused): the probe reads the index's matching
+        // term ranges plus the candidate docs; the corpus text column never
+        // enters the candidate scan. Same result set as x87, so the same
+        // oracle gates it — what changes is WHERE the trigrams come from.
+        val pat = "table part"
+        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+        val posting = s.read.parquet(stagedPostingIndex(s, dir))
+        val cands = posting
+          .where(col("tri").isin(tris: _*))
+          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+          .where(col("nt") === tris.size)
+        cands.join(t(s, dir, "documents"), "doc_id")
+          .where(col("text").contains(pat))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
+             |    range(1, length('table part') - 1),
+             |    i -> substring('table part', i, 3))) AS tri),
+             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+             |  FROM documents WHERE length(text) >= 3),
+             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+             |  GROUP BY doc_id
+             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      "substring search probing the persisted term-sorted posting index " +
+        "(Layouts.postingIndex) instead of rebuilding it per query — the write-once, " +
+        "probe-many layout the 100 TB claim rests on (extension: retrieval)")
   )
+
+  /** x101 staging: the posting index is written ONCE per fixture dir via
+    * [[graft.sources.Layouts.postingIndex]] and reused for every build in
+    * this JVM — the write-once / probe-many split a persisted index exists
+    * for. Fine page granularity at fixture scale so the term probe has
+    * something to prune.
+    */
+  private val postingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPostingIndex(s: SparkSession, dir: String): String =
+    postingDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-posting").toString
+      graft.sources.Layouts.postingIndex(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
 }

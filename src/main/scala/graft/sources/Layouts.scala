@@ -137,6 +137,35 @@ object Layouts {
     shaped.write.mode("overwrite").parquet(outDir)
   }
 
+  /** Char-trigram posting index, PERSISTED: (doc_id, tri) exploded from
+    * `textCol`, range-partitioned and sorted on the term so every row
+    * group and page holds a disjoint trigram interval — a probe for a
+    * pattern's trigrams (`tri IN (...)`) then prunes to the handful of
+    * pages holding those terms, and the corpus text column never appears
+    * in the scan at all. This is the layout x87 builds inline per query;
+    * at 100 TB the index is written once here and amortized across every
+    * substring search (the posting table is ~corpus-sized, so rebuilding
+    * it per query would cost a full corpus scan each time — exactly the
+    * scan the index exists to avoid).
+    */
+  def postingIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{array_distinct, explode, expr, length}
+    val posting = docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
+          .as("tri"))
+    sortedStats(posting, path, Seq("tri"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

@@ -57,6 +57,40 @@ object ScaleSmoke {
       graft.operators.AsOfJoin.lastPrior(clicks, purchases, "user_id",
         "click_us", "purch_us", Seq("purch_id"), "purch_id").count())
     println(s"[scale] as-of rows: $asof (one per click)")
+
+    // retrieval at scale (x87/x101): posting-index BUILD is the one-time
+    // corpus-linear cost; the per-query PROBE must stay near-constant as
+    // the corpus grows — that split is the whole case for persisting it
+    val pat = "table part"
+    val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+    val idxDir = java.nio.file.Files.createTempDirectory("scale-posting").toString
+    time("posting index build")(
+      graft.sources.Layouts.postingIndex(big, idxDir, partitions = 8))
+    val posting = spark.read.parquet(idxDir)
+    val candsProbe = posting.where(col("tri").isin(tris: _*))
+      .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+      .where(col("nt") === tris.size)
+    val nCands = time("posting probe (candidates)")(candsProbe.count())
+    val hits = time("posting probe + verify")(
+      candsProbe.join(big, "doc_id").where(col("text").contains(pat)).count())
+    println(s"[scale] substring search: $nCands candidates, $hits verified hits")
+
+    // boilerplate chunk fingerprints (x96's 16-token chunks): one explode +
+    // two hash-shuffles; replication multiplies every chunk's cross-corpus
+    // frequency by `copies`, so the cost curve is the corpus-linear explode
+    // plus a map-side-combined count — no pair volume anywhere
+    val chunkFp = graft.functions.TextFunctions
+      .fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
+    val chunks = big
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .where(size(col("toks")) >= 16)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
+        .as("fp"))
+    val hot = time("boilerplate chunk fingerprints")(
+      chunks.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
+        .where(col("nd") >= copies).count())
+    println(s"[scale] boilerplate: $hot chunks shared by >= $copies docs")
     spark.stop()
   }
 }

@@ -67,6 +67,41 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     p.survivingGroups should be < p.rowGroups
   }
 
+  test("postingIndex layout: term probes prune the index, never scan the corpus") {
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("layout-posting").toString
+    Layouts.postingIndex(docs, dir, groupBytes = 16 * 1024, pageRows = 500,
+      partitions = 2)
+
+    // the index is term-sorted, so a single-trigram probe keeps a sliver
+    val rg = BytePlanner.plan(dir, Seq("doc_id", "tri"), Some("tri == tab"))
+    rg.rowGroups should be > 2
+    rg.survivingGroups should be < rg.rowGroups
+    rg.survivingGroups should be > 0
+
+    // the probe plan reads the index parquet only: no `text` column exists
+    // in it to scan — the corpus is touched later, and only for candidates
+    val posting = spark.read.parquet(dir)
+    posting.columns.toSeq should contain theSameElementsAs Seq("doc_id", "tri")
+
+    // probing the persisted index reproduces the inline x87 candidate set
+    import org.apache.spark.sql.functions.{array_distinct, col, countDistinct, explode, expr, length => slen}
+    val pat = "table part"
+    val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+    val fromIndex = posting.where(col("tri").isin(tris: _*))
+      .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+      .where(col("nt") === tris.size)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val inline = docs.where(slen(col("text")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))).as("tri"))
+      .where(col("tri").isin(tris: _*))
+      .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+      .where(col("nt") === tris.size)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    fromIndex shouldBe inline
+  }
+
   test("bloomKeys layout lets point probes prune what stats cannot") {
     val dir = java.nio.file.Files.createTempDirectory("layout-bloom").toString
     // write in incoming (unsorted-by-key) order: stats are blind to probes
