@@ -79,12 +79,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // 1 Hz RSS sampler; queries read-and-reset the running max.
+    // 1 Hz sampler: per-query RSS max (read-and-reset) plus a run-long
+    // CPU/RSS timeline CSV (the utils/benchmark.sh analog) so a noisy
+    // total can be explained from phase data instead of rerun folklore.
     val rssMax = new java.util.concurrent.atomic.AtomicLong(0L) // milli-MB
-    val sampler = new Thread(() => while (true) {
-      val mb = (rssMb() * 1000).toLong
-      rssMax.getAndUpdate(m => math.max(m, mb))
-      Thread.sleep(1000)
+    val timeline = new java.lang.StringBuilder("sec,cpu_pct,rss_mb\n")
+    val benchT0 = System.nanoTime()
+    val sampler = new Thread(() => {
+      var lastCpu = osBean.getProcessCpuTime
+      var lastNs = System.nanoTime()
+      while (true) {
+        Thread.sleep(1000)
+        val mb = (rssMb() * 1000).toLong
+        rssMax.getAndUpdate(m => math.max(m, mb))
+        val cpu = osBean.getProcessCpuTime
+        val ns = System.nanoTime()
+        val pct = if (ns == lastNs) 0.0 else (cpu - lastCpu) * 100.0 / (ns - lastNs)
+        timeline.synchronized {
+          timeline.append(f"${(ns - benchT0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d\n")
+        }
+        lastCpu = cpu
+        lastNs = ns
+      }
     })
     sampler.setDaemon(true)
     sampler.start()
@@ -116,6 +132,9 @@ object Bench {
     }
 
     val gbps = seqReadGbps(sfDir)
+    // loopback TCP bound next to the disk bound: what a socket path could
+    // move at best (microbenchmarks/src/network/client.rs analog)
+    val netGbps = graft.metrics.NetProbe.tcpGbps()
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + parquet footer caches; not reported
     val results = names.map(n => n -> run(n))
@@ -128,7 +147,7 @@ object Bench {
     // in it whole — per-query cpu/rss tripled its length in round 3 and
     // pushed the total out of the capture window. Per-query wall seconds are
     // centisecond-rounded for the same reason.
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps,"net_gbps":$netGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below.
     try {
@@ -136,6 +155,9 @@ object Bench {
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
         telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-timeline.csv"),
+        timeline.synchronized(timeline.toString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] telemetry write failed: $e")
@@ -152,7 +174,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"net_gbps":${round(netGbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }
