@@ -132,9 +132,11 @@ object Bench {
     }
 
     val gbps = seqReadGbps(sfDir)
-    // loopback TCP bound next to the disk bound: what a socket path could
-    // move at best (microbenchmarks/src/network/client.rs analog)
+    // loopback TCP + HTTP bounds next to the disk bound: what a socket /
+    // HTTP-streamed path could move at best (microbenchmarks/src/network
+    // and /http client analogs; the TCP−HTTP gap is the framing overhead)
     val netGbps = graft.metrics.NetProbe.tcpGbps()
+    val httpGbps = graft.metrics.NetProbe.httpGbps()
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + parquet footer caches; not reported
     val results = names.map(n => n -> run(n))
@@ -147,7 +149,7 @@ object Bench {
     // in it whole — per-query cpu/rss tripled its length in round 3 and
     // pushed the total out of the capture window. Per-query wall seconds are
     // centisecond-rounded for the same reason.
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps,"net_gbps":$netGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below.
     try {
@@ -174,7 +176,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"net_gbps":${round(netGbps, 100)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

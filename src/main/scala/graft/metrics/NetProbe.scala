@@ -78,4 +78,76 @@ object NetProbe {
       case scala.util.control.NonFatal(_) => 0.0
     }
   }
+
+  /** Same drain, but the writers speak HTTP/1.1 chunked upload — the
+    * reference's http/client.rs:30-90 analog (request line + headers, then
+    * `hex-size CRLF block CRLF` frames, terminal `0 CRLF CRLF`). Reported
+    * GB/s counts PAYLOAD bytes only, so the gap under [[tcpGbps]] is the
+    * HTTP framing + flush overhead the reference contextualizes engine
+    * throughput against. The drain does not parse the framing — the probe
+    * bounds the client-side streaming path, not a server implementation.
+    */
+  def httpGbps(
+      streams: Int = 4,
+      blockSize: Int = 512 * 1024,
+      durationMs: Long = 1000L): Double = {
+    try {
+      val server = new ServerSocket(0, streams, InetAddress.getLoopbackAddress)
+      val port = server.getLocalPort
+      val drains = new Thread(() =>
+        try {
+          while (true) {
+            val sock = server.accept()
+            val t = new Thread(() => {
+              val buf = new Array[Byte](blockSize)
+              try { while (sock.getInputStream.read(buf) >= 0) () }
+              catch { case _: java.io.IOException => () }
+              finally sock.close()
+            })
+            t.setDaemon(true)
+            t.start()
+          }
+        } catch { case _: java.io.IOException => () })
+      drains.setDaemon(true)
+      drains.start()
+
+      val sent = new AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val deadline = t0 + durationMs * 1000000L
+      val writers = (0 until streams).map { i =>
+        val t = new Thread(() => {
+          val sock = new Socket(InetAddress.getLoopbackAddress, port)
+          sock.setTcpNoDelay(true)
+          val out = new java.io.BufferedOutputStream(sock.getOutputStream, blockSize + 64)
+          val ascii = java.nio.charset.StandardCharsets.US_ASCII
+          val block = new Array[Byte](blockSize)
+          new java.util.Random(i + 1).nextBytes(block)
+          val frameHead = (blockSize.toHexString + "\r\n").getBytes(ascii)
+          val crlf = "\r\n".getBytes(ascii)
+          try {
+            out.write((s"POST /upload?file_name=file_${i + 1}.txt HTTP/1.1\r\n" +
+              "Host: localhost\r\nTransfer-Encoding: chunked\r\n" +
+              "Connection: close\r\n\r\n").getBytes(ascii))
+            while (System.nanoTime() < deadline) {
+              out.write(frameHead)
+              out.write(block)
+              out.write(crlf)
+              sent.addAndGet(blockSize.toLong)
+            }
+            out.write("0\r\n\r\n".getBytes(ascii))
+            out.flush()
+          } catch { case _: java.io.IOException => () }
+          finally sock.close()
+        })
+        t.start()
+        t
+      }
+      writers.foreach(_.join(durationMs * 3))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      server.close()
+      if (elapsed <= 0) 0.0 else sent.get() / elapsed / 1e9
+    } catch {
+      case scala.util.control.NonFatal(_) => 0.0
+    }
+  }
 }

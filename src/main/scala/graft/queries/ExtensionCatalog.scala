@@ -3612,7 +3612,58 @@ object ExtensionCatalog {
              |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
       "substring search probing the persisted term-sorted posting index " +
         "(Layouts.postingIndex) instead of rebuilding it per query — the write-once, " +
-        "probe-many layout the 100 TB claim rests on (extension: retrieval)")
+        "probe-many layout the 100 TB claim rests on (extension: retrieval)"),
+
+    CatalogEntry(
+      "x102_boilerplate_excision",
+      (s, dir) => {
+        // x96 SCORES boilerplate; this REMOVES it: fingerprint the same
+        // non-overlapping 16-token chunks, drop every chunk whose
+        // fingerprint appears in more than one document, and positionally
+        // reassemble what's left (sort_array on (pos, chunk) structs, then
+        // concat) — the CCNet-style line-excision stage re-based onto
+        // sentence-less fixture text. Shuffles: one chunk-fingerprint
+        // count (map-side combined), one left_anti against the hot set,
+        // one per-doc reassembly agg; collect_list is bounded by a single
+        // document's chunk count, never the corpus. Docs whose chunks are
+        // ALL boilerplate drop out entirely — that is the point.
+        val chunkTxt = "concat_ws(' ', slice(toks, i * 16 + 1, 16))"
+        val chunkFp = fingerprintExpr(chunkTxt)
+        val chunks = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), " +
+              s"i -> struct(i AS pos, $chunkTxt AS chunk, $chunkFp AS fp))")).as("c"))
+          .select(col("doc_id"), col("c.pos").as("pos"),
+            col("c.chunk").as("chunk"), col("c.fp").as("fp"))
+        val hot = chunks.groupBy("fp")
+          .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1)
+          .select("fp")
+        chunks.join(hot, Seq("fp"), "left_anti")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept_chunks"),
+            concat_ws(" ", expr(
+              "transform(array_sort(collect_list(struct(pos, chunk))), s -> s.chunk)"))
+              .as("text_clean"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS lst
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 16),
+              |chunks AS (SELECT doc_id, u.pos AS pos, u.chunk AS chunk FROM (
+              |  SELECT doc_id, unnest(list_transform(range(0, len(lst) // 16),
+              |    i -> {'pos': i,
+              |          'chunk': array_to_string(lst[i * 16 + 1 : i * 16 + 16], ' ')})) AS u
+              |  FROM base)),
+              |fps AS (SELECT doc_id, pos, chunk, ${dPoly("chunk")} AS fp FROM chunks),
+              |hot AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(DISTINCT doc_id) > 1)
+              |SELECT doc_id, COUNT(*)::BIGINT AS n_kept_chunks,
+              |  string_agg(chunk, ' ' ORDER BY pos) AS text_clean
+              |FROM fps WHERE fp NOT IN (SELECT fp FROM hot)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "boilerplate EXCISION: drop 16-token chunks shared across documents and " +
+        "positionally rebuild the cleaned text — x96's score turned into the " +
+        "transform a release pipeline actually applies (extension: dedup / cleaning)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

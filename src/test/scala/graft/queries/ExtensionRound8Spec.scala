@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Known-answer tests for the round-8 entries on toy data — the oracle gate
+  * proves fixture equivalence; these pin the semantics on inputs small
+  * enough to check by hand.
+  */
+class ExtensionRound8Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def entry(name: String) = QueryCatalog.all.find(_.name == name).get
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("r8docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** 16 distinct tokens forming one chunk, tagged so chunks are unique per
+    * doc unless deliberately shared.
+    */
+  private def chunk(tag: String): String =
+    (1 to 16).map(i => s"$tag$i").mkString(" ")
+
+  test("x102: shared chunks are excised, unique chunks survive in position order") {
+    val shared = chunk("boiler")
+    val tmp = writeDocs(Seq(
+      // doc 1: unique A + shared + unique B → keeps A B in order
+      (1L, s"${chunk("a")} $shared ${chunk("b")}", "en", "s", 0L),
+      // doc 2: shared + unique C → keeps C
+      (2L, s"$shared ${chunk("c")}", "en", "s", 0L),
+      // doc 3: ONLY the shared chunk → drops out of the result entirely
+      (3L, shared, "en", "s", 0L),
+      // doc 4: under 16 tokens → never chunked, not in result
+      (4L, "too short", "en", "s", 0L)))
+    val out = entry("x102_boilerplate_excision").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_kept_chunks"), r.getAs[String]("text_clean"))).toMap
+    out.keySet shouldBe Set(1L, 2L)
+    out(1L) shouldBe ((2L, s"${chunk("a")} ${chunk("b")}"))
+    out(2L) shouldBe ((1L, chunk("c")))
+  }
+
+  test("x102: a chunk repeated within ONE doc is not boilerplate (cross-doc only)") {
+    val rep = chunk("x")
+    val tmp = writeDocs(Seq(
+      (1L, s"$rep $rep", "en", "s", 0L), // same chunk twice, same doc
+      (2L, chunk("y"), "en", "s", 0L)))
+    val out = entry("x102_boilerplate_excision").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_kept_chunks")).toMap
+    // countDistinct(doc_id) == 1 for rep's fingerprint → kept, both copies
+    out(1L) shouldBe 2L
+    out(2L) shouldBe 1L
+  }
+
+  test("x102: the 15-token tail beyond the last full chunk is ignored by design") {
+    val tail = (1 to 15).map(i => s"t$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, s"${chunk("a")} $tail", "en", "s", 0L),
+      (2L, chunk("b"), "en", "s", 0L)))
+    val out = entry("x102_boilerplate_excision").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text_clean")).toMap
+    out(1L) shouldBe chunk("a") // tail tokens absent from the rebuilt text
+  }
+}
