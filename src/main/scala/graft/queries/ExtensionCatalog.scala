@@ -3663,7 +3663,131 @@ object ExtensionCatalog {
               |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       "boilerplate EXCISION: drop 16-token chunks shared across documents and " +
         "positionally rebuild the cleaned text — x96's score turned into the " +
-        "transform a release pipeline actually applies (extension: dedup / cleaning)")
+        "transform a release pipeline actually applies (extension: dedup / cleaning)"),
+
+    CatalogEntry(
+      "x103_curation_manifest",
+      (s, dir) => {
+        // x100's pipeline, re-emitted as the PROVENANCE artifact a release
+        // ships: one row per corpus document with the stage that dropped
+        // it (quality / exact_dup / boilerplate / near_dup) or 'kept'.
+        // Stage membership tables are the same frames x100 builds; the
+        // manifest is four equi left-joins of their ids onto the corpus
+        // spine — auditable curation, no new shuffle shapes.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val quality = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            TextFunctions.qualityScore(TextFunctions.qualitySignals("text")))
+          .where(col("quality_score") >= 0.64)
+          .select("doc_id", "source", "text")
+        val withFp = quality.withColumn("fp", expr("graft_poly_hash(lower(trim(text)))"))
+        val keepers = withFp.groupBy("fp").agg(min("doc_id").as("doc_id"))
+        val exactKept = withFp
+          .join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select("doc_id", "source", "text")
+          .cache() // x100's staging barrier: feeds chunks, ratios, sigs, joins
+        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
+        val chunks = exactKept.select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 16)
+          .select(col("doc_id"), explode(expr(
+            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
+            .as("cfp"))
+        val cnt = chunks.groupBy("cfp").agg(count(lit(1)).as("cnt"))
+        val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nsh"))
+        val afterBp = exactKept.join(ratios, Seq("doc_id"), "left")
+          .where(col("nsh").isNull ||
+            col("nsh").cast("double") / col("nc").cast("double") <= 0.5)
+          .select("doc_id", "source", "text")
+        val drops = Dedup
+          .minhashNearDups(afterBp, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+        val fin = afterBp.join(drops, Seq("doc_id"), "left_anti")
+        def ids(df: DataFrame, flag: String) =
+          df.select(col("doc_id")).withColumn(flag, lit(true))
+        docs.select("doc_id")
+          .join(ids(quality, "in_q"), Seq("doc_id"), "left")
+          .join(ids(exactKept, "in_ek"), Seq("doc_id"), "left")
+          .join(ids(afterBp, "in_bp"), Seq("doc_id"), "left")
+          .join(ids(fin, "in_fin"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("in_fin"), "kept")
+              .when(col("in_bp"), "near_dup")
+              .when(col("in_ek"), "boilerplate")
+              .when(col("in_q"), "exact_dup")
+              .otherwise("quality").as("decision"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base0 AS (
+              |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+              |scored AS (
+              |  SELECT doc_id, source, text,
+              |    least(len(toks)::DOUBLE / 100.0, 1.0) * 0.3
+              |    + len(list_distinct(toks))::DOUBLE / len(toks) * 0.4
+              |    + (1.0 - abs(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+              |                 / len(toks) - 0.08)) * 0.3 AS score
+              |  FROM base0),
+              |q AS (SELECT doc_id, source, text FROM scored WHERE score >= 0.64),
+              |fps AS (SELECT doc_id, source, text, ${dPoly("lower(trim(text))")} AS fp FROM q),
+              |keep AS (SELECT fp, min(doc_id) AS keep_id FROM fps GROUP BY fp),
+              |ek0 AS (SELECT f.doc_id, f.source, f.text FROM fps f
+              |       JOIN keep k ON f.fp = k.fp AND f.doc_id = k.keep_id),
+              |bp0 AS (SELECT doc_id, string_split(text, ' ') AS lst FROM ek0
+              |  WHERE len(string_split(text, ' ')) >= 16),
+              |bchunks AS (SELECT doc_id, unnest(list_transform(range(0, len(lst) // 16),
+              |    i -> ${dPoly("array_to_string(lst[i * 16 + 1 : i * 16 + 16], ' ')")})) AS cfp
+              |  FROM bp0),
+              |bcnt AS (SELECT cfp, COUNT(*)::BIGINT AS cnt FROM bchunks GROUP BY 1),
+              |brat AS (SELECT doc_id, COUNT(*)::BIGINT AS nc,
+              |    CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS nsh
+              |  FROM bchunks c JOIN bcnt t ON c.cfp = t.cfp GROUP BY 1),
+              |ek AS (SELECT e.doc_id, e.source, e.text FROM ek0 e LEFT JOIN brat b
+              |  ON e.doc_id = b.doc_id
+              |  WHERE b.doc_id IS NULL OR b.nsh::DOUBLE / b.nc::DOUBLE <= 0.5),
+              |base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM ek),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT * FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |fin AS (SELECT doc_id FROM ek
+              |  WHERE doc_id NOT IN (SELECT id_b FROM pairs))
+              |SELECT d.doc_id,
+              |  CASE WHEN f.doc_id IS NOT NULL THEN 'kept'
+              |       WHEN e2.doc_id IS NOT NULL THEN 'near_dup'
+              |       WHEN e1.doc_id IS NOT NULL THEN 'boilerplate'
+              |       WHEN q1.doc_id IS NOT NULL THEN 'exact_dup'
+              |       ELSE 'quality' END AS decision
+              |FROM documents d
+              |LEFT JOIN q q1 ON d.doc_id = q1.doc_id
+              |LEFT JOIN ek0 e1 ON d.doc_id = e1.doc_id
+              |LEFT JOIN ek e2 ON d.doc_id = e2.doc_id
+              |LEFT JOIN fin f ON d.doc_id = f.doc_id
+              |ORDER BY d.doc_id""".stripMargin),
+      "curation manifest: per-document keep/drop decision with the dropping stage " +
+        "(quality / exact_dup / boilerplate / near_dup / kept) — x100's pipeline " +
+        "re-emitted as the provenance artifact a corpus release ships " +
+        "(extension: pipeline composition / governance)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

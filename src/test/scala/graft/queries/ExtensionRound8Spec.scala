@@ -59,6 +59,33 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     out(2L) shouldBe 1L
   }
 
+  test("x103: every decision class lands on the constructed doc that triggers it") {
+    val shared = chunk("s")
+    val tmp = writeDocs(Seq(
+      // 1: low-quality (5 repeated-ish tokens, score ~0.37 < 0.64)
+      (1L, "x x x x x", "en", "s", 0L),
+      // 2 and 3: identical good docs → 2 kept (min id), 3 exact_dup
+      (2L, chunk("a"), "en", "s", 0L),
+      (3L, chunk("a"), "en", "s", 0L),
+      // 4: ONLY the shared chunk → chunk ratio 1.0 > 0.5 → boilerplate
+      (4L, shared, "en", "s", 0L),
+      // 5: shared chunk + unique chunk → ratio 0.5 ≤ 0.5 → survives
+      (5L, s"$shared ${chunk("u")}", "en", "s", 0L),
+      // 6 and 7: 15 of 16 tokens identical → Jaccard ≫ 0.5 → 7 near_dup
+      (6L, chunk("n"), "en", "s", 0L),
+      (7L, s"${(1 to 15).map(i => s"n$i").mkString(" ")} zz", "en", "s", 0L)))
+    val out = entry("x103_curation_manifest").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("decision")).toMap
+    out shouldBe Map(
+      1L -> "quality",
+      2L -> "kept",
+      3L -> "exact_dup",
+      4L -> "boilerplate",
+      5L -> "kept",
+      6L -> "kept",
+      7L -> "near_dup")
+  }
+
   test("x102: the 15-token tail beyond the last full chunk is ignored by design") {
     val tail = (1 to 15).map(i => s"t$i").mkString(" ")
     val tmp = writeDocs(Seq(
