@@ -3787,7 +3787,53 @@ object ExtensionCatalog {
       "curation manifest: per-document keep/drop decision with the dropping stage " +
         "(quality / exact_dup / boilerplate / near_dup / kept) — x100's pipeline " +
         "re-emitted as the provenance artifact a corpus release ships " +
-        "(extension: pipeline composition / governance)")
+        "(extension: pipeline composition / governance)"),
+
+    CatalogEntry(
+      "x104_release_diff",
+      (s, dir) => {
+        // release-to-release corpus diff: full-outer join two versions on
+        // doc_id and classify added / removed / changed / unchanged by
+        // content fingerprint — the changelog a dataset release publishes.
+        // Versions are carved deterministically from the fixture (v1 skips
+        // id%5==0, v2 skips id%7==0 and rewrites text for id%11==0), so the
+        // oracle replays them exactly. One equi-shuffle on doc_id; the
+        // fingerprint compare is map-side.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
+        val docs = t(s, dir, "documents")
+        val v1 = docs.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), expr("graft_poly_hash(text)").as("fp1"))
+        val v2 = docs.where(col("doc_id") % 7 =!= 0)
+          .select(col("doc_id"), expr(
+            "graft_poly_hash(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)")
+            .as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") === col("fp2"), "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+          .orderBy("status")
+      },
+      Some(s"""WITH v1 AS (SELECT doc_id, ${dPoly("text")} AS fp1
+              |  FROM documents WHERE doc_id % 5 <> 0),
+              |v2 AS (SELECT doc_id,
+              |    ${dPoly("CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END")} AS fp2
+              |  FROM documents WHERE doc_id % 7 <> 0),
+              |d AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+              |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+              |         WHEN v2.doc_id IS NULL THEN 'removed'
+              |         WHEN fp1 = fp2 THEN 'unchanged'
+              |         ELSE 'changed' END AS status
+              |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+              |SELECT status, COUNT(*)::BIGINT AS n_docs,
+              |  MIN(doc_id) AS first_doc
+              |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
+      "release-to-release corpus diff: full-outer fingerprint join classifying " +
+        "added / removed / changed / unchanged — the dataset changelog, one doc_id " +
+        "shuffle (extension: governance)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

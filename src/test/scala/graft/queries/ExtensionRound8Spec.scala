@@ -86,6 +86,27 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
       7L -> "near_dup")
   }
 
+  test("x104: every diff class lands on the constructed id that triggers it") {
+    // version carving: v1 = id%5!=0, v2 = id%7!=0, changed when id%11==0.
+    //  5 → only v2 → added;  7 → only v1 → removed;
+    // 11 → both, text differs → changed;  1 → both, same → unchanged;
+    // 35 → neither version → absent from the diff entirely
+    val tmp = writeDocs(Seq(
+      (1L, "alpha beta", "en", "s", 0L),
+      (5L, "gamma", "en", "s", 0L),
+      (7L, "delta", "en", "s", 0L),
+      (11L, "epsilon zeta", "en", "s", 0L),
+      (35L, "eta", "en", "s", 0L)))
+    val out = entry("x104_release_diff").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("status") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("first_doc"))).toMap
+    out shouldBe Map(
+      "added" -> ((1L, 5L)),
+      "removed" -> ((1L, 7L)),
+      "changed" -> ((1L, 11L)),
+      "unchanged" -> ((1L, 1L)))
+  }
+
   test("x102: the 15-token tail beyond the last full chunk is ignored by design") {
     val tail = (1 to 15).map(i => s"t$i").mkString(" ")
     val tmp = writeDocs(Seq(
