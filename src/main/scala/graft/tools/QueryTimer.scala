@@ -21,9 +21,12 @@ object QueryTimer {
     // last number is a warm measurement (Bench-style) not a cold-JIT one
     name.split(",").foreach { n =>
       spark.sharedState.cacheManager.clearCache()
+      // clock starts BEFORE the build: entries that stage eagerly at build
+      // time (x73's localCheckpoint barrier, x101's posting index) must
+      // bill that work here exactly as Bench does, or A/Bs flatter them
+      val t0 = System.nanoTime()
       val df = SparkEntry.queries(n)(spark, sfDir)
       if (args.contains("explain")) df.explain("formatted")
-      val t0 = System.nanoTime()
       if (args.contains("count")) println(s"[timer] rows: ${df.count()}")
       else if (args.contains("parquet"))
         df.write.mode("overwrite").parquet("/tmp/qt_out")
