@@ -3833,7 +3833,182 @@ object ExtensionCatalog {
               |FROM d GROUP BY 1 ORDER BY 1""".stripMargin),
       "release-to-release corpus diff: full-outer fingerprint join classifying " +
         "added / removed / changed / unchanged — the dataset changelog, one doc_id " +
-        "shuffle (extension: governance)")
+        "shuffle (extension: governance)"),
+
+    CatalogEntry(
+      "x105_knn_label",
+      (s, dir) => {
+        // k-NN label propagation: predict each fenced query vector's label
+        // by majority vote over its 10 nearest corpus neighbors (cosine) —
+        // the weak-labeling / auto-annotation step a curation pipeline runs
+        // before training a filter model. Query side is a bounded fence
+        // (broadcast, x10 pattern); vote + argmax are one hash-aggregate and
+        // a per-query WindowGroupLimit. 100 TB path: swap bruteForceTopK for
+        // the IVF probe (x18) — the vote/argmax tail is unchanged.
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 50)
+        val c = e.where(col("vec_id") >= 50)
+        val votes = SimilaritySearch.bruteForceTopK(q, c, k = 10)
+          .join(c.select(col("vec_id").as("corpus_id"),
+            col("label").cast("long").as("nbr_label")), "corpus_id")
+          .groupBy("query_id", "nbr_label")
+          .agg(count(lit(1)).as("n_votes"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("n_votes").desc, col("nbr_label"))
+        votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .join(q.select(col("vec_id").as("query_id"),
+            col("label").cast("long").as("true_label")), "query_id")
+          .select(col("query_id"), col("true_label"),
+            col("nbr_label").as("pred_label"), col("n_votes"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+              |    FROM embeddings WHERE vec_id < 50),
+              |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label
+              |    FROM embeddings WHERE vec_id >= 50),
+              |nn AS (SELECT query_id, corpus_id FROM (
+              |    SELECT q.query_id, c.corpus_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("qv", "cv")} DESC, c.corpus_id) AS rank
+              |    FROM q, c) WHERE rank <= 10),
+              |votes AS (SELECT nn.query_id, c.label::BIGINT AS nbr_label,
+              |    COUNT(*)::BIGINT AS n_votes
+              |  FROM nn JOIN c ON nn.corpus_id = c.corpus_id GROUP BY 1, 2),
+              |pred AS (SELECT query_id, nbr_label, n_votes,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY n_votes DESC, nbr_label) AS rk FROM votes)
+              |SELECT p.query_id, q.label::BIGINT AS true_label,
+              |  p.nbr_label AS pred_label, p.n_votes
+              |FROM pred p JOIN q ON p.query_id = q.query_id
+              |WHERE rk = 1 ORDER BY 1""".stripMargin),
+      "k-NN label propagation: majority vote over 10 nearest corpus neighbors per " +
+        "fenced query vector — weak labeling for curation filters; broadcast query " +
+        "fence + hash-aggregate vote (extension: similarity search / labeling)"),
+
+    CatalogEntry(
+      "x106_adaptive_cutoff",
+      (s, dir) => {
+        // per-source adaptive quality cutoff: keep the top 80% of documents
+        // WITHIN each source by composite quality score (x02's), instead of
+        // one global threshold that over-prunes weak sources and under-prunes
+        // strong ones. percent_rank needs one shuffle on source; at 100 TB
+        // swap it for the two-pass per-group approx-quantile threshold
+        // broadcast (x56 pattern) so no source ever sorts in one task.
+        val sig = TextFunctions.qualitySignals("text")
+        val scored = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), sig.as("sig"))
+          .select(col("doc_id"), col("source"),
+            TextFunctions.qualityScore(col("sig")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("quality_score"), col("doc_id"))
+        scored.withColumn("pr", percent_rank().over(w))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("pr") >= 0.2, 1L).otherwise(0L)).as("n_kept"),
+            min(when(col("pr") >= 0.2, col("quality_score"))).as("min_kept_score"))
+          .orderBy("source")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, source, text, string_split(text, ' ') AS toks FROM documents),
+             |sig AS (
+             |  SELECT doc_id, source,
+             |    len(toks)::BIGINT AS n_tokens,
+             |    len(list_distinct(toks))::DOUBLE / len(toks) AS type_token_ratio,
+             |    len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is')))::DOUBLE
+             |      / len(toks) AS stopword_ratio
+             |  FROM base),
+             |scored AS (
+             |  SELECT doc_id, source,
+             |    least(n_tokens::DOUBLE / 100.0, 1.0::DOUBLE) * 0.3::DOUBLE
+             |      + type_token_ratio * 0.4::DOUBLE
+             |      + (1.0::DOUBLE - abs(stopword_ratio - 0.08::DOUBLE)) * 0.3::DOUBLE
+             |      AS quality_score
+             |  FROM sig),
+             |ranked AS (
+             |  SELECT source, quality_score,
+             |    PERCENT_RANK() OVER (PARTITION BY source
+             |      ORDER BY quality_score, doc_id) AS pr
+             |  FROM scored)
+             |SELECT source, COUNT(*)::BIGINT AS n_total,
+             |  CAST(SUM(CASE WHEN pr >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |  MIN(CASE WHEN pr >= 0.2 THEN quality_score END) AS min_kept_score
+             |FROM ranked GROUP BY 1 ORDER BY source""".stripMargin),
+      "per-source adaptive quality cutoff: keep the top 80% within each source by " +
+        "composite score — stratified pruning so weak sources aren't globally " +
+        "crushed; one source-keyed window shuffle (extension: data quality / curation)"),
+
+    CatalogEntry(
+      "x107_hll_audit",
+      (s, dir) => {
+        // distinct-token cardinality per source: the exact count next to the
+        // HLL++ sketch estimate (rsd 5%), asserting the estimate lands within
+        // 3 sigma. At 100 TB the exact leg is the audit run on a shard and
+        // the sketch is the production path — approx_count_distinct's buffer
+        // is mergeable, so partials combine map-side with no distinct-shuffle.
+        val toks = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        toks.groupBy("source")
+          .agg(countDistinct(col("tok")).as("n_exact"),
+            approx_count_distinct(col("tok"), rsd = 0.05).as("n_hll"))
+          .select(col("source"), col("n_exact"),
+            (abs(col("n_hll") - col("n_exact")).cast("double") <=
+              col("n_exact").cast("double") * 0.15).as("hll_ok"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(DISTINCT tok)::BIGINT AS n_exact, TRUE AS hll_ok
+             |FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+             |GROUP BY 1 ORDER BY source""".stripMargin),
+      "cardinality audit: exact distinct tokens per source next to the HLL++ " +
+        "estimate with a 3-sigma acceptance bound — the production sketch ships " +
+        "with its own accuracy check, x91 pattern (extension: sketches / evaluation)"),
+
+    CatalogEntry(
+      "x108_bigram_coverage",
+      (s, dir) => {
+        // Zipf coverage curve over the bigram vocabulary (916 distinct at
+        // sf0.01; unigrams are a 31-word salad — vacuous): what share of all
+        // bigram occurrences do the top-{50,200,500} types cover? The
+        // tokenizer-budget question. Vocab aggregate is one shuffle; the
+        // ordered cumulative sum runs over the VOCAB (types, not tokens) —
+        // bounded by |V|, fine in one window partition even at 100 TB corpus
+        // scale since |V| grows sub-linearly.
+        val bg = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("toks"))
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+            .as("bigram"))
+        val vocab = bg.groupBy("bigram").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("bigram"))
+        val total = vocab.agg(sum("n").as("n_total"))
+        vocab.withColumn("rank", row_number().over(w))
+          .withColumn("cum_n", sum("n").over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .where(col("rank").isin(50, 200, 500))
+          .crossJoin(broadcast(total))
+          .select(col("rank").cast("long").as("rank"), col("cum_n"),
+            col("n_total"),
+            (col("cum_n").cast("double") / col("n_total").cast("double")).as("coverage"))
+          .orderBy("rank")
+      },
+      Some("""WITH bg AS (
+             |  SELECT toks[i] || ' ' || toks[i+1] AS bigram FROM (
+             |    SELECT string_split(text, ' ') AS toks,
+             |      unnest(range(1, len(string_split(text, ' ')))) AS i
+             |    FROM documents)),
+             |vocab AS (SELECT bigram, COUNT(*)::BIGINT AS n FROM bg GROUP BY 1),
+             |ranked AS (SELECT bigram, n,
+             |    ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank,
+             |    SUM(n) OVER (ORDER BY n DESC, bigram
+             |      ROWS UNBOUNDED PRECEDING) AS cum_n
+             |  FROM vocab)
+             |SELECT CAST(rank AS BIGINT) AS rank, CAST(cum_n AS BIGINT) AS cum_n,
+             |  (SELECT CAST(SUM(n) AS BIGINT) FROM vocab) AS n_total,
+             |  cum_n::DOUBLE / (SELECT SUM(n) FROM vocab)::DOUBLE AS coverage
+             |FROM ranked WHERE rank IN (50, 200, 500) ORDER BY rank""".stripMargin),
+      "Zipf coverage curve over the bigram vocabulary: corpus share covered by the " +
+        "top-{50,200,500} types — the tokenizer-budget curve; vocab-sized window, " +
+        "corpus never sorts (extension: text analysis / tokenizer)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -117,4 +117,68 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
         r.getAs[String]("text_clean")).toMap
     out(1L) shouldBe chunk("a") // tail tokens absent from the rebuilt text
   }
+
+  test("x105: majority vote over the 10 nearest neighbors, per fenced query") {
+    // corpus: 6 label-1 vectors hugging the x-axis, 6 label-2 hugging y.
+    // q0=(1,0) keeps all 6 label-1 plus the 4 least-bad label-2 → pred 1
+    // with 6 votes; q1=(0,1) is the mirror image.
+    val tmp = java.nio.file.Files.createTempDirectory("r8emb").toString
+    val corpus = (0 to 5).map(i => (50L + i, Array(10f, i.toFloat), 1)) ++
+      (0 to 5).map(i => (60L + i, Array(i.toFloat, 10f), 2))
+    (Seq((0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 2)) ++ corpus)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = entry("x105_knn_label").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("true_label"), r.getAs[Long]("pred_label"),
+          r.getAs[Long]("n_votes")))).toMap
+    out shouldBe Map(0L -> ((1L, 1L, 6L)), 1L -> ((2L, 2L, 6L)))
+  }
+
+  test("x106: per-source percent-rank cutoff drops exactly the bottom fifth") {
+    // 5 docs per source → percent_rank ∈ {0, .25, .5, .75, 1}; pr >= 0.2
+    // keeps 4 of 5, and the dropped doc is the source's worst scorer.
+    def doc(id: Long, src: String, nTok: Int) =
+      (id, (1 to nTok).map(i => s"w$i").mkString(" "), "en", src, 0L)
+    val tmp = writeDocs(
+      (1 to 5).map(i => doc(i.toLong, "sa", 2 * i)) ++
+        (1 to 5).map(i => doc(10L + i, "sb", 30 + i)))
+    val out = entry("x106_adaptive_cutoff").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_total"), r.getAs[Long]("n_kept")))).toMap
+    out shouldBe Map("sa" -> ((5L, 4L)), "sb" -> ((5L, 4L)))
+    // the kept minimum sits strictly above each source's global minimum
+    val scores = entry("x02_quality_score").build(spark, tmp)
+      .selectExpr("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val kept = entry("x106_adaptive_cutoff").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("min_kept_score")).toMap
+    kept("sa") should be > scores(1L) // doc 1 is sa's shortest → dropped
+    kept("sb") should be > scores(11L)
+  }
+
+  test("x107: exact distinct per source, sketch within its acceptance bound") {
+    val tmp = writeDocs(Seq(
+      (1L, "a b c", "en", "sa", 0L),
+      (2L, "a a a b", "en", "sb", 0L),
+      (3L, "c b", "en", "sa", 0L))) // sa: {a,b,c}; sb: {a,b}
+    val out = entry("x107_hll_audit").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Boolean]("hll_ok")))).toMap
+    out shouldBe Map("sa" -> ((3L, true)), "sb" -> ((2L, true)))
+  }
+
+  test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
+    // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
+    // don't exist, so the curve has exactly the rank-50 point.
+    val tmp = writeDocs(Seq(
+      (1L, (1 to 61).map(i => s"t$i").mkString(" "), "en", "s", 0L)))
+    val rows = entry("x108_bigram_coverage").build(spark, tmp).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("rank") shouldBe 50L
+    rows.head.getAs[Long]("cum_n") shouldBe 50L
+    rows.head.getAs[Long]("n_total") shouldBe 60L
+    rows.head.getAs[Double]("coverage") shouldBe (50.0 / 60.0)
+  }
 }

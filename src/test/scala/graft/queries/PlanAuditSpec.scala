@@ -86,7 +86,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x92_lsh_dedup_recall", "x93_join_size_sketch",
       // x97: ≤5 broadcast anchors × label-exclusion predicate; x98: per-type
       // totals × the 10-row literal band grid
-      "x97_negative_sampling", "x98_psi_drift")
+      "x97_negative_sampling", "x98_psi_drift",
+      // x105 inherits x10's bounded-broadcast truth leg (≤50 fenced query
+      // vectors); x108 crosses the 1-row bigram grand-total aggregate
+      "x105_knn_label", "x108_bigram_coverage")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
