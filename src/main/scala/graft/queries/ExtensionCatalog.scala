@@ -4008,7 +4008,146 @@ object ExtensionCatalog {
              |FROM ranked WHERE rank IN (50, 200, 500) ORDER BY rank""".stripMargin),
       "Zipf coverage curve over the bigram vocabulary: corpus share covered by the " +
         "top-{50,200,500} types — the tokenizer-budget curve; vocab-sized window, " +
-        "corpus never sorts (extension: text analysis / tokenizer)")
+        "corpus never sorts (extension: text analysis / tokenizer)"),
+
+    CatalogEntry(
+      "x109_label_noise",
+      (s, dir) => {
+        // leave-one-out kNN label-noise audit on a fenced shard (vec_id<50):
+        // each audited vector is re-labeled by the majority of its 10
+        // nearest OTHER vectors; a vector whose own label loses that vote
+        // is flagged. Output is the per-class noise ledger a curation run
+        // acts on. Audit fence broadcasts (x10 pattern), corpus side scans
+        // map-side; at 100 TB the audit stays shard-sized and the
+        // neighbor probe swaps to IVF (x18) unchanged downstream.
+        val e = t(s, dir, "embeddings")
+        val q = e.where(col("vec_id") < 50)
+        val nn = SimilaritySearch.bruteForceTopK(q, e, k = 11)
+          .where(col("query_id") =!= col("corpus_id"))
+        val w10 = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+        val votes = nn.withColumn("rk", row_number().over(w10))
+          .where(col("rk") <= 10)
+          .join(e.select(col("vec_id").as("corpus_id"),
+            col("label").cast("long").as("nbr_label")), "corpus_id")
+          .groupBy("query_id", "nbr_label")
+          .agg(count(lit(1)).as("n_votes"))
+        val wv = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(col("n_votes").desc, col("nbr_label"))
+        votes.withColumn("rk", row_number().over(wv)).where(col("rk") === 1)
+          .join(q.select(col("vec_id").as("query_id"),
+            col("label").cast("long").as("own_label")), "query_id")
+          .groupBy(col("own_label").as("label"))
+          .agg(count(lit(1)).as("n_audited"),
+            sum(when(col("nbr_label") =!= col("own_label"), 1L).otherwise(0L))
+              .as("n_noisy"))
+          .orderBy("label")
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label
+              |    FROM embeddings WHERE vec_id < 50),
+              |c AS (SELECT vec_id AS corpus_id, embedding AS cv, label FROM embeddings),
+              |nn AS (SELECT query_id, corpus_id FROM (
+              |    SELECT q.query_id, c.corpus_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("qv", "cv")} DESC, c.corpus_id) AS rank
+              |    FROM q, c WHERE q.query_id <> c.corpus_id) WHERE rank <= 10),
+              |votes AS (SELECT nn.query_id, c.label::BIGINT AS nbr_label,
+              |    COUNT(*)::BIGINT AS n_votes
+              |  FROM nn JOIN c ON nn.corpus_id = c.corpus_id GROUP BY 1, 2),
+              |pred AS (SELECT query_id, nbr_label,
+              |    ROW_NUMBER() OVER (PARTITION BY query_id
+              |      ORDER BY n_votes DESC, nbr_label) AS rk FROM votes)
+              |SELECT q.label::BIGINT AS label, COUNT(*)::BIGINT AS n_audited,
+              |  CAST(SUM(CASE WHEN p.nbr_label <> q.label::BIGINT THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_noisy
+              |FROM pred p JOIN q ON p.query_id = q.query_id
+              |WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin),
+      "leave-one-out kNN label-noise audit: flag fenced vectors whose own label " +
+        "loses the 10-nearest-neighbor majority vote — confident-learning-style " +
+        "noise ledger per class (extension: data quality / labeling)"),
+
+    CatalogEntry(
+      "x110_bpe_merges",
+      (s, dir) => {
+        // three unrolled rounds of BPE merge induction. Pair statistics run
+        // over (word type, frequency) — never the token stream — so the
+        // 100 TB corpus is scanned once for word counts and every round is
+        // |V|-sized: adjacent-pair count → global argmax (1-row broadcast)
+        // → left-to-right fold merge (aggregate HOF; the merged token
+        // can't re-pair with its own right half, matching the scan
+        // semantics of reference BPE trainers). `words` is checkpointed so
+        // the corpus scan isn't re-inlined per round (x73 lesson).
+        val words = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("freq"))
+          .localCheckpoint()
+        val chars = words.withColumn("toks",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+        def pairCounts(tk: DataFrame): DataFrame = tk
+          .where(size(col("toks")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), " +
+              "i -> named_struct('a', toks[i], 'b', toks[i+1]))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("freq").as("cnt"))
+        def top1(p: DataFrame): DataFrame =
+          p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        def applyMerge(tk: DataFrame, m: DataFrame): DataFrame = tk
+          .crossJoin(broadcast(m.select(col("a").as("ma"), col("b").as("mb"))))
+          .withColumn("toks", expr(
+            "split(aggregate(slice(toks, 2, size(toks) - 1), toks[0], " +
+              "(acc, x) -> CASE WHEN (acc = ma OR endswith(acc, concat('|', ma))) " +
+              "AND x = mb THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]')"))
+          .drop("ma", "mb")
+        val m1 = top1(pairCounts(chars))
+        val t2 = applyMerge(chars, m1)
+        val m2 = top1(pairCounts(t2))
+        val t3 = applyMerge(t2, m2)
+        val m3 = top1(pairCounts(t3))
+        def asRow(r: Int, m: DataFrame): DataFrame = m.select(
+          lit(r.toLong).as("round"), col("a").as("pair_left"),
+          col("b").as("pair_right"), concat(col("a"), col("b")).as("merged"),
+          col("cnt").as("pair_count"))
+        asRow(1, m1).unionAll(asRow(2, m2)).unionAll(asRow(3, m3))
+          .orderBy("round")
+      },
+      Some("""WITH w AS (SELECT word, COUNT(*)::BIGINT AS freq
+             |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |    GROUP BY 1),
+             |t1 AS (SELECT word, freq,
+             |    list_transform(range(1, len(word) + 1), i -> word[i]) AS toks FROM w),
+             |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+             |    FROM t1 WHERE len(toks) >= 2) GROUP BY 1, 2),
+             |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+             |t2 AS (SELECT word, freq, string_split(list_reduce(toks,
+             |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
+             |      AND x = m.b THEN acc || x ELSE acc || '|' || x END), '|') AS toks
+             |  FROM t1, m1 m),
+             |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+             |    FROM t2 WHERE len(toks) >= 2) GROUP BY 1, 2),
+             |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+             |t3 AS (SELECT word, freq, string_split(list_reduce(toks,
+             |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
+             |      AND x = m.b THEN acc || x ELSE acc || '|' || x END), '|') AS toks
+             |  FROM t2, m2 m),
+             |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+             |    FROM t3 WHERE len(toks) >= 2) GROUP BY 1, 2),
+             |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
+             |SELECT 1::BIGINT AS round, a AS pair_left, b AS pair_right,
+             |  a || b AS merged, cnt AS pair_count FROM m1
+             |UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM m2
+             |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM m3
+             |ORDER BY round""".stripMargin),
+      "BPE merge induction, 3 unrolled rounds: adjacent-pair count over the " +
+        "frequency-weighted word vocabulary, global argmax, left-to-right fold " +
+        "merge — tokenizer training where every round is |V|-sized, the corpus " +
+        "is scanned once (extension: text analysis / tokenizer)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

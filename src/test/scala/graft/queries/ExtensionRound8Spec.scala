@@ -169,6 +169,40 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     out shouldBe Map("sa" -> ((3L, true)), "sb" -> ((2L, true)))
   }
 
+  test("x109: the mislabeled audit vector loses its neighbor vote and is flagged") {
+    // corpus: 6 label-1 vectors on the x-axis, 6 label-2 on the y-axis.
+    // Audit vec 0 = (10,0) label 1 → neighbors agree → clean.
+    // Audit vec 1 = (0,10) label 1 (WRONG; it sits in the y-cluster) →
+    // 6 of its 10 nearest vote label 2 → flagged noisy.
+    val tmp = java.nio.file.Files.createTempDirectory("r8emb2").toString
+    val corpus = (0 to 5).map(i => (50L + i, Array(10f, i.toFloat), 1)) ++
+      (0 to 5).map(i => (60L + i, Array(i.toFloat, 10f), 2))
+    (Seq((0L, Array(10f, 0f), 1), (1L, Array(0f, 10f), 1)) ++ corpus)
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = entry("x109_label_noise").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("label") ->
+        ((r.getAs[Long]("n_audited"), r.getAs[Long]("n_noisy")))).toMap
+    out shouldBe Map(1L -> ((2L, 1L)))
+  }
+
+  test("x110: three BPE rounds — merged 'ab' token re-pairs with itself, not its half") {
+    // "abab"×3 + "cd"×1. Round 1: (a,b) count 6. Round 2: the merged "ab"
+    // pairs with the following "ab" (count 3) — NOT with a bare 'a', which
+    // would be the fold-rule bug. Round 3: only (c,d) remains.
+    val tmp = writeDocs(Seq(
+      (1L, "abab abab cd", "en", "s", 0L),
+      (2L, "abab", "en", "s", 0L)))
+    val rows = entry("x110_bpe_merges").build(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[String]("pair_left"),
+        r.getAs[String]("pair_right"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_count")))
+    rows shouldBe Array(
+      (1L, "a", "b", "ab", 6L),
+      (2L, "ab", "ab", "abab", 3L),
+      (3L, "c", "d", "cd", 1L))
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.
