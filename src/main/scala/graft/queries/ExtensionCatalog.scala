@@ -46,6 +46,75 @@ object ExtensionCatalog {
     s"${dot(a, b)} / sqrt(${dot(a, a)}) / sqrt(${dot(b, b)})"
   }
 
+  /** Three rounds of BPE merge induction over the frequency-weighted word
+    * vocabulary (x110/x111). Every round is |V|-sized: adjacent-pair count
+    * → global argmax (1-row broadcast) → left-to-right fold merge via the
+    * `aggregate` HOF. Returns the three 1-row merge tables and the token
+    * table AFTER all three merges. `words` is checkpointed so the corpus
+    * scan isn't re-inlined into each round (the x73 lesson).
+    */
+  private def bpeRounds(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
+    val chars = words.withColumn("toks",
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+    def pairCounts(tk: DataFrame): DataFrame = tk
+      .where(size(col("toks")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> named_struct('a', toks[i], 'b', toks[i+1]))")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum("freq").as("cnt"))
+    def top1(p: DataFrame): DataFrame =
+      p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+    def applyMerge(tk: DataFrame, m: DataFrame): DataFrame = tk
+      .crossJoin(broadcast(m.select(col("a").as("ma"), col("b").as("mb"))))
+      .withColumn("toks", expr(
+        "split(aggregate(slice(toks, 2, size(toks) - 1), toks[0], " +
+          "(acc, x) -> CASE WHEN (acc = ma OR endswith(acc, concat('|', ma))) " +
+          "AND x = mb THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]')"))
+      .drop("ma", "mb")
+    val m1 = top1(pairCounts(chars))
+    val t2 = applyMerge(chars, m1)
+    val m2 = top1(pairCounts(t2))
+    val t3 = applyMerge(t2, m2)
+    val m3 = top1(pairCounts(t3))
+    (m1, m2, m3, applyMerge(t3, m3))
+  }
+
+  /** DuckDB mirror of [[bpeRounds]]: the CTE chain `w,t1,p1,m1,…,m3,t4`
+    * (same fold rule, same tie-break). Prefix with `WITH `.
+    */
+  private val dBpeChain: String = {
+    def pairs(src: String) =
+      s"""(SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(toks)),
+         |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
+         |    FROM $src WHERE len(toks) >= 2) GROUP BY 1, 2)""".stripMargin
+    def merged(src: String, m: String) =
+      s"""(SELECT word, freq, string_split(list_reduce(toks,
+         |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
+         |      AND x = m.b THEN acc || x ELSE acc || '|' || x END), '|') AS toks
+         |  FROM $src, $m m)""".stripMargin
+    s"""w AS (SELECT word, COUNT(*)::BIGINT AS freq
+       |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |    GROUP BY 1),
+       |t1 AS (SELECT word, freq,
+       |    list_transform(range(1, len(word) + 1), i -> word[i]) AS toks FROM w),
+       |p1 AS ${pairs("t1")},
+       |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+       |t2 AS ${merged("t1", "m1")},
+       |p2 AS ${pairs("t2")},
+       |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+       |t3 AS ${merged("t2", "m2")},
+       |p3 AS ${pairs("t3")},
+       |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+       |t4 AS ${merged("t3", "m3")}""".stripMargin
+  }
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -4077,33 +4146,7 @@ object ExtensionCatalog {
         // can't re-pair with its own right half, matching the scan
         // semantics of reference BPE trainers). `words` is checkpointed so
         // the corpus scan isn't re-inlined per round (x73 lesson).
-        val words = t(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("freq"))
-          .localCheckpoint()
-        val chars = words.withColumn("toks",
-          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
-        def pairCounts(tk: DataFrame): DataFrame = tk
-          .where(size(col("toks")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(0, size(toks) - 2), " +
-              "i -> named_struct('a', toks[i], 'b', toks[i+1]))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("freq").as("cnt"))
-        def top1(p: DataFrame): DataFrame =
-          p.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        def applyMerge(tk: DataFrame, m: DataFrame): DataFrame = tk
-          .crossJoin(broadcast(m.select(col("a").as("ma"), col("b").as("mb"))))
-          .withColumn("toks", expr(
-            "split(aggregate(slice(toks, 2, size(toks) - 1), toks[0], " +
-              "(acc, x) -> CASE WHEN (acc = ma OR endswith(acc, concat('|', ma))) " +
-              "AND x = mb THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]')"))
-          .drop("ma", "mb")
-        val m1 = top1(pairCounts(chars))
-        val t2 = applyMerge(chars, m1)
-        val m2 = top1(pairCounts(t2))
-        val t3 = applyMerge(t2, m2)
-        val m3 = top1(pairCounts(t3))
+        val (m1, m2, m3, _) = bpeRounds(s, dir)
         def asRow(r: Int, m: DataFrame): DataFrame = m.select(
           lit(r.toLong).as("round"), col("a").as("pair_left"),
           col("b").as("pair_right"), concat(col("a"), col("b")).as("merged"),
@@ -4111,43 +4154,98 @@ object ExtensionCatalog {
         asRow(1, m1).unionAll(asRow(2, m2)).unionAll(asRow(3, m3))
           .orderBy("round")
       },
-      Some("""WITH w AS (SELECT word, COUNT(*)::BIGINT AS freq
-             |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-             |    GROUP BY 1),
-             |t1 AS (SELECT word, freq,
-             |    list_transform(range(1, len(word) + 1), i -> word[i]) AS toks FROM w),
-             |p1 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
-             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
-             |    FROM t1 WHERE len(toks) >= 2) GROUP BY 1, 2),
-             |m1 AS (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-             |t2 AS (SELECT word, freq, string_split(list_reduce(toks,
-             |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
-             |      AND x = m.b THEN acc || x ELSE acc || '|' || x END), '|') AS toks
-             |  FROM t1, m1 m),
-             |p2 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
-             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
-             |    FROM t2 WHERE len(toks) >= 2) GROUP BY 1, 2),
-             |m2 AS (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-             |t3 AS (SELECT word, freq, string_split(list_reduce(toks,
-             |    (acc, x) -> CASE WHEN (acc = m.a OR ends_with(acc, '|' || m.a))
-             |      AND x = m.b THEN acc || x ELSE acc || '|' || x END), '|') AS toks
-             |  FROM t2, m2 m),
-             |p3 AS (SELECT p.a AS a, p.b AS b, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
-             |    SELECT freq, unnest(list_transform(range(1, len(toks)),
-             |      i -> {'a': toks[i], 'b': toks[i+1]})) AS p
-             |    FROM t3 WHERE len(toks) >= 2) GROUP BY 1, 2),
-             |m3 AS (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1)
-             |SELECT 1::BIGINT AS round, a AS pair_left, b AS pair_right,
-             |  a || b AS merged, cnt AS pair_count FROM m1
-             |UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM m2
-             |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM m3
-             |ORDER BY round""".stripMargin),
+      Some(s"""WITH $dBpeChain
+              |SELECT 1::BIGINT AS round, a AS pair_left, b AS pair_right,
+              |  a || b AS merged, cnt AS pair_count FROM m1
+              |UNION ALL SELECT 2::BIGINT, a, b, a || b, cnt FROM m2
+              |UNION ALL SELECT 3::BIGINT, a, b, a || b, cnt FROM m3
+              |ORDER BY round""".stripMargin),
       "BPE merge induction, 3 unrolled rounds: adjacent-pair count over the " +
         "frequency-weighted word vocabulary, global argmax, left-to-right fold " +
         "merge — tokenizer training where every round is |V|-sized, the corpus " +
-        "is scanned once (extension: text analysis / tokenizer)")
+        "is scanned once (extension: text analysis / tokenizer)"),
+
+    CatalogEntry(
+      "x111_bpe_apply",
+      (s, dir) => {
+        // apply the x110 merge table: segment the corpus with the induced
+        // tokenizer and report what it bought — corpus token count before
+        // (chars) and after, chars-per-token compression, surviving
+        // symbol-vocabulary size. Application stays |V|-sized too: token
+        // counts re-weight by word frequency instead of re-folding each
+        // document (at 100 TB the merge list broadcasts and the same fold
+        // runs per document; the arithmetic here is the exact equivalent).
+        val (_, _, _, t4) = bpeRounds(s, dir)
+        val stats = t4.agg(
+          sum("freq").cast("long").as("n_words"),
+          sum(col("freq") * length(col("word"))).cast("long").as("n_chars"),
+          sum(col("freq") * size(col("toks"))).cast("long").as("n_tokens"))
+        val vocab = t4.select(explode(col("toks")).as("tok"))
+          .agg(countDistinct("tok").cast("long").as("vocab_size"))
+        stats.crossJoin(broadcast(vocab))
+          .select(col("n_words"), col("n_chars"), col("n_tokens"),
+            (col("n_chars").cast("double") / col("n_tokens").cast("double"))
+              .as("chars_per_token"),
+            col("vocab_size"))
+      },
+      Some(s"""WITH $dBpeChain
+              |SELECT
+              |  (SELECT CAST(SUM(freq) AS BIGINT) FROM t4) AS n_words,
+              |  (SELECT CAST(SUM(freq * len(word)) AS BIGINT) FROM t4) AS n_chars,
+              |  (SELECT CAST(SUM(freq * len(toks)) AS BIGINT) FROM t4) AS n_tokens,
+              |  (SELECT CAST(SUM(freq * len(word)) AS BIGINT) FROM t4)::DOUBLE /
+              |    (SELECT CAST(SUM(freq * len(toks)) AS BIGINT) FROM t4)::DOUBLE
+              |    AS chars_per_token,
+              |  (SELECT COUNT(DISTINCT tok)::BIGINT FROM
+              |    (SELECT unnest(toks) AS tok FROM t4)) AS vocab_size""".stripMargin),
+      "BPE tokenizer application: corpus char/token counts, chars-per-token " +
+        "compression, surviving vocab size after the 3 induced merges — the " +
+        "payoff ledger for x110, still |V|-sized (extension: text analysis / tokenizer)"),
+
+    CatalogEntry(
+      "x112_mixture_temperature",
+      (s, dir) => {
+        // temperature-reweighted source mixture (alpha = 0.5): target doc
+        // allocation proportional to sqrt(n_source) — upsamples small
+        // sources, tempers head domains, the standard mixing step before
+        // training. sqrt is IEEE-exact and the denominator sums integer
+        // micro-units, so the weights hash-match the oracle bit-for-bit.
+        // One tiny per-source aggregate + a 1-row broadcast: corpus-scan
+        // once at any scale.
+        val n = t(s, dir, "documents")
+          .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val sq = n.withColumn("sqrt_micro",
+          floor(sqrt(col("n_docs").cast("double")) * lit(1000000.0)).cast("long"))
+        val tot = sq.agg(sum("sqrt_micro").as("den_micro"),
+          sum("n_docs").as("n_total"))
+        sq.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"),
+            (col("sqrt_micro").cast("double") / col("den_micro").cast("double"))
+              .as("weight"),
+            floor(col("sqrt_micro").cast("double") / col("den_micro").cast("double")
+              * col("n_total").cast("double")).cast("long").as("target_docs"))
+          .withColumn("boost",
+            col("target_docs").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some("""WITH n AS (SELECT source, COUNT(*)::BIGINT AS n_docs
+             |    FROM documents GROUP BY 1),
+             |sq AS (SELECT source, n_docs,
+             |    CAST(floor(sqrt(n_docs::DOUBLE) * 1000000.0) AS BIGINT) AS sqrt_micro
+             |  FROM n),
+             |tot AS (SELECT CAST(SUM(sqrt_micro) AS BIGINT) AS den_micro,
+             |    CAST(SUM(n_docs) AS BIGINT) AS n_total FROM sq)
+             |SELECT source, n_docs,
+             |  sqrt_micro::DOUBLE / den_micro::DOUBLE AS weight,
+             |  CAST(floor(sqrt_micro::DOUBLE / den_micro::DOUBLE * n_total::DOUBLE)
+             |    AS BIGINT) AS target_docs,
+             |  CAST(floor(sqrt_micro::DOUBLE / den_micro::DOUBLE * n_total::DOUBLE)
+             |    AS BIGINT)::DOUBLE / n_docs::DOUBLE AS boost
+             |FROM sq, tot ORDER BY source""".stripMargin),
+      "temperature mixture reweighting (alpha=0.5): per-source target allocation " +
+        "proportional to sqrt(n) with integer micro-unit denominator — upsample " +
+        "the tail, temper the head; one tiny aggregate + 1-row broadcast " +
+        "(extension: sampling / training prep)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

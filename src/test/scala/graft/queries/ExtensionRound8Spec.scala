@@ -203,6 +203,36 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
       (3L, "c", "d", "cd", 1L))
   }
 
+  test("x111: applying the 3 merges collapses 'abab' to one token (3.5 chars/token)") {
+    // same corpus as the x110 spec: merges land ab → abab → cd, so the
+    // corpus of 4 word instances (14 chars) tokenizes to 4 tokens drawn
+    // from a 2-symbol vocabulary.
+    val tmp = writeDocs(Seq(
+      (1L, "abab abab cd", "en", "s", 0L),
+      (2L, "abab", "en", "s", 0L)))
+    val r = entry("x111_bpe_apply").build(spark, tmp).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_words") shouldBe 4L
+    r.head.getAs[Long]("n_chars") shouldBe 14L
+    r.head.getAs[Long]("n_tokens") shouldBe 4L
+    r.head.getAs[Double]("chars_per_token") shouldBe 3.5
+    r.head.getAs[Long]("vocab_size") shouldBe 2L
+  }
+
+  test("x112: sqrt temperature upsamples the tail source relative to the head") {
+    // sa: 4 docs, sb: 1 doc → weights 2/3 and 1/3 of 5 targets →
+    // sa gets floor(10/3)=3 (boost .75), sb gets floor(5/3)=1 (boost 1.0).
+    val tmp = writeDocs(
+      (1 to 4).map(i => (i.toLong, "a b", "en", "sa", 0L)) :+
+        (9L, "a b", "en", "sb", 0L))
+    val out = entry("x112_mixture_temperature").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("weight"),
+          r.getAs[Long]("target_docs"), r.getAs[Double]("boost")))).toMap
+    out("sa") shouldBe ((4L, 2.0 / 3.0, 3L, 0.75))
+    out("sb") shouldBe ((1L, 1.0 / 3.0, 1L, 1.0))
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.

@@ -90,9 +90,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // x105 inherits x10's bounded-broadcast truth leg (≤50 fenced query
       // vectors); x108 crosses the 1-row bigram grand-total aggregate
       "x105_knn_label", "x108_bigram_coverage",
-      // x109 is the same ≤50-vector audit fence; x110 crosses three 1-row
-      // argmax merge tables back into the vocabulary
-      "x109_label_noise", "x110_bpe_merges")
+      // x109 is the same ≤50-vector audit fence; x110/x111 cross three 1-row
+      // argmax merge tables back into the vocabulary; x112 crosses the 1-row
+      // mixture denominator
+      "x109_label_noise", "x110_bpe_merges", "x111_bpe_apply",
+      "x112_mixture_temperature")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
