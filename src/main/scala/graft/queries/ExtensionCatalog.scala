@@ -54,11 +54,18 @@ object ExtensionCatalog {
     * scan isn't re-inlined into each round (the x73 lesson).
     */
   private def bpeRounds(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val words = t(s, dir, "documents")
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    bpeRoundsFromWords(t(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("freq"))
-      .localCheckpoint()
+      .groupBy("word").agg(count(lit(1)).as("freq")))
+
+  /** The rounds themselves, from any (word, freq) table — also driven by
+    * [[graft.tools.ScaleSmoke]] to show the merge loop is corpus-size
+    * independent once the word-count scan has run.
+    */
+  private[graft] def bpeRoundsFromWords(words0: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val words = words0.localCheckpoint()
     val chars = words.withColumn("toks",
       expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
     def pairCounts(tk: DataFrame): DataFrame = tk

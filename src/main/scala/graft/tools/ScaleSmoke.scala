@@ -91,6 +91,18 @@ object ScaleSmoke {
       chunks.groupBy("fp").agg(countDistinct("doc_id").as("nd"))
         .where(col("nd") >= copies).count())
     println(s"[scale] boilerplate: $hot chunks shared by >= $copies docs")
+
+    // BPE merge induction (x110): the only corpus-linear cost is the ONE
+    // word-count scan feeding the checkpointed (word, freq) table; all
+    // three pair-count→argmax→fold rounds run on the ~31-type vocabulary,
+    // so this timing must stay ~flat in `copies` beyond that scan
+    val words = big.select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (m1, m2, m3, _) = graft.queries.ExtensionCatalog.bpeRoundsFromWords(words)
+    val merges = time("bpe merge induction (3 rounds)")(
+      m1.unionAll(m2).unionAll(m3).collect())
+    println(s"[scale] bpe merges: " +
+      merges.map(r => s"${r.getString(0)}+${r.getString(1)}(${r.getLong(2)})").mkString(", "))
     spark.stop()
   }
 }
