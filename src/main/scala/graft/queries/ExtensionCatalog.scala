@@ -4252,7 +4252,63 @@ object ExtensionCatalog {
       "temperature mixture reweighting (alpha=0.5): per-source target allocation " +
         "proportional to sqrt(n) with integer micro-unit denominator — upsample " +
         "the tail, temper the head; one tiny aggregate + 1-row broadcast " +
-        "(extension: sampling / training prep)")
+        "(extension: sampling / training prep)"),
+
+    CatalogEntry(
+      "x113_source_overlap",
+      (s, dir) => {
+        // cross-source contamination matrix: the x07 banded near-dup pairs
+        // rolled up by unordered source pair — which sources copy from
+        // which, the provenance question behind licensing audits and
+        // mixture double-counting. Pair generation stays the banded
+        // equi-shuffle (never all-pairs); the source attribution is two
+        // doc_id equi-joins; the matrix itself is |sources|² rows.
+        // max (not avg) of jaccard keeps the double order-free exact.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, k = 16, bands = 8,
+          shingleN = 3, threshold = 0.5)
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+            greatest(col("src_a"), col("src_b")).as("source_y"))
+          .agg(count(lit(1)).as("n_pairs"), max(col("jac")).as("max_jac"))
+          .orderBy("source_x", "source_y")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (SELECT * FROM (
+              |  SELECT c.id_a, c.id_b,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5)
+              |SELECT least(da.source, db.source) AS source_x,
+              |  greatest(da.source, db.source) AS source_y,
+              |  COUNT(*)::BIGINT AS n_pairs, MAX(jac) AS max_jac
+              |FROM pairs p
+              |JOIN documents da ON p.id_a = da.doc_id
+              |JOIN documents db ON p.id_b = db.doc_id
+              |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "cross-source contamination matrix: x07's banded near-dup pairs rolled up " +
+        "by unordered source pair — who copies from whom; banded equi-shuffle + " +
+        "two dim joins, matrix is |sources|^2 (extension: dedup / governance)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -233,6 +233,20 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     out("sb") shouldBe ((1L, 1.0 / 3.0, 1L, 1.0))
   }
 
+  test("x113: identical texts across sources land in the unordered source cell") {
+    // docs 1 (sa), 2 (sb), 3 (sa) share one text → pairs (1,2) sa|sb,
+    // (1,3) sa|sa, (2,3) sa|sb; doc 4 (sc) is unrelated → no row touches sc.
+    val txt = (1 to 20).map(i => s"w$i").mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, txt, "en", "sa", 0L), (2L, txt, "en", "sb", 0L),
+      (3L, txt, "en", "sa", 0L), (4L, other, "en", "sc", 0L)))
+    val out = entry("x113_source_overlap").build(spark, tmp)
+      .collect().map(r => (r.getAs[String]("source_x"), r.getAs[String]("source_y")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("max_jac")))).toMap
+    out shouldBe Map(("sa", "sa") -> ((1L, 1.0)), ("sa", "sb") -> ((2L, 1.0)))
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.
