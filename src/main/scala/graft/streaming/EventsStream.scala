@@ -55,6 +55,37 @@ object EventsStream {
       .start()
   }
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension on `key`. Spark re-plans the join per micro-batch, so the
+    * static side is re-read (and, being dim-sized, broadcast) each
+    * trigger — the standard shape for decorating a 100 TB/day event feed
+    * with slowly-changing reference data without restarting the query.
+    * Left join keeps unmatched events flowing (enrichment must never
+    * drop telemetry).
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(dim, Seq(key), "left")
+
+  /** [[enrich]] wired end-to-end: file-source stream joined to a static
+    * parquet dim, appended to an in-memory sink.
+    */
+  def runEnrichToMemorySink(
+      spark: SparkSession,
+      dir: String,
+      dimDir: String,
+      key: String,
+      sinkName: String) = {
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+    enrich(stream, spark.read.parquet(dimDir), key).writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+  }
+
   /** Gap-based sessionization, batch form: a new session starts when the
     * per-user gap exceeds `gapUs` microseconds. Pure window functions
     * (lag + running sum) over integral microseconds (`ts div 1000` —

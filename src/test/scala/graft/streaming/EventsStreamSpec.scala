@@ -25,6 +25,36 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("stream-static enrichment joins every micro-batch against the dim, keeps misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-enrich").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val events = GraftSession.table(spark, SparkTestSession.sf0001, "events")
+    // static dim covering only even user ids → odd ids must survive with null tier
+    val dimDir = java.nio.file.Files.createTempDirectory("events-dim").toString
+    val userIds = events.select("user_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+    userIds.filter(_ % 2 == 0).map(u => (u, s"tier${u % 4}")).toSeq
+      .toDF("user_id", "tier").write.mode("overwrite").parquet(dimDir)
+    val batch = EventsStream.enrich(events, spark.read.parquet(dimDir), "user_id")
+      .groupBy("tier").count()
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+
+    val query = EventsStream.runEnrichToMemorySink(
+      spark, dir, dimDir, "user_id", "events_enrich_test")
+    try {
+      query.processAllAvailable()
+      val streamed = spark.table("events_enrich_test")
+        .groupBy("tier").count()
+        .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      streamed shouldBe batch
+      streamed.keySet should contain(None) // unmatched events kept
+      streamed.keySet.flatten should not be empty
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState running per-user counts converge to the batch truth") {
     val dir = java.nio.file.Files.createTempDirectory("events-state").toString
     java.nio.file.Files.copy(
