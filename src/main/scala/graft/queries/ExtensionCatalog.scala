@@ -122,6 +122,36 @@ object ExtensionCatalog {
        |t4 AS ${merged("t3", "m3")}""".stripMargin
   }
 
+  /** DuckDB mirror of [[Dedup.minhashNearDups]] (k=16, 8 bands × 2,
+    * 3-gram shingles, threshold 0.5): the CTE chain
+    * `base,sh,sigs,banded,cands,pairs` ending in verified (id_a, id_b,
+    * jac) pairs. Prefix with `WITH ` — shared by x07 / x113 / x114.
+    */
+  private val dNearDupPairs: String =
+    s"""base AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+       |  FROM documents),
+       |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+       |sigs AS (
+       |  SELECT doc_id, shingles,
+       |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+       |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+       |  FROM sh),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+       |  FROM sigs, range(0, 8) r(band)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT * FROM (
+       |  SELECT c.id_a, c.id_b,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+       |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+       |  WHERE jac >= 0.5)""".stripMargin
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -239,29 +269,8 @@ object ExtensionCatalog {
         Dedup.minhashNearDups(t(s, dir, "documents"), k = 16, bands = 8,
           shingleN = 3, threshold = 0.5)
           .orderBy("id_a", "id_b"),
-      Some(s"""WITH base AS (
-              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
-              |  FROM documents),
-              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
-              |sigs AS (
-              |  SELECT doc_id, shingles,
-              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
-              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
-              |  FROM sh),
-              |banded AS (
-              |  SELECT doc_id, band,
-              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
-              |  FROM sigs, range(0, 8) r(band)),
-              |cands AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM banded a JOIN banded b
-              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id)
-              |SELECT * FROM (
-              |  SELECT c.id_a, c.id_b,
-              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
-              |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin),
+      Some(s"""WITH $dNearDupPairs
+              |SELECT id_a, id_b, jac FROM pairs ORDER BY id_a, id_b""".stripMargin),
       "MinHash(16)+LSH(8 bands×2) near-dup, exact-Jaccard verified (extension: dedup)"),
 
     CatalogEntry(
@@ -4276,29 +4285,7 @@ object ExtensionCatalog {
           .agg(count(lit(1)).as("n_pairs"), max(col("jac")).as("max_jac"))
           .orderBy("source_x", "source_y")
       },
-      Some(s"""WITH base AS (
-              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
-              |  FROM documents),
-              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
-              |sigs AS (
-              |  SELECT doc_id, shingles,
-              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
-              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
-              |  FROM sh),
-              |banded AS (
-              |  SELECT doc_id, band,
-              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
-              |  FROM sigs, range(0, 8) r(band)),
-              |cands AS (
-              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM banded a JOIN banded b
-              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-              |pairs AS (SELECT * FROM (
-              |  SELECT c.id_a, c.id_b,
-              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-              |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
-              |  WHERE jac >= 0.5)
+      Some(s"""WITH $dNearDupPairs
               |SELECT least(da.source, db.source) AS source_x,
               |  greatest(da.source, db.source) AS source_y,
               |  COUNT(*)::BIGINT AS n_pairs, MAX(jac) AS max_jac
@@ -4308,7 +4295,52 @@ object ExtensionCatalog {
               |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       "cross-source contamination matrix: x07's banded near-dup pairs rolled up " +
         "by unordered source pair — who copies from whom; banded equi-shuffle + " +
-        "two dim joins, matrix is |sources|^2 (extension: dedup / governance)")
+        "two dim joins, matrix is |sources|^2 (extension: dedup / governance)"),
+
+    CatalogEntry(
+      "x114_dup_triangles",
+      (s, dir) => {
+        // triangle census over the near-dup graph: edges are x07's verified
+        // pairs (id_a < id_b, so the graph is already orientation-ordered —
+        // each triangle a<b<c counts exactly once), wedges join edge→edge
+        // on the shared middle vertex, closure joins back on (a, c). High
+        // closure means duplicates arrive as dense cliques (one canonical
+        // survivor per cluster suffices); low closure means chains, where
+        // transitive merging (x26 components) actually changes the answer.
+        // The edge table is checkpointed: it's the expensive LSH pipeline
+        // read three times (the x73 composed-stage boundary).
+        val edges = Dedup.minhashNearDups(t(s, dir, "documents"), k = 16,
+          bands = 8, shingleN = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        val wedges = edges.select(col("id_a").as("a"), col("id_b").as("b"))
+          .join(edges.select(col("id_a").as("b"), col("id_b").as("c")), "b")
+        val tris = wedges.join(
+          edges.select(col("id_a").as("a"), col("id_b").as("c")), Seq("a", "c"))
+        val nE = edges.agg(count(lit(1)).as("n_edges"))
+        val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+        val nT = tris.agg(count(lit(1)).as("n_triangles"))
+        nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
+          .withColumn("closure_rate",
+            when(col("n_wedges") === 0L, lit(0.0))
+              .otherwise(col("n_triangles").cast("double")
+                / col("n_wedges").cast("double")))
+      },
+      Some(s"""WITH $dNearDupPairs,
+              |e AS (SELECT id_a, id_b FROM pairs),
+              |w AS (SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+              |  FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a),
+              |tri AS (SELECT w.a, w.b, w.c FROM w
+              |  JOIN e e3 ON w.a = e3.id_a AND w.c = e3.id_b)
+              |SELECT (SELECT COUNT(*)::BIGINT FROM e) AS n_edges,
+              |  (SELECT COUNT(*)::BIGINT FROM w) AS n_wedges,
+              |  (SELECT COUNT(*)::BIGINT FROM tri) AS n_triangles,
+              |  CASE WHEN (SELECT COUNT(*) FROM w) = 0 THEN 0.0::DOUBLE
+              |    ELSE (SELECT COUNT(*) FROM tri)::DOUBLE /
+              |      (SELECT COUNT(*) FROM w)::DOUBLE END AS closure_rate""".stripMargin),
+      "triangle census over the near-dup graph: ordered wedge join + closure " +
+        "join on x07's banded pairs — clique-vs-chain diagnostic for dedup " +
+        "cluster consolidation; two equi-joins, never all-pairs " +
+        "(extension: dedup / graph)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

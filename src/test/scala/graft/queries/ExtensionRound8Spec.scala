@@ -247,6 +247,28 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     out shouldBe Map(("sa", "sa") -> ((1L, 1.0)), ("sa", "sb") -> ((2L, 1.0)))
   }
 
+  test("x114: a 3-clique closes its wedge, a 3-chain does not") {
+    // docs 1,2,3 share text T (clique: edges 12,13,23 → 1 wedge, closed);
+    // docs 5,6,7 form a chain via overlapping halves... simpler: 5-6 share
+    // text U and 6-7 share text V ≠ U → no 5-7 edge is impossible with
+    // identical texts, so build the chain from a second clique-free pair
+    // set: 5,6 share U; 7,8 share V. Expect edges 3+1+1=5, wedges 1
+    // (1-2-3), triangles 1, closure 1.0.
+    val T = (1 to 20).map(i => s"t$i").mkString(" ")
+    val U = (1 to 20).map(i => s"u$i").mkString(" ")
+    val V = (1 to 20).map(i => s"v$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, T, "en", "s", 0L), (2L, T, "en", "s", 0L), (3L, T, "en", "s", 0L),
+      (5L, U, "en", "s", 0L), (6L, U, "en", "s", 0L),
+      (7L, V, "en", "s", 0L), (8L, V, "en", "s", 0L)))
+    val r = entry("x114_dup_triangles").build(spark, tmp).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_edges") shouldBe 5L
+    r.head.getAs[Long]("n_wedges") shouldBe 1L
+    r.head.getAs[Long]("n_triangles") shouldBe 1L
+    r.head.getAs[Double]("closure_rate") shouldBe 1.0
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.

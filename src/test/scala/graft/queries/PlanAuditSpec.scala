@@ -94,7 +94,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // argmax merge tables back into the vocabulary; x112 crosses the 1-row
       // mixture denominator
       "x109_label_noise", "x110_bpe_merges", "x111_bpe_apply",
-      "x112_mixture_temperature")
+      "x112_mixture_temperature",
+      // x114 crosses three 1-row census aggregates
+      "x114_dup_triangles")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
