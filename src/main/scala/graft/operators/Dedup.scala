@@ -59,21 +59,92 @@ object Dedup {
       .select(col(idCol), col("shingles"),
         expr(s"graft_minhash_sig(shingles, $k)").as("sig"))
 
+  /** Banded (id, band, bandhash) table — the shuffle key both the self-join
+    * ([[lshCandidates]]) and cross-table ([[lshCandidatesBetween]]) paths
+    * bucket on.
+    */
+  private def bandedHashes(
+      sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHash = (0 until rowsPerBand)
+      .map(r => s"element_at(sig, band * $rowsPerBand + ${r + 1})")
+      .foldLeft("CAST(0 AS BIGINT)")((acc, el) => s"(($acc * 31 + $el) % $Prime)")
+    sigs
+      .select(col(idCol), explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
+      .select(col(idCol), col("band"), expr(bandHash).as("bh"))
+  }
+
   /** LSH candidate pairs: band the signature (`bands` bands × k/bands rows),
     * bucket-join docs sharing any (band, bandhash). Output: doc_a < doc_b.
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHash = (0 until rowsPerBand)
-      .map(r => s"element_at(sig, band * $rowsPerBand + ${r + 1})")
-      .foldLeft("CAST(0 AS BIGINT)")((acc, el) => s"(($acc * 31 + $el) % $Prime)")
-    val banded = sigs
-      .select(col(idCol), explode(expr(s"sequence(0, ${bands - 1})")).as("band"), col("sig"))
-      .select(col(idCol), col("band"), expr(bandHash).as("bh"))
+    val banded = bandedHashes(sigs, idCol, bands, rowsPerBand)
     banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+  }
+
+  /** Asymmetric LSH candidates: docs from `sigsA` × docs from `sigsB`
+    * sharing any (band, bandhash) — the incremental-ingest shape, where the
+    * sides are different tables and an id ordering can't dedup the pair.
+    */
+  def lshCandidatesBetween(
+      sigsA: DataFrame, sigsB: DataFrame, idCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    bandedHashes(sigsA, idCol, bands, rowsPerBand).as("a")
+      .join(bandedHashes(sigsB, idCol, bands, rowsPerBand).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+
+  /** Incremental ingest dedup: classify each INCOMING doc against the
+    * EXISTING corpus — `exact_dup` if its normalized-text fingerprint is
+    * already present, else `near_dup` if a banded MinHash candidate
+    * verifies at jaccard ≥ `threshold` against any existing doc, else
+    * `kept`. Returns (idCol, status) for every incoming doc. The
+    * continual-ingestion shape: the new shard never self-pairs, candidate
+    * generation is the incoming×existing banded equi-shuffle, and at
+    * 100 TB the existing-side fingerprints and signatures are a persisted
+    * layout built once per corpus release — only the (small) shard side is
+    * computed per ingest.
+    */
+  def incrementalDedup(
+      incoming: DataFrame,
+      existing: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val fpIn = withGraftFns(incoming).select(col(idCol),
+      expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp"))
+    val fpEx = withGraftFns(existing)
+      .select(expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp")).distinct()
+    val exactDup = fpIn.join(fpEx, Seq("fp"), "left_semi").select(col(idCol))
+    val survivors = incoming.join(exactDup, Seq(idCol), "left_anti")
+    val sigIn = minhashSignature(survivors, idCol, textCol, k, shingleN)
+    val sigEx = minhashSignature(existing, idCol, textCol, k, shingleN)
+    val near = lshCandidatesBetween(sigIn, sigEx, idCol, bands, k / bands)
+      .join(sigIn.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigEx.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("sh_a"), col("sh_b"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      .where(least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("id_a"),
+        expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
+      .where((col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    incoming.select(col(idCol))
+      .join(exactDup.withColumn("__exact", lit(1)), Seq(idCol), "left")
+      .join(near.withColumn("__near", lit(1)), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__exact") === 1, "exact_dup")
+          .when(col("__near") === 1, "near_dup")
+          .otherwise("kept").as("status"))
   }
 
   /** Full MinHash+LSH near-dup pipeline: candidates verified with exact

@@ -127,20 +127,27 @@ object ExtensionCatalog {
     * `base,sh,sigs,banded,cands,pairs` ending in verified (id_a, id_b,
     * jac) pairs. Prefix with `WITH ` — shared by x07 / x113 / x114.
     */
-  private val dNearDupPairs: String =
-    s"""base AS (
+  /** DuckDB mirror of [[Dedup.minhashSignature]] + banding for table
+    * `src`, CTE names suffixed `sfx` (so two sides can coexist in one
+    * query — the x115 incremental shape).
+    */
+  private def dSigChain(src: String, sfx: String): String =
+    s"""base$sfx AS (
        |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
-       |  FROM documents),
-       |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
-       |sigs AS (
+       |  FROM $src),
+       |sh$sfx AS (SELECT doc_id, $dShingles AS shingles FROM base$sfx),
+       |sigs$sfx AS (
        |  SELECT doc_id, shingles,
        |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
        |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
-       |  FROM sh),
-       |banded AS (
+       |  FROM sh$sfx),
+       |banded$sfx AS (
        |  SELECT doc_id, band,
        |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
-       |  FROM sigs, range(0, 8) r(band)),
+       |  FROM sigs$sfx, range(0, 8) r(band))""".stripMargin
+
+  private val dNearDupPairs: String =
+    s"""${dSigChain("documents", "")},
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM banded a JOIN banded b
@@ -4340,7 +4347,100 @@ object ExtensionCatalog {
       "triangle census over the near-dup graph: ordered wedge join + closure " +
         "join on x07's banded pairs — clique-vs-chain diagnostic for dedup " +
         "cluster consolidation; two equi-joins, never all-pairs " +
-        "(extension: dedup / graph)")
+        "(extension: dedup / graph)"),
+
+    CatalogEntry(
+      "x115_incremental_dedup",
+      (s, dir) => {
+        // continual-ingestion dedup: the odd-id half of the corpus arrives
+        // as a new shard against the even-id half as the existing corpus.
+        // Each incoming doc is classified exact_dup (fingerprint already
+        // present) → near_dup (banded MinHash verifies ≥0.5 vs ANY
+        // existing doc) → kept; output is the per-source ingest ledger.
+        // The shard never self-pairs; at 100 TB the existing-side
+        // fingerprints/signatures are a persisted per-release layout and
+        // only the shard side is computed per ingest.
+        val docs = t(s, dir, "documents")
+        val existing = docs.where(col("doc_id") % 2 === 0)
+        val incoming = docs.where(col("doc_id") % 2 === 1)
+        val st = Dedup.incrementalDedup(incoming, existing)
+        incoming.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+              |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
+              |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
+              |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
+              |surv AS (SELECT i.* FROM inc i
+              |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
+              |${dSigChain("surv", "_i")},
+              |${dSigChain("ex", "_e")},
+              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded_i a JOIN banded_e b
+              |    ON a.band = b.band AND a.bh = b.bh),
+              |near AS (SELECT DISTINCT id_a AS doc_id FROM (
+              |  SELECT c.id_a,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
+              |    JOIN sh_e y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |st AS (SELECT i.doc_id, i.source,
+              |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
+              |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+              |       ELSE 'kept' END AS status FROM inc i)
+              |SELECT source, COUNT(*)::BIGINT AS n_incoming,
+              |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_exact_dropped,
+              |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_neardup_dropped,
+              |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept
+              |FROM st GROUP BY 1 ORDER BY source""".stripMargin),
+      "incremental ingest dedup: new shard classified exact_dup / near_dup / " +
+        "kept against the existing corpus — asymmetric banded LSH, shard never " +
+        "self-pairs, existing side is a persisted per-release layout at scale " +
+        "(extension: dedup / ingest)"),
+
+    CatalogEntry(
+      "x116_quantile_audit",
+      (s, dir) => {
+        // per-source token-length p50: the exact percentile next to the
+        // approx_percentile sketch with an acceptance bound — completing
+        // the sketch-audit trio (x91 ANN recall, x107 HLL). p50 is dyadic
+        // and n_tokens integral, so the lerp is bit-exact across engines;
+        // the sketch column collapses to an audited boolean. At 100 TB the
+        // exact leg runs on an audit shard, the sketch (mergeable buffer,
+        // map-side combine, no per-group sort) is the production path.
+        t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(n_tokens, 0.5d)").as("p50_exact"),
+            expr("approx_percentile(n_tokens, 0.5d, 10000)").as("p50_sketch"))
+          .select(col("source"), col("n"), col("p50_exact"),
+            (abs(col("p50_sketch").cast("double") - col("p50_exact")) <=
+              greatest(col("p50_exact") * lit(0.1), lit(1.0))).as("sketch_ok"))
+          .orderBy("source")
+      },
+      Some("""SELECT source, COUNT(*)::BIGINT AS n,
+             |  quantile_cont(n_tokens, 0.5) AS p50_exact, TRUE AS sketch_ok
+             |FROM (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens
+             |  FROM documents)
+             |GROUP BY 1 ORDER BY source""".stripMargin),
+      "quantile sketch audit: exact per-source p50 token length (dyadic lerp, " +
+        "bit-exact) next to approx_percentile inside a 10% acceptance bound — " +
+        "the sketch ships with its own check, x107 pattern " +
+        "(extension: sketches / evaluation)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -269,6 +269,40 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     r.head.getAs[Double]("closure_rate") shouldBe 1.0
   }
 
+  test("x115: incoming docs classify exact_dup, then near_dup, then kept") {
+    // existing (even ids): doc 2 = T, doc 4 = U. incoming (odd ids):
+    // doc 1 = T (exact), doc 3 = U with one word swapped (near, jac ≈ .86),
+    // doc 5 = fresh text (kept).
+    val T = (1 to 20).map(i => s"t$i").mkString(" ")
+    val U = (1 to 20).map(i => s"u$i").mkString(" ")
+    val nearU = U.replace("u10", "zz")
+    val fresh = (1 to 20).map(i => s"f$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (2L, T, "en", "s", 0L), (4L, U, "en", "s", 0L),
+      (1L, T, "en", "s", 0L), (3L, nearU, "en", "s", 0L),
+      (5L, fresh, "en", "s", 0L)))
+    val r = entry("x115_incremental_dedup").build(spark, tmp).collect()
+    r.length shouldBe 1
+    r.head.getAs[Long]("n_incoming") shouldBe 3L
+    r.head.getAs[Long]("n_exact_dropped") shouldBe 1L
+    r.head.getAs[Long]("n_neardup_dropped") shouldBe 1L
+    r.head.getAs[Long]("n_kept") shouldBe 1L
+  }
+
+  test("x116: even-count group lerps the p50 midpoint, sketch stays in bound") {
+    // sa: token counts 2,4,6,8 → p50 = 5.0 (midpoint); sb: 3,5,7 → 5.0 exact.
+    def doc(id: Long, src: String, nTok: Int) =
+      (id, (1 to nTok).map(i => s"w$i").mkString(" "), "en", src, 0L)
+    val tmp = writeDocs(Seq(
+      doc(1, "sa", 2), doc(2, "sa", 4), doc(3, "sa", 6), doc(4, "sa", 8),
+      doc(5, "sb", 3), doc(6, "sb", 5), doc(7, "sb", 7)))
+    val out = entry("x116_quantile_audit").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p50_exact"),
+          r.getAs[Boolean]("sketch_ok")))).toMap
+    out shouldBe Map("sa" -> ((4L, 5.0, true)), "sb" -> ((3L, 5.0, true)))
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.
