@@ -63,7 +63,7 @@ object Dedup {
     * ([[lshCandidates]]) and cross-table ([[lshCandidatesBetween]]) paths
     * bucket on.
     */
-  private def bandedHashes(
+  private[graft] def bandedHashes(
       sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandHash = (0 until rowsPerBand)
       .map(r => s"element_at(sig, band * $rowsPerBand + ${r + 1})")
@@ -92,8 +92,13 @@ object Dedup {
   def lshCandidatesBetween(
       sigsA: DataFrame, sigsB: DataFrame, idCol: String,
       bands: Int, rowsPerBand: Int): DataFrame =
-    bandedHashes(sigsA, idCol, bands, rowsPerBand).as("a")
-      .join(bandedHashes(sigsB, idCol, bands, rowsPerBand).as("b"),
+    candidatesFromBanded(bandedHashes(sigsA, idCol, bands, rowsPerBand),
+      bandedHashes(sigsB, idCol, bands, rowsPerBand), idCol)
+
+  private def candidatesFromBanded(
+      bandedA: DataFrame, bandedB: DataFrame, idCol: String): DataFrame =
+    bandedA.as("a")
+      .join(bandedB.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
@@ -109,6 +114,14 @@ object Dedup {
     * layout built once per corpus release — only the (small) shard side is
     * computed per ingest.
     */
+  /** Normalized-text fingerprints of a corpus — the existing-side table the
+    * exact stage of [[incrementalDedup]] anti-joins against (persisted by
+    * [[graft.sources.Layouts.minhashIndex]]).
+    */
+  def exactFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withGraftFns(docs)
+      .select(expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp")).distinct()
+
   def incrementalDedup(
       incoming: DataFrame,
       existing: DataFrame,
@@ -118,17 +131,41 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
+    val sigEx = minhashSignature(existing, idCol, textCol, k, shingleN)
+    incrementalDedupStaged(incoming,
+      exactFingerprints(existing, textCol),
+      bandedHashes(sigEx, idCol, bands, k / bands),
+      sigEx.select(col(idCol), col("shingles")),
+      idCol, textCol, k, bands, shingleN, threshold)
+  }
+
+  /** [[incrementalDedup]] against a PRE-STAGED existing side — the three
+    * tables [[graft.sources.Layouts.minhashIndex]] persists (fingerprints;
+    * banded hashes; shingle sets). This is the deployment shape: the
+    * corpus-sized existing side is built once per release and every ingest
+    * batch only computes its own (small) shard-side signatures.
+    */
+  def incrementalDedupStaged(
+      incoming: DataFrame,
+      fpEx: DataFrame,
+      bandedEx: DataFrame,
+      shinglesEx: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
     val fpIn = withGraftFns(incoming).select(col(idCol),
       expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp"))
-    val fpEx = withGraftFns(existing)
-      .select(expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp")).distinct()
     val exactDup = fpIn.join(fpEx, Seq("fp"), "left_semi").select(col(idCol))
     val survivors = incoming.join(exactDup, Seq(idCol), "left_anti")
     val sigIn = minhashSignature(survivors, idCol, textCol, k, shingleN)
-    val sigEx = minhashSignature(existing, idCol, textCol, k, shingleN)
-    val near = lshCandidatesBetween(sigIn, sigEx, idCol, bands, k / bands)
+    val cands = candidatesFromBanded(
+      bandedHashes(sigIn, idCol, bands, k / bands), bandedEx, idCol)
+    val near = cands
       .join(sigIn.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sigEx.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shinglesEx.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("sh_a"), col("sh_b"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .where(least(col("na"), col("nb")).cast("double") >=

@@ -4440,7 +4440,70 @@ object ExtensionCatalog {
       "quantile sketch audit: exact per-source p50 token length (dyadic lerp, " +
         "bit-exact) next to approx_percentile inside a 10% acceptance bound — " +
         "the sketch ships with its own check, x107 pattern " +
-        "(extension: sketches / evaluation)")
+        "(extension: sketches / evaluation)"),
+
+    CatalogEntry(
+      "x117_ingest_probe",
+      (s, dir) => {
+        // x115's ledger computed the DEPLOYMENT way: the existing-side
+        // fingerprints / banded hashes / shingles are read from the
+        // persisted Layouts.minhashIndex (staged once per fixture dir,
+        // x101 pattern) — the even-id corpus is never re-scanned during
+        // the ingest; only the odd-id shard computes signatures. Same
+        // result as x115 by construction, so the two entries share one
+        // oracle — the gate checks results, the plumbing is the point.
+        val docs = t(s, dir, "documents")
+        val incoming = docs.where(col("doc_id") % 2 === 1)
+        val idx = stagedMinhashIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(incoming,
+          s.read.parquet(s"$idx/fp"),
+          s.read.parquet(s"$idx/banded"),
+          s.read.parquet(s"$idx/shingles"))
+        incoming.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+              |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+              |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
+              |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
+              |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
+              |surv AS (SELECT i.* FROM inc i
+              |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
+              |${dSigChain("surv", "_i")},
+              |${dSigChain("ex", "_e")},
+              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded_i a JOIN banded_e b
+              |    ON a.band = b.band AND a.bh = b.bh),
+              |near AS (SELECT DISTINCT id_a AS doc_id FROM (
+              |  SELECT c.id_a,
+              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
+              |    JOIN sh_e y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |st AS (SELECT i.doc_id, i.source,
+              |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
+              |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+              |       ELSE 'kept' END AS status FROM inc i)
+              |SELECT source, COUNT(*)::BIGINT AS n_incoming,
+              |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_exact_dropped,
+              |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_neardup_dropped,
+              |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept
+              |FROM st GROUP BY 1 ORDER BY source""".stripMargin),
+      "incremental ingest against the PERSISTED MinHash index " +
+        "(Layouts.minhashIndex, staged once): same ledger as x115 with the " +
+        "existing corpus never re-scanned — the x101 write-once / probe-many " +
+        "split applied to dedup (extension: dedup / ingest)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
@@ -4454,6 +4517,20 @@ object ExtensionCatalog {
     postingDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-posting").toString
       graft.sources.Layouts.postingIndex(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x117 staging: the even-id "existing corpus" MinHash index, written
+    * ONCE per fixture dir via [[graft.sources.Layouts.minhashIndex]] — the
+    * per-release build the ingest probe then amortizes.
+    */
+  private val minhashDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashIndex(s: SparkSession, dir: String): String =
+    minhashDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+      graft.sources.Layouts.minhashIndex(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0), out,
         groupBytes = 256L * 1024, pageRows = 2000)
       out
     })

@@ -166,6 +166,40 @@ object Layouts {
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
   }
 
+  /** Persisted MinHash ingest index: the three existing-side tables
+    * [[graft.operators.Dedup.incrementalDedupStaged]] probes — normalized
+    * fingerprints (`fp/`, sorted so the exact anti-join's scan prunes),
+    * banded signature hashes (`banded/`, range-partitioned + sorted on the
+    * bucket hash — the LSH candidate join's shuffle key), and shingle sets
+    * (`shingles/`, sorted by doc id for the verify join). Built ONCE per
+    * corpus release; each ingest batch then computes only its own
+    * shard-side signatures — the corpus is never re-scanned per ingest,
+    * which is the whole case for persisting the index (x101's
+    * write-once / probe-many split, applied to dedup).
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 16,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    import graft.operators.Dedup
+    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN)
+    sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
+      s"$path/banded", Seq("bh"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    sortedStats(sigs.select(col(idCol), col("shingles")),
+      s"$path/shingles", Seq(idCol),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

@@ -303,6 +303,21 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     out shouldBe Map("sa" -> ((4L, 5.0, true)), "sb" -> ((3L, 5.0, true)))
   }
 
+  test("x117: the persisted-index probe reproduces x115's ledger exactly") {
+    val T = (1 to 20).map(i => s"t$i").mkString(" ")
+    val U = (1 to 20).map(i => s"u$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (2L, T, "en", "s", 0L), (4L, U, "en", "s", 0L),
+      (1L, T, "en", "s", 0L), (3L, U.replace("u10", "zz"), "en", "s", 0L),
+      (5L, (1 to 20).map(i => s"f$i").mkString(" "), "en", "s", 0L)))
+    val direct = entry("x115_incremental_dedup").build(spark, tmp)
+      .collect().map(_.toSeq).toSet
+    val probed = entry("x117_ingest_probe").build(spark, tmp)
+      .collect().map(_.toSeq).toSet
+    probed shouldBe direct
+    probed.head(3) shouldBe 1L // the near_dup is still caught via the index
+  }
+
   test("x108: coverage at rank 50 over 60 uniform bigram types is 50/60") {
     // one 61-token doc → 60 distinct bigrams, each n=1; ranks 200/500
     // don't exist, so the curve has exactly the rank-50 point.
