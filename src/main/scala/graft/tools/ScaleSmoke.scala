@@ -103,6 +103,26 @@ object ScaleSmoke {
       m1.unionAll(m2).unionAll(m3).collect())
     println(s"[scale] bpe merges: " +
       merges.map(r => s"${r.getString(0)}+${r.getString(1)}(${r.getLong(2)})").mkString(", "))
+
+    // incremental ingest (x115/x117): a FIXED shard (the base table; even
+    // ids arrive as exact copies, odd ids with one appended token → near
+    // dups) against the replicated corpus behind a persisted minhashIndex.
+    // Index build is corpus-linear and paid once per release; the per-batch
+    // probe must track the SHARD + candidate volume, not the corpus
+    val shard = base.select((col("doc_id") + lit(900000000L)).as("doc_id"),
+      when(col("doc_id") % 2 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" xtra"))).as("text"))
+    val mhDir = java.nio.file.Files.createTempDirectory("scale-mhidx").toString
+    time("minhash index build")(
+      graft.sources.Layouts.minhashIndex(big, mhDir, partitions = 8))
+    val ledger = time("ingest probe (classify shard)")(
+      graft.operators.Dedup.incrementalDedupStaged(shard,
+        spark.read.parquet(s"$mhDir/fp"),
+        spark.read.parquet(s"$mhDir/banded"),
+        spark.read.parquet(s"$mhDir/shingles"))
+        .groupBy("status").count().collect())
+    println(s"[scale] ingest ledger: " +
+      ledger.map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", "))
     spark.stop()
   }
 }
