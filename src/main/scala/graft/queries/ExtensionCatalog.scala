@@ -4503,7 +4503,174 @@ object ExtensionCatalog {
       "incremental ingest against the PERSISTED MinHash index " +
         "(Layouts.minhashIndex, staged once): same ledger as x115 with the " +
         "existing corpus never re-scanned — the x101 write-once / probe-many " +
-        "split applied to dedup (extension: dedup / ingest)")
+        "split applied to dedup (extension: dedup / ingest)"),
+
+    CatalogEntry(
+      "x118_sequence_packing",
+      (s, dir) => {
+        // GPT-style concat-and-chunk packing audit: docs are concatenated
+        // in doc_id order WITHIN a hash shard and cut into fixed 512-token
+        // training sequences; a doc whose span crosses a cut is a boundary
+        // doc (attention-mask overhead). Everything is a window cumsum
+        // inside the shard — no global sort; at 100 TB the shard count
+        // scales with the corpus and each shard sorts independently after
+        // one hash shuffle. All-integer arithmetic, so the audit is exact.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy("doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            max("cum").as("total_tokens"),
+            sum(when(expr("(cum - 1) div 512") > expr("(cum - n_tokens) div 512"),
+              1L).otherwise(0L)).as("n_boundary_docs"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            expr("(total_tokens + 511) div 512").as("n_sequences"),
+            col("n_boundary_docs"),
+            (col("total_tokens") - (expr("(total_tokens + 511) div 512") - 1) * 512)
+              .as("last_seq_tokens"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             |  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents),
+             |c AS (SELECT shard, doc_id, n_tokens,
+             |  CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+             |  FROM d)
+             |SELECT shard, COUNT(*)::BIGINT AS n_docs,
+             |  MAX(cum)::BIGINT AS total_tokens,
+             |  ((MAX(cum) + 511) // 512)::BIGINT AS n_sequences,
+             |  CAST(SUM(CASE WHEN (cum - 1) // 512 > (cum - n_tokens) // 512
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary_docs,
+             |  (MAX(cum) - ((MAX(cum) + 511) // 512 - 1) * 512)::BIGINT AS last_seq_tokens
+             |FROM c GROUP BY 1 ORDER BY shard""".stripMargin),
+      "sequence packing audit: concat-and-chunk docs into 512-token training " +
+        "sequences per hash shard — sequence count, boundary-crossing docs, " +
+        "tail fill; per-shard window cumsum, no global sort " +
+        "(extension: curation / training-prep)"),
+
+    CatalogEntry(
+      "x119_importance_weighting",
+      (s, dir) => {
+        // DSIR-style data selection (hashed n-gram importance weighting,
+        // Xie et al. 2023, arXiv:2302.03169): tokens hash into 64 buckets;
+        // a doc's affinity to the target domain (source src0) is the sum
+        // over its tokens of the target's share of that bucket, in integer
+        // parts-per-million (tgt_cnt * 1e6 div all_cnt — integer division,
+        // bit-exact across engines). Docs whose mean per-token share beats
+        // 60000 ppm (uniform would be 50000 at 20 sources) are selected.
+        // The bucket tables are 64 rows → broadcast; the corpus sees one
+        // explode + two hash aggregates — no shuffle carries token text.
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+          .withColumn("bucket", expr(s"${fingerprintExpr("tok")} % 64"))
+          .drop("tok")
+        val tgt = toks.where(col("source") === "src0")
+          .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
+        val all = toks.groupBy("bucket").agg(count(lit(1)).as("all_cnt"))
+        val freq = all.join(tgt, Seq("bucket"), "left")
+          .na.fill(0L, Seq("tgt_cnt"))
+        toks.join(broadcast(freq), Seq("bucket"))
+          .withColumn("contrib", expr("tgt_cnt * 1000000 div all_cnt"))
+          .groupBy("doc_id", "source")
+          .agg(sum("contrib").as("score"), count(lit(1)).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("score").as("sum_score"),
+            sum(when(expr("score div n_tokens") >= 60000L, 1L).otherwise(0L))
+              .as("n_selected"))
+          .orderBy("source")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source,
+              |  unnest(list_transform(string_split(text, ' '),
+              |    t -> ${dPoly("t")} % 64)) AS bucket FROM documents),
+              |tgt AS (SELECT bucket, COUNT(*)::BIGINT AS tgt_cnt FROM tk
+              |  WHERE source = 'src0' GROUP BY 1),
+              |al AS (SELECT bucket, COUNT(*)::BIGINT AS all_cnt FROM tk GROUP BY 1),
+              |freq AS (SELECT a.bucket, a.all_cnt, COALESCE(t.tgt_cnt, 0) AS tgt_cnt
+              |  FROM al a LEFT JOIN tgt t USING (bucket)),
+              |pdoc AS (SELECT tk.doc_id, tk.source,
+              |    CAST(SUM(tgt_cnt * 1000000 // all_cnt) AS BIGINT) AS score,
+              |    COUNT(*)::BIGINT AS n_tokens
+              |  FROM tk JOIN freq USING (bucket) GROUP BY 1, 2)
+              |SELECT source, COUNT(*)::BIGINT AS n_docs,
+              |  CAST(SUM(score) AS BIGINT) AS sum_score,
+              |  CAST(SUM(CASE WHEN score // n_tokens >= 60000 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_selected
+              |FROM pdoc GROUP BY 1 ORDER BY source""".stripMargin),
+      "DSIR-style importance weighting: hashed-unigram target-domain share " +
+        "per doc in integer ppm, per-source selection counts — 64-row " +
+        "broadcast frequency tables, bit-exact integer division " +
+        "(extension: curation / data-selection)"),
+
+    CatalogEntry(
+      "x120_quality_rules",
+      (s, dir) => {
+        // Gopher-style composite quality rule audit (Rae et al. 2021,
+        // arXiv:2112.11446 §A1.1): four per-doc structural rules — token
+        // count in [16, 80], mean token length in (4.2, 5.0], type-token
+        // ratio >= 0.5, top-token share <= 14% — each failure counted
+        // per source plus the all-rules-pass keep count. Thresholds are
+        // integer cross-multiplications (no division), so the audit is
+        // exact. The top-token share needs per-(doc, token) counts: one
+        // extra hash shuffle; everything else folds over the token array
+        // in place.
+        val docs = t(s, dir, "documents")
+        val arr = docs.select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("source"),
+            size(col("toks")).cast("long").as("n"),
+            expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))").as("sl"),
+            size(array_distinct(col("toks"))).cast("long").as("u"))
+        val top = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("mx"))
+        arr.join(top, "doc_id")
+          .select(col("source"),
+            (col("n") < 16L || col("n") > 80L).as("f_len"),
+            (col("sl") * 1000L <= col("n") * 4200L ||
+              col("sl") * 1000L > col("n") * 5000L).as("f_meanlen"),
+            (col("u") * 2L < col("n")).as("f_unique"),
+            (col("mx") * 1000L > col("n") * 140L).as("f_top"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("f_len"), 1L).otherwise(0L)).as("n_fail_len"),
+            sum(when(col("f_meanlen"), 1L).otherwise(0L)).as("n_fail_meanlen"),
+            sum(when(col("f_unique"), 1L).otherwise(0L)).as("n_fail_unique"),
+            sum(when(col("f_top"), 1L).otherwise(0L)).as("n_fail_top"),
+            sum(when(!col("f_len") && !col("f_meanlen") && !col("f_unique") &&
+              !col("f_top"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |m AS (SELECT doc_id, source, len(toks)::BIGINT AS n,
+             |  CAST(list_sum(list_transform(toks, t -> len(t))) AS BIGINT) AS sl,
+             |  len(list_distinct(toks))::BIGINT AS u FROM d),
+             |tc AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c FROM
+             |  (SELECT doc_id, unnest(toks) AS t FROM d) GROUP BY 1, 2),
+             |mx AS (SELECT doc_id, MAX(c)::BIGINT AS mx FROM tc GROUP BY 1),
+             |f AS (SELECT m.source,
+             |  (m.n < 16 OR m.n > 80) AS f_len,
+             |  (m.sl * 1000 <= m.n * 4200 OR m.sl * 1000 > m.n * 5000) AS f_meanlen,
+             |  (m.u * 2 < m.n) AS f_unique,
+             |  (mx.mx * 1000 > m.n * 140) AS f_top
+             |  FROM m JOIN mx USING (doc_id))
+             |SELECT source, COUNT(*)::BIGINT AS n_docs,
+             |  CAST(SUM(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_len,
+             |  CAST(SUM(CASE WHEN f_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+             |  CAST(SUM(CASE WHEN f_unique THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_unique,
+             |  CAST(SUM(CASE WHEN f_top THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top,
+             |  CAST(SUM(CASE WHEN NOT f_len AND NOT f_meanlen AND NOT f_unique
+             |    AND NOT f_top THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             |FROM f GROUP BY 1 ORDER BY source""".stripMargin),
+      "Gopher-style quality rule audit: per-source failure counts for token " +
+        "count / mean token length / type-token ratio / top-token share rules " +
+        "plus all-pass keeps — integer cross-multiplied thresholds, exact " +
+        "(extension: quality / filtering)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

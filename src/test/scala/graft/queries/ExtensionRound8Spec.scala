@@ -330,4 +330,60 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     rows.head.getAs[Long]("n_total") shouldBe 60L
     rows.head.getAs[Double]("coverage") shouldBe (50.0 / 60.0)
   }
+
+  test("x118: a doc straddling the 512-token cut is the shard's one boundary doc") {
+    def doc(id: Long, nTok: Int) =
+      (id, (1 to nTok).map(i => s"w$i").mkString(" "), "en", "s", 0L)
+    // shard 0: docs 0 and 8 — 300 + 300 tokens; doc 8 spans the seq0/seq1
+    // cut at 512. shard 1: doc 1 alone, 10 tokens.
+    val tmp = writeDocs(Seq(doc(0, 300), doc(8, 300), doc(1, 10)))
+    val out = entry("x118_sequence_packing").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_tokens"),
+          r.getAs[Long]("n_sequences"), r.getAs[Long]("n_boundary_docs"),
+          r.getAs[Long]("last_seq_tokens")))).toMap
+    out shouldBe Map(
+      0L -> ((2L, 600L, 2L, 1L, 88L)),
+      1L -> ((1L, 10L, 1L, 0L, 10L)))
+  }
+
+  test("x119: single-bucket corpus gives exact ppm shares; target-absent token scores 0") {
+    // every 't' token lands in one bucket: tgt_cnt=3 (src0), all_cnt=4 →
+    // contrib = 750000 ppm. 'zq' hashes to a different bucket (52 vs 55)
+    // with tgt_cnt=0 → contrib 0, doc 2 not selected.
+    val tmp = writeDocs(Seq(
+      (0L, "t t t", "en", "src0", 0L),
+      (1L, "t", "en", "src1", 0L),
+      (2L, "zq zq", "en", "src1", 0L)))
+    val out = entry("x119_importance_weighting").build(spark, tmp)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("sum_score"),
+          r.getAs[Long]("n_selected")))).toMap
+    out shouldBe Map(
+      "src0" -> ((1L, 2250000L, 1L)),
+      "src1" -> ((2L, 750000L, 1L)))
+  }
+
+  test("x120: each constructed doc fails exactly its targeted rule") {
+    def toks(n: Int, len: Int) =
+      (1 to n).map(i => ("abcdefgh" + i.toString).takeRight(len)).mkString(" ")
+    val tmp = writeDocs(Seq(
+      // A: 16 distinct 5-char tokens → passes all four rules
+      (1L, toks(16, 5), "en", "s", 0L),
+      // B: 10 distinct 5-char tokens → fails only the length rule
+      (2L, toks(10, 5), "en", "s", 0L),
+      // C: 16 distinct 3-char tokens → mean len 3.0, fails only meanlen
+      (3L, toks(16, 3), "en", "s", 0L),
+      // D: one 5-char token 16× → fails unique (1/16) and top (100%)
+      (4L, Seq.fill(16)("abcde").mkString(" "), "en", "s", 0L)))
+    val r = entry("x120_quality_rules").build(spark, tmp).collect()
+    r.length shouldBe 1
+    val m = r.head
+    m.getAs[Long]("n_docs") shouldBe 4L
+    m.getAs[Long]("n_fail_len") shouldBe 1L
+    m.getAs[Long]("n_fail_meanlen") shouldBe 1L
+    m.getAs[Long]("n_fail_unique") shouldBe 1L
+    m.getAs[Long]("n_fail_top") shouldBe 1L
+    m.getAs[Long]("n_kept") shouldBe 1L
+  }
 }
