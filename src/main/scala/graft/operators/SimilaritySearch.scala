@@ -180,4 +180,48 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
   }
+
+  /** SemDeDup-style semantic pruning (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus under seeded centroids, then inside each cluster
+    * drop every vector that has a higher-priority (smaller-id) neighbor
+    * with cosine ≥ `tau`. Returns one row per corpus vector:
+    * (cent_id, id, dropped).
+    *
+    * Scale design: centroid table is k×d → broadcast; assignment is
+    * map-side (one row_number window keyed on the vector id). The pair
+    * search is confined to each cluster — a self-equi-join on cent_id, the
+    * one shuffle in the plan — so the corpus is never compared all-pairs;
+    * cluster sizes bound the quadratic term exactly as in the paper.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      tau: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
+    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
+      .crossJoin(cent)
+      .select(col("id"), col("v"), col("vn"), col("cent_id"),
+        (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select("cent_id", "id", "v", "vn")
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
+      .select(col("cent_id"), col("id_b").as("id"))
+      .distinct()
+    assigned.select("cent_id", "id")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("cent_id", "id"), "left")
+      .select(col("cent_id"), col("id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
 }

@@ -4670,7 +4670,111 @@ object ExtensionCatalog {
       "Gopher-style quality rule audit: per-source failure counts for token " +
         "count / mean token length / type-token ratio / top-token share rules " +
         "plus all-pass keeps — integer cross-multiplied thresholds, exact " +
-        "(extension: quality / filtering)")
+        "(extension: quality / filtering)"),
+
+    CatalogEntry(
+      "x121_cdc_chunk_dedup",
+      (s, dir) => {
+        // content-defined chunking storage dedup (rsync/LBFS-style, public
+        // technique): a chunk boundary falls AFTER any token whose polyhash
+        // is ≡ 0 mod 16, so boundaries ride the content — an insertion
+        // early in a doc re-chunks only its neighborhood, unlike fixed
+        // 16-token windows. Chunk identity is the base-31 fold of its
+        // token hashes. Chunking is per-doc array HOFs (zero shuffle);
+        // the only exchange is the chunk-hash aggregate. Under a hash
+        // collision the two engines both attribute min(len) to the stored
+        // copy, keeping the audit deterministic.
+        val chunks = t(s, dir, "documents")
+          .select(split(col("text"), " ").as("toks"))
+          .select(col("toks"), size(col("toks")).as("n"),
+            expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("fps"))
+          .select(expr(
+            "transform(sequence(1, n), i -> " +
+              "size(filter(slice(fps, 1, i - 1), f -> f % 16 = 0)))").as("segs"),
+            col("fps"), col("n"))
+          .select(explode(expr(s"""transform(sequence(0, element_at(segs, n)), s ->
+              named_struct(
+                'h', aggregate(filter(sequence(1, n), i -> element_at(segs, i) = s),
+                  CAST(0 AS BIGINT),
+                  (acc, i) -> (acc * 31 + element_at(fps, i)) % $Prime),
+                'len', CAST(size(filter(sequence(1, n), i -> element_at(segs, i) = s))
+                  AS BIGINT)))""")).as("c"))
+          .select(col("c.h").as("h"), col("c.len").as("len"))
+        chunks.groupBy("h")
+          .agg(count(lit(1)).as("cnt"), sum("len").as("sumlen"),
+            min("len").as("minlen"))
+          .agg(sum("cnt").as("total_chunks"), count(lit(1)).as("distinct_chunks"),
+            sum("sumlen").as("total_tokens"), sum("minlen").as("stored_tokens"))
+          .select(col("total_chunks"), col("distinct_chunks"), col("total_tokens"),
+            col("stored_tokens"),
+            expr("stored_tokens * 1000000 div total_tokens").as("dedup_ppm"))
+      },
+      Some(s"""WITH d AS (SELECT string_split(text, ' ') AS toks FROM documents),
+              |f AS (SELECT toks, len(toks) AS n,
+              |  list_transform(toks, t -> ${dPoly("t")}) AS fps FROM d),
+              |g AS (SELECT n, fps,
+              |  list_transform(range(1, n + 1),
+              |    i -> len(list_filter(list_slice(fps, 1, i - 1), f -> f % 16 = 0)))
+              |  AS segs FROM f),
+              |ch AS (SELECT unnest(list_transform(range(0, segs[n] + 1), s -> {
+              |  'h': list_reduce(list_prepend(0::BIGINT,
+              |    list_transform(list_filter(range(1, n + 1), i -> segs[i] = s),
+              |      i -> fps[i])), (acc, v) -> (acc * 31 + v) % $Prime),
+              |  'len': len(list_filter(range(1, n + 1), i -> segs[i] = s))::BIGINT}))
+              |  AS c FROM g),
+              |per AS (SELECT c.h AS h, COUNT(*)::BIGINT AS cnt,
+              |  CAST(SUM(c.len) AS BIGINT) AS sumlen, MIN(c.len)::BIGINT AS minlen
+              |  FROM ch GROUP BY 1)
+              |SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+              |  COUNT(*)::BIGINT AS distinct_chunks,
+              |  CAST(SUM(sumlen) AS BIGINT) AS total_tokens,
+              |  CAST(SUM(minlen) AS BIGINT) AS stored_tokens,
+              |  CAST(SUM(minlen) AS BIGINT) * 1000000 // CAST(SUM(sumlen) AS BIGINT)
+              |    AS dedup_ppm
+              |FROM per""".stripMargin),
+      "content-defined chunking dedup: polyhash-gated chunk boundaries (mod 16), " +
+        "chunk-level storage dedup ratio in ppm — per-doc array HOFs, one " +
+        "chunk-hash shuffle, insertion-stable boundaries " +
+        "(extension: dedup / storage)"),
+
+    CatalogEntry(
+      "x122_semdedup",
+      (s, dir) => {
+        // SemDeDup (Abbas et al. 2023): embedding-space near-dup pruning —
+        // cluster under seeded centroids (vec_id % 50, the x18 seeding),
+        // inside each cluster drop vectors with a smaller-id neighbor at
+        // cosine >= 0.25. Per-cell ledger; the pair search never leaves a
+        // cell, so the quadratic term is bounded by cluster size.
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.semDedup(e, e.where(col("vec_id") % 50 === 0), tau = 0.25)
+          .groupBy("cent_id")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+            sum(when(!col("dropped"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |asg AS (SELECT id, v, cent_id FROM (
+              |  SELECT e.vec_id AS id, e.embedding AS v, ct.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dCos("e.embedding", "ct.centv")} DESC, ct.cent_id) AS r
+              |  FROM embeddings e, cent ct) WHERE r = 1),
+              |dropped AS (SELECT DISTINCT b.cent_id, b.id
+              |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+              |  WHERE ${dCos("a.v", "b.v")} >= 0.25)
+              |SELECT g.cent_id AS cent_id, COUNT(*)::BIGINT AS n_vecs,
+              |  CAST(SUM(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_dropped,
+              |  CAST(SUM(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept
+              |FROM asg g LEFT JOIN dropped d
+              |  ON g.cent_id = d.cent_id AND g.id = d.id
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "SemDeDup semantic pruning: seeded-centroid clustering, within-cluster " +
+        "smaller-id-neighbor drop at cosine >= 0.25 — broadcast centroids, " +
+        "pair search fenced to cells, per-cell ledger " +
+        "(extension: dedup / embeddings)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -386,4 +386,43 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     m.getAs[Long]("n_fail_top") shouldBe 1L
     m.getAs[Long]("n_kept") shouldBe 1L
   }
+
+  test("x121: boundary token 'p' (polyhash 112 ≡ 0 mod 16) splits chunks; dup doc dedups") {
+    // fps: 'a'=97, 'p'=112 (boundary), 'b'=98, 'z'=122. "a p b" chunks to
+    // ["a p" (h=97*31+112=3119, len 2), "b" (h=98, len 1)]; doc 2 is an
+    // exact dup so both its chunks dedup; doc 3 is the unique "z".
+    val tmp = writeDocs(Seq(
+      (1L, "a p b", "en", "s", 0L),
+      (2L, "a p b", "en", "s", 0L),
+      (3L, "z", "en", "s", 0L)))
+    val r = entry("x121_cdc_chunk_dedup").build(spark, tmp).collect()
+    r.length shouldBe 1
+    val m = r.head
+    m.getAs[Long]("total_chunks") shouldBe 5L
+    m.getAs[Long]("distinct_chunks") shouldBe 3L
+    m.getAs[Long]("total_tokens") shouldBe 7L
+    m.getAs[Long]("stored_tokens") shouldBe 4L
+    m.getAs[Long]("dedup_ppm") shouldBe (4L * 1000000L / 7L)
+  }
+
+  test("x122: centroid drops its near neighbors, far-but-assigned vectors survive") {
+    // 3-D cells: A=(1,0,0) id 0, B=(0,1,0) id 50. ids 1, 2 hug A → dropped
+    // by the smaller-id centroid; id 51 hugs B → dropped; id 52=(0,.1,1)
+    // is assigned B (cos .0995 > 0 vs A) but below tau vs both 50 and 51.
+    val tmp = java.nio.file.Files.createTempDirectory("r8semdedup").toString
+    Seq(
+      (0L, Array(1f, 0f, 0f), 0), (1L, Array(1f, 0f, 0.01f), 0),
+      (2L, Array(0.9f, 0.1f, 0f), 0),
+      (50L, Array(0f, 1f, 0f), 0), (51L, Array(0f, 1f, 0.01f), 0),
+      (52L, Array(0f, 0.1f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = entry("x122_semdedup").build(spark, tmp)
+      .collect().map(r => r.getAs[Long]("cent_id") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept")))).toMap
+    out shouldBe Map(
+      0L -> ((3L, 2L, 1L)),
+      50L -> ((3L, 1L, 2L)))
+  }
 }

@@ -96,7 +96,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x109_label_noise", "x110_bpe_merges", "x111_bpe_apply",
       "x112_mixture_temperature",
       // x114 crosses three 1-row census aggregates
-      "x114_dup_triangles")
+      "x114_dup_triangles",
+      // x122 inherits x18's bounded-broadcast centroid cross (k×d table);
+      // the within-cell pair search itself is an equi-join on cent_id
+      "x122_semdedup")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
