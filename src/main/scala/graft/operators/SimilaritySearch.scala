@@ -192,6 +192,11 @@ object SimilaritySearch {
     * search is confined to each cluster — a self-equi-join on cent_id, the
     * one shuffle in the plan — so the corpus is never compared all-pairs;
     * cluster sizes bound the quadratic term exactly as in the paper.
+    * The assignment feeds three consumers (both self-join sides and the
+    * final ledger) and ReuseExchange does not unify them across the
+    * window boundary — without a barrier the plan re-scans the corpus and
+    * re-runs the broadcast cross 3× (the x73 failure shape), so the
+    * assigned frame is localCheckpoint'ed once.
     */
   def semDedup(
       corpus: DataFrame,
@@ -210,6 +215,7 @@ object SimilaritySearch {
       .withColumn("r", row_number().over(w))
       .where(col("r") === 1)
       .select("cent_id", "id", "v", "vn")
+      .localCheckpoint()
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
       col("v").as("va"), col("vn").as("na"))
     val b = assigned.select(col("cent_id"), col("id").as("id_b"),

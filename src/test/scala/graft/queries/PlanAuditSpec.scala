@@ -97,8 +97,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x112_mixture_temperature",
       // x114 crosses three 1-row census aggregates
       "x114_dup_triangles",
-      // x122 inherits x18's bounded-broadcast centroid cross (k×d table);
-      // the within-cell pair search itself is an equi-join on cent_id
+      // x122's bounded-broadcast centroid cross (k×d table) runs inside the
+      // assignment's localCheckpoint, so the final plan usually shows only
+      // the checkpointed RDD scans; allowlisted for when the audit catches
+      // the pre-materialization shape
       "x122_semdedup")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
