@@ -4774,7 +4774,151 @@ object ExtensionCatalog {
       "SemDeDup semantic pruning: seeded-centroid clustering, within-cluster " +
         "smaller-id-neighbor drop at cosine >= 0.25 — broadcast centroids, " +
         "pair search fenced to cells, per-cell ledger " +
-        "(extension: dedup / embeddings)")
+        "(extension: dedup / embeddings)"),
+
+    CatalogEntry(
+      "x123_dup_span_coverage",
+      (s, dir) => {
+        // exact-substring duplication metric (Lee et al. 2021,
+        // arXiv:2107.06499, token-window form): fingerprint every
+        // OVERLAPPING 8-token window, count fingerprints corpus-wide, and
+        // score each doc by the fraction of its tokens covered by some
+        // window seen more than once (same doc or not — any repeat, as in
+        // the paper). Coverage is exact via the fixed-window identity
+        // cov = 8 + Σ min(8, gap between consecutive dup starts) — no
+        // interval-merge state machine. One window-hash shuffle, one join
+        // back; per-doc work is array HOFs.
+        val wfp = fingerprintExpr("concat_ws(' ', slice(toks, i + 1, 8))")
+        val wins = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
+          .where(col("n") >= 8)
+          .select(col("doc_id"), col("n"), explode(expr(
+            s"transform(sequence(0, CAST(n AS INT) - 8), i -> " +
+              s"named_struct('i', CAST(i AS BIGINT), 'fp', $wfp))")).as("w"))
+          .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.fp").as("fp"))
+        val counts = wins.groupBy("fp").agg(count(lit(1)).as("cnt"))
+        wins.join(counts.where(col("cnt") > 1), "fp")
+          .groupBy("doc_id", "n")
+          .agg(sort_array(collect_list("i")).as("st"))
+          .select(col("doc_id"), col("n").as("n_tokens"),
+            size(col("st")).cast("long").as("n_dup_windows"),
+            expr("""CASE WHEN size(st) = 1 THEN CAST(8 AS BIGINT)
+              ELSE aggregate(transform(sequence(1, size(st) - 1),
+                k -> least(CAST(8 AS BIGINT),
+                  element_at(st, k + 1) - element_at(st, k))),
+                CAST(8 AS BIGINT), (a, b) -> a + b) END""").as("covered_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_dup_windows"),
+            col("covered_tokens"),
+            expr("covered_tokens * 1000000 div n_tokens").as("dup_ppm"))
+          .orderBy(desc("dup_ppm"), asc("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS lst
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+              |wins AS (SELECT doc_id, len(lst)::BIGINT AS n,
+              |    unnest(list_transform(range(0, len(lst) - 8 + 1), i ->
+              |      {'i': i::BIGINT,
+              |       'fp': ${dPoly("array_to_string(lst[i + 1 : i + 8], ' ')")}})) AS w
+              |  FROM base),
+              |wf AS (SELECT doc_id, n, w.i AS i, w.fp AS fp FROM wins),
+              |counts AS (SELECT fp, COUNT(*)::BIGINT AS cnt FROM wf GROUP BY 1),
+              |dups AS (SELECT doc_id, n, list_sort(list(i)) AS st
+              |  FROM wf JOIN counts USING (fp) WHERE cnt > 1 GROUP BY 1, 2)
+              |SELECT doc_id, n AS n_tokens, len(st)::BIGINT AS n_dup_windows,
+              |  (CASE WHEN len(st) = 1 THEN 8::BIGINT
+              |   ELSE list_reduce(list_prepend(8::BIGINT,
+              |     list_transform(range(2, len(st) + 1),
+              |       k -> least(8::BIGINT, st[k] - st[k - 1]))),
+              |     (a, b) -> a + b) END) AS covered_tokens,
+              |  (CASE WHEN len(st) = 1 THEN 8::BIGINT
+              |   ELSE list_reduce(list_prepend(8::BIGINT,
+              |     list_transform(range(2, len(st) + 1),
+              |       k -> least(8::BIGINT, st[k] - st[k - 1]))),
+              |     (a, b) -> a + b) END) * 1000000 // n AS dup_ppm
+              |FROM dups ORDER BY dup_ppm DESC, doc_id LIMIT 50""".stripMargin),
+      "exact-substring duplication coverage: overlapping 8-token window " +
+        "fingerprints counted corpus-wide, per-doc fraction of tokens inside " +
+        "a repeated window via the fixed-window gap identity — " +
+        "one window-hash shuffle (extension: dedup / text)"),
+
+    CatalogEntry(
+      "x124_int8_ann_recall",
+      (s, dir) => {
+        // int8 scalar-quantization recall audit: quantize every vector to
+        // per-vector-scaled int8 (q_i = floor(v_i * 127 / max|v|)), rank
+        // corpus by quantized cosine, and report recall@5 against the
+        // exact-cosine truth (x91's contract for the memory-saving path —
+        // 4x smaller vectors at 100 TB). Quantized values are integers
+        // <= 127, so double accumulation is exact and both engines agree
+        // bit-for-bit; ties broken by corpus_id.
+        val e = t(s, dir, "embeddings")
+        def quant(df: DataFrame, idAs: String): DataFrame = df
+          .select(col("vec_id").as(idAs), col("embedding").as("v"))
+          .withColumn("maxabs",
+            expr("array_max(transform(v, x -> abs(CAST(x AS DOUBLE))))"))
+          .withColumn("qv", expr(
+            """CASE WHEN maxabs = 0D THEN transform(v, x -> 0D)
+              ELSE transform(v, x -> FLOOR(CAST(x AS DOUBLE) * 127D / maxabs)) END"""))
+          .select(col(idAs), col("qv"),
+            SimilaritySearch.norm(col("qv")).as("qn"))
+        val q = quant(e.where(col("vec_id") < 10), "query_id")
+        val c = quant(e.where(col("vec_id") >= 10), "corpus_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cosq"), asc("corpus_id"))
+        val approx = broadcast(q).crossJoin(c.select(
+            col("corpus_id"), col("qv").as("cv"), col("qn").as("cn")))
+          .select(col("query_id"), col("corpus_id"),
+            (SimilaritySearch.dot(col("qv"), col("cv")) / col("qn") / col("cn"))
+              .as("cosq"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+        val truth = SimilaritySearch.bruteForceTopK(
+            e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10), k = 5)
+          .select("query_id", "corpus_id")
+        truth.join(approx, Seq("query_id", "corpus_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some {
+        val quant = (v: String) =>
+          s"""CASE WHEN list_max(list_transform($v, x -> abs(x::DOUBLE))) = 0
+             |THEN list_transform($v, x -> 0.0)
+             |ELSE list_transform($v, x -> FLOOR(x::DOUBLE * 127.0 /
+             |  list_max(list_transform($v, y -> abs(y::DOUBLE))))) END""".stripMargin
+        s"""WITH tr AS (SELECT query_id, corpus_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |        ORDER BY ${dCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+           |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q,
+           |         (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+           |  WHERE rank <= 5),
+           |qq AS (SELECT vec_id AS query_id, ${quant("embedding")} AS qv
+           |  FROM embeddings WHERE vec_id < 10),
+           |cq AS (SELECT vec_id AS corpus_id, ${quant("embedding")} AS cv
+           |  FROM embeddings WHERE vec_id >= 10),
+           |ap AS (SELECT query_id, corpus_id FROM (
+           |    SELECT qq.query_id, cq.corpus_id,
+           |      ROW_NUMBER() OVER (PARTITION BY qq.query_id
+           |        ORDER BY ${dCos("qq.qv", "cq.cv")} DESC, cq.corpus_id) AS rank
+           |    FROM qq, cq)
+           |  WHERE rank <= 5)
+           |SELECT tr.query_id,
+           |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hits,
+           |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+           |    / 5.0 AS recall
+           |FROM tr LEFT JOIN ap ON tr.query_id = ap.query_id
+           |  AND tr.corpus_id = ap.corpus_id
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+      "recall@5 audit of int8 scalar-quantized cosine against exact truth — " +
+        "the accuracy contract for the 4x-smaller-vector scan path " +
+        "(extension: similarity search / evaluation)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -425,4 +425,49 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
       0L -> ((3L, 2L, 1L)),
       50L -> ((3L, 1L, 2L)))
   }
+
+  test("x123: shared 8-token window covers both docs; overlap gap identity holds") {
+    // doc 1 (10 toks) shares its start-0 window with doc 2 (exactly 8 toks);
+    // doc 1's other two windows are unique. doc 4 is 9 repeated tokens, so
+    // its two windows share one fp (within-doc repeat counts, as in Lee et
+    // al.) and the gap identity gives 8 + min(8, 1-0) = 9 covered. doc 3 has
+    // no repeated window and must be absent.
+    val a8 = (1 to 8).map(i => s"a$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, s"$a8 u1 u2", "en", "s", 0L),
+      (2L, a8, "en", "s", 0L),
+      (3L, (1 to 9).map(i => s"z$i").mkString(" "), "en", "s", 0L),
+      (4L, Seq.fill(9)("r").mkString(" "), "en", "s", 0L)))
+    val r = entry("x123_dup_span_coverage").build(spark, tmp)
+      .collect().map(m => (m.getAs[Long]("doc_id"), m.getAs[Long]("n_tokens"),
+        m.getAs[Long]("n_dup_windows"), m.getAs[Long]("covered_tokens"),
+        m.getAs[Long]("dup_ppm")))
+    r shouldBe Array(
+      (2L, 8L, 1L, 8L, 1000000L),
+      (4L, 9L, 2L, 9L, 1000000L),
+      (1L, 10L, 1L, 8L, 800000L))
+  }
+
+  test("x124: int8 ties + corpus_id tie-break cost query 0 one hit; query 1 clean") {
+    // query 0 = (1,0): corpus 10..15 all quantize to (127,0) (second coords
+    // 0.2..0.6 floor to 0), so the quantized top-5 is ids 10..14 by
+    // tie-break while exact cosine ranks 15 (smallest second coord) first
+    // and drops id 10 — recall 4/5. query 1 = (0,1): ids 16..20 keep their
+    // exact order after quantization — recall 5/5.
+    val tmp = java.nio.file.Files.createTempDirectory("r8int8").toString
+    (Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+      (10L, Array(100f, 0.6f), 0), (11L, Array(100f, 0.5f), 0),
+      (12L, Array(100f, 0.4f), 0), (13L, Array(100f, 0.3f), 0),
+      (14L, Array(100f, 0.25f), 0), (15L, Array(100f, 0.2f), 0),
+      (16L, Array(0f, 10f), 0), (17L, Array(1f, 10f), 0),
+      (18L, Array(2f, 10f), 0), (19L, Array(3f, 10f), 0),
+      (20L, Array(4f, 10f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = entry("x124_int8_ann_recall").build(spark, tmp)
+      .collect().map(m => (m.getAs[Long]("query_id"), m.getAs[Long]("n_hits"),
+        m.getAs[Double]("recall")))
+    r shouldBe Array((0L, 4L, 0.8), (1L, 5L, 1.0))
+  }
 }

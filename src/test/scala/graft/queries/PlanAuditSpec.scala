@@ -101,7 +101,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // assignment's localCheckpoint, so the final plan usually shows only
       // the checkpointed RDD scans; allowlisted for when the audit catches
       // the pre-materialization shape
-      "x122_semdedup")
+      "x122_semdedup",
+      // x124 runs x10's bounded-broadcast (≤10 queries) cross twice: exact
+      // truth and the int8-quantized leg under audit
+      "x124_int8_ann_recall")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
