@@ -59,6 +59,48 @@ object ExtensionCatalog {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq")))
 
+  /** x121's content-defined chunking: (chunk hash, chunk token length) rows
+    * from a documents frame — boundaries fall after tokens whose polyhash
+    * ≡ 0 mod 16, chunk identity is the base-31 fold of its token hashes.
+    * Per-doc array HOFs, zero shuffle; shared with
+    * [[graft.tools.ScaleSmoke]]'s corpus-replication curve.
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = docs
+    .select(split(col("text"), " ").as("toks"))
+    .select(col("toks"), size(col("toks")).as("n"),
+      expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("fps"))
+    .select(expr(
+      "transform(sequence(1, n), i -> " +
+        "size(filter(slice(fps, 1, i - 1), f -> f % 16 = 0)))").as("segs"),
+      col("fps"), col("n"))
+    .select(explode(expr(s"""transform(sequence(0, element_at(segs, n)), s ->
+        named_struct(
+          'h', aggregate(filter(sequence(1, n), i -> element_at(segs, i) = s),
+            CAST(0 AS BIGINT),
+            (acc, i) -> (acc * 31 + element_at(fps, i)) % $Prime),
+          'len', CAST(size(filter(sequence(1, n), i -> element_at(segs, i) = s))
+            AS BIGINT)))""")).as("c"))
+    .select(col("c.h").as("h"), col("c.len").as("len"))
+
+  /** x123's overlapping 8-token window fingerprints: one (doc_id, n, i, fp)
+    * row per window start — the exact-substring duplication primitive.
+    * Each token is polyhashed ONCE per doc and every window fp is the
+    * base-31 fold of its 8 token hashes (the x121 chunk-identity idiom) —
+    * 8 multiply-mods per window instead of re-hashing a rebuilt 8-token
+    * string. Shared with [[graft.tools.ScaleSmoke]].
+    */
+  private[graft] def dupSpanWindows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
+      expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("hs"))
+    .where(col("n") >= 8)
+    .select(col("doc_id"), col("n"), explode(expr(s"""transform(
+        sequence(0, CAST(n AS INT) - 8), i -> named_struct(
+          'i', CAST(i AS BIGINT),
+          'fp', aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+            (acc, h) -> (acc * 31 + h) % $Prime)))""")).as("w"))
+    .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.fp").as("fp"))
+
   /** The rounds themselves, from any (word, freq) table — also driven by
     * [[graft.tools.ScaleSmoke]] to show the merge loop is corpus-size
     * independent once the word-count scan has run.
@@ -4684,23 +4726,7 @@ object ExtensionCatalog {
         // the only exchange is the chunk-hash aggregate. Under a hash
         // collision the two engines both attribute min(len) to the stored
         // copy, keeping the audit deterministic.
-        val chunks = t(s, dir, "documents")
-          .select(split(col("text"), " ").as("toks"))
-          .select(col("toks"), size(col("toks")).as("n"),
-            expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("fps"))
-          .select(expr(
-            "transform(sequence(1, n), i -> " +
-              "size(filter(slice(fps, 1, i - 1), f -> f % 16 = 0)))").as("segs"),
-            col("fps"), col("n"))
-          .select(explode(expr(s"""transform(sequence(0, element_at(segs, n)), s ->
-              named_struct(
-                'h', aggregate(filter(sequence(1, n), i -> element_at(segs, i) = s),
-                  CAST(0 AS BIGINT),
-                  (acc, i) -> (acc * 31 + element_at(fps, i)) % $Prime),
-                'len', CAST(size(filter(sequence(1, n), i -> element_at(segs, i) = s))
-                  AS BIGINT)))""")).as("c"))
-          .select(col("c.h").as("h"), col("c.len").as("len"))
-        chunks.groupBy("h")
+        cdcChunks(t(s, dir, "documents")).groupBy("h")
           .agg(count(lit(1)).as("cnt"), sum("len").as("sumlen"),
             min("len").as("minlen"))
           .agg(sum("cnt").as("total_chunks"), count(lit(1)).as("distinct_chunks"),
@@ -4788,15 +4814,7 @@ object ExtensionCatalog {
         // cov = 8 + Σ min(8, gap between consecutive dup starts) — no
         // interval-merge state machine. One window-hash shuffle, one join
         // back; per-doc work is array HOFs.
-        val wfp = fingerprintExpr("concat_ws(' ', slice(toks, i + 1, 8))")
-        val wins = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), size(col("toks")).cast("long").as("n"), col("toks"))
-          .where(col("n") >= 8)
-          .select(col("doc_id"), col("n"), explode(expr(
-            s"transform(sequence(0, CAST(n AS INT) - 8), i -> " +
-              s"named_struct('i', CAST(i AS BIGINT), 'fp', $wfp))")).as("w"))
-          .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.fp").as("fp"))
+        val wins = dupSpanWindows(t(s, dir, "documents"))
         val counts = wins.groupBy("fp").agg(count(lit(1)).as("cnt"))
         wins.join(counts.where(col("cnt") > 1), "fp")
           .groupBy("doc_id", "n")
@@ -4814,12 +4832,14 @@ object ExtensionCatalog {
           .orderBy(desc("dup_ppm"), asc("doc_id"))
           .limit(50)
       },
-      Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS lst
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
               |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
-              |wins AS (SELECT doc_id, len(lst)::BIGINT AS n,
-              |    unnest(list_transform(range(0, len(lst) - 8 + 1), i ->
+              |wins AS (SELECT doc_id, len(hs)::BIGINT AS n,
+              |    unnest(list_transform(range(0, len(hs) - 8 + 1), i ->
               |      {'i': i::BIGINT,
-              |       'fp': ${dPoly("array_to_string(lst[i + 1 : i + 8], ' ')")}})) AS w
+              |       'fp': list_reduce(list_prepend(0::BIGINT, hs[i + 1 : i + 8]),
+              |         (acc, h) -> (acc * 31 + h) % $Prime)})) AS w
               |  FROM base),
               |wf AS (SELECT doc_id, n, w.i AS i, w.fp AS fp FROM wins),
               |counts AS (SELECT fp, COUNT(*)::BIGINT AS cnt FROM wf GROUP BY 1),
@@ -4837,10 +4857,11 @@ object ExtensionCatalog {
               |       k -> least(8::BIGINT, st[k] - st[k - 1]))),
               |     (a, b) -> a + b) END) * 1000000 // n AS dup_ppm
               |FROM dups ORDER BY dup_ppm DESC, doc_id LIMIT 50""".stripMargin),
-      "exact-substring duplication coverage: overlapping 8-token window " +
-        "fingerprints counted corpus-wide, per-doc fraction of tokens inside " +
-        "a repeated window via the fixed-window gap identity — " +
-        "one window-hash shuffle (extension: dedup / text)"),
+      "exact-substring duplication coverage: overlapping 8-token windows " +
+        "fingerprinted by folding per-token hashes (tokens hashed once), " +
+        "counted corpus-wide; per-doc covered-token fraction via the " +
+        "fixed-window gap identity — one window-hash shuffle " +
+        "(extension: dedup / text)"),
 
     CatalogEntry(
       "x124_int8_ann_recall",

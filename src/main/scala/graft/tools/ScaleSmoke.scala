@@ -104,6 +104,46 @@ object ScaleSmoke {
     println(s"[scale] bpe merges: " +
       merges.map(r => s"${r.getString(0)}+${r.getString(1)}(${r.getLong(2)})").mkString(", "))
 
+    // content-defined chunk dedup (x121): per-doc HOF chunking is
+    // corpus-linear and shuffle-free; the one exchange is the chunk-hash
+    // aggregate with map-side combine. Replication multiplies every chunk's
+    // count by `copies`, so stored tokens stay ~base while total grows
+    // linearly — the ratio itself proves the dedup found the copies
+    val cdc = time("cdc chunk dedup")(
+      graft.queries.ExtensionCatalog.cdcChunks(big)
+        .groupBy("h").agg(sum("len").as("sumlen"), min("len").as("minlen"))
+        .agg(sum("sumlen").as("total"), sum("minlen").as("stored"))
+        .collect().head)
+    println(s"[scale] cdc chunks: total_tokens=${cdc.getLong(0)} " +
+      s"stored_tokens=${cdc.getLong(1)} (expect stored ~ total/$copies)")
+
+    // dup-span coverage (x123): overlapping 8-token windows explode ~one
+    // row per token — corpus-linear — then one window-hash count shuffle.
+    // Under replication every window repeats, so coverage saturates at ~all
+    // tokens; the timing curve is the explode + count cost, no pair volume
+    val wins = graft.queries.ExtensionCatalog.dupSpanWindows(big)
+    val winCounts = wins.groupBy("fp").agg(count(lit(1)).as("cnt"))
+    val dupWins = time("dup-span coverage")(
+      wins.join(winCounts.where(col("cnt") > 1), "fp").count())
+    println(s"[scale] dup-span: $dupWins duplicated window occurrences")
+
+    // SemDeDup (x122): centroids come from the BASE table only (bounded,
+    // broadcast); replication grows each cell linearly, so the within-cell
+    // pair term grows ~copies^2 — this curve is the honest demonstration
+    // that cluster size bounds the quadratic cost, and that at 100 TB you
+    // control it by adding centroids (smaller cells), not by fencing
+    val bigEmb = (0 until copies)
+      .map(i => GraftSession.table(spark, sfDir, "embeddings")
+        .select((col("vec_id") + lit(i * 1000000L)).as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _)
+    val cents = GraftSession.table(spark, sfDir, "embeddings")
+      .where(col("vec_id") % 50 === 0).select("vec_id", "embedding")
+    val semDropped = time("semdedup (within-cell pairs)")(
+      graft.operators.SimilaritySearch.semDedup(bigEmb, cents, tau = 0.25)
+        .where(col("dropped")).count())
+    println(s"[scale] semdedup: $semDropped dropped " +
+      s"(cells ~${copies}x base size -> pair term ~${copies * copies}x)")
+
     // incremental ingest (x115/x117): a FIXED shard (the base table; even
     // ids arrive as exact copies, odd ids with one appended token → near
     // dups) against the replicated corpus behind a persisted minhashIndex.
