@@ -4939,7 +4939,71 @@ object ExtensionCatalog {
       },
       "recall@5 audit of int8 scalar-quantized cosine against exact truth — " +
         "the accuracy contract for the 4x-smaller-vector scan path " +
-        "(extension: similarity search / evaluation)")
+        "(extension: similarity search / evaluation)"),
+
+    CatalogEntry(
+      "x125_winnowing_fingerprints",
+      (s, dir) => {
+        // winnowing document fingerprints (Schleimer et al. 2003,
+        // SIGMOD — the MOSS algorithm): over the 8-token window hashes,
+        // slide a w=4 selection window and keep the minimum hash (rightmost
+        // on ties); any two docs sharing a run of >= w+k-1 = 11 tokens are
+        // GUARANTEED to share a selected fingerprint. Selection is per-doc
+        // array HOFs; the only shuffle is the fingerprint count. Sharing is
+        // scored on distinct fingerprints per doc.
+        val sel = t(s, dir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 11)
+          .select(col("doc_id"),
+            expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("hs"))
+          .select(col("doc_id"), expr(s"""transform(
+              sequence(0, size(hs) - 8), i ->
+                aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
+                  (acc, h) -> (acc * 31 + h) % $Prime))""").as("wf"))
+          .select(col("doc_id"), explode(expr("""array_distinct(transform(
+              array_distinct(transform(sequence(0, size(wf) - 4), j ->
+                j + array_max(transform(sequence(1, 4), t ->
+                  IF(element_at(wf, j + t) = array_min(slice(wf, j + 1, 4)),
+                    t, 0))))),
+              p -> element_at(wf, p)))""")).as("fp"))
+        val counts = sel.groupBy("fp").agg(count(lit(1)).as("cnt"))
+        sel.join(counts, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_fps"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_shared"))
+          .where(col("n_shared") > 0)
+          .select(col("doc_id"), col("n_fps"), col("n_shared"),
+            expr("n_shared * 1000000 div n_fps").as("shared_ppm"))
+          .orderBy(desc("shared_ppm"), asc("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 11),
+              |wfs AS (SELECT doc_id,
+              |    list_transform(range(0, len(hs) - 8 + 1), i ->
+              |      list_reduce(list_prepend(0::BIGINT, hs[i + 1 : i + 8]),
+              |        (acc, h) -> (acc * 31 + h) % $Prime)) AS wf
+              |  FROM base),
+              |sel AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              |    list_distinct(list_transform(range(0, len(wf) - 4 + 1), j ->
+              |      j + list_max(list_transform(range(1, 5), t ->
+              |        CASE WHEN wf[j + t] = list_min(wf[j + 1 : j + 4])
+              |          THEN t ELSE 0 END)))),
+              |    p -> wf[p]))) AS fp
+              |  FROM wfs),
+              |counts AS (SELECT fp, COUNT(*)::BIGINT AS cnt FROM sel GROUP BY 1)
+              |SELECT doc_id, COUNT(*)::BIGINT AS n_fps,
+              |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+              |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+              |    // COUNT(*)::BIGINT AS shared_ppm
+              |FROM sel JOIN counts USING (fp)
+              |GROUP BY 1 HAVING n_shared > 0
+              |ORDER BY shared_ppm DESC, doc_id LIMIT 50""".stripMargin),
+      "winnowing fingerprints (MOSS): rightmost-min of 8-gram hashes in a " +
+        "w=4 window, guaranteed shared fingerprint for any >= 11-token " +
+        "common run; per-doc shared fraction — selection is per-doc HOFs, " +
+        "one fingerprint-count shuffle (extension: dedup / fingerprinting)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -470,4 +470,27 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
         m.getAs[Double]("recall")))
     r shouldBe Array((0L, 4L, 0.8), (1L, 5L, 1.0))
   }
+
+  test("x125: identical docs share all fingerprints; an 11-token common run shares >= 1") {
+    // docs 1/2 are identical 12-token texts -> identical winnowed sets, all
+    // shared (ppm 1e6). doc 4 repeats doc 1's first 11 tokens (= w+k-1, the
+    // winnowing guarantee threshold) then diverges -> must share at least
+    // one fingerprint. doc 3 is all-unique -> filtered out.
+    val w12 = (1 to 12).map(i => s"w$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, w12, "en", "s", 0L),
+      (2L, w12, "en", "s", 0L),
+      (3L, (1 to 12).map(i => s"z$i").mkString(" "), "en", "s", 0L),
+      (4L, ((1 to 11).map(i => s"w$i") ++ (1 to 4).map(i => s"q$i")).mkString(" "),
+        "en", "s", 0L)))
+    val r = entry("x125_winnowing_fingerprints").build(spark, tmp)
+      .collect().map(m => (m.getAs[Long]("doc_id"), m.getAs[Long]("n_fps"),
+        m.getAs[Long]("n_shared"), m.getAs[Long]("shared_ppm")))
+    r.map(_._1).toSeq should contain theSameElementsAs Seq(1L, 2L, 4L)
+    val byDoc = r.map(t => t._1 -> t).toMap
+    byDoc(1L)._2 shouldBe byDoc(2L)._2
+    byDoc(1L)._4 shouldBe 1000000L
+    byDoc(2L)._4 shouldBe 1000000L
+    byDoc(4L)._3 should be >= 1L
+  }
 }
