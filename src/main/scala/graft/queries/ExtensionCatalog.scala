@@ -5003,7 +5003,187 @@ object ExtensionCatalog {
       "winnowing fingerprints (MOSS): rightmost-min of 8-gram hashes in a " +
         "w=4 window, guaranteed shared fingerprint for any >= 11-token " +
         "common run; per-doc shared fraction — selection is per-doc HOFs, " +
-        "one fingerprint-count shuffle (extension: dedup / fingerprinting)")
+        "one fingerprint-count shuffle (extension: dedup / fingerprinting)"),
+
+    CatalogEntry(
+      "x126_canonical_selection",
+      (s, dir) => {
+        // keep-best-of-cluster: the release policy that replaces x26's
+        // min-id representative with a quality rule — inside each near-dup
+        // component keep the LONGEST member (n_chars desc, doc_id asc on
+        // ties) and drop the rest. One window rank over the component id on
+        // top of the x07 pairs + x26 components chain; emits the per-cluster
+        // ledger a curation manifest records.
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minhashNearDups(docs, k = 16, bands = 8,
+          shingleN = 3, threshold = 0.5)
+        val comp = graft.operators.Components.connectedComponents(pairs)
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select("doc_id", "n_chars"), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("rep_id").orderBy(desc("n_chars"), asc("doc_id"))
+        comp.withColumn("rk", row_number().over(w))
+          .groupBy("rep_id")
+          .agg(count(lit(1)).as("n_members"),
+            min(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+            max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+            sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"))
+          .orderBy("rep_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |sigs AS (
+              |  SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM sh),
+              |banded AS (
+              |  SELECT doc_id, band,
+              |    (((0::BIGINT * 31 + sig[band * 2 + 1]) % $Prime) * 31 + sig[band * 2 + 2]) % $Prime AS bh
+              |  FROM sigs, range(0, 8) r(band)),
+              |cands AS (
+              |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+              |pairs AS (
+              |  SELECT id_a, id_b FROM (
+              |    SELECT c.id_a, c.id_b,
+              |      len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              |        / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+              |    FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
+              |  WHERE jac >= 0.5),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM pairs
+              |  UNION SELECT id_b, id_a FROM pairs),
+              |closure AS (
+              |  WITH RECURSIVE reach(v, u) AS (
+              |    SELECT src, src FROM edges
+              |    UNION
+              |    SELECT r.v, e.dst FROM reach r JOIN edges e ON r.u = e.src)
+              |  SELECT v, u FROM reach),
+              |comp AS (SELECT v AS doc_id, CAST(min(u) AS BIGINT) AS rep_id
+              |  FROM closure GROUP BY v),
+              |ranked AS (SELECT c.rep_id, c.doc_id, d.n_chars,
+              |    ROW_NUMBER() OVER (PARTITION BY c.rep_id
+              |      ORDER BY d.n_chars DESC, c.doc_id) AS rk
+              |  FROM comp c JOIN documents d ON c.doc_id = d.doc_id)
+              |SELECT rep_id, COUNT(*)::BIGINT AS n_members,
+              |  CAST(MIN(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS kept_doc,
+              |  CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+              |  CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+              |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
+      "keep-best-of-cluster canonical selection: near-dup components ranked " +
+        "by (n_chars desc, doc_id) inside each cluster, per-cluster " +
+        "kept/dropped ledger — one window rank over the component id " +
+        "(extension: dedup / curation)"),
+
+    CatalogEntry(
+      "x127_pq_adc_recall",
+      (s, dir) => {
+        // product-quantization ADC recall audit (Jégou et al. 2011): 64-d
+        // vectors split into 8 subspaces of 8 dims; the per-subspace
+        // codebook is the sub-slice of the seeded sample (vec_id % 50 = 0);
+        // each corpus vector is encoded as 8 codeword ids (argmin
+        // sub-squared-L2, tie -> smallest id). Queries stay exact
+        // (asymmetric) and score the codeword RECONSTRUCTION, assembled as
+        // an ordered float array so the score is the same deterministic
+        // left-to-right DotProduct every other embedding query uses — never
+        // a groupBy-sum of doubles (partial-agg order would break the
+        // oracle hash). recall@5 vs exact truth: the contract for the
+        // 8-bytes-per-vector memory-bound scan path.
+        val e = t(s, dir, "embeddings")
+        val cb = broadcast(e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cb_id"), col("embedding").as("cbv")))
+        val corpus = e.where(col("vec_id") >= 10)
+          .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        val dists = corpus.crossJoin(cb)
+          .select(col("corpus_id"), col("cb_id"), col("cbv"), explode(expr(
+            """transform(sequence(0, 7), b -> named_struct('b', b,
+              |  'd', aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (acc, k) ->
+              |    acc + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |         - CAST(element_at(cbv, b * 8 + k) AS DOUBLE))
+              |        * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |         - CAST(element_at(cbv, b * 8 + k) AS DOUBLE)))))""".stripMargin))
+            .as("sd"))
+          .select(col("corpus_id"), col("cb_id"), col("cbv"),
+            col("sd.b").as("b"), col("sd.d").as("d"))
+        val wEnc = org.apache.spark.sql.expressions.Window
+          .partitionBy("corpus_id", "b").orderBy(asc("d"), asc("cb_id"))
+        val recon = dists.withColumn("rk", row_number().over(wEnc))
+          .where(col("rk") === 1)
+          .select(col("corpus_id"), col("b"),
+            expr("slice(cbv, b * 8 + 1, 8)").as("sub"))
+          .groupBy("corpus_id")
+          .agg(sort_array(collect_list(struct(col("b"), col("sub")))).as("bs"))
+          .select(col("corpus_id"),
+            expr("flatten(transform(bs, x -> x.sub))").as("rv"))
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+            SimilaritySearch.norm(col("embedding")).as("qn"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("cosq"), asc("corpus_id"))
+        val approx = broadcast(q).crossJoin(recon)
+          .select(col("query_id"), col("corpus_id"),
+            (SimilaritySearch.dot(col("qv"), col("rv")) / col("qn") /
+              SimilaritySearch.norm(col("rv"))).as("cosq"))
+          .withColumn("rank", row_number().over(wTop))
+          .where(col("rank") <= 5)
+          .select(col("query_id"), col("corpus_id"), lit(1L).as("hit"))
+        val truth = SimilaritySearch.bruteForceTopK(
+            e.where(col("vec_id") < 10), e.where(col("vec_id") >= 10), k = 5)
+          .select("query_id", "corpus_id")
+        truth.join(approx, Seq("query_id", "corpus_id"), "left")
+          .groupBy("query_id")
+          .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(col("query_id"), col("n_hits"),
+            (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH cb AS (SELECT vec_id AS cb_id, embedding AS cbv
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS cv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |dists AS (SELECT corpus_id, cb_id, cbv, b,
+              |    list_reduce(list_prepend(0.0, list_transform(range(1, 9), k ->
+              |      (cv[b * 8 + k]::DOUBLE - cbv[b * 8 + k]::DOUBLE) *
+              |      (cv[b * 8 + k]::DOUBLE - cbv[b * 8 + k]::DOUBLE))),
+              |      (acc, x) -> acc + x) AS d
+              |  FROM corp, cb, range(0, 8) r(b)),
+              |enc AS (SELECT corpus_id, b, cbv FROM (
+              |    SELECT corpus_id, b, cbv,
+              |      ROW_NUMBER() OVER (PARTITION BY corpus_id, b
+              |        ORDER BY d, cb_id) AS rk
+              |    FROM dists) WHERE rk = 1),
+              |recon AS (SELECT corpus_id,
+              |    flatten(list(cbv[b * 8 + 1 : b * 8 + 8] ORDER BY b)) AS rv
+              |  FROM enc GROUP BY 1),
+              |tr AS (SELECT query_id, corpus_id FROM (
+              |    SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${dCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+              |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q,
+              |         (SELECT * FROM embeddings WHERE vec_id >= 10) c)
+              |  WHERE rank <= 5),
+              |ap AS (SELECT query_id, corpus_id FROM (
+              |    SELECT q.vec_id AS query_id, r.corpus_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |        ORDER BY ${dCos("q.embedding", "r.rv")} DESC, r.corpus_id) AS rank
+              |    FROM (SELECT * FROM embeddings WHERE vec_id < 10) q, recon r)
+              |  WHERE rank <= 5)
+              |SELECT tr.query_id,
+              |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_hits,
+              |  CAST(SUM(CASE WHEN ap.corpus_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+              |    / 5.0 AS recall
+              |FROM tr LEFT JOIN ap ON tr.query_id = ap.query_id
+              |  AND tr.corpus_id = ap.corpus_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "recall@5 audit of product-quantization ADC (8x8 subspaces, seeded " +
+        "codebooks, asymmetric query scoring over the ordered codeword " +
+        "reconstruction) against exact truth — the 8-bytes-per-vector " +
+        "memory-bound scan contract (extension: similarity search / evaluation)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -493,4 +493,50 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
     byDoc(2L)._4 shouldBe 1000000L
     byDoc(4L)._3 should be >= 1L
   }
+
+  test("x126: longest member wins its cluster; equal lengths fall back to smaller id") {
+    // docs 1-3 share one text (jac = 1 -> one component, rep 1): doc 3 has
+    // the largest n_chars and must be kept. docs 4/5 share another text
+    // with EQUAL n_chars -> doc 4 kept by id tie-break. doc 6 is unrelated
+    // and never enters the component table.
+    val ta = "alpha beta gamma delta"
+    val tb = "one two three four"
+    val tmp = writeDocs(Seq(
+      (1L, ta, "en", "s", 10L), (2L, ta, "en", "s", 20L), (3L, ta, "en", "s", 30L),
+      (4L, tb, "en", "s", 15L), (5L, tb, "en", "s", 15L),
+      (6L, "unrelated text entirely here", "en", "s", 99L)))
+    val r = entry("x126_canonical_selection").build(spark, tmp)
+      .collect().map(m => (m.getAs[Long]("rep_id"), m.getAs[Long]("n_members"),
+        m.getAs[Long]("kept_doc"), m.getAs[Long]("kept_chars"),
+        m.getAs[Long]("n_dropped")))
+    r shouldBe Array(
+      (1L, 3L, 3L, 30L, 2L),
+      (4L, 2L, 4L, 15L, 1L))
+  }
+
+  test("x127: vectors quantized into the wrong cell drop out of the ADC top-5") {
+    // codebook = {0: u, 50: w} (unit dims 1/2 of 64; id 0 is query AND
+    // codeword by the % 50 rule, so it must be a codeword on purpose).
+    // Corpus 10-13 reconstruct to u; 14, 18, 50 to w (18 = (.5,.55) is
+    // L2-closer to w while still cosine-close to q0 = u; 13 = (.72,.7)
+    // stays u). q0 exact top-5 {10,11,12,13,18} vs ADC {10,11,12,13,14}
+    // (the u-group collapses to cos 1, rank 5 goes to the w-group's
+    // smallest id) -> 4/5. q1 = w: exact {50,14,18,13,12} vs ADC
+    // {14,18,50,10,11} -> 3/5.
+    def vec(d1: Float, d2: Float): Array[Float] =
+      Array(d1, d2) ++ Array.fill(62)(0f)
+    val tmp = java.nio.file.Files.createTempDirectory("r8pq").toString
+    (Seq(
+      (0L, vec(1f, 0f), 0), (1L, vec(0f, 1f), 0),
+      (10L, vec(1f, 0.1f), 0), (11L, vec(1f, 0.2f), 0), (12L, vec(1f, 0.3f), 0),
+      (13L, vec(0.72f, 0.7f), 0),
+      (14L, vec(0.6f, 0.8f), 0), (18L, vec(0.5f, 0.55f), 0),
+      (50L, vec(0f, 1f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = entry("x127_pq_adc_recall").build(spark, tmp)
+      .collect().map(m => (m.getAs[Long]("query_id"), m.getAs[Long]("n_hits"),
+        m.getAs[Double]("recall")))
+    r shouldBe Array((0L, 4L, 0.8), (1L, 3L, 0.6))
+  }
 }

@@ -104,7 +104,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x122_semdedup",
       // x124 runs x10's bounded-broadcast (≤10 queries) cross twice: exact
       // truth and the int8-quantized leg under audit
-      "x124_int8_ann_recall")
+      "x124_int8_ann_recall",
+      // x127 crosses the bounded broadcast codebook (vec_id % 50 sample)
+      // for encoding and the ≤10-query broadcast for truth + ADC scoring
+      "x127_pq_adc_recall")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
