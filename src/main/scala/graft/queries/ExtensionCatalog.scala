@@ -5183,7 +5183,118 @@ object ExtensionCatalog {
       "recall@5 audit of product-quantization ADC (8x8 subspaces, seeded " +
         "codebooks, asymmetric query scoring over the ordered codeword " +
         "reconstruction) against exact truth — the 8-bytes-per-vector " +
-        "memory-bound scan contract (extension: similarity search / evaluation)")
+        "memory-bound scan contract (extension: similarity search / evaluation)"),
+
+    CatalogEntry(
+      "x128_eval_decontam",
+      (s, dir) => {
+        // train/eval decontamination (the GPT-3 appendix-C policy, 8-gram
+        // form): a train doc is dropped when it shares ANY overlapping
+        // 8-token window fingerprint with the eval shard (doc_id % 97 = 0
+        // stands in for the benchmark set). Reuses x123's window primitive;
+        // eval fingerprints are a ~1% table, so the semi-join broadcasts
+        // under AQE (un-hinted, the q17 rule) and the only big exchange is
+        // the train-side fp shuffle. Per-source kept/dropped ledger.
+        val docs = t(s, dir, "documents")
+        val wins = dupSpanWindows(docs).select(col("doc_id"), col("fp"))
+        val evalFps = wins.where(col("doc_id") % 97 === 0)
+          .select("fp").distinct()
+        val contaminated = wins.where(col("doc_id") % 97 =!= 0)
+          .join(evalFps, "fp").select("doc_id").distinct()
+          .withColumn("bad", lit(1L))
+        docs.where(col("doc_id") % 97 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_train"),
+            sum(coalesce(col("bad"), lit(0L))).as("n_contaminated"),
+            sum(when(col("bad").isNull, 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+              |wf AS (SELECT doc_id, unnest(list_transform(range(0, len(hs) - 8 + 1),
+              |    i -> list_reduce(list_prepend(0::BIGINT, hs[i + 1 : i + 8]),
+              |      (acc, h) -> (acc * 31 + h) % $Prime))) AS fp
+              |  FROM base),
+              |ev AS (SELECT DISTINCT fp FROM wf WHERE doc_id % 97 = 0),
+              |cont AS (SELECT DISTINCT doc_id FROM wf
+              |  WHERE doc_id % 97 <> 0 AND fp IN (SELECT fp FROM ev))
+              |SELECT d.source, COUNT(*)::BIGINT AS n_train,
+              |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_contaminated,
+              |  CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_kept
+              |FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+              |WHERE d.doc_id % 97 <> 0
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "train/eval decontamination: drop train docs sharing any 8-gram window " +
+        "fingerprint with the eval shard — x123 windows, small eval fp table " +
+        "semi-joined, per-source kept/dropped ledger " +
+        "(extension: curation / decontamination)"),
+
+    CatalogEntry(
+      "x129_epoch_allocation",
+      (s, dir) => {
+        // token-budget epoch allocation: give every source an equal slice
+        // of a 2x-total-tokens budget, cap any source at 2 epochs, then
+        // redistribute the surplus to uncapped sources proportionally to
+        // their size — one explicit redistribution round, all in integer
+        // token units (micro-epochs on output) so both engines agree
+        // exactly. The mixture-planning math run before a training job;
+        // the two 1-row totals are broadcast crosses.
+        val perSrc = t(s, dir, "documents")
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy("source").agg(sum("nt").as("t"))
+        val tot = perSrc.agg(sum("t").as("total"),
+          count(lit(1)).as("nsrc"))
+        val a1 = perSrc.crossJoin(tot)
+          .select(col("source"), col("t"),
+            expr("total * 2 div nsrc").as("budget"),
+            expr("t * 2000000 div 1000000").as("cap_tok"))
+          .select(col("source"), col("t"), col("budget"), col("cap_tok"),
+            least(col("budget"), col("cap_tok")).as("served1"),
+            when(col("budget") >= col("cap_tok"), 1L).otherwise(0L).as("capped"))
+        val tot2 = a1.agg(
+          sum(col("budget") - col("served1")).as("surplus"),
+          sum(when(col("capped") === 0, col("t")).otherwise(0L)).as("u"))
+        a1.crossJoin(tot2)
+          .select(col("source"), col("t"), col("capped"),
+            least(col("cap_tok"), col("served1") +
+              when(col("capped") === 1 || col("u") === 0, 0L)
+                .otherwise(expr("surplus * t div u"))).as("tokens_served"))
+          .select(col("source"), col("t").as("n_tokens"), col("tokens_served"),
+            expr("tokens_served * 1000000 div t").as("epochs_ppm"),
+            col("capped"))
+          .orderBy("source")
+      },
+      Some("""WITH per AS (SELECT source,
+             |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t
+             |  FROM documents GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(t) AS BIGINT) AS total,
+             |    COUNT(*)::BIGINT AS nsrc FROM per),
+             |a1 AS (SELECT source, t,
+             |    total * 2 // nsrc AS budget,
+             |    t * 2000000 // 1000000 AS cap_tok,
+             |    least(total * 2 // nsrc, t * 2000000 // 1000000) AS served1,
+             |    CASE WHEN total * 2 // nsrc >= t * 2000000 // 1000000
+             |      THEN 1::BIGINT ELSE 0::BIGINT END AS capped
+             |  FROM per, tot),
+             |tot2 AS (SELECT CAST(SUM(budget - served1) AS BIGINT) AS surplus,
+             |    CAST(SUM(CASE WHEN capped = 0 THEN t ELSE 0 END) AS BIGINT) AS u
+             |  FROM a1)
+             |SELECT source, t AS n_tokens,
+             |  least(cap_tok, served1 + CASE WHEN capped = 1 OR u = 0 THEN 0
+             |    ELSE surplus * t // u END) AS tokens_served,
+             |  least(cap_tok, served1 + CASE WHEN capped = 1 OR u = 0 THEN 0
+             |    ELSE surplus * t // u END) * 1000000 // t AS epochs_ppm,
+             |  capped
+             |FROM a1, tot2 ORDER BY source""".stripMargin),
+      "token-budget epoch allocation: equal budget slices, 2-epoch cap, " +
+        "one surplus-redistribution round proportional to uncapped source " +
+        "size — exact integer token units, two 1-row totals crossed " +
+        "(extension: curation / mixture planning)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -539,4 +539,41 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
         m.getAs[Double]("recall")))
     r shouldBe Array((0L, 4L, 0.8), (1L, 3L, 0.6))
   }
+
+  test("x128: train doc sharing an 8-gram with the eval shard is dropped; short docs can't hit") {
+    // doc 0 is the eval shard (0 % 97 = 0). doc 1 embeds the eval 8-gram ->
+    // contaminated; doc 2 is clean; doc 3 has < 8 tokens so it has no
+    // windows and must count as kept, not crash or match.
+    val e8 = (1 to 8).map(i => s"e$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (0L, e8, "en", "ev", 0L),
+      (1L, s"$e8 tail1 tail2", "en", "sA", 0L),
+      (2L, (1 to 10).map(i => s"c$i").mkString(" "), "en", "sA", 0L),
+      (3L, "tiny doc here", "en", "sB", 0L)))
+    val r = entry("x128_eval_decontam").build(spark, tmp)
+      .collect().map(m => (m.getAs[String]("source"), m.getAs[Long]("n_train"),
+        m.getAs[Long]("n_contaminated"), m.getAs[Long]("n_kept")))
+    r shouldBe Array(("sA", 2L, 1L, 1L), ("sB", 1L, 0L, 1L))
+  }
+
+  test("x129: capped source keeps 2 epochs; surplus tops up uncapped sources pro rata") {
+    // sources of 100/400/500 tokens, budget = 2*1000 div 3 = 666 each:
+    // sA caps at 200 (2 epochs); sB/sC take 666 then split the 466 surplus
+    // by size — sB tops out at its 800 cap, sC lands at 924 tokens
+    // (1.848 epochs).
+    def doc(n: Int) = Seq.fill(n)("t").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, doc(100), "en", "sA", 0L),
+      (2L, doc(400), "en", "sB", 0L),
+      (3L, doc(250), "en", "sC", 0L),
+      (4L, doc(250), "en", "sC", 0L)))
+    val r = entry("x129_epoch_allocation").build(spark, tmp)
+      .collect().map(m => (m.getAs[String]("source"), m.getAs[Long]("n_tokens"),
+        m.getAs[Long]("tokens_served"), m.getAs[Long]("epochs_ppm"),
+        m.getAs[Long]("capped")))
+    r shouldBe Array(
+      ("sA", 100L, 200L, 2000000L, 1L),
+      ("sB", 400L, 800L, 2000000L, 0L),
+      ("sC", 500L, 924L, 1848000L, 0L))
+  }
 }

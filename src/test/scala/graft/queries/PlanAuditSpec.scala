@@ -107,7 +107,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x124_int8_ann_recall",
       // x127 crosses the bounded broadcast codebook (vec_id % 50 sample)
       // for encoding and the ≤10-query broadcast for truth + ADC scoring
-      "x127_pq_adc_recall")
+      "x127_pq_adc_recall",
+      // x129 crosses two 1-row budget-totals aggregates
+      "x129_epoch_allocation")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
