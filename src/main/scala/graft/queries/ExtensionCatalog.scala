@@ -5294,7 +5294,132 @@ object ExtensionCatalog {
       "token-budget epoch allocation: equal budget slices, 2-epoch cap, " +
         "one surplus-redistribution round proportional to uncapped source " +
         "size — exact integer token units, two 1-row totals crossed " +
-        "(extension: curation / mixture planning)")
+        "(extension: curation / mixture planning)"),
+
+    CatalogEntry(
+      "x130_minhash_estimator_mae",
+      (s, dir) => {
+        // value-level accuracy audit for the MinHash estimator: x92 checks
+        // which PAIRS the banded index finds; this checks how close the
+        // 16-component signature ESTIMATE (matches/16) sits to exact
+        // Jaccard, pair by pair, on a fenced doc_id < 500 all-pairs shard
+        // (the x09 rule — all-pairs exists only inside audits). Errors in
+        // integer ppm; the one-row summary is the estimator's published
+        // error bar.
+        val sh = Dedup.minhashSignature(
+            t(s, dir, "documents").where(col("doc_id") < 500),
+            k = 16, shingleN = 3)
+          .where(size(col("shingles")) >= 1)
+          .select(col("doc_id"), col("shingles"), col("sig"))
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .select(
+            // floor, not cast: Spark's double->long cast truncates while
+            // DuckDB's rounds — floor is the one op both engines agree on
+            floor(TextFunctions.jaccard(col("a.shingles"), col("b.shingles")) *
+              lit(1000000.0)).cast("long").as("exact_ppm"),
+            expr("""aggregate(sequence(1, 16), CAST(0 AS BIGINT), (acc, i) ->
+              acc + IF(element_at(a.sig, i) = element_at(b.sig, i), 1L, 0L))
+              * 1000000 div 16""").as("est_ppm"))
+        pairs.agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("est_ppm") - col("exact_ppm"))).as("abs_err_sum"),
+            max(abs(col("est_ppm") - col("exact_ppm"))).as("max_err_ppm"),
+            sum(when(col("est_ppm") > col("exact_ppm"), 1L).otherwise(0L))
+              .as("overest_pairs"),
+            sum(when(col("est_ppm") < col("exact_ppm"), 1L).otherwise(0L))
+              .as("underest_pairs"))
+          .select(col("n_pairs"),
+            expr("abs_err_sum div n_pairs").as("mae_ppm"),
+            col("max_err_ppm"), col("overest_pairs"), col("underest_pairs"))
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE doc_id < 500),
+              |sh AS (SELECT doc_id, shingles,
+              |    list_transform(range(0, 16), i -> list_min(list_transform(shingles,
+              |      s -> (((1 + i * 2654435761) % $Prime) * s + (7 + i * 40503)) % $Prime))) AS sig
+              |  FROM (SELECT doc_id, $dShingles AS shingles FROM base)
+              |  WHERE len(shingles) >= 1),
+              |pairs AS (SELECT
+              |    CAST(FLOOR(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / (len(a.shingles) + len(b.shingles)
+              |         - len(list_intersect(a.shingles, b.shingles)))
+              |      * 1000000.0) AS BIGINT) AS exact_ppm,
+              |    list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 17),
+              |      i -> CASE WHEN a.sig[i] = b.sig[i] THEN 1::BIGINT ELSE 0::BIGINT END)),
+              |      (acc, x) -> acc + x) * 1000000 // 16 AS est_ppm
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+              |SELECT COUNT(*)::BIGINT AS n_pairs,
+              |  CAST(SUM(abs(est_ppm - exact_ppm)) AS BIGINT) // COUNT(*)::BIGINT
+              |    AS mae_ppm,
+              |  CAST(MAX(abs(est_ppm - exact_ppm)) AS BIGINT) AS max_err_ppm,
+              |  CAST(SUM(CASE WHEN est_ppm > exact_ppm THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS overest_pairs,
+              |  CAST(SUM(CASE WHEN est_ppm < exact_ppm THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS underest_pairs
+              |FROM pairs""".stripMargin),
+      "MinHash estimator error audit: 16-component signature estimate vs " +
+        "exact Jaccard over a fenced all-pairs shard, MAE/max/bias in ppm — " +
+        "the value-level companion to x92's pair recall " +
+        "(extension: dedup / evaluation)"),
+
+    CatalogEntry(
+      "x131_ivf_cell_balance",
+      (s, dir) => {
+        // IVF index health check: assign the corpus to the x18 seeded
+        // centroids (same argmax-cosine rule) and summarize the cell-size
+        // distribution — min/median/max and an imbalance factor (max over
+        // mean, in ppm). A hot cell is the IVF analog of a skewed shuffle
+        // key: this is the audit that tells the planner to add centroids
+        // before the probe cost curve bends. Median via exact percentile on
+        // integer counts (dyadic fraction -> lerp-exact in both engines).
+        val e = t(s, dir, "embeddings")
+        val cent = broadcast(e.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("centv"),
+            SimilaritySearch.norm(col("embedding")).as("centn")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("corpus_id").orderBy(desc("csim"), asc("cent_id"))
+        val cells = e.where(col("vec_id") >= 10)
+          .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"),
+            SimilaritySearch.norm(col("embedding")).as("cn"))
+          .crossJoin(cent)
+          .select(col("corpus_id"), col("cent_id"),
+            (SimilaritySearch.dot(col("cv"), col("centv")) / col("cn") /
+              col("centn")).as("csim"))
+          .withColumn("r", row_number().over(w))
+          .where(col("r") === 1)
+          .groupBy("cent_id").agg(count(lit(1)).as("cnt"))
+        cells.agg(count(lit(1)).as("n_cells"),
+            sum("cnt").as("n_vecs"),
+            min("cnt").as("min_cell"),
+            expr("percentile(cnt, 0.5D)").as("p50_cell"),
+            max("cnt").as("max_cell"))
+          .select(col("n_cells"), col("n_vecs"), col("min_cell"),
+            col("p50_cell"), col("max_cell"),
+            expr("max_cell * 1000000 * n_cells div n_vecs").as("imbalance_ppm"))
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS centv
+              |  FROM embeddings WHERE vec_id % 50 = 0),
+              |cells AS (SELECT cent_id, COUNT(*)::BIGINT AS cnt FROM (
+              |    SELECT corpus_id, cent_id FROM (
+              |      SELECT c.vec_id AS corpus_id, ct.cent_id,
+              |        ROW_NUMBER() OVER (PARTITION BY c.vec_id
+              |          ORDER BY ${dCos("c.embedding", "ct.centv")} DESC, ct.cent_id) AS r
+              |      FROM (SELECT * FROM embeddings WHERE vec_id >= 10) c, cent ct)
+              |    WHERE r = 1)
+              |  GROUP BY 1)
+              |SELECT COUNT(*)::BIGINT AS n_cells,
+              |  CAST(SUM(cnt) AS BIGINT) AS n_vecs,
+              |  CAST(MIN(cnt) AS BIGINT) AS min_cell,
+              |  quantile_cont(cnt, 0.5) AS p50_cell,
+              |  CAST(MAX(cnt) AS BIGINT) AS max_cell,
+              |  CAST(MAX(cnt) AS BIGINT) * 1000000 * COUNT(*)::BIGINT
+              |    // CAST(SUM(cnt) AS BIGINT) AS imbalance_ppm
+              |FROM cells""".stripMargin),
+      "IVF cell-balance audit: corpus assigned to seeded centroids, " +
+        "cell-size min/median/max and max-over-mean imbalance in ppm — the " +
+        "add-more-centroids signal before probe cost bends " +
+        "(extension: similarity search / diagnostics)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -576,4 +576,45 @@ class ExtensionRound8Spec extends AnyFunSuite with Matchers {
       ("sB", 400L, 800L, 2000000L, 0L),
       ("sC", 500L, 924L, 1848000L, 0L))
   }
+
+  test("x130: identical docs give a zero-error estimator on every pair") {
+    // three copies of one text: every pair has exact jaccard 1 and all 16
+    // signature components equal -> est = exact = 1e6 ppm, MAE/max/bias 0.
+    // (The statistical error bar on mixed pairs is the oracle gate's job.)
+    val txt = (1 to 12).map(i => s"m$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, txt, "en", "s", 0L), (2L, txt, "en", "s", 0L), (3L, txt, "en", "s", 0L)))
+    val r = entry("x130_minhash_estimator_mae").build(spark, tmp).collect()
+    r.length shouldBe 1
+    val m = r.head
+    m.getAs[Long]("n_pairs") shouldBe 3L
+    m.getAs[Long]("mae_ppm") shouldBe 0L
+    m.getAs[Long]("max_err_ppm") shouldBe 0L
+    m.getAs[Long]("overest_pairs") shouldBe 0L
+    m.getAs[Long]("underest_pairs") shouldBe 0L
+  }
+
+  test("x131: cell counts, lerp median, and imbalance over a hand-built assignment") {
+    // centroids {0: u, 50: w}; corpus 10/11 hug u, 12/13/14 hug w, and 50
+    // itself is corpus too (>= 10) -> cells u:2, w:4. Median of {2,4} lerps
+    // to 3.0; imbalance = 4 * 1e6 * 2 div 6.
+    def vec(d1: Float, d2: Float): Array[Float] =
+      Array(d1, d2) ++ Array.fill(62)(0f)
+    val tmp = java.nio.file.Files.createTempDirectory("r8ivfbal").toString
+    (Seq(
+      (0L, vec(1f, 0f), 0), (50L, vec(0f, 1f), 0),
+      (10L, vec(1f, 0.1f), 0), (11L, vec(1f, 0.2f), 0),
+      (12L, vec(0.1f, 1f), 0), (13L, vec(0.2f, 1f), 0), (14L, vec(0f, 0.9f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = entry("x131_ivf_cell_balance").build(spark, tmp).collect()
+    r.length shouldBe 1
+    val m = r.head
+    m.getAs[Long]("n_cells") shouldBe 2L
+    m.getAs[Long]("n_vecs") shouldBe 6L
+    m.getAs[Long]("min_cell") shouldBe 2L
+    m.getAs[Double]("p50_cell") shouldBe 3.0
+    m.getAs[Long]("max_cell") shouldBe 4L
+    m.getAs[Long]("imbalance_ppm") shouldBe (4L * 1000000L * 2L / 6L)
+  }
 }

@@ -109,7 +109,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // for encoding and the ≤10-query broadcast for truth + ADC scoring
       "x127_pq_adc_recall",
       // x129 crosses two 1-row budget-totals aggregates
-      "x129_epoch_allocation")
+      "x129_epoch_allocation",
+      // x130's all-pairs leg is the fenced doc_id < 500 audit shard (the
+      // x92 pattern); x131 crosses the bounded broadcast centroid table
+      "x130_minhash_estimator_mae", "x131_ivf_cell_balance")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
