@@ -5419,7 +5419,139 @@ object ExtensionCatalog {
       "IVF cell-balance audit: corpus assigned to seeded centroids, " +
         "cell-size min/median/max and max-over-mean imbalance in ppm — the " +
         "add-more-centroids signal before probe cost bends " +
-        "(extension: similarity search / diagnostics)")
+        "(extension: similarity search / diagnostics)"),
+
+    CatalogEntry(
+      "x132_embedding_dim_health",
+      (s, dir) => {
+        // per-dimension health audit of the embedding column: mean and
+        // variance per coordinate in integer micro-units (floor(x*1e6),
+        // shifted +2^20 so every integer division sees positive operands
+        // and truncates identically in both engines), plus a
+        // dead-dimension flag (variance under 1e9 micro^2, i.e. std
+        // ~0.03). Collapsed axes and anisotropy are how embedding spaces
+        // rot — dead dims waste ANN capacity and skew cosine geometry.
+        // posexplode fans n x d rows into a d-key hash aggregate with
+        // map-side partials, so the 100 TB shape is one corpus scan
+        // reduced to a 64-row shuffle.
+        val C = 1048576L
+        t(s, dir, "embeddings")
+          .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select((col("pos") + 1).cast("long").as("dim"),
+            (floor(col("x").cast("double") * lit(1000000.0)).cast("long") +
+              C).as("m"))
+          .groupBy("dim")
+          .agg(count(lit(1)).as("n_vecs"), sum("m").as("sm"),
+            sum(col("m") * col("m")).as("sm2"))
+          .select(col("dim"), col("n_vecs"),
+            (expr("sm div n_vecs") - C).as("mean_ppm"),
+            expr("sm2 div n_vecs - (sm div n_vecs) * (sm div n_vecs)")
+              .as("var_ppm2"))
+          .withColumn("dead",
+            when(col("var_ppm2") < 1000000000L, 1L).otherwise(0L))
+          .orderBy("dim")
+      },
+      Some("""WITH m AS (
+             |  SELECT u.dim, u.m FROM (
+             |    SELECT unnest(list_transform(range(1, len(embedding) + 1),
+             |      i -> {'dim': i,
+             |            'm': CAST(FLOOR(embedding[i]::DOUBLE * 1000000.0) AS BIGINT)
+             |                 + 1048576})) AS u
+             |    FROM embeddings)),
+             |a AS (SELECT dim, COUNT(*)::BIGINT AS n_vecs,
+             |    CAST(SUM(m) AS BIGINT) AS sm, CAST(SUM(m * m) AS BIGINT) AS sm2
+             |  FROM m GROUP BY 1)
+             |SELECT dim, n_vecs, sm // n_vecs - 1048576 AS mean_ppm,
+             |  sm2 // n_vecs - (sm // n_vecs) * (sm // n_vecs) AS var_ppm2,
+             |  CASE WHEN sm2 // n_vecs - (sm // n_vecs) * (sm // n_vecs)
+             |    < 1000000000 THEN 1::BIGINT ELSE 0::BIGINT END AS dead
+             |FROM a ORDER BY dim""".stripMargin),
+      "embedding dimension-health audit: per-coordinate mean/variance in " +
+        "integer micro-units plus dead-dimension flags — collapsed axes " +
+        "and anisotropy waste ANN capacity " +
+        "(extension: similarity search / diagnostics)"),
+
+    CatalogEntry(
+      "x133_tokenizer_fertility",
+      (s, dir) => {
+        // tokenizer fairness audit: apply the x110-induced BPE merges and
+        // report per-language fertility — tokens per word and chars per
+        // token in integer ppm. A tokenizer trained on the majority
+        // language over-segments the rest; this is the per-language
+        // parity ledger for the x110/x111 tokenizer. Stays |V|-sized on
+        // the tokenizer side: per-language word counts are one corpus
+        // scan, then a join against the |V|-row segmented vocabulary
+        // (AQE broadcasts it), never a per-document re-fold.
+        val (_, _, _, t4) = bpeRounds(s, dir)
+        val tokPerWord = t4.select(col("word"),
+          size(col("toks")).cast("long").as("n_toks"))
+        val wl = t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+        wl.join(tokPerWord, "word")
+          .groupBy("lang")
+          .agg(sum("freq").cast("long").as("n_words"),
+            sum(col("freq") * length(col("word"))).cast("long").as("n_chars"),
+            sum(col("freq") * col("n_toks")).cast("long").as("n_tokens"))
+          .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+            expr("n_tokens * 1000000 div n_words").as("tokens_per_word_ppm"),
+            expr("n_chars * 1000000 div n_tokens").as("chars_per_token_ppm"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH $dBpeChain,
+              |tw AS (SELECT word, len(toks)::BIGINT AS n_toks FROM t4),
+              |wl AS (SELECT lang, word, COUNT(*)::BIGINT AS freq
+              |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+              |        FROM documents)
+              |  GROUP BY 1, 2)
+              |SELECT lang, CAST(SUM(freq) AS BIGINT) AS n_words,
+              |  CAST(SUM(freq * len(word)) AS BIGINT) AS n_chars,
+              |  CAST(SUM(freq * n_toks) AS BIGINT) AS n_tokens,
+              |  CAST(SUM(freq * n_toks) AS BIGINT) * 1000000
+              |    // CAST(SUM(freq) AS BIGINT) AS tokens_per_word_ppm,
+              |  CAST(SUM(freq * len(word)) AS BIGINT) * 1000000
+              |    // CAST(SUM(freq * n_toks) AS BIGINT) AS chars_per_token_ppm
+              |FROM wl JOIN tw USING (word)
+              |GROUP BY lang ORDER BY lang""".stripMargin),
+      "tokenizer fertility by language: per-lang tokens-per-word and " +
+        "chars-per-token ppm under the x110 BPE merges — the " +
+        "over-segmentation parity audit " +
+        "(extension: text analysis / tokenizer)"),
+
+    CatalogEntry(
+      "x134_heaps_law",
+      (s, dir) => {
+        // Heaps-law vocabulary growth: distinct word types vs running
+        // token volume at fixed doc_id prefixes. The curve is how you
+        // budget tokenizer vocab and predict OOV decay as the corpus
+        // grows; the audit-scale countDistinct here is the exact leg —
+        // at 100 TB the same curve comes from an x107-style HLL sketch
+        // per cutoff instead of an exact distinct.
+        import s.implicits._
+        val cuts = Seq(100L, 500L, 1000L, 2000L, 5000L).toDF("cutoff")
+        t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+          .crossJoin(broadcast(cuts))
+          .where(col("doc_id") < col("cutoff"))
+          .groupBy("cutoff")
+          .agg(count(lit(1)).as("n_tokens"),
+            countDistinct("word").as("n_types"))
+          .select(col("cutoff"), col("n_tokens"), col("n_types"),
+            expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+          .orderBy("cutoff")
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+             |    FROM documents),
+             |c AS (SELECT unnest([100, 500, 1000, 2000, 5000]::BIGINT[]) AS cutoff)
+             |SELECT cutoff, COUNT(*)::BIGINT AS n_tokens,
+             |  COUNT(DISTINCT word)::BIGINT AS n_types,
+             |  COUNT(DISTINCT word)::BIGINT * 1000000 // COUNT(*)::BIGINT AS ttr_ppm
+             |FROM w JOIN c ON w.doc_id < c.cutoff
+             |GROUP BY cutoff ORDER BY cutoff""".stripMargin),
+      "Heaps-law vocab growth: token volume, distinct types, and " +
+        "type-token ratio at doc_id prefixes — the vocab-budgeting curve; " +
+        "the 100 TB leg swaps exact distinct for an HLL sketch " +
+        "(extension: text analysis)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
