@@ -137,6 +137,11 @@ object Bench {
     // and /http client analogs; the TCP−HTTP gap is the framing overhead)
     val netGbps = graft.metrics.NetProbe.tcpGbps()
     val httpGbps = graft.metrics.NetProbe.httpGbps()
+    // write-side bounds: disk append (sink-heavy ops' denominator) and the
+    // pipelined TCP→disk bound (single-node analog of remote shuffle write;
+    // microbenchmarks/src/disk/write.rs + /network_disk/server.rs analogs)
+    val writeGbps = graft.metrics.DiskProbe.writeGbps()
+    val netDiskGbps = graft.metrics.DiskProbe.netDiskGbps()
     val names = SparkEntry.queries.keys.toSeq.sorted
     run(names.head) // warm-up: JIT + parquet footer caches; not reported
     val results = names.map(n => n -> run(n))
@@ -149,7 +154,7 @@ object Bench {
     // in it whole — per-query cpu/rss tripled its length in round 3 and
     // pushed the total out of the capture window. Per-query wall seconds are
     // centisecond-rounded for the same reason.
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_gbps":$gbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below.
     try {
@@ -176,7 +181,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_gbps":${round(gbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Session factory + fixture-table loaders.
   *
@@ -34,8 +36,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
-      // type for; read as epoch-nano BIGINT and bucket with integer division.
+      // Old-style events fixtures carry TIMESTAMP(NANOS), which Spark has no
+      // native type for; read those as epoch-nano BIGINT. Current fixtures are
+      // TIMESTAMP(MICROS) — [[normalizeEventTs]] projects them to the same
+      // epoch-nano BIGINT so every downstream `ts div …` sees one contract.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -46,9 +50,25 @@ object GraftSession {
     spark
   }
 
+  /** Loader-level `ts` contract: every table surface exposes `ts` as epoch-nano
+    * BIGINT regardless of the fixture's physical parquet unit. TIMESTAMP(NANOS)
+    * fixtures already arrive as nano longs (`nanosAsLong`); TIMESTAMP(MICROS)
+    * fixtures (the driver's current events.parquet) read as TIMESTAMP_NTZ and
+    * are projected here — `unix_micros` under the UTC session timezone, ×1000.
+    * One projection at the loader instead of 15+ per-query casts, so a future
+    * physical-unit change is again a one-line fix (plus FixtureSchemaSpec's
+    * canary diff).
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      case _ => df // already BIGINT nanos (or no ts column)
+    }
+
   /** Fixture tables live at `{dir}/{name}.parquet` (TESTDATA.md). */
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeEventTs(spark.read.parquet(s"$dir/$name.parquet"))
 
   // S3 metadata cache: the reference prefetches all 640 footers once and
   // runs every query against them (v1/src/main.rs:118-133). The Spark
@@ -64,7 +84,8 @@ object GraftSession {
     tableCache.synchronized {
       tableCache
         .computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
-        .computeIfAbsent(s"$dir/$name.parquet", path => spark.read.parquet(path))
+        .computeIfAbsent(s"$dir/$name.parquet",
+          path => normalizeEventTs(spark.read.parquet(path)))
     }
 
   /** All fixture table names (TESTDATA.md). */

@@ -25,6 +25,11 @@ object Verify {
     // (tagged via job group) and move on — the query simply reports as
     // missing instead of hanging the driver.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toLong
+    // A broken query must show up as an explicit red entry, never as silent
+    // absence (round-8 lesson: 16 event queries threw, were only logged to
+    // stderr, and CORRECTNESS read "all green" by omission). Failures are
+    // collected here and dumped as `_failed.json` next to the result dirs.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -37,13 +42,16 @@ object Verify {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
         } catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+          failed.synchronized { failed(name) = msg }
+          System.err.println(s"[verify] $name failed: $msg")
         })
       worker.setDaemon(true)
       worker.start()
       worker.join(timeoutSec * 1000)
       if (worker.isAlive) {
         System.err.println(s"[verify] $name timed out after ${timeoutSec}s; cancelling")
+        failed.synchronized { failed(name) = s"timeout after ${timeoutSec}s" }
         spark.sparkContext.cancelJobGroup(name)
         worker.join(30000)
       }
@@ -64,6 +72,15 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Failure sidecar: name → error for every query that produced no result
+    // dir. The driver's compare treats a missing dir as a red row via this
+    // file; an empty object means every attempted query wrote output.
+    val failedJson = failed.synchronized {
+      failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -1,0 +1,166 @@
+package graft.metrics
+
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, StandardOpenOption}
+import java.util.concurrent.ArrayBlockingQueue
+import java.util.concurrent.atomic.AtomicLong
+
+/** Disk-write and pipelined network→disk bounds — the two speed-of-light
+  * denominators Bench was missing next to `seq_read_gbps` / `net_gbps`.
+  *
+  * [[writeGbps]] re-bases the reference's async multi-file writer
+  * (microbenchmarks/src/disk/write.rs:14-20: N tasks, each appending
+  * fixed-size blocks to its own file for a fixed duration; aggregate
+  * MiB/s is the bound). It is the denominator for sink-heavy operators —
+  * `Layouts.compact` / `zordered` / the CSV sink — the way the read probe
+  * bounds scans.
+  *
+  * [[netDiskGbps]] re-bases the reference's TCP→O_DIRECT pipeline
+  * (microbenchmarks/src/network_disk/server.rs:61-115: socket reader
+  * feeds 256 KiB chunks through a bounded channel to N positioned file
+  * writers). On a cluster this shape is a remote shuffle write / ingest
+  * path: the bound is the min of socket and disk legs when they overlap,
+  * which is why it is reported separately from either. JVM port notes:
+  * positioned `FileChannel.write` stands in for seek+write, page-cache
+  * writes stand in for O_DIRECT (single-node harness — stated as an upper
+  * bound like every other probe), and an `ArrayBlockingQueue` is the
+  * bounded channel.
+  *
+  * Both return 0.0 on any setup failure: a bench must never die on its
+  * own telemetry.
+  */
+object DiskProbe {
+
+  /** Aggregate GB/s across `writers` threads, each appending `blockSize`
+    * blocks to its own temp file for ~`durationMs`. Buffers are filled with
+    * incompressible bytes ONCE per thread (the reference refills per block,
+    * which bills rng cost to the disk bound; reuse keeps this a write
+    * number). Files are truncated on open and deleted on exit.
+    */
+  def writeGbps(
+      writers: Int = 4,
+      blockSize: Int = 1 << 20,
+      durationMs: Long = 1000L): Double = {
+    try {
+      val written = new AtomicLong(0L)
+      val t0 = System.nanoTime()
+      val deadline = t0 + durationMs * 1000000L
+      val threads = (0 until writers).map { i =>
+        val t = new Thread(() => {
+          val path = Files.createTempFile(s"graft-writeprobe-$i", ".bin")
+          val ch = FileChannel.open(path, StandardOpenOption.WRITE,
+            StandardOpenOption.TRUNCATE_EXISTING)
+          val block = new Array[Byte](blockSize)
+          new java.util.Random(i + 1).nextBytes(block)
+          try {
+            while (System.nanoTime() < deadline) {
+              val buf = ByteBuffer.wrap(block)
+              while (buf.hasRemaining) ch.write(buf)
+              written.addAndGet(blockSize.toLong)
+            }
+            ch.force(false) // flush data so the number is not purely RAM
+          } catch { case _: java.io.IOException => () }
+          finally {
+            ch.close()
+            Files.deleteIfExists(path)
+          }
+        })
+        t.start()
+        t
+      }
+      threads.foreach(_.join(durationMs * 5))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (elapsed <= 0) 0.0 else written.get() / elapsed / 1e9
+    } catch {
+      case scala.util.control.NonFatal(_) => 0.0
+    }
+  }
+
+  private final case class Chunk(offset: Long, data: Array[Byte], len: Int)
+
+  /** Loopback TCP client → socket reader → bounded queue → `writers`
+    * positioned file writers, for ~`durationMs`. Returns payload GB/s
+    * through the WHOLE pipeline (bytes fully received off the socket —
+    * the reference counts `received` the same way). `queueDepth` is the
+    * bounded-channel size; when the disk leg stalls, backpressure reaches
+    * the socket exactly as in the reference's `async_channel::bounded`.
+    */
+  def netDiskGbps(
+      writers: Int = 4,
+      blockSize: Int = 256 * 1024,
+      queueDepth: Int = 4,
+      durationMs: Long = 1000L): Double = {
+    import java.net.{InetAddress, ServerSocket, Socket}
+    try {
+      val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+      val port = server.getLocalPort
+      val received = new AtomicLong(0L)
+      val sink: Path = Files.createTempFile("graft-netdisk", ".bin")
+      val queue = new ArrayBlockingQueue[Chunk](queueDepth)
+      val POISON = Chunk(-1L, Array.emptyByteArray, 0)
+
+      // disk leg: N writers drain the bounded channel with positioned writes
+      val writerThreads = (0 until writers).map { _ =>
+        val t = new Thread(() => {
+          val ch = FileChannel.open(sink, StandardOpenOption.WRITE)
+          try {
+            var c = queue.take()
+            while (c ne POISON) {
+              ch.write(ByteBuffer.wrap(c.data, 0, c.len), c.offset)
+              c = queue.take()
+            }
+            queue.put(POISON) // propagate shutdown to sibling writers
+          } catch { case _: java.io.IOException => () }
+          finally ch.close()
+        })
+        t.setDaemon(true)
+        t.start()
+        t
+      }
+
+      // server leg: read socket blocks, hand each through the channel
+      val acceptor = new Thread(() => {
+        try {
+          val sock = server.accept()
+          val in = sock.getInputStream
+          var offset = 0L
+          var n = 0
+          val buf = new Array[Byte](blockSize)
+          while ({ n = in.read(buf); n >= 0 }) {
+            queue.put(Chunk(offset, java.util.Arrays.copyOf(buf, n), n))
+            offset += n
+            received.addAndGet(n.toLong)
+          }
+          sock.close()
+        } catch { case _: java.io.IOException => () }
+        finally queue.put(POISON)
+      })
+      acceptor.setDaemon(true)
+      acceptor.start()
+
+      // client leg: stream incompressible blocks for the duration
+      val t0 = System.nanoTime()
+      val deadline = t0 + durationMs * 1000000L
+      val sock = new Socket(InetAddress.getLoopbackAddress, port)
+      sock.setTcpNoDelay(true)
+      val out = sock.getOutputStream
+      val block = new Array[Byte](blockSize)
+      new java.util.Random(7).nextBytes(block)
+      try {
+        while (System.nanoTime() < deadline) out.write(block)
+        out.flush()
+      } catch { case _: java.io.IOException => () }
+      finally sock.close()
+
+      acceptor.join(durationMs * 5)
+      writerThreads.foreach(_.join(durationMs * 5))
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      server.close()
+      Files.deleteIfExists(sink)
+      if (elapsed <= 0) 0.0 else received.get() / elapsed / 1e9
+    } catch {
+      case scala.util.control.NonFatal(_) => 0.0
+    }
+  }
+}

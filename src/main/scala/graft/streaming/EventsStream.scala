@@ -14,14 +14,29 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** events.parquet physical schema under nanosAsLong (ts = epoch nanos). */
+  /** events.parquet physical schema: the driver's fixture carries
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    * TIMESTAMP_NTZ. Every transform below still runs on the loader contract
+    * (`ts` = epoch-nano BIGINT, see [[graft.GraftSession.normalizeEventTs]]);
+    * [[readEvents]] applies the projection right after the source.
+    */
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampNTZType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** File-source stream over an events directory, normalized to the epoch-nano
+    * BIGINT `ts` contract all transforms share with the batch path.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.GraftSession.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(dir))
 
   /** Shared transform: epoch-nano BIGINT → event-time, 1-hour tumbling
     * window per event type with exact milli-unit value sums. Works on both
@@ -44,10 +59,7 @@ object EventsStream {
     * the started query; callers `processAllAvailable()` then read the sink.
     */
   def runToMemorySink(spark: SparkSession, dir: String, sinkName: String) = {
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     hourly(stream).writeStream
       .format("memory")
       .queryName(sinkName)
@@ -75,10 +87,7 @@ object EventsStream {
       dimDir: String,
       key: String,
       sinkName: String) = {
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     enrich(stream, spark.read.parquet(dimDir), key).writeStream
       .format("memory")
       .queryName(sinkName)
@@ -88,9 +97,10 @@ object EventsStream {
 
   /** Gap-based sessionization, batch form: a new session starts when the
     * per-user gap exceeds `gapUs` microseconds. Pure window functions
-    * (lag + running sum) over integral microseconds (`ts div 1000` —
-    * DuckDB also truncates parquet NANOS to µs, so the oracle matches
-    * bit-for-bit); `event_id` breaks timestamp ties deterministically.
+    * (lag + running sum) over integral microseconds (`ts div 1000` on the
+    * loader's epoch-nano contract — DuckDB's `epoch_us` lands on the same
+    * µs truncation for both NANOS and MICROS fixtures, so the oracle
+    * matches bit-for-bit); `event_id` breaks timestamp ties deterministically.
     */
   def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -143,10 +153,7 @@ object EventsStream {
       idleRetentionMs: Long = 30L * 24 * 3600 * 1000) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, GroupState, OutputMode}
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     val handler: (Long, Iterator[(Long, Long, Long, java.sql.Timestamp)], GroupState[SessState]) => Iterator[Session] =
       (user, rows, state) => {
         val evs = rows.toArray.sortBy(e => (e._2, e._3))
@@ -202,10 +209,7 @@ object EventsStream {
   def statefulUserCounts(spark: SparkSession, dir: String, sinkName: String) = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     stream
       .selectExpr("user_id", "ts")
       .as[(Long, Long)]
@@ -252,10 +256,7 @@ object EventsStream {
   /** [[attribution]] over a file stream into an append-mode memory sink. */
   def runAttributionToMemorySink(spark: SparkSession, dir: String,
       windowSec: Long, sinkName: String) = {
-    val stream = spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(dir)
+    val stream = readEvents(spark, dir)
     attribution(stream, windowSec).writeStream
       .format("memory")
       .queryName(sinkName)

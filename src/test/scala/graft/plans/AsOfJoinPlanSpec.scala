@@ -12,7 +12,7 @@ class AsOfJoinPlanSpec extends AnyFunSuite with Matchers {
   import spark.implicits._
 
   private def fixtureSides = {
-    val ev = spark.read.parquet(s"${SparkTestSession.sf0001}/events.parquet")
+    val ev = graft.GraftSession.table(spark, SparkTestSession.sf0001, "events")
       .withColumn("tsu", expr("ts div 1000"))
     val clicks = ev.where($"event_type" === "click")
       .select($"event_id".as("click_id"), $"user_id", $"tsu".as("click_us"))

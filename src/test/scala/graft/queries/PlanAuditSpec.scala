@@ -112,7 +112,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x129_epoch_allocation",
       // x130's all-pairs leg is the fenced doc_id < 500 audit shard (the
       // x92 pattern); x131 crosses the bounded broadcast centroid table
-      "x130_minhash_estimator_mae", "x131_ivf_cell_balance")
+      "x130_minhash_estimator_mae", "x131_ivf_cell_balance",
+      // x133 inherits x110/x111's 1-row argmax merge crosses through
+      // bpeRounds; its own word join is equi. x134 crosses the 5-row
+      // literal cutoff grid (the x98 literal-band pattern)
+      "x133_tokenizer_fertility", "x134_heaps_law")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }

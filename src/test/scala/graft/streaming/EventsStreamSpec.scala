@@ -25,6 +25,43 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("streaming hourly from INFERRED schema matches the declared-schema path") {
+    // round-8 regression shape: the driver regenerated events.parquet with a
+    // different timestamp unit and the declared schema went stale. Running
+    // the same query from schema inference pins the two paths together — a
+    // future physical-type change fails HERE with a schema diff, not as a
+    // scattered analysis error.
+    val dir = java.nio.file.Files.createTempDirectory("events-infer").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sf0001}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val declared = EventsStream.readEvents(spark, dir).schema
+    val prev = spark.conf.getOption("spark.sql.streaming.schemaInference")
+    spark.conf.set("spark.sql.streaming.schemaInference", "true")
+    try {
+      val inferredRaw = spark.readStream.option("maxFilesPerTrigger", "1").parquet(dir)
+      // the physical file schema must match what EventsStream declares…
+      inferredRaw.schema shouldBe EventsStream.schema
+      // …and the normalized stream must match the loader contract
+      val inferred = GraftSession.normalizeEventTs(inferredRaw)
+      inferred.schema shouldBe declared
+      val q = EventsStream.hourly(inferred).writeStream
+        .format("memory").queryName("events_hourly_inferred")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable()
+        val streamed = spark.table("events_hourly_inferred").collect().map(_.toSeq).toSet
+        val batch = EventsStream.hourly(
+          GraftSession.table(spark, SparkTestSession.sf0001, "events"))
+          .collect().map(_.toSeq).toSet
+        streamed shouldBe batch
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.schemaInference", v)
+      case None => spark.conf.unset("spark.sql.streaming.schemaInference")
+    }
+  }
+
   test("stream-static enrichment joins every micro-batch against the dim, keeps misses") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events-enrich").toString
@@ -88,8 +125,9 @@ class EventsStreamSpec extends AnyFunSuite with Matchers {
     val dir = java.nio.file.Files.createTempDirectory("events-sess-stream").toString
     def write(name: String, rows: Seq[(Long, Long, Long)]): Unit =
       rows.toDF("event_id", "user_id", "sec")
-        .selectExpr("event_id", "sec * 1000000000 AS ts", "user_id",
-          "'c' AS event_type", "1.0 AS value", "'{}' AS props")
+        .selectExpr("event_id",
+          "cast(timestamp_micros(sec * 1000000) as timestamp_ntz) AS ts",
+          "user_id", "'c' AS event_type", "1.0 AS value", "'{}' AS props")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir-stage/$name")
     // (event_id, user_id, epoch-second)
     write("f1", Seq((1L, 1L, 100L), (2L, 1L, 150L), (3L, 2L, 100L)))
