@@ -303,6 +303,59 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** EXACT Jaccard ≥ `threshold` self-join over pre-hashed distinct sets,
+    * with NO all-pairs stage: candidate pairs come from lossless prefix
+    * filtering (the AllPairs/PPJoin family). With every set sorted in one
+    * global order, two sets at jaccard ≥ t share o ≥ ceil(t·max(|A|,|B|))
+    * elements, and the SMALLEST common element has rank ≤ |S| − o + 1 in
+    * BOTH sets — so it sits inside both (|S| − ceil(t·|S|) + 1)-prefixes.
+    * Exploding only prefixes and equi-joining on the prefix element finds
+    * every qualifying pair; the full merge-walk jaccard then verifies each
+    * candidate exactly once. Identical result set to the quadratic scan —
+    * this is what makes an exact-verification leg viable beyond a fenced
+    * shard: candidate volume tracks shared-element structure, not n².
+    * The size-ratio bound (min ≥ t·max, implied by jac ≥ t) additionally
+    * prunes inside the join condition.
+    *
+    * Skew note: a globally hot prefix element would concentrate one join
+    * key; at corpus scale the standard refinement is frequency-ordering
+    * the universe (rarest first) so prefixes carry the rarest elements —
+    * AQE's skew-join split covers the residue here.
+    */
+  def exactJaccardSelfPairs(
+      sets: DataFrame,
+      idCol: String = "doc_id",
+      setCol: String = "shingles",
+      threshold: Double = 0.5): DataFrame = {
+    // cache: the sorted sets feed three plan legs (two explode sides, one
+    // verify join); left lazy, Catalyst re-inlines the upstream projection
+    // (tokenize + shingle + sort) into each — the simhashNearDups lesson
+    val sorted = withGraftFns(sets)
+      .select(col(idCol), array_sort(col(setCol)).as("s"))
+      .select(col(idCol), col("s"), size(col("s")).as("ns"))
+      .cache()
+    val prefixLen = s"size(s) - CAST(ceil(size(s) * $threshold) AS INT) + 1"
+    val pref = sorted.select(col(idCol), col("ns"),
+      explode(expr(s"slice(s, 1, $prefixLen)")).as("tok"))
+    val cands = pref.as("a")
+      .join(pref.as("b"),
+        col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol") &&
+          least(col("a.ns"), col("b.ns")).cast("double") >=
+            greatest(col("a.ns"), col("b.ns")) * lit(threshold))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    // shuffle-hash, not broadcast: the build side carries the full arrays
+    val byId = sorted.hint("shuffle_hash")
+    cands
+      .join(byId.select(col(idCol).as("id_a"), col("s").as("s_a"), col("ns").as("na")), "id_a")
+      .join(byId.select(col(idCol).as("id_b"), col("s").as("s_b"), col("ns").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        expr("graft_intersect_size(s_a, s_b)").as("inter"), col("na"), col("nb"))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
   /** `bits`-wide SimHash per document (64 by default, the standard width
     * for corpus-scale near-dup): output bit b is the sign of the ±1 vote of
     * permutation-hash b over all token hashes — see

@@ -3241,25 +3241,18 @@ object ExtensionCatalog {
       "x92_lsh_dedup_recall",
       (s, dir) => {
         // x91's contract applied to dedup: did MinHash+LSH banding find
-        // every pair an exact all-pairs Jaccard pass finds? Truth is
-        // bounded to a doc_id<1000 shard (the x09 rule — all-pairs exists
-        // only as a fenced verification leg); the LSH side runs the x07
-        // operator on the same shard.
+        // every pair an exact Jaccard pass finds? Truth comes from the
+        // lossless prefix-filtered exact join ([[Dedup.exactJaccardSelfPairs]]
+        // — identical pair set to a quadratic scan, candidates bounded by
+        // shared-prefix structure instead of n²). The doc_id<1000 shard
+        // fence is kept only to match the oracle's (deliberately naive)
+        // all-pairs replay at fixture scale; the Spark leg itself no longer
+        // needs it — at 100 TB the SAME prefix-filtered join IS the
+        // production exact-verification path.
         val shard = t(s, dir, "documents").where(col("doc_id") < 1000)
         val sh = Dedup.minhashSignature(shard, k = 16, shingleN = 3)
-          .select(col("doc_id"), col("shingles"), size(col("shingles")).as("ns"))
-        // jac ≥ 0.5 ⟹ min(|A|,|B|) ≥ 0.5·max(|A|,|B|): the size-ratio bound
-        // rejects pairs INSIDE the join condition (two int compares) before
-        // any set intersection runs, never touching the truth set. On this
-        // fixture's near-uniform doc lengths it prunes little (measured);
-        // on a real corpus length spread it is the standard first fence.
-        val truth = sh.as("a").join(sh.as("b"),
-            col("a.doc_id") < col("b.doc_id") &&
-              least(col("a.ns"), col("b.ns")).cast("double") >=
-                greatest(col("a.ns"), col("b.ns")).cast("double") * 0.5)
-          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-            TextFunctions.jaccard(col("a.shingles"), col("b.shingles")).as("jac"))
-          .where(col("jac") >= 0.5)
+          .select(col("doc_id"), col("shingles"))
+        val truth = Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
           .select("id_a", "id_b")
         val approx = Dedup.minhashNearDups(shard, k = 16, bands = 8,
           shingleN = 3, threshold = 0.5).select("id_a", "id_b")

@@ -56,6 +56,49 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .head.getDouble(2) shouldBe 1.0
   }
 
+  test("prefix-filtered exact jaccard join equals the brute-force pair set") {
+    // lossless claim of exactJaccardSelfPairs, checked on the fixture shard:
+    // the prefix-filter candidates must reproduce the quadratic scan's
+    // result EXACTLY — pairs, and jaccard values
+    val sh = Dedup.minhashSignature(
+        graft.GraftSession.table(spark, graft.SparkTestSession.sf0001, "documents")
+          .where(col("doc_id") < 300),
+        k = 16, shingleN = 3)
+      .select(col("doc_id"), col("shingles"))
+    val fast = Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
+      .select("id_a", "id_b", "jac").as[(Long, Long, Double)].collect().toSet
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.TextFunctions.jaccard(col("a.shingles"), col("b.shingles")))
+      .as[(Long, Long, Double)].collect().filter(_._3 >= 0.5).toSet
+    fast shouldBe brute
+    fast should not be empty // the fixture must exercise the join
+  }
+
+  test("prefix-filtered exact jaccard join: randomized equivalence, no cartesian") {
+    // adversarial shapes the fixture lacks: tiny sets (|S|=1), identical
+    // sets, disjoint sets, and heavy element reuse across docs
+    val rnd = new scala.util.Random(13)
+    val rows = (0L until 120L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val base = if (i % 3 == 0) 0 else rnd.nextInt(40) // shared universes
+      (i, (0 until n).map(_ => (base * 7 + rnd.nextInt(25)).toLong).distinct.toArray)
+    }
+    val df = rows.toDF("doc_id", "shingles")
+    val fast = Dedup.exactJaccardSelfPairs(df, threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = (for {
+      (a, sa) <- rows; (b, sb) <- rows if a < b
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.length + sb.length - inter
+      if union > 0 && inter.toDouble / union >= 0.6
+    } yield (a, b)).toSet
+    fast shouldBe brute
+    val plan = Dedup.exactJaccardSelfPairs(df, threshold = 0.6)
+      .queryExecution.optimizedPlan.toString
+    plan should not include "Cartesian"
+  }
+
   test("minhash LSH plan shuffles on band buckets, not all pairs") {
     val plan = Dedup.minhashNearDups(planted).queryExecution.optimizedPlan.toString
     // the candidate join must be an equi-join (band, bandhash) — never a
