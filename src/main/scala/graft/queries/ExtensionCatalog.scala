@@ -5087,31 +5087,37 @@ object ExtensionCatalog {
         // oracle hash). recall@5 vs exact truth: the contract for the
         // 8-bytes-per-vector memory-bound scan path.
         val e = t(s, dir, "embeddings")
-        val cb = broadcast(e.where(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cb_id"), col("embedding").as("cbv")))
+        // the whole codebook rides along as ONE broadcast row (sorted by
+        // cb_id so the strict `<` in the running argmin keeps the smallest
+        // id on ties); encoding is then a single HOF pass per corpus row —
+        // the explode→row_number formulation shuffled corpus×codebook×8
+        // rows through a window just to pick 8 argmins per vector
+        val cbRow = e.where(col("vec_id") % 50 === 0)
+          .agg(sort_array(collect_list(struct(
+            col("vec_id").as("cb_id"), col("embedding").as("cbv")))).as("cbs"))
         val corpus = e.where(col("vec_id") >= 10)
           .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
-        val dists = corpus.crossJoin(cb)
-          .select(col("corpus_id"), col("cb_id"), col("cbv"), explode(expr(
-            """transform(sequence(0, 7), b -> named_struct('b', b,
-              |  'd', aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (acc, k) ->
-              |    acc + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |         - CAST(element_at(cbv, b * 8 + k) AS DOUBLE))
-              |        * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |         - CAST(element_at(cbv, b * 8 + k) AS DOUBLE)))))""".stripMargin))
-            .as("sd"))
-          .select(col("corpus_id"), col("cb_id"), col("cbv"),
-            col("sd.b").as("b"), col("sd.d").as("d"))
-        val wEnc = org.apache.spark.sql.expressions.Window
-          .partitionBy("corpus_id", "b").orderBy(asc("d"), asc("cb_id"))
-        val recon = dists.withColumn("rk", row_number().over(wEnc))
-          .where(col("rk") === 1)
-          .select(col("corpus_id"), col("b"),
-            expr("slice(cbv, b * 8 + 1, 8)").as("sub"))
-          .groupBy("corpus_id")
-          .agg(sort_array(collect_list(struct(col("b"), col("sub")))).as("bs"))
-          .select(col("corpus_id"),
-            expr("flatten(transform(bs, x -> x.sub))").as("rv"))
+        val recon = corpus.crossJoin(broadcast(cbRow))
+          .select(col("corpus_id"), expr(
+            """flatten(transform(sequence(0, 7), b ->
+              |  aggregate(cbs,
+              |    named_struct('d', CAST('Infinity' AS DOUBLE),
+              |                 'sub', CAST(array() AS ARRAY<FLOAT>)),
+              |    (acc, c) -> CASE WHEN
+              |        aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a2, k) ->
+              |          a2 + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))
+              |             * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE)))
+              |        < acc.d
+              |      THEN named_struct('d',
+              |        aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a2, k) ->
+              |          a2 + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))
+              |             * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
+              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))),
+              |        'sub', slice(c.cbv, b * 8 + 1, 8))
+              |      ELSE acc END).sub))""".stripMargin).as("rv"))
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             SimilaritySearch.norm(col("embedding")).as("qn"))
