@@ -305,38 +305,54 @@ object Dedup {
 
   /** EXACT Jaccard ≥ `threshold` self-join over pre-hashed distinct sets,
     * with NO all-pairs stage: candidate pairs come from lossless prefix
-    * filtering (the AllPairs/PPJoin family). With every set sorted in one
-    * global order, two sets at jaccard ≥ t share o ≥ ceil(t·max(|A|,|B|))
-    * elements, and the SMALLEST common element has rank ≤ |S| − o + 1 in
-    * BOTH sets — so it sits inside both (|S| − ceil(t·|S|) + 1)-prefixes.
-    * Exploding only prefixes and equi-joining on the prefix element finds
-    * every qualifying pair; the full merge-walk jaccard then verifies each
-    * candidate exactly once. Identical result set to the quadratic scan —
-    * this is what makes an exact-verification leg viable beyond a fenced
-    * shard: candidate volume tracks shared-element structure, not n².
-    * The size-ratio bound (min ≥ t·max, implied by jac ≥ t) additionally
-    * prunes inside the join condition.
+    * filtering (the AllPairs/PPJoin family). With every set ordered by ONE
+    * global total order, two sets at jaccard ≥ t share o ≥
+    * ceil(t·max(|A|,|B|)) elements, and the FIRST common element (in that
+    * order) has rank ≤ |S| − o + 1 in BOTH sets — so it sits inside both
+    * (|S| − ceil(t·|S|) + 1)-prefixes. Exploding only prefixes and
+    * equi-joining on the prefix element finds every qualifying pair; the
+    * full merge-walk jaccard then verifies each candidate exactly once.
+    * Identical result set to the quadratic scan.
     *
-    * Skew note: a globally hot prefix element would concentrate one join
-    * key; at corpus scale the standard refinement is frequency-ordering
-    * the universe (rarest first) so prefixes carry the rarest elements —
-    * AQE's skew-join split covers the residue here.
+    * The prefix order is GLOBAL-FREQUENCY ascending (rarest first, hash as
+    * the tie-break) — the AllPairs refinement that decides whether this
+    * works at scale: candidate volume is Σ_elem count(elem-in-prefixes)²,
+    * and rarest-first ordering pushes every hot element out of the
+    * prefixes, so buckets track genuine co-occurrence structure. On this
+    * repo's adversarial word-soup fixture (31-word vocab → tiny shingle
+    * universe, every shingle hot) value-ordered prefixes degraded to
+    * ~10× the banded-LSH cost at 10× replication; frequency-ordering is
+    * what restores the bound. The frequency table itself is one
+    * corpus-linear count over set elements — type-count-sized, the same
+    * sub-linear family as the vocabulary. The size-ratio bound
+    * (min ≥ t·max, implied by jac ≥ t) additionally prunes inside the
+    * join condition, and AQE's skew split covers residual hot buckets.
     */
   def exactJaccardSelfPairs(
       sets: DataFrame,
       idCol: String = "doc_id",
       setCol: String = "shingles",
       threshold: Double = 0.5): DataFrame = {
-    // cache: the sorted sets feed three plan legs (two explode sides, one
-    // verify join); left lazy, Catalyst re-inlines the upstream projection
-    // (tokenize + shingle + sort) into each — the simhashNearDups lesson
+    // cache: the sorted sets feed several plan legs (frequency count,
+    // prefix explode, verify join); left lazy, Catalyst re-inlines the
+    // upstream projection (tokenize + shingle + sort) into each — the
+    // simhashNearDups lesson
     val sorted = withGraftFns(sets)
       .select(col(idCol), array_sort(col(setCol)).as("s"))
       .select(col(idCol), col("s"), size(col("s")).as("ns"))
       .cache()
-    val prefixLen = s"size(s) - CAST(ceil(size(s) * $threshold) AS INT) + 1"
-    val pref = sorted.select(col(idCol), col("ns"),
-      explode(expr(s"slice(s, 1, $prefixLen)")).as("tok"))
+    val freq = sorted.select(explode(col("s")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    // rank each doc's elements under the (f, tok) total order; rows with
+    // rank ≤ prefixLen ARE the exploded prefix — no re-collect needed
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(asc("f"), asc("tok"))
+    val pref = sorted.select(col(idCol), col("ns"), explode(col("s")).as("tok"))
+      .join(freq, "tok")
+      .withColumn("rk", row_number().over(wDoc))
+      .where(col("rk") <=
+        col("ns") - ceil(col("ns") * lit(threshold)).cast("int") + 1)
+      .select(col(idCol), col("ns"), col("tok"))
     val cands = pref.as("a")
       .join(pref.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol") &&

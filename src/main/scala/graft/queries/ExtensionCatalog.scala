@@ -5550,7 +5550,214 @@ object ExtensionCatalog {
       "Heaps-law vocab growth: token volume, distinct types, and " +
         "type-token ratio at doc_id prefixes — the vocab-budgeting curve; " +
         "the 100 TB leg swaps exact distinct for an HLL sketch " +
-        "(extension: text analysis)")
+        "(extension: text analysis)"),
+
+    CatalogEntry(
+      "x135_char_entropy",
+      (s, dir) =>
+        // per-doc character-distribution health: Shannon entropy (micro-nats)
+        // and Simpson diversity (ppm, integer-exact). Low-entropy docs are
+        // repetitive junk the distinct-gram ratio (x31) can miss (a doc of
+        // two alternating chars has distinct-ratio ~0 AND entropy ~0.69 nat
+        // — the pair disambiguates "few distinct grams" from "degenerate
+        // distribution"). Shape: explode chars → (doc, char) counts →
+        // per-doc integer sums — fully codegen'd, two map-side-combinable
+        // shuffles, corpus-linear. (The per-row HOF formulation — a
+        // filter() scan per distinct char — was 19.6 s at sf0.1, O(Σ·len)
+        // interpreted; this is 1-2 s.) Determinism: each -p·ln(p) term
+        // rounds to BIGINT micro-nats BEFORE the sum (the x98 PSI
+        // pattern), so the cross-engine sum is integer and order-free;
+        // Simpson needs no doubles at all.
+        {
+          val chars = t(s, dir, "documents")
+            .where(length(col("text")) > 0)
+            .select(col("doc_id"),
+              length(col("text")).cast("long").as("n_chars"),
+              explode(split(col("text"), "")).as("ch"))
+          chars.groupBy("doc_id", "n_chars", "ch").agg(count(lit(1)).as("c"))
+            .groupBy("doc_id", "n_chars")
+            .agg(
+              sum(expr("""CAST(round(-1000000.0
+                |  * (CAST(c AS DOUBLE) / n_chars)
+                |  * ln(CAST(c AS DOUBLE) / n_chars)) AS BIGINT)""".stripMargin))
+                .as("entropy_micronat"),
+              sum(col("c") * col("c")).as("sum_c2"))
+            .select(col("doc_id"), col("n_chars"), col("entropy_micronat"),
+              expr("(n_chars * n_chars - sum_c2) * 1000000 div (n_chars * n_chars)")
+                .as("simpson_ppm"))
+            .orderBy("doc_id")
+        },
+      Some("""SELECT doc_id, length(text)::BIGINT AS n_chars,
+             |  CAST(list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(list_sort(list_distinct(string_split(text, ''))),
+             |      ch -> CAST(round(-1000000.0
+             |        * (len(list_filter(string_split(text, ''), c -> c = ch))::DOUBLE
+             |           / length(text))
+             |        * ln(len(list_filter(string_split(text, ''), c -> c = ch))::DOUBLE
+             |             / length(text))) AS BIGINT))),
+             |    (acc, x) -> acc + x) AS BIGINT) AS entropy_micronat,
+             |  (length(text)::BIGINT * length(text)
+             |   - list_reduce(list_prepend(0::BIGINT,
+             |       list_transform(list_distinct(string_split(text, '')),
+             |         ch -> len(list_filter(string_split(text, ''), c -> c = ch))::BIGINT
+             |             * len(list_filter(string_split(text, ''), c -> c = ch)))),
+             |       (acc, x) -> acc + x))
+             |   * 1000000 // (length(text)::BIGINT * length(text)) AS simpson_ppm
+             |FROM documents WHERE length(text) > 0 ORDER BY doc_id""".stripMargin),
+      "per-doc char-distribution health: Shannon entropy (micro-nat) + " +
+        "Simpson diversity (ppm) — degenerate-distribution filter the " +
+        "distinct-gram ratio misses (extension: text analysis / quality)"),
+
+    CatalogEntry(
+      "x136_source_unigram_kl",
+      (s, dir) => {
+        // per-source distribution shift: KL(source ‖ corpus) over the
+        // unigram distribution, in micro-nats — the mixture diagnostic that
+        // catches a machine-generated or off-domain source before it skews
+        // training (x90's batch-Jaccard sees vocab SETS; KL sees the
+        // FREQUENCIES). One explode → two count shuffles; the corpus vocab
+        // (sub-linear in corpus bytes) broadcasts back onto per-source
+        // counts, and each word's p·ln(p/q) term rounds to integer
+        // micro-nats before the per-source BIGINT sum (the x98 pattern).
+        val words = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        val bySrc = words.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+        val srcTot = bySrc.groupBy("source").agg(sum("c_sw").cast("long").as("t_s"))
+        val byWord = words.groupBy("w").agg(count(lit(1)).as("c_w"))
+        val tot = words.agg(count(lit(1)).as("t")).select(col("t").cast("long").as("t"))
+        bySrc
+          .join(broadcast(byWord), "w")
+          .join(broadcast(srcTot), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("source"), col("t_s"),
+            expr("""CAST(round(1000000.0
+              |  * (CAST(c_sw AS DOUBLE) / t_s)
+              |  * ln((CAST(c_sw AS DOUBLE) / t_s)
+              |       / (CAST(c_w AS DOUBLE) / t))) AS BIGINT)""".stripMargin)
+              .as("term"))
+          .groupBy("source")
+          .agg(max("t_s").as("n_tokens"), sum("term").as("kl_micronat"))
+          .orderBy("source")
+      },
+      Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+             |    FROM documents),
+             |sw AS (SELECT source, w, COUNT(*)::BIGINT AS c_sw FROM w GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(SUM(c_sw) AS BIGINT) AS t_s FROM sw GROUP BY 1),
+             |cw AS (SELECT w, COUNT(*)::BIGINT AS c_w FROM w GROUP BY 1),
+             |ct AS (SELECT COUNT(*)::BIGINT AS t FROM w)
+             |SELECT source, MAX(t_s) AS n_tokens,
+             |  CAST(SUM(CAST(round(1000000.0 * (c_sw::DOUBLE / t_s)
+             |    * ln((c_sw::DOUBLE / t_s) / (c_w::DOUBLE / t))) AS BIGINT)) AS BIGINT)
+             |    AS kl_micronat
+             |FROM sw JOIN cw USING (w) JOIN st USING (source) CROSS JOIN ct
+             |GROUP BY source ORDER BY source""".stripMargin),
+      "per-source unigram KL divergence from the corpus distribution " +
+        "(micro-nat) — frequency-level domain-shift diagnostic for mixture " +
+        "curation (extension: text analysis / mixture)"),
+
+    CatalogEntry(
+      "x137_lsh_band_tuning",
+      (s, dir) => {
+        // LSH design tuner: the measured exact-pair jaccard histogram (from
+        // the prefix-filtered exact join at a low floor, x92's truth
+        // machinery) crossed with the analytic S-curve P(candidate) =
+        // 1 − (1 − s^r)^b for each (bands b × rows r) split of the k=16
+        // signature — per histogram bucket, the expected number of pairs a
+        // config would surface. This is the table a 100 TB dedup deployment
+        // reads BEFORE committing to (b, r): the histogram leg is the
+        // prefix join (no n² term), the grid is 4 literal rows, and every
+        // double rounds to ppm per row (no double aggregation anywhere).
+        val sh = Dedup.minhashSignature(
+            t(s, dir, "documents").where(col("doc_id") < 1000),
+            k = 16, shingleN = 3)
+          .select(col("doc_id"), col("shingles"))
+        val hist = Dedup.exactJaccardSelfPairs(sh, threshold = 0.2)
+          .select(floor(col("jac") * 10).cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        import s.implicits._
+        val grid = Seq((16, 1), (8, 2), (4, 4), (2, 8)).toDF("bands", "rows_per_band")
+        hist.crossJoin(broadcast(grid))
+          .select(col("bucket"), col("bands"), col("rows_per_band"), col("n_pairs"),
+            expr("""CAST(round(1000000.0 * (1.0 - pow(
+              |  1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |  AS BIGINT)""".stripMargin).as("detect_ppm"),
+            expr("""CAST(round(n_pairs * (1.0 - pow(
+              |  1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |  AS BIGINT)""".stripMargin).as("expected_found"))
+          .orderBy("bucket", "bands")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE doc_id < 1000),
+              |sh AS (SELECT doc_id, $dShingles AS shingles FROM base),
+              |hist AS (SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS bucket,
+              |    COUNT(*)::BIGINT AS n_pairs FROM (
+              |  SELECT len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              |      / (len(a.shingles) + len(b.shingles)
+              |         - len(list_intersect(a.shingles, b.shingles))) AS jac
+              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE jac >= 0.2
+              |  GROUP BY 1),
+              |grid AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4), (2, 8))
+              |  g(bands, rows_per_band))
+              |SELECT bucket, bands, rows_per_band, n_pairs,
+              |  CAST(round(1000000.0 * (1.0 - pow(
+              |    1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |    AS BIGINT) AS detect_ppm,
+              |  CAST(round(n_pairs * (1.0 - pow(
+              |    1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |    AS BIGINT) AS expected_found
+              |FROM hist CROSS JOIN grid ORDER BY bucket, bands""".stripMargin),
+      "LSH (bands × rows) tuner: measured exact-pair jaccard histogram × " +
+        "analytic detection S-curve → expected pairs surfaced per config — " +
+        "the design table built before committing an index at scale " +
+        "(extension: dedup / similarity search / planning)"),
+
+    CatalogEntry(
+      "x138_asof_forward",
+      (s, dir) => {
+        // FORWARD as-of: each click → the user's FIRST purchase at-or-after
+        // (time-to-conversion direction; x25 is the backward dual). No new
+        // operator: the plan-native AsOfJoinExec is direction-agnostic under
+        // time negation — latest(-t' ≤ -t) ≡ earliest(t' ≥ t), and the
+        // equal-time max tie-break carries over unchanged. Same one merge
+        // pass per co-partition, no inequality nested-loop at any scale.
+        val ev = t(s, dir, "events").withColumn("tsu", expr("ts div 1000"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("tsu").as("click_us"), (-col("tsu")).as("neg_click_us"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("purch_id"), col("user_id"),
+            col("tsu").as("purch_us"), (-col("tsu")).as("neg_purch_us"))
+        org.apache.spark.sql.graft.GraftPlans
+          .asOfJoin(clicks, purchases, key = "user_id",
+            leftTime = "neg_click_us", rightTime = "neg_purch_us",
+            carry = Seq("purch_id", "purch_us"), rightTieBreak = "purch_id")
+          .select(col("click_id"), col("user_id"), col("click_us"),
+            col("asof_purch_id").as("next_purch_id"),
+            col("asof_purch_us").as("next_purch_us"),
+            (col("asof_purch_us") - col("click_us")).as("wait_us"))
+          .orderBy("click_id")
+      },
+      Some("""WITH c AS (
+             |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+             |  FROM events WHERE event_type = 'click'),
+             |p AS (
+             |  SELECT event_id AS purch_id, user_id, epoch_us(ts) AS purch_us
+             |  FROM events WHERE event_type = 'purchase'),
+             |best AS (
+             |  SELECT c.click_id, c.user_id, c.click_us, min(p.purch_us) AS next_purch_us
+             |  FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.purch_us >= c.click_us
+             |  GROUP BY 1, 2, 3)
+             |SELECT b.click_id, b.user_id, b.click_us,
+             |  (SELECT max(p2.purch_id) FROM p p2
+             |   WHERE p2.user_id = b.user_id AND p2.purch_us = b.next_purch_us)
+             |    AS next_purch_id,
+             |  b.next_purch_us,
+             |  b.next_purch_us - b.click_us AS wait_us
+             |FROM best b ORDER BY click_id""".stripMargin),
+      "forward as-of join (each click → the user's first purchase at-or-after, " +
+        "time-to-conversion): the plan-native merge operator reused under time " +
+        "negation — no new exec, no inequality nested-loop (extension: events/temporal)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -35,6 +35,17 @@ object ScaleSmoke {
     val pairs = time("minhash near-dups")(pairDf.count())
     val expected = n0 * copies * (copies - 1) / 2
     println(s"[scale] near-dup pairs: $pairs (>= $expected from replication alone)")
+    // EXACT jaccard via lossless prefix filtering (x92's truth leg): under
+    // c-way replication every duplicate group meets through shared prefix
+    // elements, so candidate volume tracks TRUE pair volume (~c²/2 per
+    // group), never n² — the same curve shape as banded LSH but with exact
+    // output. This is the production exact-verification path at 100 TB.
+    val exactPairs = time("exact jaccard pairs (prefix filter)")(
+      Dedup.exactJaccardSelfPairs(
+        Dedup.minhashSignature(big, k = 16, shingleN = 3)
+          .select(col("doc_id"), col("shingles")),
+        threshold = 0.5).count())
+    println(s"[scale] exact jaccard pairs: $exactPairs (>= $expected)")
     // components over the replicated pair graph: every text's copies form
     // one dense cluster, so vertex count ≈ docs and rounds stay at the
     // cluster diameter (1-2) — the shape a 100 TB dedup graph has

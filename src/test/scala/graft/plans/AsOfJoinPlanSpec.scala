@@ -56,6 +56,19 @@ class AsOfJoinPlanSpec extends AnyFunSuite with Matchers {
     out(103L) shouldBe None // key absent on the right
   }
 
+  test("forward as-of via time negation: first at-or-after, max tie-break (x138 shape)") {
+    val left = Seq((1L, 10L, 100L), (2L, 5L, 102L), (1L, 13L, 103L))
+      .toDF("k", "t", "lid").withColumn("nt", -$"t")
+    val right = Seq((1L, 10L, 900L), (1L, 10L, 905L), (1L, 12L, 906L), (2L, 4L, 907L))
+      .toDF("k", "rt", "rid").withColumn("nrt", -$"rt")
+    val out = GraftPlans.asOfJoin(left, right, "k", "nt", "nrt", Seq("rid"), "rid")
+      .collect().map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("asof_rid")).map(_.toLong)).toMap
+    out(100L) shouldBe Some(905L) // rt=10 ties at-or-after t=10 → max rid
+    out(102L) shouldBe None // k=2's only right row is EARLIER (4 < 5)
+    out(103L) shouldBe None // no right row at-or-after 13
+  }
+
   test("NULL keys and times never match (SQL semantics)") {
     val left = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
         (Some(1L), None, 102L)).toDF("k", "t", "lid")

@@ -116,7 +116,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // x133 inherits x110/x111's 1-row argmax merge crosses through
       // bpeRounds; its own word join is equi. x134 crosses the 5-row
       // literal cutoff grid (the x98 literal-band pattern)
-      "x133_tokenizer_fertility", "x134_heaps_law")
+      "x133_tokenizer_fertility", "x134_heaps_law",
+      // x136 crosses the 1-row corpus token total (the x108 pattern);
+      // x137 crosses the 4-row literal (bands, rows) grid (the x98 pattern)
+      "x136_source_unigram_kl", "x137_lsh_band_tuning")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
