@@ -352,14 +352,29 @@ object Dedup {
       .withColumn("rk", row_number().over(wDoc))
       .where(col("rk") <=
         col("ns") - ceil(col("ns") * lit(threshold)).cast("int") + 1)
-      .select(col(idCol), col("ns"), col("tok"))
+      .select(col(idCol), col("ns"), col("tok"), col("rk"))
+    // positional filter (PPJoin): a match at frequency-order ranks (ra, rb)
+    // bounds the overlap by the elements AT-OR-AFTER those ranks —
+    // |A∩B| ≤ min(na−ra, nb−rb) + 1 (everything before the FIRST shared
+    // element, by definition of first, is unshared). jac ≥ t needs
+    // o ≥ ceil(t/(1+t)·(na+nb)), so pairs whose best (first-match) bound
+    // misses it drop BEFORE the merge-walk verify. Lossless: the bound is
+    // evaluated on the pair's earliest match (max over matches of the
+    // min-tail), never an estimate.
     val cands = pref.as("a")
       .join(pref.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol") &&
           least(col("a.ns"), col("b.ns")).cast("double") >=
             greatest(col("a.ns"), col("b.ns")) * lit(threshold))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        col("a.ns").as("na"), col("b.ns").as("nb"),
+        (least(col("a.ns") - col("a.rk"), col("b.ns") - col("b.rk")) + 1)
+          .as("ub"))
+      .groupBy("id_a", "id_b")
+      .agg(max("ub").as("ub"), max("na").as("na"), max("nb").as("nb"))
+      .where(col("ub").cast("double") >=
+        (lit(threshold) / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
+      .select("id_a", "id_b")
     // shuffle-hash, not broadcast: the build side carries the full arrays
     val byId = sorted.hint("shuffle_hash")
     cands
