@@ -328,6 +328,35 @@ object Dedup {
     * (min ≥ t·max, implied by jac ≥ t) additionally prunes inside the
     * join condition, and AQE's skew split covers residual hot buckets.
     */
+  /** (id, s value-sorted, ns) — the set table both the self-join and the
+    * staged probe verify against (value order feeds the merge walk).
+    */
+  private[graft] def sortedSets(
+      sets: DataFrame, idCol: String, setCol: String): DataFrame =
+    withGraftFns(sets)
+      .select(col(idCol), array_sort(col(setCol)).as("s"))
+      .select(col(idCol), col("s"), size(col("s")).as("ns"))
+
+  /** Exploded frequency-ordered prefix rows (id, ns, tok, rk): rank each
+    * set's elements under the global (f, tok) total order and keep rank ≤
+    * |S| − ⌈t·|S|⌉ + 1. `freq` supplies the order; elements absent from it
+    * rank as f = 0 (rarest) — consistent for every set as long as ONE freq
+    * table orders both sides of a join.
+    */
+  private[graft] def freqOrderedPrefix(
+      sorted: DataFrame, freq: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(asc("f"), asc("tok"))
+    sorted.select(col(idCol), col("ns"), explode(col("s")).as("tok"))
+      .join(freq, Seq("tok"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("rk", row_number().over(wDoc))
+      .where(col("rk") <=
+        col("ns") - ceil(col("ns") * lit(threshold)).cast("int") + 1)
+      .select(col(idCol), col("ns"), col("tok"), col("rk"))
+  }
+
   def exactJaccardSelfPairs(
       sets: DataFrame,
       idCol: String = "doc_id",
@@ -337,22 +366,10 @@ object Dedup {
     // prefix explode, verify join); left lazy, Catalyst re-inlines the
     // upstream projection (tokenize + shingle + sort) into each — the
     // simhashNearDups lesson
-    val sorted = withGraftFns(sets)
-      .select(col(idCol), array_sort(col(setCol)).as("s"))
-      .select(col(idCol), col("s"), size(col("s")).as("ns"))
-      .cache()
+    val sorted = sortedSets(sets, idCol, setCol).cache()
     val freq = sorted.select(explode(col("s")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
-    // rank each doc's elements under the (f, tok) total order; rows with
-    // rank ≤ prefixLen ARE the exploded prefix — no re-collect needed
-    val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(asc("f"), asc("tok"))
-    val pref = sorted.select(col(idCol), col("ns"), explode(col("s")).as("tok"))
-      .join(freq, "tok")
-      .withColumn("rk", row_number().over(wDoc))
-      .where(col("rk") <=
-        col("ns") - ceil(col("ns") * lit(threshold)).cast("int") + 1)
-      .select(col(idCol), col("ns"), col("tok"), col("rk"))
+    val pref = freqOrderedPrefix(sorted, freq, idCol, threshold)
     // positional filter (PPJoin): a match at frequency-order ranks (ra, rb)
     // bounds the overlap by the elements AT-OR-AFTER those ranks —
     // |A∩B| ≤ min(na−ra, nb−rb) + 1 (everything before the FIRST shared
@@ -383,6 +400,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         expr("graft_intersect_size(s_a, s_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Asymmetric EXACT Jaccard probe against a persisted corpus index
+    * ([[graft.sources.Layouts.jaccardIndex]]): classify an incoming shard
+    * against the existing corpus with the NO-MISS contract the banded
+    * probe ([[incrementalDedupStaged]]) trades away — same prefix-filter +
+    * positional-filter machinery as [[exactJaccardSelfPairs]], with the
+    * corpus side (freq order, prefix rows, value-sorted sets) read from
+    * the build-once layout. Per ingest batch only the SHARD is shingled
+    * and ranked; the corpus is touched through the candidate equi-join and
+    * the by-id verify join. The corpus freq table is the one total order
+    * for BOTH sides (shard-only elements rank f = 0, rarest — still one
+    * consistent order, which is all the lemma needs).
+    * Returns (in_id, ex_id, jac ≥ threshold) pairs.
+    */
+  def exactJaccardPairsStaged(
+      incoming: DataFrame,
+      freqEx: DataFrame,
+      prefEx: DataFrame,
+      setsEx: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sortedIn = sortedSets(
+      withGraftFns(incoming).select(col(idCol),
+        expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)")
+          .as("shingles")),
+      idCol, "shingles").cache()
+    val prefIn = freqOrderedPrefix(sortedIn, freqEx, idCol, threshold)
+    val cands = prefIn.as("a")
+      .join(prefEx.as("b"),
+        col("a.tok") === col("b.tok") &&
+          least(col("a.ns"), col("b.ns")).cast("double") >=
+            greatest(col("a.ns"), col("b.ns")) * lit(threshold))
+      .select(col(s"a.$idCol").as("in_id"), col(s"b.$idCol").as("ex_id"),
+        col("a.ns").as("na"), col("b.ns").as("nb"),
+        (least(col("a.ns") - col("a.rk"), col("b.ns") - col("b.rk")) + 1)
+          .as("ub"))
+      .groupBy("in_id", "ex_id")
+      .agg(max("ub").as("ub"), max("na").as("na"), max("nb").as("nb"))
+      .where(col("ub").cast("double") >=
+        (lit(threshold) / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
+      .select("in_id", "ex_id")
+    cands
+      .join(sortedIn.hint("shuffle_hash")
+        .select(col(idCol).as("in_id"), col("s").as("s_a")), "in_id")
+      .join(setsEx.hint("shuffle_hash")
+        .select(col(idCol).as("ex_id"), col("s").as("s_b"), col("ns").as("nb")), "ex_id")
+      .select(col("in_id"), col("ex_id"),
+        expr("graft_intersect_size(s_a, s_b)").as("inter"),
+        size(col("s_a")).as("na"), col("nb"))
+      .select(col("in_id"), col("ex_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= threshold)
   }

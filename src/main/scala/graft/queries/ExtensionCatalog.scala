@@ -5757,7 +5757,53 @@ object ExtensionCatalog {
              |FROM best b ORDER BY click_id""".stripMargin),
       "forward as-of join (each click → the user's first purchase at-or-after, " +
         "time-to-conversion): the plan-native merge operator reused under time " +
-        "negation — no new exec, no inequality nested-loop (extension: events/temporal)")
+        "negation — no new exec, no inequality nested-loop (extension: events/temporal)"),
+
+    CatalogEntry(
+      "x139_exact_ingest_audit",
+      (s, dir) => {
+        // the NO-MISS ingest gate: odd-id docs (the incoming batch) probed
+        // EXACTLY (jaccard ≥ 0.5, prefix+positional filtering, zero false
+        // negatives by construction) against the persisted even-id corpus
+        // index — the exact dual of x117's banded probe, for contracts
+        // where a missed duplicate is a correctness bug (eval
+        // decontamination, licensing holds) rather than a rate. Index
+        // build (freq order + prefix rows + value-sorted sets) is paid
+        // once per corpus release (staged here, the x101/x117 pattern);
+        // the per-batch probe shingles only the shard. Per incoming doc:
+        // how many existing dups, and the best match in integer ppm.
+        val idx = stagedJaccardIndex(s, dir)
+        val incoming = t(s, dir, "documents").where(col("doc_id") % 2 === 1)
+        graft.operators.Dedup.exactJaccardPairsStaged(
+            incoming,
+            s.read.parquet(s"$idx/freq"),
+            s.read.parquet(s"$idx/pref"),
+            s.read.parquet(s"$idx/sets"),
+            threshold = 0.5)
+          .groupBy(col("in_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"),
+            max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (
+              |  SELECT doc_id, $dShingles AS shingles FROM (
+              |    SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |    FROM documents)),
+              |inc AS (SELECT * FROM base WHERE doc_id % 2 = 1),
+              |ex  AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+              |pairs AS (
+              |  SELECT i.doc_id, len(list_intersect(i.shingles, e.shingles))::DOUBLE
+              |      / (len(i.shingles) + len(e.shingles)
+              |         - len(list_intersect(i.shingles, e.shingles))) AS jac
+              |  FROM inc i JOIN ex e ON TRUE)
+              |SELECT doc_id, COUNT(*)::BIGINT AS n_dups,
+              |  CAST(MAX(FLOOR(jac * 1000000.0)) AS BIGINT) AS best_jac_ppm
+              |FROM pairs WHERE jac >= 0.5
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      "exact incremental-ingest audit: incoming shard probed against the " +
+        "persisted exact-jaccard corpus index (prefix + positional filter, " +
+        "no-miss contract) — per-doc duplicate count and best match ppm " +
+        "(extension: dedup / incremental ingest)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
@@ -5771,6 +5817,21 @@ object ExtensionCatalog {
     postingDirs.computeIfAbsent(dir, _ => {
       val out = java.nio.file.Files.createTempDirectory("graft-posting").toString
       graft.sources.Layouts.postingIndex(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x139 staging: the even-id "existing corpus" EXACT-jaccard index,
+    * written ONCE per fixture dir via
+    * [[graft.sources.Layouts.jaccardIndex]] — the per-release build the
+    * exact ingest probe then amortizes.
+    */
+  private val jaccardDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedJaccardIndex(s: SparkSession, dir: String): String =
+    jaccardDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-jacidx").toString
+      graft.sources.Layouts.jaccardIndex(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0), out,
         groupBytes = 256L * 1024, pageRows = 2000)
       out
     })

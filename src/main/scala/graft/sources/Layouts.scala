@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
 
 /** Parquet WRITE-path layouts that make the read-path pruning ladder work
   * (row-group stats → page index → bloom, see
@@ -198,6 +198,48 @@ object Layouts {
     sortedStats(sigs.select(col(idCol), col("shingles")),
       s"$path/shingles", Seq(idCol),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+  }
+
+  /** Persisted EXACT-Jaccard corpus index — the no-miss dual of
+    * [[minhashIndex]], consumed by
+    * [[graft.operators.Dedup.exactJaccardPairsStaged]]. Three tables,
+    * each the build-once corpus side of one probe stage:
+    *   `freq`     (tok, f)            — the global frequency total order;
+    *   `pref`     (id, ns, tok, rk)   — frequency-ordered prefix rows,
+    *                                    range-sorted on `tok` so a probe's
+    *                                    candidate join prunes row groups;
+    *   `sets`     (id, s, ns)         — value-sorted shingle sets for the
+    *                                    merge-walk verify, sorted on id.
+    * Build is corpus-linear (one shingle pass + one count + one rank);
+    * per-batch probes then touch the corpus only through equi-joins.
+    */
+  def jaccardIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    import graft.operators.Dedup
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    val sorted = Dedup.sortedSets(
+      docs.select(col(idCol),
+        expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)")
+          .as("shingles")),
+      idCol, "shingles").cache()
+    val freq = sorted.select(explode(col("s")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    sortedStats(freq, s"$path/freq", Seq("tok"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold),
+      s"$path/pref", Seq("tok"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    sortedStats(sorted, s"$path/sets", Seq(idCol),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    sorted.unpersist()
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

@@ -99,6 +99,31 @@ class DedupSpec extends AnyFunSuite with Matchers {
     plan should not include "Cartesian"
   }
 
+  test("staged exact-jaccard probe equals the direct cross join (no-miss contract)") {
+    val docs = graft.GraftSession.table(spark, graft.SparkTestSession.sf0001, "documents")
+      .where(col("doc_id") < 400)
+    val existing = docs.where(col("doc_id") % 2 === 0)
+    val incoming = docs.where(col("doc_id") % 2 === 1)
+    val idxDir = java.nio.file.Files.createTempDirectory("jacidx-spec").toString
+    graft.sources.Layouts.jaccardIndex(existing, idxDir,
+      groupBytes = 64L * 1024, pageRows = 500)
+    val staged = Dedup.exactJaccardPairsStaged(incoming,
+        spark.read.parquet(s"$idxDir/freq"),
+        spark.read.parquet(s"$idxDir/pref"),
+        spark.read.parquet(s"$idxDir/sets"),
+        threshold = 0.5)
+      .select("in_id", "ex_id").as[(Long, Long)].collect().toSet
+    def sh(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashSignature(df, k = 16, shingleN = 3).select(col("doc_id"), col("shingles"))
+    val brute = sh(incoming).as("a")
+      .join(sh(existing).as("b"), lit(true))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        graft.functions.TextFunctions.jaccard(col("a.shingles"), col("b.shingles")))
+      .as[(Long, Long, Double)].collect().filter(_._3 >= 0.5).map(t => (t._1, t._2)).toSet
+    staged shouldBe brute
+    staged should not be empty // the fixture split must exercise the probe
+  }
+
   test("minhash LSH plan shuffles on band buckets, not all pairs") {
     val plan = Dedup.minhashNearDups(planted).queryExecution.optimizedPlan.toString
     // the candidate join must be an equi-join (band, bandhash) — never a
