@@ -155,6 +155,26 @@ object HashExpressions {
     new GenericArrayData(distinct(hashes, m))
   }
 
+  /** [[evalShingleHashes]] WITHOUT the distinct: one hash per POSITION, so
+    * window i's hash sits at index i — the positional form winnowing /
+    * span-coverage selection windows need (they index into it).
+    */
+  def evalWindowHashes(input: ArrayData, n: Int): ArrayData = {
+    val th = input.toLongArray()
+    if (th.length < n) return new GenericArrayData(Array.empty[Long])
+    val m = th.length - n + 1
+    val hashes = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = th(i)
+      var j = 1
+      while (j < n) { acc = (acc * 31 + th(i + j)) % Prime; j += 1 }
+      hashes(i) = acc
+      i += 1
+    }
+    new GenericArrayData(hashes)
+  }
+
   /** null (NOT an empty array) on an empty shingle set — caller handles. */
   def evalMinHashSig(input: ArrayData, k: Int): ArrayData = {
     val sh = input.toLongArray()
@@ -341,6 +361,22 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"$H.evalShingleHashes($c, $n)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `graft_window_hashes(tokenHashes, n)` — POSITIONAL hashes of every
+  * n-token window (no distinct; index i = window starting at token i).
+  * Same fold as [[ShingleHashes]], kept separate so selection windows
+  * (winnowing, span coverage) can address windows by position.
+  */
+case class WindowHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any =
+    evalWindowHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalWindowHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
     copy(child = newChild)
 }
 

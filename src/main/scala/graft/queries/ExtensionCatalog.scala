@@ -89,17 +89,21 @@ object ExtensionCatalog {
     * 8 multiply-mods per window instead of re-hashing a rebuilt 8-token
     * string. Shared with [[graft.tools.ScaleSmoke]].
     */
-  private[graft] def dupSpanWindows(docs: DataFrame): DataFrame = docs
-    .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    .select(col("doc_id"), size(col("toks")).cast("long").as("n"),
-      expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("hs"))
-    .where(col("n") >= 8)
-    .select(col("doc_id"), col("n"), explode(expr(s"""transform(
-        sequence(0, CAST(n AS INT) - 8), i -> named_struct(
-          'i', CAST(i AS BIGINT),
-          'fp', aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
-            (acc, h) -> (acc * 31 + h) % $Prime)))""")).as("w"))
-    .select(col("doc_id"), col("n"), col("w.i").as("i"), col("w.fp").as("fp"))
+  private[graft] def dupSpanWindows(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    // graft_window_hashes: the positional 8-token rolling-hash kernel,
+    // native + codegen'd (the interpreted aggregate-over-slice HOF fold it
+    // replaces was the dominant term of x123/x128 — same arithmetic,
+    // identical values, one tight loop per row)
+    docs
+      .select(col("doc_id"), expr("graft_token_hashes(text)").as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"),
+        expr("graft_window_hashes(hs, 8)").as("wf"))
+      .where(col("n") >= 8)
+      .select(col("doc_id"), col("n"), posexplode(col("wf")))
+      .select(col("doc_id"), col("n"), col("pos").cast("long").as("i"),
+        col("col").as("fp"))
+  }
 
   /** The rounds themselves, from any (word, freq) table — also driven by
     * [[graft.tools.ScaleSmoke]] to show the merge loop is corpus-size
@@ -4944,15 +4948,13 @@ object ExtensionCatalog {
         // GUARANTEED to share a selected fingerprint. Selection is per-doc
         // array HOFs; the only shuffle is the fingerprint count. Sharing is
         // scored on distinct fingerprints per doc.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val sel = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 11)
-          .select(col("doc_id"),
-            expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("hs"))
-          .select(col("doc_id"), expr(s"""transform(
-              sequence(0, size(hs) - 8), i ->
-                aggregate(slice(hs, i + 1, 8), CAST(0 AS BIGINT),
-                  (acc, h) -> (acc * 31 + h) % $Prime))""").as("wf"))
+          .select(col("doc_id"), expr("graft_token_hashes(text)").as("hs"))
+          .where(size(col("hs")) >= 11)
+          // positional window hashes via the native kernel (x123's lesson:
+          // the aggregate-over-slice HOF fold was the dominant term)
+          .select(col("doc_id"), expr("graft_window_hashes(hs, 8)").as("wf"))
           .select(col("doc_id"), explode(expr("""array_distinct(transform(
               array_distinct(transform(sequence(0, size(wf) - 4), j ->
                 j + array_max(transform(sequence(1, 4), t ->

@@ -49,6 +49,8 @@ object GraftFunctions {
       args => TokenHashes(args.head), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_hashes",
       args => ShingleHashes(args.head, intArg(args(1), "graft_shingle_hashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_window_hashes",
+      args => WindowHashes(args.head, intArg(args(1), "graft_window_hashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash_sig",
       args => MinHashSig(args.head, intArg(args(1), "graft_minhash_sig")), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash",

@@ -31,6 +31,19 @@ object HashExpressionsProps extends Properties("HashExpressions") {
       rolled == naive(s, n)
     }
 
+  property("window hashes: positional, length |th|-n+1, distinct-set == shingle hashes") =
+    Prop.forAll(Gen.listOf(Gen.choose(0L, 1000000006L)), genN) { (th, n) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val arr = new GenericArrayData(th.toArray)
+      val win = HashExpressions.evalWindowHashes(arr, n).toLongArray().toSeq
+      val naiveWin =
+        if (th.length < n) Seq.empty[Long]
+        else th.sliding(n).map(w =>
+          w.tail.foldLeft(w.head)((acc, h) => (acc * 31 + h) % 1000000007L)).toSeq
+      val shingles = HashExpressions.evalShingleHashes(arr, n).toLongArray().toSeq
+      win == naiveWin && win.distinct.sorted == shingles
+    }
+
   property("fused distinct count == materialized array length") =
     Prop.forAll(genText, genN) { (s, n) =>
       HashExpressions.evalCharNgramDistinctCount(UTF8String.fromString(s), n) ==
