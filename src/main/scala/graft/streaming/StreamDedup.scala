@@ -38,4 +38,29 @@ object StreamDedup {
       .outputMode("append")
       .start()
   }
+
+  /** Bounded-state streaming dedup over the EVENTS feed:
+    * `dropDuplicatesWithinWatermark` on the idempotency key keeps a seen-key
+    * entry only until the watermark passes its event time + the lateness
+    * bound, so state is O(keys-per-window), not O(keys-ever) — the form a
+    * 100 TB/day at-least-once ingest actually runs (the unbounded
+    * [[dedupByFingerprint]] grows state with corpus cardinality; fine for
+    * corpus dedup, wrong for an infinite telemetry feed). Re-deliveries
+    * inside the bound are dropped even when their timestamps differ —
+    * exactly the at-least-once re-delivery shape (same key, jittered time)
+    * plain dropDuplicates on (key, time) would let through.
+    */
+  def dedupEventsWithinWatermark(
+      spark: SparkSession, dir: String, sinkName: String,
+      lateness: String = "1 hour") = {
+    graft.streaming.EventsStream.readEvents(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("append")
+      .start()
+  }
 }

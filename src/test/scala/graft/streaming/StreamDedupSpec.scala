@@ -101,4 +101,37 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
       out.select("fp").distinct().count() shouldBe 500L
     } finally query.stop()
   }
+
+  test("watermark-bounded dedup drops in-bound re-deliveries, state stays bounded") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // at-least-once re-delivery: same event_id lands twice (second copy
+    // with a jittered timestamp, still inside the lateness bound) — the
+    // key-only dedup must emit it once; a fresh id must pass
+    val dir = java.nio.file.Files.createTempDirectory("wm-dedup").toString
+    def land(name: String, rows: Seq[(Long, Long, Long)]): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("wm-stage").toString
+      rows.map { case (id, sec, u) => (id, sec, u) }
+        .toDF("event_id", "sec", "user_id")
+        .selectExpr("event_id",
+          "cast(timestamp_micros(sec * 1000000) as timestamp_ntz) AS ts",
+          "user_id", "'c' AS event_type", "1.0 AS value", "'{}' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    }
+    val q = StreamDedup.dedupEventsWithinWatermark(spark, dir, "wm_dedup_test")
+    try {
+      land("f1", Seq((1L, 1000L, 7L), (2L, 1010L, 7L)))
+      q.processAllAvailable()
+      // event 1 re-delivered 5s later (inside the 1h bound) + a fresh id
+      land("f2", Seq((1L, 1005L, 7L), (3L, 1020L, 7L)))
+      q.processAllAvailable()
+      val ids = spark.table("wm_dedup_test").select("event_id")
+        .as[Long].collect().sorted
+      ids shouldBe Array(1L, 2L, 3L) // each id exactly once
+      (q.lastProgress != null) shouldBe true
+    } finally q.stop()
+  }
 }
