@@ -77,6 +77,52 @@ object DiskProbe {
     }
   }
 
+  /** COLD sequential read GB/s over the parquet files in `dir`: opens each
+    * file with O_DIRECT (`ExtendedOpenOption.DIRECT`), which bypasses the
+    * page cache — the honest counterpart of Bench's warm
+    * `seq_read_warm_gbps` loop, and the JVM analog of the reference's cold
+    * RAID0 read microbenchmark (microbenchmarks/src/disk/read.rs:21-82,
+    * which O_DIRECTs the same way). O_DIRECT needs the buffer, offset and
+    * length aligned to the filesystem block size; the tail of each file
+    * (< one aligned block) is skipped — bounded by blockSize per file,
+    * noise at any realistic file size. Returns 0.0 where the filesystem
+    * refuses O_DIRECT (tmpfs, some overlayfs) — a bench must never die on
+    * its own telemetry, and 0.0 is unmistakably "not measured".
+    */
+  def coldReadGbps(dir: String, align: Int = 4096, blockSize: Int = 1 << 20): Double = {
+    try {
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      if (files.isEmpty) return 0.0
+      // alignment: allocate align-extra and slice to an aligned position
+      val raw = ByteBuffer.allocateDirect(blockSize + align)
+      val addrAligned = raw.alignedSlice(align)
+      var bytes = 0L
+      val t0 = System.nanoTime()
+      files.foreach { f =>
+        val ch = FileChannel.open(f.toPath, StandardOpenOption.READ,
+          com.sun.nio.file.ExtendedOpenOption.DIRECT)
+        try {
+          val alignedLen = (f.length() / align) * align
+          var pos = 0L
+          var eof = false
+          while (pos < alignedLen && !eof) {
+            addrAligned.clear()
+            addrAligned.limit(math.min(addrAligned.capacity().toLong, alignedLen - pos).toInt)
+            val n = ch.read(addrAligned, pos)
+            if (n <= 0) eof = true
+            else { pos += n; bytes += n }
+          }
+        } finally ch.close()
+      }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      if (elapsed <= 0 || bytes == 0) 0.0 else bytes / elapsed / 1e9
+    } catch {
+      case scala.util.control.NonFatal(_) => 0.0
+    }
+  }
+
   private final case class Chunk(offset: Long, data: Array[Byte], len: Int)
 
   /** Loopback TCP client → socket reader → bounded queue → `writers`
@@ -92,25 +138,33 @@ object DiskProbe {
       queueDepth: Int = 4,
       durationMs: Long = 1000L): Double = {
     import java.net.{InetAddress, ServerSocket, Socket}
+    import java.util.concurrent.TimeUnit
+    import java.util.concurrent.atomic.AtomicBoolean
     try {
       val server = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
       val port = server.getLocalPort
       val received = new AtomicLong(0L)
       val sink: Path = Files.createTempFile("graft-netdisk", ".bin")
       val queue = new ArrayBlockingQueue[Chunk](queueDepth)
-      val POISON = Chunk(-1L, Array.emptyByteArray, 0)
+      // Shutdown protocol: no poison pills — a writer that dies mid-run
+      // (IOException) would have to re-enqueue one for every sibling or
+      // they block forever on take(). Instead the acceptor flips `closed`
+      // when the socket drains and writers poll with a timeout: once
+      // closed && queue-empty every writer exits on its own, regardless of
+      // how many siblings died, and nothing ever blocks unbounded.
+      val closed = new AtomicBoolean(false)
 
       // disk leg: N writers drain the bounded channel with positioned writes
       val writerThreads = (0 until writers).map { _ =>
         val t = new Thread(() => {
           val ch = FileChannel.open(sink, StandardOpenOption.WRITE)
           try {
-            var c = queue.take()
-            while (c ne POISON) {
-              ch.write(ByteBuffer.wrap(c.data, 0, c.len), c.offset)
-              c = queue.take()
+            var done = false
+            while (!done) {
+              val c = queue.poll(100, TimeUnit.MILLISECONDS)
+              if (c != null) ch.write(ByteBuffer.wrap(c.data, 0, c.len), c.offset)
+              else if (closed.get()) done = true
             }
-            queue.put(POISON) // propagate shutdown to sibling writers
           } catch { case _: java.io.IOException => () }
           finally ch.close()
         })
@@ -119,7 +173,9 @@ object DiskProbe {
         t
       }
 
-      // server leg: read socket blocks, hand each through the channel
+      // server leg: read socket blocks, hand each through the channel.
+      // offer-with-timeout: if every writer died the queue stays full and a
+      // bare put() would hang the acceptor past its join timeout.
       val acceptor = new Thread(() => {
         try {
           val sock = server.accept()
@@ -127,14 +183,20 @@ object DiskProbe {
           var offset = 0L
           var n = 0
           val buf = new Array[Byte](blockSize)
-          while ({ n = in.read(buf); n >= 0 }) {
-            queue.put(Chunk(offset, java.util.Arrays.copyOf(buf, n), n))
-            offset += n
-            received.addAndGet(n.toLong)
+          var stalled = false
+          while (!stalled && { n = in.read(buf); n >= 0 }) {
+            if (queue.offer(Chunk(offset, java.util.Arrays.copyOf(buf, n), n),
+                durationMs * 2, TimeUnit.MILLISECONDS)) {
+              offset += n
+              received.addAndGet(n.toLong)
+            } else stalled = true // all writers dead; stop counting
           }
           sock.close()
-        } catch { case _: java.io.IOException => () }
-        finally queue.put(POISON)
+        } catch {
+          case _: java.io.IOException => ()
+          case _: InterruptedException => ()
+        }
+        finally closed.set(true)
       })
       acceptor.setDaemon(true)
       acceptor.start()

@@ -39,6 +39,24 @@ object Dedup {
     df
   }
 
+  /** Staging barrier for an intermediate consumed by several plan legs
+    * (frequency count, prefix explode, verify join): without one Catalyst
+    * re-inlines the upstream projection (tokenize + shingle + sort) into
+    * every consumer. Two candidate primitives, A/B'd at 10×/20×
+    * replication (BASELINE.md round 10): eager `localCheckpoint` — one
+    * materialization, lineage truncated, blocks freed by the
+    * ContextCleaner when the RDD is unreferenced — vs lazy `cache()`,
+    * which computes once per consumer *stage set* but pins the cached plan
+    * in the session's storage until someone unpersists (the round-9 leak:
+    * nothing did). Checkpoint won the A/B and is the default; `cache` is
+    * kept behind `-Dgraft.stage.barrier=cache` for re-measurement. The
+    * x73 precedent (corpus-sized staged tables want the checkpoint
+    * barrier) transfers to 100 TB unchanged.
+    */
+  private[graft] def stage(df: DataFrame): DataFrame =
+    if (sys.props.get("graft.stage.barrier").contains("cache")) df.cache()
+    else df.localCheckpoint()
+
   /** MinHash signature of length `k` over distinct token-`n`-gram shingle
     * hashes (native expressions: one tight loop per row — see
     * [[graft.functions.expressions.HashExpressions]] for why the HOF
@@ -169,7 +187,7 @@ object Dedup {
       .select(col("id_a"), col("sh_a"), col("sh_b"),
         size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
       .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select(col("id_a"),
         expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
       .where((col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
@@ -206,7 +224,7 @@ object Dedup {
       // lossless prefilter: jac ≤ min/max of the set sizes, so pairs
       // failing min ≥ t·max can skip the O(|a|+|b|) merge intersection
       .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select(col("id_a"), col("id_b"),
         expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
@@ -295,7 +313,7 @@ object Dedup {
       // lossless prefilter: jac ≤ min/max of the set sizes (see
       // minhashNearDups) — skips the merge walk for size-mismatched pairs
       .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select(col("id_a"), col("id_b"),
         expr("graft_intersect_size(g_a, g_b)").as("inter"), col("na"), col("nb"))
       .select(col("id_a"), col("id_b"),
@@ -352,8 +370,12 @@ object Dedup {
       .join(freq, Seq("tok"), "left")
       .withColumn("f", coalesce(col("f"), lit(0L)))
       .withColumn("rk", row_number().over(wDoc))
+      // ceil(ns·t − ε): for thresholds whose double product rounds just
+      // past an exact integer (0.07·100 → 7.000000000000001) a bare ceil
+      // would shorten the prefix by one and silently break the no-miss
+      // contract; the ε matches the overlap bound's slack below
       .where(col("rk") <=
-        col("ns") - ceil(col("ns") * lit(threshold)).cast("int") + 1)
+        col("ns") - ceil(col("ns") * lit(threshold) - lit(1e-9)).cast("int") + 1)
       .select(col(idCol), col("ns"), col("tok"), col("rk"))
   }
 
@@ -362,11 +384,9 @@ object Dedup {
       idCol: String = "doc_id",
       setCol: String = "shingles",
       threshold: Double = 0.5): DataFrame = {
-    // cache: the sorted sets feed several plan legs (frequency count,
-    // prefix explode, verify join); left lazy, Catalyst re-inlines the
-    // upstream projection (tokenize + shingle + sort) into each — the
-    // simhashNearDups lesson
-    val sorted = sortedSets(sets, idCol, setCol).cache()
+    // barrier: the sorted sets feed several plan legs (frequency count,
+    // prefix explode, verify join) — see [[stage]] for the primitive choice
+    val sorted = stage(sortedSets(sets, idCol, setCol))
     val freq = sorted.select(explode(col("s")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
     val pref = freqOrderedPrefix(sorted, freq, idCol, threshold)
@@ -382,7 +402,7 @@ object Dedup {
       .join(pref.as("b"),
         col("a.tok") === col("b.tok") && col(s"a.$idCol") < col(s"b.$idCol") &&
           least(col("a.ns"), col("b.ns")).cast("double") >=
-            greatest(col("a.ns"), col("b.ns")) * lit(threshold))
+            greatest(col("a.ns"), col("b.ns")) * lit(threshold) - lit(1e-9))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
         col("a.ns").as("na"), col("b.ns").as("nb"),
         (least(col("a.ns") - col("a.rk"), col("b.ns") - col("b.rk")) + 1)
@@ -426,17 +446,17 @@ object Dedup {
       textCol: String = "text",
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sortedIn = sortedSets(
+    val sortedIn = stage(sortedSets(
       withGraftFns(incoming).select(col(idCol),
         expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)")
           .as("shingles")),
-      idCol, "shingles").cache()
+      idCol, "shingles"))
     val prefIn = freqOrderedPrefix(sortedIn, freqEx, idCol, threshold)
     val cands = prefIn.as("a")
       .join(prefEx.as("b"),
         col("a.tok") === col("b.tok") &&
           least(col("a.ns"), col("b.ns")).cast("double") >=
-            greatest(col("a.ns"), col("b.ns")) * lit(threshold))
+            greatest(col("a.ns"), col("b.ns")) * lit(threshold) - lit(1e-9))
       .select(col(s"a.$idCol").as("in_id"), col(s"b.$idCol").as("ex_id"),
         col("a.ns").as("na"), col("b.ns").as("nb"),
         (least(col("a.ns") - col("a.rk"), col("b.ns") - col("b.rk")) + 1)
@@ -457,6 +477,38 @@ object Dedup {
       .select(col("in_id"), col("ex_id"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
       .where(col("jac") >= threshold)
+  }
+
+  /** Path form of [[exactJaccardPairsStaged]] over a persisted
+    * [[graft.sources.Layouts.jaccardIndex]] directory. Reads the index's
+    * `meta` table and REFUSES a probe threshold below the build threshold:
+    * the persisted prefix rows were truncated for the build threshold, so a
+    * lower-threshold probe would need candidate rows that no longer exist —
+    * it would return a silently incomplete pair set, the one failure mode a
+    * no-miss contract cannot have. Shingle width comes from the meta row
+    * too (a probe shingled differently from the index never matches).
+    */
+  def exactJaccardPairsStaged(
+      incoming: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").collect().head
+    val buildThreshold = meta.getAs[Double]("threshold")
+    val shingleN = meta.getAs[Int]("shingle_n")
+    require(threshold >= buildThreshold - 1e-9,
+      s"probe threshold $threshold < index build threshold $buildThreshold: " +
+        s"the persisted prefix rows at $indexPath cannot guarantee no-miss " +
+        "below the threshold they were built for — rebuild the index at the " +
+        "lower threshold instead")
+    exactJaccardPairsStaged(
+      incoming,
+      spark.read.parquet(s"$indexPath/freq"),
+      spark.read.parquet(s"$indexPath/pref"),
+      spark.read.parquet(s"$indexPath/sets"),
+      idCol, textCol, shingleN, threshold)
   }
 
   /** `bits`-wide SimHash per document (64 by default, the standard width

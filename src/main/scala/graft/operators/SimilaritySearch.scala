@@ -230,4 +230,82 @@ object SimilaritySearch {
       .select(col("cent_id"), col("id"),
         coalesce(col("dropped"), lit(false)).as("dropped"))
   }
+
+  /** [[semDedup]] with the centroid count scaled ∝ corpus — the knob that
+    * keeps its within-cell pair term LINEAR as the corpus grows. Fixed-k
+    * semDedup has cells of size n/k, so the Σ cell² term grows n²/k: the
+    * documented mitigation is more centroids, and this implements it.
+    * Centroids are a deterministic hash-sample of the corpus itself,
+    * expected one per `targetCellSize` rows, so cells hold ~`targetCellSize`
+    * vectors at EVERY corpus size and the pair term is n·targetCellSize.
+    *
+    * With k ∝ n the flat one-level assignment (n·k dot products) becomes
+    * the new quadratic term, so assignment here is two-level IVF: a
+    * √k-sized coarse layer (hash-subsample of the centroids) partitions
+    * both the corpus and the fine centroids, and each corpus row scores
+    * only the fine centroids of its coarse cell — n·√k + k·√k work, one
+    * shuffle on the coarse id. Probe-1 coarse assignment is approximate at
+    * cell boundaries (a row near a coarse boundary may land in a fine cell
+    * that is second-nearest globally); SemDeDup is a pruning heuristic, so
+    * what matters is that near-identical vectors still COLLIDE — they agree
+    * on every layer by continuity of cosine — and the dedup decisions stay
+    * deterministic. At even larger scale raise the coarse probe count the
+    * way [[ivfTopK]]'s `nprobe` does.
+    */
+  def semDedupScaled(
+      corpus: DataFrame,
+      targetCellSize: Int,
+      tau: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
+        norm(col(vecCol)).as("centn"))
+      .where(pmod(xxhash64(col("cent_id")), lit(targetCellSize.toLong)) === 0)
+      .localCheckpoint()
+    // coarse layer: ~√k of the fine centroids (k is a cheap count of the
+    // already-materialized centroid table — O(k), not a corpus scan)
+    val k = math.max(1L, cents.count())
+    val coarseMod = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    val coarse = broadcast(cents
+      .where(pmod(xxhash64(col("cent_id"), lit(1)), lit(coarseMod)) === 0)
+      .select(col("cent_id").as("coarse_id"), col("centv").as("coarsev"),
+        col("centn").as("coarsen")))
+    def toCoarse(df: DataFrame, id: String, v: String, n: String): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("ccsim").desc, col("coarse_id"))
+      df.crossJoin(coarse)
+        .select(df.columns.map(col) :+ col("coarse_id") :+
+          (dot(col(v), col("coarsev")) / col(n) / col("coarsen")).as("ccsim"): _*)
+        .withColumn("cr", row_number().over(w))
+        .where(col("cr") === 1)
+        .drop("ccsim", "cr")
+    }
+    val fineByCoarse = toCoarse(cents, "cent_id", "centv", "centn")
+    val corpusByCoarse = toCoarse(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn")),
+      "id", "v", "vn")
+    // fine assignment within the coarse cell: argmax cosine, ties to the
+    // lower centroid id — same contract as semDedup's flat assignment
+    val wFine = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    val assigned = corpusByCoarse
+      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"))
+      .select(col("id"), col("v"), col("vn"), col("cent_id"),
+        (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(wFine))
+      .where(col("r") === 1)
+      .select("cent_id", "id", "v", "vn")
+      .localCheckpoint()
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
+      .select(col("cent_id"), col("id_b").as("id"))
+      .distinct()
+    assigned.select("cent_id", "id")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("cent_id", "id"), "left")
+      .select(col("cent_id"), col("id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
 }

@@ -5669,6 +5669,9 @@ object ExtensionCatalog {
         // reads BEFORE committing to (b, r): the histogram leg is the
         // prefix join (no n² term), the grid is 4 literal rows, and every
         // double rounds to ppm per row (no double aggregation anywhere).
+        // The bucket midpoint clamps at 1.0: the jac = 1.0 bucket (exact
+        // duplicates) would otherwise evaluate the S-curve at s = 1.05,
+        // where the formula is meaningless — detection there is certain.
         val sh = Dedup.minhashSignature(
             t(s, dir, "documents").where(col("doc_id") < 1000),
             k = 16, shingleN = 3)
@@ -5681,10 +5684,10 @@ object ExtensionCatalog {
         hist.crossJoin(broadcast(grid))
           .select(col("bucket"), col("bands"), col("rows_per_band"), col("n_pairs"),
             expr("""CAST(round(1000000.0 * (1.0 - pow(
-              |  1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |  1.0 - pow(least(1.0, (bucket + 0.5) / 10.0), rows_per_band), bands)))
               |  AS BIGINT)""".stripMargin).as("detect_ppm"),
             expr("""CAST(round(n_pairs * (1.0 - pow(
-              |  1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |  1.0 - pow(least(1.0, (bucket + 0.5) / 10.0), rows_per_band), bands)))
               |  AS BIGINT)""".stripMargin).as("expected_found"))
           .orderBy("bucket", "bands")
       },
@@ -5703,10 +5706,10 @@ object ExtensionCatalog {
               |  g(bands, rows_per_band))
               |SELECT bucket, bands, rows_per_band, n_pairs,
               |  CAST(round(1000000.0 * (1.0 - pow(
-              |    1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |    1.0 - pow(least(1.0, (bucket + 0.5) / 10.0), rows_per_band), bands)))
               |    AS BIGINT) AS detect_ppm,
               |  CAST(round(n_pairs * (1.0 - pow(
-              |    1.0 - pow((bucket + 0.5) / 10.0, rows_per_band), bands)))
+              |    1.0 - pow(least(1.0, (bucket + 0.5) / 10.0), rows_per_band), bands)))
               |    AS BIGINT) AS expected_found
               |FROM hist CROSS JOIN grid ORDER BY bucket, bands""".stripMargin),
       "LSH (bands × rows) tuner: measured exact-pair jaccard histogram × " +
@@ -5776,12 +5779,10 @@ object ExtensionCatalog {
         // how many existing dups, and the best match in integer ppm.
         val idx = stagedJaccardIndex(s, dir)
         val incoming = t(s, dir, "documents").where(col("doc_id") % 2 === 1)
+        // path form: reads the index's meta row and rejects a probe below
+        // the build threshold (the no-miss guard added round 10)
         graft.operators.Dedup.exactJaccardPairsStaged(
-            incoming,
-            s.read.parquet(s"$idx/freq"),
-            s.read.parquet(s"$idx/pref"),
-            s.read.parquet(s"$idx/sets"),
-            threshold = 0.5)
+            incoming, idx, "doc_id", "text", threshold = 0.5)
           .groupBy(col("in_id").as("doc_id"))
           .agg(count(lit(1)).as("n_dups"),
             max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm"))
@@ -5851,4 +5852,17 @@ object ExtensionCatalog {
         groupBytes = 256L * 1024, pageRows = 2000)
       out
     })
+
+  /** The one-time index builds behind the staged probe queries, exposed so
+    * [[graft.Bench]] can time each build as its OWN row: a deployment pays
+    * the build once per corpus release and the probe per batch, so billing
+    * both to one bench entry misrepresents the steady-state profile (the
+    * reference itself separates its metadata phase from its query phase,
+    * v1/src/main.rs:118-133 vs 137-156). The builds memoize per fixture
+    * dir, so after Bench runs these the probe queries measure probes only.
+    */
+  val stagedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "build_x101_posting" -> ((s, dir) => { stagedPostingIndex(s, dir); () }),
+    "build_x117_minhash_index" -> ((s, dir) => { stagedMinhashIndex(s, dir); () }),
+    "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }))
 }

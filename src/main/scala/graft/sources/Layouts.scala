@@ -212,6 +212,14 @@ object Layouts {
     *                                    merge-walk verify, sorted on id.
     * Build is corpus-linear (one shingle pass + one count + one rank);
     * per-batch probes then touch the corpus only through equi-joins.
+    *
+    * A fourth one-row table `meta` records (threshold, shingle_n): the
+    * prefix rows are only lossless for probes at threshold ≥ the BUILD
+    * threshold (a shorter build prefix has already dropped the candidate
+    * rows a lower-threshold probe would need), so
+    * [[graft.operators.Dedup.exactJaccardPairsStaged]]'s path overload
+    * reads it and rejects a lower probe threshold instead of silently
+    * missing pairs.
     */
   def jaccardIndex(
       docs: DataFrame,
@@ -240,6 +248,10 @@ object Layouts {
     sortedStats(sorted, s"$path/sets", Seq(idCol),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
     sorted.unpersist()
+    val s = docs.sparkSession
+    import s.implicits._
+    Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

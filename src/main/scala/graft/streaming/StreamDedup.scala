@@ -39,6 +39,53 @@ object StreamDedup {
       .start()
   }
 
+  /** Continuous-ingest EXACT-dedup audit against a PERSISTED corpus index
+    * ([[graft.sources.Layouts.jaccardIndex]]) — the streaming form of
+    * x139's batch probe, completing the continual-ingestion story: corpus
+    * index built once per release, then every micro-batch of landing
+    * document files is probed with
+    * [[graft.operators.Dedup.exactJaccardPairsStaged]] (the path form, so
+    * the build-threshold no-miss guard applies to the stream too) and a
+    * per-doc ledger row (doc_id, n_dups, best_jac_ppm) appends to the
+    * sink. Because each incoming doc is classified against the CORPUS only
+    * (no intra-shard pairing), the ledger is independent of how the feed
+    * is micro-batched — batch ≡ stream exactly, which StreamDedupSpec
+    * asserts. State per trigger is the batch itself; nothing accumulates
+    * in the stream (the seen-set lives in the persisted index), so this
+    * runs forever at O(batch) memory — the ingest shape a 100 TB corpus
+    * with a no-miss contract (eval decontamination, licensing holds)
+    * actually deploys.
+    */
+  def ingestAuditAgainstIndex(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      ledgerPath: String,
+      checkpoint: String,
+      threshold: Double = 0.5) = {
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val pairs = graft.operators.Dedup.exactJaccardPairsStaged(
+          batch, indexPath, "doc_id", "text", threshold)
+        batch.select(col("doc_id"))
+          .join(pairs.groupBy(col("in_id").as("doc_id"))
+            .agg(count(lit(1)).as("n_dups"),
+              max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+            coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"))
+          .write.mode("append").parquet(ledgerPath)
+      }
+      .start()
+  }
+
   /** Bounded-state streaming dedup over the EVENTS feed:
     * `dropDuplicatesWithinWatermark` on the idempotency key keeps a seen-key
     * entry only until the watermark passes its event time + the lateness

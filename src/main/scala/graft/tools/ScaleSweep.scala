@@ -1,0 +1,158 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.operators.{Components, Dedup, SimilaritySearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** 50×–100× scale sweep for the heavy dedup/ANN families, with the fitted
+  * growth exponent per family — the measured backing for SCALING.md's
+  * 100 TB claims (the 10×/20× ScaleSmoke datapoints only bound the curve's
+  * start).
+  *
+  * Replication model — REALISTIC, unlike ScaleSmoke's adversarial one: at
+  * scale c every base doc yields c copies in duplicate GROUPS OF 5 (each
+  * group's members differ by one token — near-dups at jac ≈ 0.96; distinct
+  * groups of the same base doc are pushed below any 0.5 threshold by a
+  * 60-token salt block, and base text is truncated to 300 chars so the
+  * salt block provably dominates: cross-group jac ≤ 50/170 < 0.3). A real
+  * corpus at 100× the size has ~100× the duplicate pairs, not 100²× —
+  * group size is a property of the data (how often a page is mirrored),
+  * not of corpus size. Under this model every family's stated driver
+  * (rows, pairs, edges, cells) grows LINEARLY in c, so the honest pass
+  * criterion is: fitted wall-time exponent vs c ≈ 1 (sub-linear when a
+  * fixed overhead still dominates). The adversarial full-replication
+  * density curve stays ScaleSmoke's job.
+  *
+  * One scan per corpus: replication is an explode over `sequence(0, c-1)`,
+  * never a c-way union (a 100-way union's plan alone would distort small
+  * scales).
+  */
+object ScaleSweep {
+
+  private val Group = 5 // duplicate-group size, fixed across scales
+
+  /** (copies × base) documents in 5-way near-dup groups; cross-group
+    * similarity structurally below 0.5 (see object doc).
+    */
+  private def replicateDocs(base: DataFrame, copies: Int): DataFrame =
+    base
+      .select(col("doc_id"), substring(col("text"), 1, 300).as("t"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
+        concat(col("t"), lit(" u"), (col("i") % Group).cast("string"), lit(" "),
+          expr(s"""concat_ws(' ', transform(sequence(0, 59),
+                  |  j -> concat('s', CAST(i div $Group AS STRING), 'x',
+                  |              CAST(j AS STRING))))""".stripMargin))
+          .as("text"))
+
+  /** (copies × base) embeddings, each copy perturbed on one dimension so
+    * vectors are distinct but copies of one base stay near (the shape a
+    * re-embedded mirrored corpus has).
+    */
+  private def replicateEmb(base: DataFrame, copies: Int): DataFrame =
+    base
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      .select((col("vec_id") + col("i") * 1000000L).as("vec_id"),
+        expr("""transform(embedding, (x, j) ->
+                |  CAST(x + CAST(i AS FLOAT) * 0.01f *
+                |    (CASE WHEN j = pmod(i, 64) THEN 1.0f ELSE 0.0f END) AS FLOAT))"""
+          .stripMargin).as("embedding"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val scales = (if (args.length > 1) args(1) else "10,25,50,100")
+      .split(",").map(_.trim.toInt).toSeq
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = GraftSession.build("graft-scalesweep", cores = cores.toInt)
+    spark.sparkContext.setLogLevel("ERROR")
+    val baseDocs = GraftSession.table(spark, sfDir, "documents")
+      .select("doc_id", "text").localCheckpoint()
+    val baseEmb = GraftSession.table(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding").localCheckpoint()
+    val n0 = baseDocs.count()
+
+    // family -> (scale -> (seconds, driver count))
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]
+    def record(family: String, c: Int)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val count = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      results.getOrElseUpdate(family,
+        scala.collection.mutable.LinkedHashMap.empty) += c -> (sec, count)
+      println(f"[sweep] c=$c%3d $family%-24s ${sec}%8.2f s  n=$count%,d")
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    for (c <- scales) {
+      println(s"[sweep] ==== scale ${c}x: ${n0 * c} docs ====")
+      val docs = replicateDocs(baseDocs, c).localCheckpoint()
+      record("exact_dedup", c)(Dedup.exact(docs).count())
+      val pairDf = Dedup.minhashNearDups(docs, k = 16, bands = 8,
+        shingleN = 3, threshold = 0.5)
+      record("minhash_lsh_pairs", c)(pairDf.count())
+      record("exact_prefix_jaccard", c)(
+        Dedup.exactJaccardSelfPairs(
+          Dedup.minhashSignature(docs, k = 16, shingleN = 3)
+            .select(col("doc_id"), col("shingles")),
+          threshold = 0.5).count())
+      record("components", c) {
+        val comp = Components.connectedComponents(pairDf.localCheckpoint(true))
+        comp.count()
+      }
+      // persisted-index path: build on the corpus (linear), probe a FIXED
+      // shard (must track the shard, i.e. stay ~flat as c grows). The
+      // shard is copy 0 of the corpus re-identified — half exact
+      // re-deliveries, half one-token edits — so the probes classify real
+      // duplicates, not structurally-dissimilar strangers.
+      val shard = docs.where(col("doc_id") < 1000000L).select(
+        (col("doc_id") + lit(900000000L)).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" xtra"))).as("text"))
+      val mhDir = java.nio.file.Files.createTempDirectory(s"sweep-mh$c").toString
+      record("minhash_index_build", c) {
+        graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16); n0 * c
+      }
+      record("ingest_probe_banded", c)(
+        Dedup.incrementalDedupStaged(shard,
+          spark.read.parquet(s"$mhDir/fp"),
+          spark.read.parquet(s"$mhDir/banded"),
+          spark.read.parquet(s"$mhDir/shingles")).count())
+      val jacDir = java.nio.file.Files.createTempDirectory(s"sweep-jac$c").toString
+      record("jaccard_index_build", c) {
+        graft.sources.Layouts.jaccardIndex(docs, jacDir, partitions = 16); n0 * c
+      }
+      record("ingest_probe_exact", c)(
+        Dedup.exactJaccardPairsStaged(shard, jacDir, "doc_id", "text",
+          threshold = 0.5).count())
+      // SemDeDup with the centroid knob: cells ~50 at EVERY scale
+      val emb = replicateEmb(baseEmb, c).localCheckpoint()
+      record("semdedup_scaled", c)(
+        SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
+          .where(col("dropped")).count())
+      Seq(mhDir, jacDir).foreach { d =>
+        scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+      }
+    }
+
+    // ln-ln least-squares slope of wall time vs scale per family: the
+    // growth exponent the 100 TB claims rest on
+    println("family,scales,times_sec,counts,exponent")
+    results.foreach { case (family, m) =>
+      val pts = m.toSeq.map { case (cc, (sec, _)) => (math.log(cc), math.log(sec)) }
+      val n = pts.length
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val slope =
+        if (n < 2 || sxx * n - sx * sx == 0) Double.NaN
+        else (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val times = m.toSeq.map { case (_, (s, _)) => f"$s%.2f" }.mkString("|")
+      val counts = m.toSeq.map(_._2._2).mkString("|")
+      println(f"$family,${m.keys.mkString("|")},$times,$counts,$slope%.2f")
+    }
+    spark.stop()
+  }
+}

@@ -56,6 +56,22 @@ class FixtureSchemaSpec extends AnyFunSuite with Matchers {
   private def actual(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
     df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
 
+  test("fixture directory contains exactly the pinned tables (growth canary)") {
+    // A table the driver ADDS is drift too: every pinned table has queries
+    // and a schema row here, so an unexpected file must fail loudly — the
+    // alternative is a fixture surface silently growing past the canary.
+    val onDisk = Option(new java.io.File(SparkTestSession.sf0001).listFiles())
+      .getOrElse(Array.empty)
+      .map(_.getName).filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet")).toSet
+    val pinned = expectedRaw.keySet
+    withClue(s"FIXTURE SET DRIFT —\n  unexpected (add to expectedRaw + queries): " +
+      s"${(onDisk -- pinned).toSeq.sorted}\n  missing from disk: " +
+      s"${(pinned -- onDisk).toSeq.sorted}\n") {
+      onDisk shouldBe pinned
+    }
+  }
+
   for ((name, want) <- expectedRaw.toSeq.sortBy(_._1))
     test(s"$name.parquet physical schema is pinned (drift canary)") {
       val got = actual(spark.read.parquet(s"${SparkTestSession.sf0001}/$name.parquet"))

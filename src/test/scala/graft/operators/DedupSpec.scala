@@ -124,6 +124,47 @@ class DedupSpec extends AnyFunSuite with Matchers {
     staged should not be empty // the fixture split must exercise the probe
   }
 
+  test("prefix join under a pathologically hot token: AQE splits the skew, result stays exact") {
+    // The one hot-bucket shape frequency-ordering CANNOT defuse: a massive
+    // duplicate group. All its members share the same frequency profile, so
+    // they keep the same prefix tokens — each such token becomes a join key
+    // with |group| rows on BOTH sides. That skew is irreducible (the pairs
+    // are real); the question is whether the engine bounds the max task.
+    // This plants a 600-doc identical group among 2000 disjoint singletons,
+    // drops the AQE skew thresholds to fixture scale, and asserts (a) the
+    // executed plan shows the skew split and (b) the pair set is still the
+    // exact n·(n−1)/2 — the structural evidence SCALING.md's prefix-join
+    // section points at.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption.filter(_ != null))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val group = (0L until 1500L).map(i => (i, Array(1L, 2L, 3L, 4L)))
+      val singles = (0L until 2000L)
+        .map(i => (10000L + i, Array(100L + i * 10, 101L + i * 10, 102L + i * 10, 103L + i * 10)))
+      val df = (group ++ singles).toDF("doc_id", "shingles").repartition(8)
+      val pairs = Dedup.exactJaccardSelfPairs(df, threshold = 0.5)
+        .select("id_a", "id_b")
+      // collect() (not count()) so the AQE-finalized plan is THIS dataset's
+      pairs.collect().length shouldBe 1500 * 1499 / 2 // exact under skew
+      val executed = pairs.queryExecution.executedPlan.toString
+      executed should include("skew=true") // AQE split the hot partition
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("minhash LSH plan shuffles on band buckets, not all pairs") {
     val plan = Dedup.minhashNearDups(planted).queryExecution.optimizedPlan.toString
     // the candidate join must be an equi-join (band, bandhash) — never a

@@ -122,4 +122,23 @@ class SimilaritySearchSpec extends AnyFunSuite with Matchers {
       .queryExecution.sparkPlan.toString
     plan should include("Broadcast")
   }
+
+  test("semDedupScaled: one row per vector, exact duplicates collide and drop") {
+    val spark = SparkTestSession.spark
+    // plant exact duplicates: every vector re-appears under id + 100000 —
+    // a duplicate MUST land in its twin's cell (identical cosine to every
+    // centroid at every layer) and be dropped (cos = 1 ≥ tau, higher id)
+    val dup = emb.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    val corpus = emb.select("vec_id", "embedding").unionAll(dup)
+    val out = SimilaritySearch.semDedupScaled(corpus, targetCellSize = 10, tau = 0.999)
+    val rows = out.collect()
+    rows.length shouldBe corpus.count() // ledger covers every vector
+    val droppedIds = rows.filter(_.getBoolean(2)).map(_.getLong(1)).toSet
+    val originals = emb.select("vec_id").as[Long].collect()
+    originals.foreach { id => droppedIds should contain(id + 100000L) }
+    originals.foreach { id => droppedIds should not contain id } // keeper = lower id
+    // the knob holds: cells track the target size, not the corpus size
+    val cellSizes = rows.groupBy(_.getLong(0)).map(_._2.length)
+    cellSizes.max should be <= 10 * 12 // hash-sample variance bound, not n
+  }
 }

@@ -102,6 +102,71 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("staged-index ingest audit: streaming ledger equals the batch probe exactly") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    // corpus release: even-id docs, exact-jaccard index built ONCE
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("ingest-jacidx").toString
+    graft.sources.Layouts.jaccardIndex(
+      docs.where(col("doc_id") % 2 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    // incoming feed: odd-id docs landing as TWO separate files (two triggers)
+    val in = java.nio.file.Files.createTempDirectory("ingest-in").toString
+    val ledger = java.nio.file.Files.createTempDirectory("ingest-led").toString + "/ledger"
+    val ckpt = java.nio.file.Files.createTempDirectory("ingest-ckpt").toString
+    def land(name: String, part: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = java.nio.file.Files.createTempDirectory("ingest-stage").toString
+      part.coalesce(1).write.mode("overwrite").parquet(stage)
+      val src = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    land("b1", odd.where(col("doc_id") < 250))
+    land("b2", odd.where(col("doc_id") >= 250))
+    val q = StreamDedup.ingestAuditAgainstIndex(spark, in, idx, ledger, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // batch truth: the same probe over the whole shard at once — the ledger
+    // must be IDENTICAL (per-doc classification never depends on batching)
+    val batchLedger = odd.select(col("doc_id"))
+      .join(graft.operators.Dedup
+        .exactJaccardPairsStaged(odd, idx, "doc_id", "text", threshold = 0.5)
+        .groupBy(col("in_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"))
+    val got = spark.read.parquet(ledger).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val want = batchLedger.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    got.length shouldBe odd.count()
+    got shouldBe want
+    want.exists(_._2 > 0) shouldBe true // the fixture does contain near-dups
+  }
+
+  test("staged-index probe refuses a threshold below the build threshold") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("guard-jacidx").toString
+    graft.sources.Layouts.jaccardIndex(
+      docs.where(col("doc_id") % 2 === 0).limit(50), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, threshold = 0.5)
+    val odd = docs.where(col("doc_id") % 2 === 1).limit(10)
+    // at or above the build threshold: fine
+    graft.operators.Dedup
+      .exactJaccardPairsStaged(odd, idx, "doc_id", "text", threshold = 0.6)
+    // below: the prefix rows cannot guarantee no-miss — must refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .exactJaccardPairsStaged(odd, idx, "doc_id", "text", threshold = 0.3)
+    }
+    e.getMessage should include("build threshold")
+  }
+
   test("watermark-bounded dedup drops in-bound re-deliveries, state stays bounded") {
     val spark = graft.SparkTestSession.spark
     import spark.implicits._
