@@ -33,24 +33,32 @@ object ScaleSweep {
   private val Group = 5 // duplicate-group size, fixed across scales
 
   /** (copies × base) documents in 5-way near-dup groups; cross-group
-    * similarity structurally below 0.5 (see object doc).
+    * similarity structurally below 0.5 (see object doc). The salt block
+    * is keyed on (doc_id, group) — keyed on the group index alone, every
+    * doc with the same copy index would share 60 salt tokens and short
+    * docs would become spurious cross-corpus near-dups (first sweep run:
+    * 48 M pairs at 10× instead of ~100 k). The explode inherits the
+    * single-file scan's one partition, so the corpus is repartitioned
+    * before checkpointing or every downstream map stage runs as ONE task.
     */
-  private def replicateDocs(base: DataFrame, copies: Int): DataFrame =
+  private def replicateDocs(base: DataFrame, copies: Int, parallelism: Int): DataFrame =
     base
       .select(col("doc_id"), substring(col("text"), 1, 300).as("t"),
         explode(sequence(lit(0), lit(copies - 1))).as("i"))
       .select((col("doc_id") + col("i") * 1000000L).as("doc_id"),
         concat(col("t"), lit(" u"), (col("i") % Group).cast("string"), lit(" "),
           expr(s"""concat_ws(' ', transform(sequence(0, 59),
-                  |  j -> concat('s', CAST(i div $Group AS STRING), 'x',
+                  |  j -> concat('s', CAST(doc_id AS STRING), '_',
+                  |              CAST(i div $Group AS STRING), 'x',
                   |              CAST(j AS STRING))))""".stripMargin))
           .as("text"))
+      .repartition(parallelism)
 
   /** (copies × base) embeddings, each copy perturbed on one dimension so
     * vectors are distinct but copies of one base stay near (the shape a
     * re-embedded mirrored corpus has).
     */
-  private def replicateEmb(base: DataFrame, copies: Int): DataFrame =
+  private def replicateEmb(base: DataFrame, copies: Int, parallelism: Int): DataFrame =
     base
       .select(col("vec_id"), col("embedding"),
         explode(sequence(lit(0), lit(copies - 1))).as("i"))
@@ -59,6 +67,7 @@ object ScaleSweep {
                 |  CAST(x + CAST(i AS FLOAT) * 0.01f *
                 |    (CASE WHEN j = pmod(i, 64) THEN 1.0f ELSE 0.0f END) AS FLOAT))"""
           .stripMargin).as("embedding"))
+      .repartition(parallelism)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -86,9 +95,10 @@ object ScaleSweep {
       spark.sharedState.cacheManager.clearCache()
     }
 
+    val par = cores.toInt * 2
     for (c <- scales) {
       println(s"[sweep] ==== scale ${c}x: ${n0 * c} docs ====")
-      val docs = replicateDocs(baseDocs, c).localCheckpoint()
+      val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       record("exact_dedup", c)(Dedup.exact(docs).count())
       val pairDf = Dedup.minhashNearDups(docs, k = 16, bands = 8,
         shingleN = 3, threshold = 0.5)
@@ -128,7 +138,7 @@ object ScaleSweep {
         Dedup.exactJaccardPairsStaged(shard, jacDir, "doc_id", "text",
           threshold = 0.5).count())
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale
-      val emb = replicateEmb(baseEmb, c).localCheckpoint()
+      val emb = replicateEmb(baseEmb, c, par).localCheckpoint()
       record("semdedup_scaled", c)(
         SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
           .where(col("dropped")).count())
