@@ -258,16 +258,26 @@ object SimilaritySearch {
       tau: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // sampling hashes are fixed multiplicative constants mod the shared
+    // Prime (the MinHash-permutation convention), NOT xxhash64: the
+    // centroid choice must replay bit-exactly in the DuckDB oracle
     val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
         norm(col(vecCol)).as("centn"))
-      .where(pmod(xxhash64(col("cent_id")), lit(targetCellSize.toLong)) === 0)
+      .where((col("cent_id") * lit(2654435761L) % lit(Prime))
+        % lit(targetCellSize.toLong) === 0)
       .localCheckpoint()
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
     // already-materialized centroid table — O(k), not a corpus scan)
     val k = math.max(1L, cents.count())
     val coarseMod = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    // the min centroid id is always coarse: a hash sample CAN miss every
+    // centroid, and an empty coarse layer would silently empty the ledger
+    val minCent = cents.agg(min("cent_id")).head()
+    val coarseSel = (col("cent_id") * lit(40503L) + lit(7L)) % lit(Prime) %
+      lit(coarseMod) === 0
     val coarse = broadcast(cents
-      .where(pmod(xxhash64(col("cent_id"), lit(1)), lit(coarseMod)) === 0)
+      .where(if (minCent.isNullAt(0)) coarseSel
+             else coarseSel || col("cent_id") === minCent.getLong(0))
       .select(col("cent_id").as("coarse_id"), col("centv").as("coarsev"),
         col("centn").as("coarsen")))
     def toCoarse(df: DataFrame, id: String, v: String, n: String): DataFrame = {

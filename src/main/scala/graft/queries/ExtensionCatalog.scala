@@ -5806,7 +5806,63 @@ object ExtensionCatalog {
       "exact incremental-ingest audit: incoming shard probed against the " +
         "persisted exact-jaccard corpus index (prefix + positional filter, " +
         "no-miss contract) — per-doc duplicate count and best match ppm " +
-        "(extension: dedup / incremental ingest)")
+        "(extension: dedup / incremental ingest)"),
+
+    CatalogEntry(
+      "x140_semdedup_scaled",
+      (s, dir) => {
+        // SemDeDup with the centroid count ∝ corpus (the knob that keeps
+        // x122's within-cell pair term linear as the corpus grows) and
+        // two-level IVF assignment so corpus-proportional k doesn't turn
+        // the assignment stage quadratic: corpus rows score only the fine
+        // centroids of their coarse cell (n·√k, one shuffle on the coarse
+        // id). Sampling hashes are fixed multiplicative constants mod the
+        // shared prime, so the oracle replays centroid choice, both
+        // assignment layers, and the within-cell drop bit-exactly.
+        SimilaritySearch.semDedupScaled(
+            t(s, dir, "embeddings"), targetCellSize = 25, tau = 0.25)
+          .select(col("cent_id"), col("id").as("vec_id"),
+            when(col("dropped"), 1L).otherwise(0L).as("dropped"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE ((vec_id * 2654435761) % 1000000007) % 25 = 0),
+              |km AS (SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) AS cm,
+              |              MIN(cent_id) AS mn FROM cents),
+              |coarse AS (
+              |  SELECT cent_id AS coarse_id, centv AS coarsev FROM cents, km
+              |  WHERE ((cent_id * 40503 + 7) % 1000000007) % km.cm = 0
+              |     OR cent_id = km.mn),
+              |fine_asg AS (SELECT cent_id, centv, coarse_id FROM (
+              |  SELECT c.cent_id, c.centv, co.coarse_id,
+              |    ROW_NUMBER() OVER (PARTITION BY c.cent_id
+              |      ORDER BY ${dCos("c.centv", "co.coarsev")} DESC, co.coarse_id) AS r
+              |  FROM cents c, coarse co) WHERE r = 1),
+              |corp_asg AS (SELECT id, v, coarse_id FROM (
+              |  SELECT e.vec_id AS id, e.embedding AS v, co.coarse_id,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${dCos("e.embedding", "co.coarsev")} DESC, co.coarse_id) AS r
+              |  FROM embeddings e, coarse co) WHERE r = 1),
+              |asg AS (SELECT id, v, cent_id FROM (
+              |  SELECT ca.id, ca.v, f.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY ca.id
+              |      ORDER BY ${dCos("ca.v", "f.centv")} DESC, f.cent_id) AS r
+              |  FROM corp_asg ca JOIN fine_asg f ON ca.coarse_id = f.coarse_id)
+              |  WHERE r = 1),
+              |dropped AS (SELECT DISTINCT b.cent_id, b.id
+              |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id
+              |  WHERE ${dCos("a.v", "b.v")} >= 0.25)
+              |SELECT g.cent_id, g.id AS vec_id,
+              |  CAST(CASE WHEN d.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+              |    AS dropped
+              |FROM asg g LEFT JOIN dropped d
+              |  ON g.cent_id = d.cent_id AND g.id = d.id
+              |ORDER BY vec_id""".stripMargin),
+      "SemDeDup at corpus-proportional centroid count: two-level IVF " +
+        "assignment (coarse √k layer, fine within coarse cell) keeps both " +
+        "the assignment and the within-cell pair term sub-quadratic — the " +
+        "100 TB form of x122 (extension: dedup / embeddings / scale)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
