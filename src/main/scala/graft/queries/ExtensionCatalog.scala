@@ -65,10 +65,11 @@ object ExtensionCatalog {
     * Per-doc array HOFs, zero shuffle; shared with
     * [[graft.tools.ScaleSmoke]]'s corpus-replication curve.
     */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame = docs
-    .select(split(col("text"), " ").as("toks"))
-    .select(col("toks"), size(col("toks")).as("n"),
-      expr(s"transform(toks, t -> ${fingerprintExpr("t")})").as("fps"))
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    org.apache.spark.sql.graft.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(expr("graft_token_hashes(text)").as("fps"))
+      .select(col("fps"), size(col("fps")).as("n"))
     .select(expr(
       "transform(sequence(1, n), i -> " +
         "size(filter(slice(fps, 1, i - 1), f -> f % 16 = 0)))").as("segs"),
@@ -81,6 +82,7 @@ object ExtensionCatalog {
           'len', CAST(size(filter(sequence(1, n), i -> element_at(segs, i) = s))
             AS BIGINT)))""")).as("c"))
     .select(col("c.h").as("h"), col("c.len").as("len"))
+  }
 
   /** x123's overlapping 8-token window fingerprints: one (doc_id, n, i, fp)
     * row per window start — the exact-substring duplication primitive.
@@ -3021,34 +3023,45 @@ object ExtensionCatalog {
       (s, dir) => {
         // distributed substring search: a char-trigram posting index makes
         // LIKE '%pat%' a selective equi-probe — candidates must contain ALL
-        // pattern trigrams (count-distinct == |tris|), then only candidates
-        // are verified with contains(). At 100 TB the posting table is the
-        // persisted index; the full-corpus LIKE scan never happens.
+        // pattern trigrams (count == |tris|), then only candidates are
+        // verified with contains(). At 100 TB the posting table is the
+        // persisted index; the full-corpus LIKE scan never happens. The
+        // posting rows are the trigram's 8-byte rolling hash, not the
+        // trigram string (native kernel, one tight loop per row; the
+        // shuffle moves longs). Hash collisions can only widen the
+        // candidate set, and contains() verifies — output is identical.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val pat = "table part"
-        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+        val patHashes = (0 to pat.length - 3)
+          .map(i => graft.functions.expressions.HashExpressions.polyHash(pat, i, i + 3))
+          .distinct
         val docs = t(s, dir, "documents")
         val posting = docs.where(length(col("text")) >= 3)
-          .select(col("doc_id"), explode(array_distinct(expr(
-            "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")))
-            .as("tri"))
+          .select(col("doc_id"),
+            explode(expr("graft_char_ngram_hashes(text, 3)")).as("tri"))
+        // the per-doc hash array is already distinct, so each matching
+        // hash contributes exactly one row: count(*) == count(distinct)
         val cands = posting
-          .where(col("tri").isin(tris: _*))
-          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
-          .where(col("nt") === tris.size)
+          .where(col("tri").isin(patHashes: _*))
+          .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+          .where(col("nt") === patHashes.size)
         cands.join(docs, "doc_id")
           .where(col("text").contains(pat))
           .select("doc_id")
           .orderBy("doc_id")
       },
-      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
-             |    range(1, length('table part') - 1),
-             |    i -> substring('table part', i, 3))) AS tri),
+      Some(s"""WITH p AS (SELECT DISTINCT ${dPoly("tri")} AS trih FROM (
+             |    SELECT unnest(list_transform(
+             |      range(1, length('table part') - 1),
+             |      i -> substring('table part', i, 3))) AS tri)),
              |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+             |    list_transform(range(1, length(text) - 1),
+             |                   i -> substring(text, i, 3)),
+             |    tri -> ${dPoly("tri")}))) AS trih
              |  FROM documents WHERE length(text) >= 3),
-             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+             |cand AS (SELECT doc_id FROM posting WHERE trih IN (SELECT trih FROM p)
              |  GROUP BY doc_id
-             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+             |  HAVING COUNT(*) = (SELECT COUNT(*) FROM p))
              |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
              |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
       "char-trigram posting index + all-trigrams candidate intersection + contains() " +
@@ -4600,17 +4613,22 @@ object ExtensionCatalog {
         // bit-exact across engines). Docs whose mean per-token share beats
         // 60000 ppm (uniform would be 50000 at 20 sources) are selected.
         // The bucket tables are 64 rows → broadcast; the corpus sees one
-        // explode + two hash aggregates — no shuffle carries token text.
+        // explode + two hash aggregates — no shuffle carries token text
+        // (the native token-hash kernel tokenizes and hashes in one loop
+        // per row; the interpreted per-token HOF walk this replaces was
+        // the query's whole cost).
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val toks = t(s, dir, "documents")
           .select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("tok"))
-          .withColumn("bucket", expr(s"${fingerprintExpr("tok")} % 64"))
-          .drop("tok")
-        val tgt = toks.where(col("source") === "src0")
-          .groupBy("bucket").agg(count(lit(1)).as("tgt_cnt"))
-        val all = toks.groupBy("bucket").agg(count(lit(1)).as("all_cnt"))
-        val freq = all.join(tgt, Seq("bucket"), "left")
-          .na.fill(0L, Seq("tgt_cnt"))
+            explode(expr("graft_token_hashes(text)")).as("th"))
+          .withColumn("bucket", expr("th % 64"))
+          .drop("th")
+        // one aggregate builds both counts (a conditional sum is the
+        // map-side-combined form of the tgt/all split + left join — one
+        // corpus pass instead of two, no join to re-align buckets)
+        val freq = toks.groupBy("bucket").agg(
+          count(lit(1)).as("all_cnt"),
+          sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tgt_cnt"))
         toks.join(broadcast(freq), Seq("bucket"))
           .withColumn("contrib", expr("tgt_cnt * 1000000 div all_cnt"))
           .groupBy("doc_id", "source")
