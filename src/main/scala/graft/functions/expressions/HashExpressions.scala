@@ -286,6 +286,79 @@ object HashExpressions {
     out
   }
 
+  /** Fingerprints of the non-overlapping `n`-token chunks of `input` (the
+    * floor(ntok/n) COMPLETE chunks, single-space tokenization with empties
+    * preserved). Because `split(' ')` → `concat_ws(' ')` round-trips
+    * exactly, chunk c's joined string IS the contiguous substring of the
+    * input from the start of token c·n to the end of token c·n+n−1 — so
+    * each fingerprint is one polyHash over that span, never a rebuilt
+    * string. Values identical to
+    * `polyhash(concat_ws(' ', slice(split(text,' '), c*n+1, n)))`.
+    */
+  def evalChunkHashes(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    val len = s.length
+    var ntok = 1
+    var i = 0
+    while (i < len) { if (s.charAt(i) == ' ') ntok += 1; i += 1 }
+    val m = ntok / n
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    val starts = new Array[Int](ntok)
+    starts(0) = 0
+    var k = 1
+    i = 0
+    while (i < len) {
+      if (s.charAt(i) == ' ') { starts(k) = i + 1; k += 1 }
+      i += 1
+    }
+    val out = new Array[Long](m)
+    var c = 0
+    while (c < m) {
+      val from = starts(c * n)
+      val until = if (c * n + n < ntok) starts(c * n + n) - 1 else len
+      out(c) = polyHash(s, from, until)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** PQ encode+reconstruct in one pass: for each of `nsub` contiguous
+    * subspaces pick the codeword (first strict minimum of sub-squared-L2,
+    * so the caller's cb_id-sorted codebook breaks ties toward the smallest
+    * id) and emit its sub-slice. Distances accumulate in double, ascending
+    * dimension — bit-identical to the HOF fold and the DuckDB oracle.
+    */
+  def evalPqReconstruct(cv: ArrayData, cbs: ArrayData, nsub: Int): ArrayData = {
+    val dim = cv.numElements()
+    val sub = dim / nsub
+    val ncb = cbs.numElements()
+    val out = new Array[Float](dim)
+    var b = 0
+    while (b < nsub) {
+      val off = b * sub
+      var best = -1
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < ncb) {
+        val cb = cbs.getArray(c)
+        var d = 0.0
+        var k = 0
+        while (k < sub) {
+          val diff = cv.getFloat(off + k).toDouble - cb.getFloat(off + k).toDouble
+          d += diff * diff
+          k += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val win = cbs.getArray(best)
+      var k = 0
+      while (k < sub) { out(off + k) = win.getFloat(off + k); k += 1 }
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   private[expressions] def isFloatArray(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true
@@ -447,6 +520,40 @@ case class DotProduct(left: Expression, right: Expression)
       }
     """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `graft_chunk_hashes(str, n)` — fingerprints of the non-overlapping
+  * n-token chunks (see [[HashExpressions.evalChunkHashes]]): one polyHash
+  * per complete chunk over the original string's span, replacing the
+  * interpreted rebuild-the-chunk-string-then-fold HOF in x96/x100/x103.
+  */
+case class ChunkHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+  override def dataType: DataType = longArray
+  override def nullSafeEval(input: Any): Any =
+    evalChunkHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$H.evalChunkHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ChunkHashes =
+    copy(child = newChild)
+}
+
+/** PQ encode+reconstruct (see [[HashExpressions.evalPqReconstruct]]):
+  * left = the vector (array<float>), right = the cb_id-sorted codebook
+  * vectors (array<array<float>>), `nsub` contiguous subspaces. Returns the
+  * reconstruction the asymmetric-distance scan scores. Not registered —
+  * constructed directly by x127 via `GraftFunctions.column`.
+  */
+case class PqReconstruct(left: Expression, right: Expression, nsub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(nsub >= 1)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalPqReconstruct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nsub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"$H.evalPqReconstruct($a, $b, $nsub)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqReconstruct =
     copy(left = l, right = r)
 }
 

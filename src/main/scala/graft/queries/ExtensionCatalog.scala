@@ -3076,9 +3076,10 @@ object ExtensionCatalog {
         // (per-source, per-source×lang); entropy terms are rounded to
         // integer micro-nats BEFORE the per-source sum (the x81 rule), so
         // the only float math is per-row scalar.
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val d = t(s, dir, "documents").select(col("source"), col("lang"),
           tokenCount("text").cast("long").as("nt"),
-          expr(fingerprintExpr("lower(trim(text))")).as("fp"))
+          expr("graft_poly_hash(lower(trim(text)))").as("fp"))
         val base = d.groupBy("source").agg(
           count(lit(1)).as("n_docs"),
           sum("nt").as("total_tokens"),
@@ -3434,14 +3435,13 @@ object ExtensionCatalog {
         // chunks, count each fingerprint across the WHOLE corpus, and score
         // every doc by the fraction of its chunks that also appear
         // elsewhere — headers/footers/licenses light up. One chunk-level
-        // shuffle (map-side combined counts), one join back.
-        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
+        // shuffle (map-side combined counts), one join back. Chunk fps
+        // come from the native span-hash kernel (one pass over the text,
+        // no rebuilt chunk strings).
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val chunks = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 16)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
-            .as("fp"))
+          .select(col("doc_id"),
+            explode(expr("graft_chunk_hashes(text, 16)")).as("fp"))
         val counts = chunks.groupBy("fp").agg(count(lit(1)).as("cnt"))
         chunks.join(counts, "fp")
           .groupBy("doc_id")
@@ -3575,8 +3575,9 @@ object ExtensionCatalog {
         // All inputs are exact integer counts; the interval itself is
         // per-row scalar double (sqrt precedent: cosine distances).
         val z2 = 1.96 * 1.96
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val d = t(s, dir, "documents").select(col("source"),
-          expr(fingerprintExpr("lower(trim(text))")).as("fp"))
+          expr("graft_poly_hash(lower(trim(text)))").as("fp"))
         val base = d.groupBy("source").agg(
           count(lit(1)).as("n"),
           countDistinct(col("fp")).as("nd"))
@@ -3639,12 +3640,11 @@ object ExtensionCatalog {
           .join(keepers, Seq("fp", "doc_id"), "left_semi")
           .select("doc_id", "source", "text")
           .cache()
-        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
-        val chunks = exactKept.select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 16)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
-            .as("cfp"))
+        // chunk fps from the native span-hash kernel: one pass over the
+        // text, identical values to the rebuilt-chunk-string polyhash
+        val chunks = exactKept
+          .select(col("doc_id"),
+            explode(expr("graft_chunk_hashes(text, 16)")).as("cfp"))
         val cnt = chunks.groupBy("cfp").agg(count(lit(1)).as("cnt"))
         val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
           .agg(count(lit(1)).as("nc"),
@@ -3831,12 +3831,11 @@ object ExtensionCatalog {
           .join(keepers, Seq("fp", "doc_id"), "left_semi")
           .select("doc_id", "source", "text")
           .cache() // x100's staging barrier: feeds chunks, ratios, sigs, joins
-        val chunkFp = fingerprintExpr("concat_ws(' ', slice(toks, i * 16 + 1, 16))")
-        val chunks = exactKept.select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .where(size(col("toks")) >= 16)
-          .select(col("doc_id"), explode(expr(
-            s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), i -> $chunkFp)"))
-            .as("cfp"))
+        // chunk fps from the native span-hash kernel: one pass over the
+        // text, identical values to the rebuilt-chunk-string polyhash
+        val chunks = exactKept
+          .select(col("doc_id"),
+            explode(expr("graft_chunk_hashes(text, 16)")).as("cfp"))
         val cnt = chunks.groupBy("cfp").agg(count(lit(1)).as("cnt"))
         val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
           .agg(count(lit(1)).as("nc"),
@@ -5113,31 +5112,23 @@ object ExtensionCatalog {
         // the explode→row_number formulation shuffled corpus×codebook×8
         // rows through a window just to pick 8 argmins per vector
         val cbRow = e.where(col("vec_id") % 50 === 0)
-          .agg(sort_array(collect_list(struct(
-            col("vec_id").as("cb_id"), col("embedding").as("cbv")))).as("cbs"))
+          .agg(expr("""transform(
+              |  sort_array(collect_list(struct(vec_id AS cb_id, embedding AS cbv))),
+              |  c -> c.cbv)""".stripMargin).as("cbvs"))
         val corpus = e.where(col("vec_id") >= 10)
           .select(col("vec_id").as("corpus_id"), col("embedding").as("cv"))
+        // encoding runs in the native PqReconstruct kernel: one tight loop
+        // per row over (8 subspaces × codebook × 8 dims), double math in
+        // the same order as the HOF fold it replaces (which evaluated the
+        // whole codebook through interpreted Expression walks per row and
+        // was this query's entire cost)
         val recon = corpus.crossJoin(broadcast(cbRow))
-          .select(col("corpus_id"), expr(
-            """flatten(transform(sequence(0, 7), b ->
-              |  aggregate(cbs,
-              |    named_struct('d', CAST('Infinity' AS DOUBLE),
-              |                 'sub', CAST(array() AS ARRAY<FLOAT>)),
-              |    (acc, c) -> CASE WHEN
-              |        aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a2, k) ->
-              |          a2 + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))
-              |             * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE)))
-              |        < acc.d
-              |      THEN named_struct('d',
-              |        aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a2, k) ->
-              |          a2 + (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))
-              |             * (CAST(element_at(cv, b * 8 + k) AS DOUBLE)
-              |              - CAST(element_at(c.cbv, b * 8 + k) AS DOUBLE))),
-              |        'sub', slice(c.cbv, b * 8 + 1, 8))
-              |      ELSE acc END).sub))""".stripMargin).as("rv"))
+          .select(col("corpus_id"),
+            org.apache.spark.sql.graft.GraftFunctions.column(
+              graft.functions.expressions.PqReconstruct(
+                org.apache.spark.sql.graft.GraftFunctions.expression(col("cv")),
+                org.apache.spark.sql.graft.GraftFunctions.expression(col("cbvs")),
+                nsub = 8)).as("rv"))
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
             SimilaritySearch.norm(col("embedding")).as("qn"))

@@ -57,5 +57,7 @@ object GraftFunctions {
       args => SimHash(args.head, intArg(args(1), "graft_simhash")), "built-in")
     reg.createOrReplaceTempFunction("graft_intersect_size",
       args => IntersectSize(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_chunk_hashes",
+      args => ChunkHashes(args.head, intArg(args(1), "graft_chunk_hashes")), "built-in")
   }
 }
