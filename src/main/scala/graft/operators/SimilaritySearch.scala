@@ -258,12 +258,25 @@ object SimilaritySearch {
       tau: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    // sampling hashes are fixed multiplicative constants mod the shared
-    // Prime (the MinHash-permutation convention), NOT xxhash64: the
-    // centroid choice must replay bit-exactly in the DuckDB oracle
+    // sampling hashes are fixed QUADRATIC polynomials mod the shared Prime
+    // — deterministic and bit-replayable in the DuckDB oracle, like the
+    // MinHash-permutation constants, but lattice-robust, unlike them. An
+    // AFFINE hash ((id·A + B) mod P mod m) is itself affine on any
+    // arithmetic-progression id set (auto-increment ids, shard offsets,
+    // id + i·10⁶ replication), and its residues mod m can systematically
+    // avoid 0: the ScaleSweep 50× lattice left the coarse layer with ONE
+    // cell, so every corpus row scored every fine centroid — 200 M join
+    // rows, 369 s. The id² term maps an arithmetic progression to a
+    // non-progression mod P, so the mod-m sample stays near-uniform on
+    // structured ids (measured within ~3× of k/m on step-1/2²⁰/10⁶
+    // lattices; the affine form hit 0). All terms bound by P·A < 2⁶³.
+    def latticeHash(id: org.apache.spark.sql.Column, a: Long, b: Long, c: Long) = {
+      val y = id % lit(Prime)
+      (y * y % lit(Prime) * lit(a) + y * lit(b) + lit(c)) % lit(Prime)
+    }
     val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
         norm(col(vecCol)).as("centn"))
-      .where((col("cent_id") * lit(2654435761L) % lit(Prime))
+      .where(latticeHash(col(idCol), 2654435761L, 40503L, 7L)
         % lit(targetCellSize.toLong) === 0)
       .localCheckpoint()
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
@@ -273,7 +286,7 @@ object SimilaritySearch {
     // the min centroid id is always coarse: a hash sample CAN miss every
     // centroid, and an empty coarse layer would silently empty the ledger
     val minCent = cents.agg(min("cent_id")).head()
-    val coarseSel = (col("cent_id") * lit(40503L) + lit(7L)) % lit(Prime) %
+    val coarseSel = latticeHash(col("cent_id"), 40503L, 2654435761L, 11L) %
       lit(coarseMod) === 0
     val coarse = broadcast(cents
       .where(if (minCent.isNullAt(0)) coarseSel

@@ -5825,9 +5825,10 @@ object ExtensionCatalog {
         // two-level IVF assignment so corpus-proportional k doesn't turn
         // the assignment stage quadratic: corpus rows score only the fine
         // centroids of their coarse cell (n·√k, one shuffle on the coarse
-        // id). Sampling hashes are fixed multiplicative constants mod the
-        // shared prime, so the oracle replays centroid choice, both
-        // assignment layers, and the within-cell drop bit-exactly.
+        // id). Sampling hashes are fixed QUADRATIC polynomials mod the
+        // shared prime — bit-replayable in the oracle like the MinHash
+        // constants, but robust on structured id lattices where an affine
+        // hash degenerates (see semDedupScaled's scaladoc).
         SimilaritySearch.semDedupScaled(
             t(s, dir, "embeddings"), targetCellSize = 25, tau = 0.25)
           .select(col("cent_id"), col("id").as("vec_id"),
@@ -5836,12 +5837,16 @@ object ExtensionCatalog {
       },
       Some(s"""WITH cents AS (
               |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
-              |  WHERE ((vec_id * 2654435761) % 1000000007) % 25 = 0),
+              |  WHERE ((vec_id % 1000000007) * (vec_id % 1000000007) % 1000000007
+              |         * 2654435761 + (vec_id % 1000000007) * 40503 + 7)
+              |        % 1000000007 % 25 = 0),
               |km AS (SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) AS cm,
               |              MIN(cent_id) AS mn FROM cents),
               |coarse AS (
               |  SELECT cent_id AS coarse_id, centv AS coarsev FROM cents, km
-              |  WHERE ((cent_id * 40503 + 7) % 1000000007) % km.cm = 0
+              |  WHERE ((cent_id % 1000000007) * (cent_id % 1000000007) % 1000000007
+              |         * 40503 + (cent_id % 1000000007) * 2654435761 + 11)
+              |        % 1000000007 % km.cm = 0
               |     OR cent_id = km.mn),
               |fine_asg AS (SELECT cent_id, centv, coarse_id FROM (
               |  SELECT c.cent_id, c.centv, co.coarse_id,

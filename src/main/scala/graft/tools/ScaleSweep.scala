@@ -73,6 +73,11 @@ object ScaleSweep {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val scales = (if (args.length > 1) args(1) else "10,25,50,100")
       .split(",").map(_.trim.toInt).toSeq
+    // optional third arg: comma-separated family filter, so one family's
+    // row can be re-measured without paying for every build in the sweep
+    val famFilter: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
+    def want(family: String): Boolean = famFilter.forall(_.contains(family))
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = GraftSession.build("graft-scalesweep", cores = cores.toInt)
     spark.sparkContext.setLogLevel("ERROR")
@@ -85,7 +90,7 @@ object ScaleSweep {
     // family -> (scale -> (seconds, driver count))
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, (Double, Long)]]
-    def record(family: String, c: Int)(body: => Long): Unit = {
+    def record(family: String, c: Int)(body: => Long): Unit = if (want(family)) {
       val t0 = System.nanoTime()
       val count = body
       val sec = (System.nanoTime() - t0) / 1e9
@@ -98,52 +103,64 @@ object ScaleSweep {
     val par = cores.toInt * 2
     for (c <- scales) {
       println(s"[sweep] ==== scale ${c}x: ${n0 * c} docs ====")
-      val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
+      val docFams = Seq("exact_dedup", "minhash_lsh_pairs",
+        "exact_prefix_jaccard", "components", "minhash_index_build",
+        "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact")
+      lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
+      if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
-      val pairDf = Dedup.minhashNearDups(docs, k = 16, bands = 8,
-        shingleN = 3, threshold = 0.5)
-      record("minhash_lsh_pairs", c)(pairDf.count())
+      if (want("minhash_lsh_pairs") || want("components")) {
+        val pairDf = Dedup.minhashNearDups(docs, k = 16, bands = 8,
+          shingleN = 3, threshold = 0.5)
+        record("minhash_lsh_pairs", c)(pairDf.count())
+        record("components", c) {
+          val comp = Components.connectedComponents(pairDf.localCheckpoint(true))
+          comp.count()
+        }
+      }
       record("exact_prefix_jaccard", c)(
         Dedup.exactJaccardSelfPairs(
           Dedup.minhashSignature(docs, k = 16, shingleN = 3)
             .select(col("doc_id"), col("shingles")),
           threshold = 0.5).count())
-      record("components", c) {
-        val comp = Components.connectedComponents(pairDf.localCheckpoint(true))
-        comp.count()
-      }
       // persisted-index path: build on the corpus (linear), probe a FIXED
       // shard (must track the shard, i.e. stay ~flat as c grows). The
       // shard is copy 0 of the corpus re-identified — half exact
       // re-deliveries, half one-token edits — so the probes classify real
-      // duplicates, not structurally-dissimilar strangers.
-      val shard = docs.where(col("doc_id") < 1000000L).select(
+      // duplicates, not structurally-dissimilar strangers. A filtered-out
+      // build row still builds (untimed) when its probe is selected.
+      lazy val shard = docs.where(col("doc_id") < 1000000L).select(
         (col("doc_id") + lit(900000000L)).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" xtra"))).as("text"))
-      val mhDir = java.nio.file.Files.createTempDirectory(s"sweep-mh$c").toString
-      record("minhash_index_build", c) {
-        graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16); n0 * c
+      if (want("minhash_index_build") || want("ingest_probe_banded")) {
+        val mhDir = java.nio.file.Files.createTempDirectory(s"sweep-mh$c").toString
+        if (want("minhash_index_build")) record("minhash_index_build", c) {
+          graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16); n0 * c
+        } else graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16)
+        record("ingest_probe_banded", c)(
+          Dedup.incrementalDedupStaged(shard,
+            spark.read.parquet(s"$mhDir/fp"),
+            spark.read.parquet(s"$mhDir/banded"),
+            spark.read.parquet(s"$mhDir/shingles")).count())
+        scala.reflect.io.Directory(new java.io.File(mhDir)).deleteRecursively()
       }
-      record("ingest_probe_banded", c)(
-        Dedup.incrementalDedupStaged(shard,
-          spark.read.parquet(s"$mhDir/fp"),
-          spark.read.parquet(s"$mhDir/banded"),
-          spark.read.parquet(s"$mhDir/shingles")).count())
-      val jacDir = java.nio.file.Files.createTempDirectory(s"sweep-jac$c").toString
-      record("jaccard_index_build", c) {
-        graft.sources.Layouts.jaccardIndex(docs, jacDir, partitions = 16); n0 * c
+      if (want("jaccard_index_build") || want("ingest_probe_exact")) {
+        val jacDir = java.nio.file.Files.createTempDirectory(s"sweep-jac$c").toString
+        if (want("jaccard_index_build")) record("jaccard_index_build", c) {
+          graft.sources.Layouts.jaccardIndex(docs, jacDir, partitions = 16); n0 * c
+        } else graft.sources.Layouts.jaccardIndex(docs, jacDir, partitions = 16)
+        record("ingest_probe_exact", c)(
+          Dedup.exactJaccardPairsStaged(shard, jacDir, "doc_id", "text",
+            threshold = 0.5).count())
+        scala.reflect.io.Directory(new java.io.File(jacDir)).deleteRecursively()
       }
-      record("ingest_probe_exact", c)(
-        Dedup.exactJaccardPairsStaged(shard, jacDir, "doc_id", "text",
-          threshold = 0.5).count())
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale
-      val emb = replicateEmb(baseEmb, c, par).localCheckpoint()
-      record("semdedup_scaled", c)(
-        SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
-          .where(col("dropped")).count())
-      Seq(mhDir, jacDir).foreach { d =>
-        scala.reflect.io.Directory(new java.io.File(d)).deleteRecursively()
+      if (want("semdedup_scaled")) {
+        val emb = replicateEmb(baseEmb, c, par).localCheckpoint()
+        record("semdedup_scaled", c)(
+          SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
+            .where(col("dropped")).count())
       }
     }
 
