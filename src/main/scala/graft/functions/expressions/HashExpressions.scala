@@ -332,6 +332,9 @@ object HashExpressions {
     val dim = cv.numElements()
     val sub = dim / nsub
     val ncb = cbs.numElements()
+    // empty codebook → empty reconstruction (the HOF fold this replaces
+    // flattened nsub empty init slices), never an index crash
+    if (ncb == 0) return new GenericArrayData(Array.empty[Float])
     val out = new Array[Float](dim)
     var b = 0
     while (b < nsub) {

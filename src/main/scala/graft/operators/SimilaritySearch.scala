@@ -274,10 +274,18 @@ object SimilaritySearch {
       val y = id % lit(Prime)
       (y * y % lit(Prime) * lit(a) + y * lit(b) + lit(c)) % lit(Prime)
     }
+    // the min corpus id is always a centroid: a hash sample can select
+    // ZERO rows on a small corpus ((1-1/m)^n is not negligible at n ~ m),
+    // and an empty centroid table would silently empty the whole ledger —
+    // the same guard the coarse layer has, one level up
+    val minIdRow = corpus.agg(min(col(idCol))).head()
+    val minIdSel =
+      if (minIdRow.isNullAt(0)) lit(false)
+      else col(idCol) === lit(minIdRow.getLong(0))
     val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
         norm(col(vecCol)).as("centn"))
       .where(latticeHash(col(idCol), 2654435761L, 40503L, 7L)
-        % lit(targetCellSize.toLong) === 0)
+        % lit(targetCellSize.toLong) === 0 || minIdSel)
       .localCheckpoint()
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
     // already-materialized centroid table — O(k), not a corpus scan)
@@ -309,13 +317,21 @@ object SimilaritySearch {
     // fine assignment within the coarse cell: argmax cosine, ties to the
     // lower centroid id — same contract as semDedup's flat assignment
     val wFine = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    // LEFT join + coalesce: computed cosine is not exactly 1.0 even for
+    // cos(X,X), so a coarse centroid can "defect" to a near-parallel
+    // sibling's cell, leaving its own coarse cell with zero fine
+    // centroids; an inner join would then silently drop every corpus row
+    // assigned there (neither kept nor dropped). Such rows fall back to
+    // the coarse centroid itself — always a real fine centroid id, since
+    // the coarse layer is sampled FROM cents.
     val assigned = corpusByCoarse
-      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"))
-      .select(col("id"), col("v"), col("vn"), col("cent_id"),
+      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
+      .select(col("id"), col("v"), col("vn"), col("coarse_id"), col("cent_id"),
         (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
       .withColumn("r", row_number().over(wFine))
       .where(col("r") === 1)
-      .select("cent_id", "id", "v", "vn")
+      .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
+        col("id"), col("v"), col("vn"))
       .localCheckpoint()
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
       col("v").as("va"), col("vn").as("na"))

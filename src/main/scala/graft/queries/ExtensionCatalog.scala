@@ -5839,7 +5839,8 @@ object ExtensionCatalog {
               |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
               |  WHERE ((vec_id % 1000000007) * (vec_id % 1000000007) % 1000000007
               |         * 2654435761 + (vec_id % 1000000007) * 40503 + 7)
-              |        % 1000000007 % 25 = 0),
+              |        % 1000000007 % 25 = 0
+              |     OR vec_id = (SELECT MIN(vec_id) FROM embeddings)),
               |km AS (SELECT CAST(round(sqrt(COUNT(*))) AS BIGINT) AS cm,
               |              MIN(cent_id) AS mn FROM cents),
               |coarse AS (
@@ -5859,10 +5860,10 @@ object ExtensionCatalog {
               |      ORDER BY ${dCos("e.embedding", "co.coarsev")} DESC, co.coarse_id) AS r
               |  FROM embeddings e, coarse co) WHERE r = 1),
               |asg AS (SELECT id, v, cent_id FROM (
-              |  SELECT ca.id, ca.v, f.cent_id,
+              |  SELECT ca.id, ca.v, COALESCE(f.cent_id, ca.coarse_id) AS cent_id,
               |    ROW_NUMBER() OVER (PARTITION BY ca.id
-              |      ORDER BY ${dCos("ca.v", "f.centv")} DESC, f.cent_id) AS r
-              |  FROM corp_asg ca JOIN fine_asg f ON ca.coarse_id = f.coarse_id)
+              |      ORDER BY ${dCos("ca.v", "f.centv")} DESC NULLS LAST, f.cent_id) AS r
+              |  FROM corp_asg ca LEFT JOIN fine_asg f ON ca.coarse_id = f.coarse_id)
               |  WHERE r = 1),
               |dropped AS (SELECT DISTINCT b.cent_id, b.id
               |  FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.id < b.id

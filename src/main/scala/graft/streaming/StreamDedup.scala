@@ -70,9 +70,13 @@ object StreamDedup {
       .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val pairs = graft.operators.Dedup.exactJaccardPairsStaged(
           batch, indexPath, "doc_id", "text", threshold)
+        // foreachBatch is at-least-once: a replayed micro-batch must
+        // OVERWRITE its own slice of the ledger, not append a duplicate —
+        // partitioning on batch_id with dynamic partition overwrite makes
+        // the write idempotent per batch (replay rewrites batch_id=N only)
         batch.select(col("doc_id"))
           .join(pairs.groupBy(col("in_id").as("doc_id"))
             .agg(count(lit(1)).as("n_dups"),
@@ -80,8 +84,13 @@ object StreamDedup {
             Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-            coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"))
-          .write.mode("append").parquet(ledgerPath)
+            coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
+            lit(batchId).as("batch_id"))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode("overwrite")
+          .parquet(ledgerPath)
       }
       .start()
   }

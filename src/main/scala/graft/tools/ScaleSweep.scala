@@ -113,10 +113,13 @@ object ScaleSweep {
         val pairDf = Dedup.minhashNearDups(docs, k = 16, bands = 8,
           shingleN = 3, threshold = 0.5)
         record("minhash_lsh_pairs", c)(pairDf.count())
-        record("components", c) {
-          val comp = Components.connectedComponents(pairDf.localCheckpoint(true))
-          comp.count()
-        }
+        // checkpoint the pair set BEFORE the timed block: the eager
+        // checkpoint re-runs pair generation, and timing it inside
+        // `components` would conflate the pair-generation exponent with
+        // CC's own growth (the row SCALING.md actually claims)
+        val pairsCk = pairDf.localCheckpoint(true)
+        record("components", c)(
+          Components.connectedComponents(pairsCk).count())
       }
       record("exact_prefix_jaccard", c)(
         Dedup.exactJaccardSelfPairs(

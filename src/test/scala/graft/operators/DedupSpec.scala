@@ -130,7 +130,7 @@ class DedupSpec extends AnyFunSuite with Matchers {
     // they keep the same prefix tokens — each such token becomes a join key
     // with |group| rows on BOTH sides. That skew is irreducible (the pairs
     // are real); the question is whether the engine bounds the max task.
-    // This plants a 600-doc identical group among 2000 disjoint singletons,
+    // This plants a 1500-doc identical group among 2000 disjoint singletons,
     // drops the AQE skew thresholds to fixture scale, and asserts (a) the
     // executed plan shows the skew split and (b) the pair set is still the
     // exact n·(n−1)/2 — the structural evidence SCALING.md's prefix-join
