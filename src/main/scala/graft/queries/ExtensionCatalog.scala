@@ -3771,14 +3771,19 @@ object ExtensionCatalog {
         // one per-doc reassembly agg; collect_list is bounded by a single
         // document's chunk count, never the corpus. Docs whose chunks are
         // ALL boilerplate drop out entirely — that is the point.
+        // chunk fps come positionally from the native span-hash kernel
+        // (element i+1 is chunk i's fp); only the kept chunks' TEXT still
+        // needs the concat_ws rebuild — cheap codegen, no interpreted fold
+        org.apache.spark.sql.graft.GraftFunctions.register(s)
         val chunkTxt = "concat_ws(' ', slice(toks, i * 16 + 1, 16))"
-        val chunkFp = fingerprintExpr(chunkTxt)
         val chunks = t(s, dir, "documents")
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), split(col("text"), " ").as("toks"),
+            expr("graft_chunk_hashes(text, 16)").as("fps"))
           .where(size(col("toks")) >= 16)
           .select(col("doc_id"), explode(expr(
             s"transform(sequence(0, CAST(size(toks) / 16 AS INT) - 1), " +
-              s"i -> struct(i AS pos, $chunkTxt AS chunk, $chunkFp AS fp))")).as("c"))
+              s"i -> struct(i AS pos, $chunkTxt AS chunk, " +
+              s"element_at(fps, i + 1) AS fp))")).as("c"))
           .select(col("doc_id"), col("c.pos").as("pos"),
             col("c.chunk").as("chunk"), col("c.fp").as("fp"))
         val hot = chunks.groupBy("fp")

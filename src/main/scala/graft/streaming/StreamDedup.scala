@@ -71,28 +71,40 @@ object StreamDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val pairs = graft.operators.Dedup.exactJaccardPairsStaged(
-          batch, indexPath, "doc_id", "text", threshold)
-        // foreachBatch is at-least-once: a replayed micro-batch must
-        // OVERWRITE its own slice of the ledger, not append a duplicate —
-        // partitioning on batch_id with dynamic partition overwrite makes
-        // the write idempotent per batch (replay rewrites batch_id=N only)
-        batch.select(col("doc_id"))
-          .join(pairs.groupBy(col("in_id").as("doc_id"))
-            .agg(count(lit(1)).as("n_dups"),
-              max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-            coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
-            lit(batchId).as("batch_id"))
-          .write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .mode("overwrite")
-          .parquet(ledgerPath)
+        auditBatch(batch, batchId, indexPath, ledgerPath, threshold)
       }
       .start()
+  }
+
+  /** One micro-batch of [[ingestAuditAgainstIndex]]'s ledger, idempotent
+    * under replay: foreachBatch is at-least-once, so a replayed batch must
+    * OVERWRITE its own slice of the ledger, not append a duplicate —
+    * ledger rows carry `batch_id` and each write uses dynamic partition
+    * overwrite (a replay rewrites exactly the `batch_id=N` partition).
+    * StreamDedupSpec pins this by running the same batch twice.
+    */
+  def auditBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      indexPath: String,
+      ledgerPath: String,
+      threshold: Double): Unit = {
+    val pairs = graft.operators.Dedup.exactJaccardPairsStaged(
+      batch, indexPath, "doc_id", "text", threshold)
+    batch.select(col("doc_id"))
+      .join(pairs.groupBy(col("in_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_dups"),
+          max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("best_jac_ppm"), lit(0L)).as("best_jac_ppm"),
+        lit(batchId).as("batch_id"))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(ledgerPath)
   }
 
   /** Bounded-state streaming dedup over the EVENTS feed:

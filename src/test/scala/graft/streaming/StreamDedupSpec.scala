@@ -102,6 +102,25 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     } finally query.stop()
   }
 
+  test("ingest-audit ledger is idempotent under micro-batch replay") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("replay-jacidx").toString
+    graft.sources.Layouts.jaccardIndex(
+      docs.where(col("doc_id") % 2 === 0).limit(100), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val ledger = java.nio.file.Files.createTempDirectory("replay-led").toString + "/ledger"
+    val shard = docs.where(col("doc_id") % 2 === 1).limit(40)
+    // foreachBatch is at-least-once: the SAME batch id delivered twice must
+    // leave the ledger with exactly one row per doc, not two
+    StreamDedup.auditBatch(shard, batchId = 0L, idx, ledger, threshold = 0.5)
+    StreamDedup.auditBatch(shard, batchId = 0L, idx, ledger, threshold = 0.5)
+    val led = spark.read.parquet(ledger)
+    led.count() shouldBe 40L
+    led.select("doc_id").distinct().count() shouldBe 40L
+  }
+
   test("staged-index ingest audit: streaming ledger equals the batch probe exactly") {
     val spark = graft.SparkTestSession.spark
     import org.apache.spark.sql.functions._
