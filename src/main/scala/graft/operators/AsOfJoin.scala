@@ -41,17 +41,22 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val carryStruct = struct(carry.map(col): _*)
     val carryType = right.select(carryStruct.as("c")).schema("c").dataType
+    // the tie column keeps its OWN type: casting to long silently nulls a
+    // non-numeric tie-break (every equal-time row ties, order becomes
+    // partition-dependent) and truncates fractional ones — ordering on the
+    // raw column is deterministic for any orderable type
+    val tieType = right.schema(rightTieBreak).dataType
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
-      .withColumn("__tie", lit(null).cast("long"))
+      .withColumn("__tie", lit(null).cast(tieType))
       .withColumn("__carry", lit(null).cast(carryType))
       .select(Seq(col(key), col("__t"), col("__side"), col("__tie"), col("__carry")) ++
         leftCols.filterNot(_ == key).map(col): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
-      .withColumn("__tie", col(rightTieBreak).cast("long"))
+      .withColumn("__tie", col(rightTieBreak))
       .withColumn("__carry", carryStruct)
       .select(Seq(col(key), col("__t"), col("__side"), col("__tie"), col("__carry")) ++
         leftCols.filterNot(_ == key)

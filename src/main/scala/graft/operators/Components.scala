@@ -125,6 +125,14 @@ object Components {
     val roots = edges.select(col("v").as("id")).distinct()
       .join(members.select(col("id")), Seq("id"), "left_anti")
       .withColumn("rep_id", col("id"))
-    members.unionByName(roots)
+    // vertices whose only pairs were self-loops fell out with the u =!= v
+    // filter; the contract ("one row per vertex appearing in any pair",
+    // matching connectedComponents) still owes them a self-rep row
+    val starred = members.unionByName(roots)
+    val selfOnly = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id"))).distinct()
+      .join(starred.select("id"), Seq("id"), "left_anti")
+      .withColumn("rep_id", col("id"))
+    starred.unionByName(selfOnly)
   }
 }

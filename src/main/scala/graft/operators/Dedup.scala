@@ -163,6 +163,32 @@ object Dedup {
     * corpus-sized existing side is built once per release and every ingest
     * batch only computes its own (small) shard-side signatures.
     */
+  /** Path form of [[incrementalDedupStaged]]: reads the persisted index's
+    * `meta` row and probes with the BUILD's (k, bands, shingle_n) — a probe
+    * hashed with different parameters joins a disjoint hash space and every
+    * true near-dup silently classifies as "kept", the failure mode the
+    * meta table exists to close (same contract as the exact index's
+    * threshold guard).
+    */
+  def incrementalDedupStaged(
+      incoming: DataFrame,
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val spark = incoming.sparkSession
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    incrementalDedupStaged(incoming,
+      spark.read.parquet(s"$indexPath/fp"),
+      spark.read.parquet(s"$indexPath/banded"),
+      spark.read.parquet(s"$indexPath/shingles"),
+      idCol, textCol,
+      k = meta.getAs[Int]("k"),
+      bands = meta.getAs[Int]("bands"),
+      shingleN = meta.getAs[Int]("shingle_n"),
+      threshold = threshold)
+  }
+
   def incrementalDedupStaged(
       incoming: DataFrame,
       fpEx: DataFrame,
@@ -213,7 +239,10 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
+    // stage(): sigs feeds THREE legs (banding + both verify-join sides) —
+    // without the barrier Catalyst re-inlines tokenize+shingle+minhash
+    // into each, re-hashing the corpus ~3x (the simhash round-1 lesson)
+    val sigs = stage(minhashSignature(docs, idCol, textCol, k, shingleN))
     val cands = lshCandidates(sigs, idCol, bands, k / bands)
     val sets = sigs.select(col(idCol), col("shingles"))
     cands
@@ -249,7 +278,7 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = minhashSignature(docs, idCol, textCol, k, shingleN)
+    val sigs = stage(minhashSignature(docs, idCol, textCol, k, shingleN))
     val cands = lshCandidates(sigs, idCol, bands, k / bands)
     val sets = sigs.select(col(idCol), col("shingles"))
     cands
@@ -287,10 +316,10 @@ object Dedup {
       n: Int = 12,
       threshold: Double = 0.5,
       gridM: Int = 4): DataFrame = {
-    val sets = withGraftFns(docs)
+    val sets = stage(withGraftFns(docs)
       .select(col(idCol), expr(s"graft_char_ngram_hashes($textCol, $n)").as("grams"))
       .select(col(idCol), col("grams"),
-        size(col("grams")).as("ng"), array_min(col("grams")).as("block"))
+        size(col("grams")).as("ng"), array_min(col("grams")).as("block")))
     val keyed = sets.select(col(idCol), col("block"),
       pmod(hash(col(idCol)), lit(gridM)).as("salt"))
     val aCells = keyed
@@ -548,7 +577,7 @@ object Dedup {
       bits: Int = 64): DataFrame = {
     val bands = maxHamming + 1
     val width = bits / bands // last band takes the remainder bits
-    val sh = simhashed(docs.where(subset), idCol, textCol, bits).cache()
+    val sh = stage(simhashed(docs.where(subset), idCol, textCol, bits))
     val banded = sh
       .select(col(idCol), col("sh"), explode(expr(s"sequence(0, ${bands - 1})")).as("band"))
       .withColumn("bv", expr(
@@ -590,10 +619,9 @@ object Dedup {
     val planes = bands * bandBits
     // norms precomputed per vector (not per pair); cos = dot/na/nb is the
     // same expression order as the oracle's dot/sqrt(aa)/sqrt(bb)
-    val e = emb.where(subset).select(col(idCol), col(vecCol),
+    val e = stage(emb.where(subset).select(col(idCol), col(vecCol),
       SimilaritySearch.norm(col(vecCol)).as("nrm"),
-      SimilaritySearch.hyperplaneBucket(vecCol, planes).as("bucket"))
-      .cache()
+      SimilaritySearch.hyperplaneBucket(vecCol, planes).as("bucket")))
     val banded = e
       .select(col(idCol), col("bucket"),
         explode(expr(s"sequence(0, ${bands - 1})")).as("band"))

@@ -34,9 +34,16 @@ object PrefixSum {
       s"PrefixSum.runningTotal: valueCol '$valueCol' must be integral " +
         s"(got ${vt.simpleString}); scale doubles/decimals to fixed-point " +
         "integer units first")
+    // the checkpoint pins ONE set of range boundaries: repartitionByRange
+    // samples its bounds per execution (reservoir seed varies with the RDD
+    // id), so without a barrier the totals job below and the output job
+    // could place a boundary row in DIFFERENT partitions — its value would
+    // be inside one pid's offset while the row carries another pid — and
+    // the "exact" running total would silently double-count or skip rows
     val parted = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(col(valueCol)).over(w))

@@ -281,7 +281,7 @@ object SimilaritySearch {
     val minIdRow = corpus.agg(min(col(idCol))).head()
     val minIdSel =
       if (minIdRow.isNullAt(0)) lit(false)
-      else col(idCol) === lit(minIdRow.getLong(0))
+      else col(idCol) === lit(minIdRow.get(0)) // type-agnostic (int/long/str ids)
     val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
         norm(col(vecCol)).as("centn"))
       .where(latticeHash(col(idCol), 2654435761L, 40503L, 7L)
@@ -298,7 +298,7 @@ object SimilaritySearch {
       lit(coarseMod) === 0
     val coarse = broadcast(cents
       .where(if (minCent.isNullAt(0)) coarseSel
-             else coarseSel || col("cent_id") === minCent.getLong(0))
+             else coarseSel || col("cent_id") === lit(minCent.get(0)))
       .select(col("cent_id").as("coarse_id"), col("centv").as("coarsev"),
         col("centn").as("coarsen")))
     def toCoarse(df: DataFrame, id: String, v: String, n: String): DataFrame = {

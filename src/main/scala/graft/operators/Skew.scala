@@ -30,6 +30,15 @@ object Skew {
       valueCol: String,
       saltFrom: Column,
       buckets: Int): DataFrame = {
+    // enforce the documented restriction instead of trusting the scaladoc:
+    // a salted double/float SUM re-associates the additions and silently
+    // diverges from the unsalted aggregate (the PrefixSum.runningTotal rule)
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val vt = df.schema(valueCol).dataType
+    require(vt != DoubleType && vt != FloatType,
+      s"Skew.saltedSumCount: valueCol '$valueCol' is ${vt.simpleString}; " +
+        "salting re-associates float addition — scale to fixed-point " +
+        "integers or DECIMAL first")
     val salted = df.withColumn("__salt", pmod(hash(saltFrom), lit(buckets)))
     val partial = salted
       .groupBy((keyCols :+ "__salt").map(col): _*)

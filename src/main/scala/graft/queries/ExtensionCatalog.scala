@@ -4511,10 +4511,11 @@ object ExtensionCatalog {
         val docs = t(s, dir, "documents")
         val incoming = docs.where(col("doc_id") % 2 === 1)
         val idx = stagedMinhashIndex(s, dir)
-        val st = Dedup.incrementalDedupStaged(incoming,
-          s.read.parquet(s"$idx/fp"),
-          s.read.parquet(s"$idx/banded"),
-          s.read.parquet(s"$idx/shingles"))
+        // path form: probe parameters (k, bands, shingle_n) come from the
+        // index's meta row, not repeated by the caller — a mismatched
+        // probe joins a disjoint hash space and silently keeps every dup
+        val st = Dedup.incrementalDedupStaged(incoming, idx,
+          "doc_id", "text", threshold = 0.5)
         incoming.select(col("doc_id"), col("source")).join(st, "doc_id")
           .groupBy("source")
           .agg(count(lit(1)).as("n_incoming"),

@@ -91,11 +91,15 @@ object Layouts {
     val r = df.agg(
       fmin(col(colA).cast("double")), fmax(col(colA).cast("double")),
       fmin(col(colB).cast("double")), fmax(col(colB).cast("double"))).head()
+    // empty input (or all-null z columns) → null aggregates: degrade to a
+    // constant z (the write still produces a valid, empty-or-unordered
+    // layout) instead of an NPE killing the layout job
+    def stat(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
     def b(c: String, lo: Double, hi: Double): String =
       if (hi <= lo) "0L"
       else s"CAST(least(greatest(($c - $lo) / ${hi - lo}, 0d), 1d) * 255 AS BIGINT)"
-    val ba = b(colA, r.getDouble(0), r.getDouble(1))
-    val bb = b(colB, r.getDouble(2), r.getDouble(3))
+    val ba = b(colA, stat(0), stat(1))
+    val bb = b(colB, stat(2), stat(3))
     // interleave: bit k of A → bit 2k+1, bit k of B → bit 2k
     val z = (0 until 8).map { k =>
       s"(shiftleft(shiftright($ba, $k) & 1, ${2 * k + 1}) | " +
@@ -125,8 +129,13 @@ object Layouts {
       outDir: String,
       targetBytes: Long = 128L * 1024 * 1024,
       sortCols: Seq[String] = Nil)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    val bytes = Option(new java.io.File(inDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    // size via the Hadoop FileSystem API: java.io.File returns null for
+    // any non-local scheme (hdfs://, s3a://, file:) and does not recurse
+    // into partition subdirectories — either way bytes would read 0 and
+    // the "compaction" would funnel the whole table through ONE task
+    val p = new org.apache.hadoop.fs.Path(inDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)
     val shaped =
@@ -198,6 +207,16 @@ object Layouts {
     sortedStats(sigs.select(col(idCol), col("shingles")),
       s"$path/shingles", Seq(idCol),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    // one-row meta: the banded table only matches probes computed with the
+    // SAME signature family (k), band split, and shingle width — a probe
+    // built with different parameters joins against a disjoint hash space
+    // and every true near-dup silently classifies as "kept". The path
+    // overload of incrementalDedupStaged reads these instead of trusting
+    // the caller to repeat them.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Persisted EXACT-Jaccard corpus index — the no-miss dual of

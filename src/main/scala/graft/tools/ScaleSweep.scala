@@ -142,10 +142,8 @@ object ScaleSweep {
           graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16); n0 * c
         } else graft.sources.Layouts.minhashIndex(docs, mhDir, partitions = 16)
         record("ingest_probe_banded", c)(
-          Dedup.incrementalDedupStaged(shard,
-            spark.read.parquet(s"$mhDir/fp"),
-            spark.read.parquet(s"$mhDir/banded"),
-            spark.read.parquet(s"$mhDir/shingles")).count())
+          Dedup.incrementalDedupStaged(shard, mhDir,
+            "doc_id", "text", threshold = 0.5).count())
         scala.reflect.io.Directory(new java.io.File(mhDir)).deleteRecursively()
       }
       if (want("jaccard_index_build") || want("ingest_probe_exact")) {

@@ -46,4 +46,16 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     row.getAs[Long]("asof_rid") shouldBe 901L // latest row wins...
     row.isNullAt(row.fieldIndex("asof_payload")) shouldBe true // ...with ITS null, not 7
   }
+
+  test("a string tie-break column orders by its own type, not a nulled long cast") {
+    import spark.implicits._
+    val left = Seq((1L, 100L)).toDF("k", "t")
+    // two right rows at the SAME time: the max STRING id must win, every run
+    val right = Seq((1L, 100L, "evt-0042", 1L), (1L, 100L, "evt-0099", 2L))
+      .toDF("k", "rt", "rid", "payload")
+    val row = AsOfJoin.lastPrior(left, right, "k", "t", "rt",
+        carry = Seq("rid", "payload"), rightTieBreak = "rid")
+      .collect().head
+    row.getAs[String]("asof_rid") shouldBe "evt-0099"
+  }
 }

@@ -33,6 +33,17 @@ class ComponentsSpec extends AnyFunSuite with Matchers {
     viaStar shouldBe viaProp
   }
 
+  test("self-loop-only vertices keep their ledger row in BOTH implementations") {
+    // (7,7) is a real shape near-dup pair tables produce (a doc paired
+    // with itself by a symmetric generator); the vertex contract is one
+    // row per vertex appearing in ANY pair
+    val pairs = Seq((7L, 7L), (1L, 2L))
+    cc(pairs) shouldBe Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+    val star = Components.starContraction(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    star shouldBe Map(7L -> 7L, 1L -> 1L, 2L -> 1L)
+  }
+
   test("long chains: propagation stalls at diameter rounds, star contraction does not") {
     // a 200-node path has diameter 199 — label propagation moves the min
     // one hop per round and must give up at maxRounds

@@ -171,4 +171,33 @@ class DedupSpec extends AnyFunSuite with Matchers {
     // cartesian product over documents
     plan should not include "Cartesian"
   }
+
+  test("minhash index meta: the path-form probe uses the BUILD parameters") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.SparkTestSession.spark
+    val docs = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("mh-meta").toString
+    // non-default signature family: k=32, bands=16, shingleN=2
+    graft.sources.Layouts.minhashIndex(
+      docs.where(col("doc_id") % 2 === 0), idx, k = 32, bands = 16, shingleN = 2,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val shard = docs.where(col("doc_id") % 2 === 1).limit(60)
+    val viaPath = Dedup.incrementalDedupStaged(shard, idx, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // truth: the DF form WITH the matching parameters
+    val viaDf = Dedup.incrementalDedupStaged(shard,
+      spark.read.parquet(s"$idx/fp"),
+      spark.read.parquet(s"$idx/banded"),
+      spark.read.parquet(s"$idx/shingles"),
+      k = 32, bands = 16, shingleN = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    viaPath shouldBe viaDf
+    // a mismatched-parameter probe (the old silent failure) finds NO dups
+    val mismatched = Dedup.incrementalDedupStaged(shard,
+      spark.read.parquet(s"$idx/fp"),
+      spark.read.parquet(s"$idx/banded"),
+      spark.read.parquet(s"$idx/shingles")) // defaults: k=16, bands=8, n=3
+      .collect().map(_.getString(1))
+    mismatched.count(_ == "near_dup") shouldBe 0
+  }
 }

@@ -47,4 +47,11 @@ class SkewSpec extends AnyFunSuite with Matchers {
     Skew.saltedSumCount(df, Seq("key"), "v", col("v"), 8)
       .where(col("key") === "hot").collect().head.getLong(1) shouldBe (1 to 990).map(_.toLong).sum
   }
+
+  test("salted sum refuses a float value column (association would drift)") {
+    import spark.implicits._
+    val df = Seq(("k", 0.1), ("k", 0.2)).toDF("key", "v")
+    an[IllegalArgumentException] should be thrownBy
+      Skew.saltedSumCount(df, Seq("key"), "v", col("v"), 8)
+  }
 }
