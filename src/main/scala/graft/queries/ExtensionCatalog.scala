@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, KMeans, Multimodal, PageRank, Profile, SimilaritySearch}
+import graft.operators.{Dedup, KMeans, Multimodal, PageRank, PrefixSum, Profile, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -5883,7 +5883,155 @@ object ExtensionCatalog {
       "SemDeDup at corpus-proportional centroid count: two-level IVF " +
         "assignment (coarse √k layer, fine within coarse cell) keeps both " +
         "the assignment and the within-cell pair term sub-quadratic — the " +
-        "100 TB form of x122 (extension: dedup / embeddings / scale)")
+        "100 TB form of x122 (extension: dedup / embeddings / scale)"),
+
+    CatalogEntry(
+      "x141_zipf_fit",
+      (s, dir) => {
+        // Per-source Zipf exponent: OLS slope of ln(freq) on ln(rank) over
+        // the top-1000 vocabulary. The determinism recipe is the x135/x98
+        // one — round each ln to MILLI-units (BIGINT) before any sum, so
+        // libm ULP differences between JVM and DuckDB can't reach the
+        // hash; the four regression sums are then exact integer arithmetic
+        // and the final slope is ONE double division of identical
+        // operands. Scale: the window ranks the per-source VOCABULARY
+        // (Heaps-law sized, orders smaller than the corpus), and the
+        // top-1000 cap bounds the regression input per source regardless
+        // of corpus size.
+        val freq = t(s, dir, "documents")
+          .select(col("source"), explode(split(col("text"), " ")).as("token"))
+          .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("freq").desc, col("token"))
+        val pts = freq.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 1000)
+          .select(col("source"),
+            round(log(col("rank").cast("double")) * 1000).cast("long").as("x"),
+            round(log(col("freq").cast("double")) * 1000).cast("long").as("y"))
+        val fit = pts.groupBy("source").agg(
+          count(lit(1)).as("vocab_n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        val den = fit("vocab_n") * fit("sxx") - fit("sx") * fit("sx")
+        fit.select(col("source"), col("vocab_n"),
+          (-((col("vocab_n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / when(den =!= 0, den).cast("double"))).as("zipf_exponent"))
+          .orderBy("source")
+      },
+      Some("""WITH tok AS (
+             |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+             |freq AS (SELECT source, token, COUNT(*)::BIGINT AS freq
+             |  FROM tok GROUP BY 1, 2),
+             |ranked AS (SELECT source, freq, ROW_NUMBER() OVER (
+             |    PARTITION BY source ORDER BY freq DESC, token) AS rank FROM freq),
+             |pts AS (SELECT source,
+             |    CAST(round(ln(rank::DOUBLE) * 1000.0) AS BIGINT) AS x,
+             |    CAST(round(ln(freq::DOUBLE) * 1000.0) AS BIGINT) AS y
+             |  FROM ranked WHERE rank <= 1000),
+             |fit AS (SELECT source, COUNT(*)::BIGINT AS vocab_n,
+             |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+             |    CAST(SUM(x * x) AS BIGINT) AS sxx
+             |  FROM pts GROUP BY 1)
+             |SELECT source, vocab_n,
+             |  -(CAST(vocab_n * sxy - sx * sy AS DOUBLE)
+             |    / CAST(NULLIF(vocab_n * sxx - sx * sx, 0) AS DOUBLE)) AS zipf_exponent
+             |FROM fit ORDER BY source""".stripMargin),
+      "per-source Zipf-law exponent via exact integer OLS over milli-unit " +
+        "log-log points: vocabulary-sized window + top-1000 cap, one double " +
+        "division at the end — the power-law health check a corpus intake " +
+        "runs per source (extension: text analysis / statistics)"),
+
+    CatalogEntry(
+      "x142_ks_drift",
+      (s, dir) => {
+        // Two-sample Kolmogorov–Smirnov distance between the event-value
+        // distributions of the two user cohorts (user_id parity) — the
+        // distribution-drift gate between ingest batches. The ECDFs are
+        // distributed prefix sums (PrefixSum.runningTotal: range-partition
+        // + per-partition window + O(P) driver offsets), NOT a
+        // single-partition global window — the one construction that
+        // survives a corpus-sized value axis. The KS numerator
+        // |ca·NB − cb·NA| is exact integer arithmetic; the statistic is
+        // one double division of exact operands.
+        val e = t(s, dir, "events").select(
+          floor(col("value") * 1000).cast("long").as("vm"),
+          (col("user_id") % 2).as("g"))
+        val c = e.groupBy("vm").agg(
+          sum(when(col("g") === 0, 1L).otherwise(0L)).as("a"),
+          sum(when(col("g") === 1, 1L).otherwise(0L)).as("b"))
+        val run = PrefixSum.runningTotal(
+          PrefixSum.runningTotal(c, "vm", "a", "ca"), "vm", "b", "cb")
+        val tot = c.agg(sum("a").as("na"), sum("b").as("nb"))
+        run.crossJoin(broadcast(tot))
+          .select(col("na"), col("nb"),
+            abs(col("ca") * col("nb") - col("cb") * col("na")).as("d"))
+          .groupBy("na", "nb").agg(max(col("d")).as("ks_num"))
+          .select(col("na"), col("nb"), col("ks_num"),
+            (col("ks_num").cast("double")
+              / (col("na") * col("nb")).cast("double")).as("ks"))
+      },
+      Some("""WITH e AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
+             |    user_id % 2 AS g FROM events),
+             |c AS (SELECT vm,
+             |    CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             |    CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+             |  FROM e GROUP BY 1),
+             |r AS (SELECT vm,
+             |    CAST(SUM(a) OVER (ORDER BY vm) AS BIGINT) AS ca,
+             |    CAST(SUM(b) OVER (ORDER BY vm) AS BIGINT) AS cb FROM c),
+             |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
+             |    CAST(SUM(b) AS BIGINT) AS nb FROM c)
+             |SELECT na, nb,
+             |  CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
+             |  CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+             |    / CAST(na * nb AS DOUBLE) AS ks
+             |FROM r, tot GROUP BY na, nb""".stripMargin),
+      "two-sample KS distance between cohort value distributions on " +
+        "distributed ECDFs (range-partitioned prefix sums, O(P) driver " +
+        "state) with an exact-integer numerator — the drift gate between " +
+        "ingest batches (extension: data quality / statistics)"),
+
+    CatalogEntry(
+      "x143_dp_release",
+      (s, dir) => {
+        // Differentially-private count release (ε = 1, sensitivity 1):
+        // per-event-type counts plus Laplace noise drawn by inverse CDF
+        // from a SEEDED uniform — the salted polyhash of the group key
+        // (x86's Gumbel-trick cousin), so the release is bit-replayable in
+        // the oracle. u ∈ (0,1) via (h+1)/(P+1); noise = −sgn(v)·ln(1−2|v|)
+        // for v = u − ½, rounded to milli-units BEFORE the add so libm ULP
+        // differences can't reach the hash. One map-side-combinable count
+        // shuffle; the noise is a scalar expression on |groups| rows.
+        val g = t(s, dir, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+        g.withColumn("h",
+            TextFunctions.fingerprint(s"concat(event_type, ':dp1')"))
+          .withColumn("v",
+            (col("h").cast("double") + 1.0) / lit(Prime + 1.0) - 0.5)
+          .select(col("event_type"), col("n"),
+            (col("n") * 1000 +
+              round(-signum(col("v"))
+                * log(lit(1.0) - lit(2.0) * abs(col("v"))) * 1000)
+                .cast("long")).as("released_milli"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH g AS (SELECT event_type, COUNT(*)::BIGINT AS n
+              |  FROM events GROUP BY 1),
+              |hh AS (SELECT event_type, n,
+              |    ${dPoly("(event_type || ':dp1')")} AS h FROM g),
+              |nz AS (SELECT event_type, n,
+              |    ((h::DOUBLE + 1.0) / 1000000008.0) - 0.5 AS v FROM hh)
+              |SELECT event_type, n,
+              |  CAST(n * 1000 + CAST(round(-sign(v)
+              |    * ln(1.0 - 2.0 * abs(v)) * 1000.0) AS BIGINT) AS BIGINT)
+              |    AS released_milli
+              |FROM nz ORDER BY event_type""".stripMargin),
+      "ε=1 differentially-private count release: deterministic seeded " +
+        "Laplace noise (salted-hash uniform → inverse CDF, milli-unit " +
+        "rounded) on one count shuffle — the privacy-preserving stats a " +
+        "corpus publishes without row access (extension: privacy)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
