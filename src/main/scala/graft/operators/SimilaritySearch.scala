@@ -116,6 +116,79 @@ object SimilaritySearch {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** Inverted-list assignment for a persisted IVF index: every corpus
+    * vector under its nearest centroid by cosine (ties to the lower
+    * centroid id) — the build side of
+    * [[graft.sources.Layouts.ivfIndex]]. Centroids broadcast; the corpus
+    * streams map-side and shuffles once on the window key, exactly
+    * [[ivfTopK]]'s list stage, exposed so the assignment can be WRITTEN
+    * instead of recomputed per query batch.
+    */
+  def invertedLists(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = broadcast(centroids.select(
+      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
+    val w = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cent_id"))
+    corpus
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("corpusv"),
+        norm(col(vecCol)).as("corpusn"))
+      .crossJoin(cent)
+      .select(col("corpus_id"), col("corpusv"), col("cent_id"),
+        (dot(col("corpusv"), col("centv")) / col("corpusn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select("cent_id", "corpus_id", "corpusv")
+  }
+
+  /** Probe of a PERSISTED IVF index ([[graft.sources.Layouts.ivfIndex]]):
+    * queries rank the (small, broadcast) centroid table, keep their
+    * `nprobe` nearest cells, and equi-join the cell id against the
+    * cell-partitioned inverted lists — Spark's dynamic partition pruning
+    * turns that join into a scan of ONLY the probed cell directories
+    * (IvfIndexSpec pins the `dynamicpruning` filter in the plan). At
+    * 100 TB the per-query read is nprobe/k of the corpus, decided at the
+    * STORAGE layer, which is the whole case for persisting the
+    * assignment instead of recomputing it per batch (x101/x117/x139's
+    * write-once / probe-many split, applied to ANN).
+    */
+  def ivfTopKStaged(
+      queries: DataFrame,
+      indexPath: String,
+      k: Int,
+      nprobe: Int = 2,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = queries.sparkSession
+    val cent = broadcast(s.read.parquet(s"$indexPath/cent")
+      .select(col("cent_id"), col("centv"), norm(col("centv")).as("centn")))
+    val lists = s.read.parquet(s"$indexPath/assign")
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
+        norm(col(vecCol)).as("queryn"))
+      .crossJoin(cent)
+      .select(col("query_id"), col("queryv"), col("queryn"), col("cent_id"),
+        (dot(col("queryv"), col("centv")) / col("queryn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))))
+      .where(col("r") <= nprobe)
+      // partition-column type inference narrows cent_id on read (e.g. to
+      // int); cast the probe side to ITS type so the join key is the bare
+      // partition column and the pruning rule can match it
+      .select(col("query_id"), col("queryv"), col("queryn"),
+        col("cent_id").cast(lists.schema("cent_id").dataType).as("cent_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    lists.join(broadcast(probes), "cent_id")
+      .select(col("query_id"), col("corpus_id"),
+        (dot(col("queryv"), col("corpusv")) / col("queryn") / norm(col("corpusv")))
+          .as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
   /** One spherical k-means (Lloyd) iteration: assign every corpus vector
     * to its nearest centroid by cosine (ties to the lower centroid id),
     * then replace each centroid with the NORMALIZED mean of its assigned

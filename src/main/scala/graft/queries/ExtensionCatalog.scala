@@ -6031,7 +6031,54 @@ object ExtensionCatalog {
       "ε=1 differentially-private count release: deterministic seeded " +
         "Laplace noise (salted-hash uniform → inverse CDF, milli-unit " +
         "rounded) on one count shuffle — the privacy-preserving stats a " +
-        "corpus publishes without row access (extension: privacy)")
+        "corpus publishes without row access (extension: privacy)"),
+
+    CatalogEntry(
+      "x144_ivf_probe",
+      (s, dir) => {
+        // x18's IVF search against a PERSISTED index: the inverted lists
+        // are cell-partitioned parquet written once per corpus release
+        // (Layouts.ivfIndex, timed as its own build_x144 bench row); the
+        // probe's cell equi-join dynamic-partition-prunes the scan to the
+        // nprobe probed cells (IvfIndexSpec pins the plan). Queries are
+        // the fenced ≤10-vector set; centroids are the corpus-side
+        // id % 50 sample recorded in the index meta.
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.ivfTopKStaged(
+          e.where(col("vec_id") < 10), stagedIvfIndex(s, dir), k = 5, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |qs AS (SELECT vec_id AS query_id, embedding AS queryv
+              |  FROM embeddings WHERE vec_id < 10),
+              |lists AS (
+              |  SELECT corpus_id, corpusv, cent_id FROM (
+              |    SELECT c.corpus_id, c.corpusv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1),
+              |probes AS (
+              |  SELECT query_id, queryv, cent_id FROM (
+              |    SELECT q.query_id, q.queryv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM qs q, cent ct)
+              |  WHERE r <= 2)
+              |SELECT * FROM (
+              |  SELECT p.query_id, l.corpus_id, ${dCos("p.queryv", "l.corpusv")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF ANN probe of a persisted cell-partitioned index: dynamic " +
+        "partition pruning reads only the nprobe probed cells — storage-" +
+        "level ANN selectivity, the write-once/probe-many split applied " +
+        "to similarity search (extension: similarity search / scale)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
@@ -6078,6 +6125,19 @@ object ExtensionCatalog {
       out
     })
 
+  /** x144 staging: the corpus-side (vec_id ≥ 10) IVF index, written ONCE
+    * per fixture dir via [[graft.sources.Layouts.ivfIndex]] — the
+    * per-release build the cell-pruned ANN probe then amortizes.
+    */
+  private val ivfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfIndex(s: SparkSession, dir: String): String =
+    ivfDirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      graft.sources.Layouts.ivfIndex(
+        t(s, dir, "embeddings").where(col("vec_id") >= 10), out, centModulo = 50)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -6089,5 +6149,6 @@ object ExtensionCatalog {
   val stagedBuilds: Seq[(String, (SparkSession, String) => Unit)] = Seq(
     "build_x101_posting" -> ((s, dir) => { stagedPostingIndex(s, dir); () }),
     "build_x117_minhash_index" -> ((s, dir) => { stagedMinhashIndex(s, dir); () }),
-    "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }))
+    "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
+    "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }))
 }

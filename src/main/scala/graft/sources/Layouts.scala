@@ -273,6 +273,48 @@ object Layouts {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Persisted IVF ANN index, consumed by
+    * [[graft.operators.SimilaritySearch.ivfTopKStaged]]. Two tables plus
+    * meta:
+    *   `cent/`   (cent_id, centv)            — the (small) centroid set,
+    *                                           deterministically sampled
+    *                                           as id % centModulo == 0;
+    *   `assign/` (corpus_id, corpusv) PARTITIONED BY cent_id — the
+    *                                           inverted lists, one
+    *                                           directory per cell so a
+    *                                           probe's cell equi-join
+    *                                           dynamic-partition-prunes
+    *                                           to the probed cells only;
+    *   `meta`    one row (cent_modulo)       — how the centroids were
+    *                                           drawn, so a rebuild at the
+    *                                           next corpus release is
+    *                                           reproducible.
+    * Build is corpus-linear (one broadcast-scored assignment pass); each
+    * query batch then reads nprobe directories, not the corpus — the
+    * write-once / probe-many split of x101/x117/x139, applied to ANN.
+    * A production deployment swaps the modulo sample for
+    * [[graft.operators.SimilaritySearch.kmeansIterate]] output; the index
+    * contract (cell-partitioned lists + broadcast centroid table) is
+    * identical.
+    */
+  def ivfIndex(
+      corpus: DataFrame,
+      path: String,
+      centModulo: Long,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import graft.operators.SimilaritySearch
+    val cents = corpus.where(col(idCol) % centModulo === 0)
+    cents.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+    SimilaritySearch.invertedLists(corpus, cents, idCol, vecCol)
+      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assign")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(centModulo).toDF("cent_modulo")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in
