@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift monitor: every micro-batch of the events
+  * feed is scored against a PERSISTED reference band histogram with the
+  * population stability index (x98's formula — 10 fixed value-milli
+  * bands, add-one smoothing, integer micro-nat terms), and a per-type
+  * ledger row appends to the sink. This is the continuous form of the
+  * x142/x98 batch drift gates: the reference is built once per release
+  * (like the x117/x139/x144 staged indexes), each trigger reads only the
+  * 10-band reference table (broadcast-sized: |types|×10 rows regardless
+  * of corpus size) plus its own batch, and nothing accumulates in the
+  * stream — O(batch) memory forever.
+  *
+  * PSI is a property of each batch's composition, so there is no
+  * batching-invariance claim here (unlike the ingest audit); the
+  * contracts are instead: a batch drawn FROM the reference scores
+  * exactly 0, a shifted batch scores positive, and a replayed batch_id
+  * overwrites its own ledger slice (at-least-once foreachBatch →
+  * idempotent dynamic-partition overwrite, the StreamDedup.auditBatch
+  * pattern). StreamDriftSpec pins all three.
+  */
+object StreamDrift {
+
+  /** 10 fixed value-milli bands (x98's binning — band = value·1000 div
+    * 50000, clamped to 9).
+    */
+  private def banded(events: DataFrame): DataFrame =
+    events.select(col("event_type"),
+      expr("least(cast(floor(value * 1000) as bigint) div 50000, 9)").as("band"))
+
+  /** Reference band histogram per event type, written once per release —
+    * the q distribution incoming batches are scored against.
+    */
+  def referenceHistogram(ref: DataFrame, path: String): Unit =
+    banded(ref)
+      .groupBy("event_type", "band").agg(count(lit(1)).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** PSI of one micro-batch against the reference, per event type present
+    * in the batch; ledger rows (event_type, n, psi_micro, batch_id)
+    * overwrite their own batch_id partition so replays are idempotent.
+    * A type the reference has never seen scores against pure smoothing
+    * mass (refN = 0) — maximally drifted, which is the right alarm.
+    */
+  def psiBatch(
+      batch: DataFrame,
+      batchId: Long,
+      refPath: String,
+      ledgerPath: String): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val refC = spark.read.parquet(refPath)
+    val refTot = refC.groupBy("event_type").agg(sum("c").as("refn"))
+    val bc = banded(batch).groupBy("event_type", "band").agg(count(lit(1)).as("bc"))
+    val bTot = banded(batch).groupBy("event_type").agg(count(lit(1)).as("bn"))
+    // dense type × band grid over the BATCH's types, so empty bands on
+    // either side still get smoothed mass
+    val grid = bTot.crossJoin((0L to 9L).toDF("band"))
+      .join(broadcast(refTot), Seq("event_type"), "left")
+      .select(col("event_type"), col("band"), col("bn"),
+        coalesce(col("refn"), lit(0L)).as("refn"))
+    val terms = grid
+      .join(broadcast(refC.withColumnRenamed("c", "rc")),
+        Seq("event_type", "band"), "left")
+      .join(bc, Seq("event_type", "band"), "left")
+      .select(col("event_type"), col("bn"),
+        ((coalesce(col("rc"), lit(0L)) + 1).cast("double")
+          / (col("refn") + 10).cast("double")).as("pa"),
+        ((coalesce(col("bc"), lit(0L)) + 1).cast("double")
+          / (col("bn") + 10).cast("double")).as("pb"))
+      .select(col("event_type"), col("bn"),
+        round((col("pa") - col("pb")) * log(col("pa") / col("pb")) * lit(1e6))
+          .cast("long").as("term"))
+    terms.groupBy("event_type")
+      .agg(max("bn").as("n"), sum("term").as("psi_micro"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(ledgerPath)
+  }
+
+  /** File-source stream over an events directory → per-trigger PSI ledger
+    * against the persisted reference.
+    */
+  def monitor(
+      spark: SparkSession,
+      dir: String,
+      refPath: String,
+      ledgerPath: String,
+      checkpoint: String) =
+    spark.readStream
+      .schema(EventsStream.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        psiBatch(batch, batchId, refPath, ledgerPath)
+      }
+      .start()
+}

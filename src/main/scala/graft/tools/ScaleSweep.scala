@@ -156,6 +156,25 @@ object ScaleSweep {
             threshold = 0.5).count())
         scala.reflect.io.Directory(new java.io.File(jacDir)).deleteRecursively()
       }
+      // Persisted IVF index: centModulo fixed, so cell size stays ~50
+      // vectors at every scale and the probe's nprobe read is
+      // constant-size while the corpus grows — the flat-probe claim.
+      // The build's n·cells assignment term grows ~c² here (cells ∝ c);
+      // that slope is the measured argument FOR the two-level coarse
+      // pass (x140) once cell count is corpus-proportional, so the
+      // family runs on a 1/10 base to keep the sweep affordable.
+      if (want("ivf_index_build") || want("ivf_probe_staged")) {
+        val embBase = baseEmb.where(col("vec_id") % 10 === 0)
+        val emb = replicateEmb(embBase, c, par).localCheckpoint()
+        val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
+        if (want("ivf_index_build")) record("ivf_index_build", c) {
+          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500); emb.count()
+        } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500)
+        record("ivf_probe_staged", c)(
+          SimilaritySearch.ivfTopKStaged(
+            embBase.where(col("vec_id") < 100), ivfDir, k = 5, nprobe = 2).count())
+        scala.reflect.io.Directory(new java.io.File(ivfDir)).deleteRecursively()
+      }
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale
       if (want("semdedup_scaled")) {
         val emb = replicateEmb(baseEmb, c, par).localCheckpoint()

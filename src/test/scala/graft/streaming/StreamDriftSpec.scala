@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class StreamDriftSpec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+
+  private def eventsDf(rows: Seq[(Long, Long, Long, String, Double, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+  }
+
+  private def landParquet(dir: String, name: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("drift-stage").toString
+    // the file source reads with EventsStream.schema (ts TIMESTAMP_NTZ,
+    // the fixture's physical type) — land the toy micros accordingly
+    eventsDf(rows)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.expr("cast(timestamp_micros(ts) as timestamp_ntz)"))
+      .coalesce(1).write.mode("overwrite").parquet(stage)
+    val src = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(src.toPath, java.nio.file.Paths.get(s"$dir/$name.parquet"))
+  }
+
+  // reference: values spread over two bands for type "click"
+  private val refRows = (0L until 40L).map(i =>
+    (i, 1000L * i, i % 3, "click", if (i % 2 == 0) 10.0 else 80.0, "{}"))
+
+  test("a batch drawn from the reference scores PSI exactly 0; a shifted batch is positive") {
+    val refPath = java.nio.file.Files.createTempDirectory("drift-ref").toString + "/bands"
+    StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("drift-led").toString + "/ledger"
+    StreamDrift.psiBatch(eventsDf(refRows), 0L, refPath, ledger)
+    val shifted = refRows.map { case (a, b, c, t, _, p) => (a, b, c, t, 450.0, p) }
+    StreamDrift.psiBatch(eventsDf(shifted), 1L, refPath, ledger)
+    val led = spark.read.parquet(ledger).collect()
+      .map(r => r.getAs[Number]("batch_id").longValue -> r.getAs[Long]("psi_micro")).toMap
+    led(0L) shouldBe 0L
+    led(1L) should be > 0L
+  }
+
+  test("a replayed batch_id overwrites its ledger slice (idempotent under at-least-once)") {
+    val refPath = java.nio.file.Files.createTempDirectory("drift-ref2").toString + "/bands"
+    StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("drift-led2").toString + "/ledger"
+    StreamDrift.psiBatch(eventsDf(refRows), 7L, refPath, ledger)
+    StreamDrift.psiBatch(eventsDf(refRows), 7L, refPath, ledger) // replay
+    val rows = spark.read.parquet(ledger).collect()
+    rows.length shouldBe 1
+    rows.head.getAs[Long]("psi_micro") shouldBe 0L
+  }
+
+  test("monitor streams per-trigger ledger rows; a never-seen type alarms loudest") {
+    val in = java.nio.file.Files.createTempDirectory("drift-in").toString
+    val refPath = java.nio.file.Files.createTempDirectory("drift-ref3").toString + "/bands"
+    StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("drift-led3").toString + "/ledger"
+    val ckpt = java.nio.file.Files.createTempDirectory("drift-ckpt").toString
+    val q = StreamDrift.monitor(spark, in, refPath, ledger, ckpt)
+    try {
+      landParquet(in, "b1", refRows)
+      q.processAllAvailable()
+      // second trigger: half in-distribution clicks, half a type the
+      // reference never saw — the unseen type must out-score the known one
+      landParquet(in, "b2",
+        refRows.take(10) ++ (100L until 110L).map(i =>
+          (i, 1000L * i, i % 3, "mystery", 10.0, "{}")))
+      q.processAllAvailable()
+      // batch_id is a partition directory on read — inference narrows it
+      // to int, so unbox numerically
+      val led = spark.read.parquet(ledger).collect()
+        .map(r => (r.getAs[Number]("batch_id").longValue,
+          r.getAs[String]("event_type"), r.getAs[Long]("psi_micro")))
+      led.count(_._1 == 0L) shouldBe 1
+      led.filter(_._1 == 0L).head._3 shouldBe 0L
+      val second = led.filter(_._1 == 1L).map(t => t._2 -> t._3).toMap
+      second.keySet shouldBe Set("click", "mystery")
+      second("mystery") should be > second("click")
+    } finally q.stop()
+  }
+}
