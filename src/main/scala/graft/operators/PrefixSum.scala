@@ -26,14 +26,26 @@ object PrefixSum {
     * this operator exists to avoid — pre-scale to fixed-point integers
     * (e.g. micro-units) instead.
     */
-  def runningTotal(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame = {
+  def runningTotal(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame =
+    runningTotals(df, orderCol, Seq(valueCol -> out))
+
+  /** Multi-column form: one range partitioning, one checkpoint, and one
+    * O(P) driver pass serve EVERY (valueCol → out) pair — the shape a
+    * multi-series ECDF (x142's two cohorts) needs, at half the shuffle
+    * and barrier cost of nesting single-column calls.
+    */
+  def runningTotals(
+      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val vt = df.schema(valueCol).dataType
-    val integral = vt == ByteType || vt == ShortType || vt == IntegerType || vt == LongType
-    require(integral,
-      s"PrefixSum.runningTotal: valueCol '$valueCol' must be integral " +
-        s"(got ${vt.simpleString}); scale doubles/decimals to fixed-point " +
-        "integer units first")
+    require(cols.nonEmpty, "PrefixSum.runningTotals: no value columns")
+    for ((valueCol, _) <- cols) {
+      val vt = df.schema(valueCol).dataType
+      val integral = vt == ByteType || vt == ShortType || vt == IntegerType || vt == LongType
+      require(integral,
+        s"PrefixSum.runningTotals: valueCol '$valueCol' must be integral " +
+          s"(got ${vt.simpleString}); scale doubles/decimals to fixed-point " +
+          "integer units first")
+    }
     // the checkpoint pins ONE set of range boundaries: repartitionByRange
     // samples its bounds per execution (reservoir seed varies with the RDD
     // id), so without a barrier the totals job below and the output job
@@ -46,35 +58,51 @@ object PrefixSum {
       .localCheckpoint()
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("__run", sum(col(valueCol)).over(w))
-    // P partition (total, non-null count) pairs → exclusive offsets; range
-    // partitioning assigns ascending pids to ascending ranges, so offsets
-    // accumulate in pid order. Totals come from SUM of the values (NOT the
-    // max of the running column, which is wrong under negative values) and
-    // the non-null count disambiguates "no prior values" from "prior
-    // values summing to zero" for the NULL-row semantics below.
-    val totals = local.groupBy("__pid")
-      .agg(coalesce(sum(valueCol), lit(0L)).as("__tot"), count(valueCol).as("__cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    var accSum = 0L
-    var accCnt = 0L
-    val offsets = totals.map { case (pid, tot, cnt) =>
-      val o = (pid, accSum, accCnt)
-      accSum += tot; accCnt += cnt
-      o
+    val local = cols.zipWithIndex.foldLeft(parted) { case (d, ((v, _), i)) =>
+      d.withColumn(s"__run$i", sum(col(v)).over(w))
     }
+    // P partition (total, non-null count) pairs per value column →
+    // exclusive offsets; range partitioning assigns ascending pids to
+    // ascending ranges, so offsets accumulate in pid order. Totals come
+    // from SUM of the values (NOT the max of the running column, which is
+    // wrong under negative values) and the non-null count disambiguates
+    // "no prior values" from "prior values summing to zero" for the
+    // NULL-row semantics below.
+    val aggExprs = cols.zipWithIndex.flatMap { case ((v, _), i) =>
+      Seq(coalesce(sum(col(v)), lit(0L)).as(s"__tot$i"), count(col(v)).as(s"__cnt$i"))
+    }
+    val totals = local.groupBy("__pid")
+      .agg(aggExprs.head, aggExprs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0),
+        cols.indices.map(i => (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))))
+      .sortBy(_._1)
+    val accSum = Array.fill(cols.length)(0L)
+    val accCnt = Array.fill(cols.length)(0L)
+    val offRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    totals.foreach { case (pid, ts) =>
+      offRows.add(org.apache.spark.sql.Row.fromSeq(
+        pid +: cols.indices.flatMap(i => Seq(accSum(i), accCnt(i)))))
+      cols.indices.foreach { i => accSum(i) += ts(i)._1; accCnt(i) += ts(i)._2 }
+    }
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType => LT}
+    val offSchema = StructType(StructField("__pid", IntegerType) +:
+      cols.indices.flatMap(i => Seq(
+        StructField(s"__off$i", LT), StructField(s"__offcnt$i", LT))))
     val spark = df.sparkSession
-    import spark.implicits._
-    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off", "__offcnt"))
+    val offDf = broadcast(spark.createDataFrame(offRows, offSchema))
     // window-SUM semantics for NULL values: the running total skips them,
     // so a row in a leading all-NULL span still carries the prior
     // partitions' total — and is NULL only when nothing non-null precedes
     // it anywhere
-    local.join(offDf, "__pid")
-      .withColumn(out,
-        when(col("__run").isNotNull, col("__run") + col("__off"))
-          .when(col("__offcnt") > 0, col("__off"))
+    val joined = local.join(offDf, "__pid")
+    cols.zipWithIndex.foldLeft(joined) { case (d, ((_, out), i)) =>
+      d.withColumn(out,
+        when(col(s"__run$i").isNotNull, col(s"__run$i") + col(s"__off$i"))
+          .when(col(s"__offcnt$i") > 0, col(s"__off$i"))
           .otherwise(lit(null)))
-      .drop("__pid", "__run", "__off", "__offcnt")
+    }.drop("__pid" +: cols.indices.flatMap(i =>
+      Seq(s"__run$i", s"__off$i", s"__offcnt$i")): _*)
   }
 }

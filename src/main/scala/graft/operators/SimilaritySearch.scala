@@ -83,6 +83,37 @@ object SimilaritySearch {
     * partition-local slice, and only the probed lists are scanned per
     * query.
     */
+  /** The `n` nearest centroids per row of `df` (cosine, ties to the lower
+    * centroid id) — THE nearest-cell kernel every IVF path shares
+    * ([[ivfTopK]]'s list+probe stages, [[invertedLists]],
+    * [[ivfTopKStaged]]'s probe stage), factored out so the scoring
+    * expression and tie-break — the determinism contract IvfIndexSpec
+    * pins across the staged/in-session pair — exist exactly once.
+    * `cent` must carry (cent_id, centv, centn) and be broadcast-sized.
+    */
+  private def nearestCells(
+      df: DataFrame,
+      cent: DataFrame,
+      side: String,
+      n: Int,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val w = Window.partitionBy(s"${side}_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+      norm(col(vecCol)).as(s"${side}n"))
+      .crossJoin(cent)
+      .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"),
+        (dot(col(s"${side}v"), col("centv")) / col(s"${side}n") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= n)
+      .drop("csim", "r")
+  }
+
+  private def centTable(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    broadcast(centroids.select(
+      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -91,22 +122,9 @@ object SimilaritySearch {
       nprobe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
-    def nearestCells(df: DataFrame, side: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(s"${side}_id")
-        .orderBy(col("csim").desc, col("cent_id"))
-      df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
-        norm(col(vecCol)).as(s"${side}n"))
-        .crossJoin(cent)
-        .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"),
-          (dot(col(s"${side}v"), col("centv")) / col(s"${side}n") / col("centn")).as("csim"))
-        .withColumn("r", row_number().over(w))
-        .where(col("r") <= n)
-        .drop("csim", "r")
-    }
-    val lists = nearestCells(corpus, "corpus", 1)
-    val probes = broadcast(nearestCells(queries, "query", nprobe))
+    val cent = centTable(centroids, idCol, vecCol)
+    val lists = nearestCells(corpus, cent, "corpus", 1, idCol, vecCol)
+    val probes = broadcast(nearestCells(queries, cent, "query", nprobe, idCol, vecCol))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     probes.join(lists, "cent_id")
       .select(col("query_id"), col("corpus_id"),
@@ -128,20 +146,14 @@ object SimilaritySearch {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val cent = broadcast(centroids.select(
-      col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
-    val w = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cent_id"))
-    corpus
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("corpusv"),
-        norm(col(vecCol)).as("corpusn"))
-      .crossJoin(cent)
-      .select(col("corpus_id"), col("corpusv"), col("cent_id"),
-        (dot(col("corpusv"), col("centv")) / col("corpusn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
-      .select("cent_id", "corpus_id", "corpusv")
-  }
+      vecCol: String = "embedding"): DataFrame =
+    // corpusn rides along into the persisted layout: the probe join
+    // scores O(pairs) rows, so recomputing the norm there would pay a
+    // full-vector dot+sqrt per (query, candidate) instead of once per
+    // corpus row at build time
+    nearestCells(corpus, centTable(centroids, idCol, vecCol),
+      "corpus", 1, idCol, vecCol)
+      .select("cent_id", "corpus_id", "corpusv", "corpusn")
 
   /** Probe of a PERSISTED IVF index ([[graft.sources.Layouts.ivfIndex]]):
     * queries rank the (small, broadcast) centroid table, keep their
@@ -165,15 +177,7 @@ object SimilaritySearch {
     val cent = broadcast(s.read.parquet(s"$indexPath/cent")
       .select(col("cent_id"), col("centv"), norm(col("centv")).as("centn")))
     val lists = s.read.parquet(s"$indexPath/assign")
-    val probes = queries
-      .select(col(idCol).as("query_id"), col(vecCol).as("queryv"),
-        norm(col(vecCol)).as("queryn"))
-      .crossJoin(cent)
-      .select(col("query_id"), col("queryv"), col("queryn"), col("cent_id"),
-        (dot(col("queryv"), col("centv")) / col("queryn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))))
-      .where(col("r") <= nprobe)
+    val probes = nearestCells(queries, cent, "query", nprobe, idCol, vecCol)
       // partition-column type inference narrows cent_id on read (e.g. to
       // int); cast the probe side to ITS type so the join key is the bare
       // partition column and the pruning rule can match it
@@ -182,7 +186,7 @@ object SimilaritySearch {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     lists.join(broadcast(probes), "cent_id")
       .select(col("query_id"), col("corpus_id"),
-        (dot(col("queryv"), col("corpusv")) / col("queryn") / norm(col("corpusv")))
+        (dot(col("queryv"), col("corpusv")) / col("queryn") / col("corpusn"))
           .as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)

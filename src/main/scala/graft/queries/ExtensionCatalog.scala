@@ -5949,28 +5949,31 @@ object ExtensionCatalog {
         // Two-sample Kolmogorov–Smirnov distance between the event-value
         // distributions of the two user cohorts (user_id parity) — the
         // distribution-drift gate between ingest batches. The ECDFs are
-        // distributed prefix sums (PrefixSum.runningTotal: range-partition
-        // + per-partition window + O(P) driver offsets), NOT a
-        // single-partition global window — the one construction that
-        // survives a corpus-sized value axis. The KS numerator
-        // |ca·NB − cb·NA| is exact integer arithmetic; the statistic is
-        // one double division of exact operands.
+        // ONE distributed prefix-sum pass over both cohort columns
+        // (PrefixSum.runningTotals: range-partition + per-partition
+        // window + O(P) driver offsets), NOT a single-partition global
+        // window — the one construction that survives a corpus-sized
+        // value axis. The KS numerator |ca·NB − cb·NA| is exact
+        // DECIMAL(38,0) arithmetic (cohort counts past ~3·10⁹ would wrap
+        // the i64 product — the oracle's HUGEINT is the same 128-bit
+        // lane); the statistic is one double division of exact operands.
         val e = t(s, dir, "events").select(
           floor(col("value") * 1000).cast("long").as("vm"),
           (col("user_id") % 2).as("g"))
         val c = e.groupBy("vm").agg(
           sum(when(col("g") === 0, 1L).otherwise(0L)).as("a"),
           sum(when(col("g") === 1, 1L).otherwise(0L)).as("b"))
-        val run = PrefixSum.runningTotal(
-          PrefixSum.runningTotal(c, "vm", "a", "ca"), "vm", "b", "cb")
+        val run = PrefixSum.runningTotals(c, "vm", Seq("a" -> "ca", "b" -> "cb"))
         val tot = c.agg(sum("a").as("na"), sum("b").as("nb"))
+        def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
         run.crossJoin(broadcast(tot))
           .select(col("na"), col("nb"),
-            abs(col("ca") * col("nb") - col("cb") * col("na")).as("d"))
-          .groupBy("na", "nb").agg(max(col("d")).as("ks_num"))
+            abs(dec(col("ca")) * dec(col("nb"))
+              - dec(col("cb")) * dec(col("na"))).as("d"))
+          .groupBy("na", "nb").agg(max(col("d")).cast("decimal(38,0)").as("ks_num"))
           .select(col("na"), col("nb"), col("ks_num"),
             (col("ks_num").cast("double")
-              / (col("na") * col("nb")).cast("double")).as("ks"))
+              / (dec(col("na")) * dec(col("nb"))).cast("double")).as("ks"))
       },
       Some("""WITH e AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
              |    user_id % 2 AS g FROM events),
@@ -5984,26 +5987,32 @@ object ExtensionCatalog {
              |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
              |    CAST(SUM(b) AS BIGINT) AS nb FROM c)
              |SELECT na, nb,
-             |  CAST(MAX(abs(ca * nb - cb * na)) AS BIGINT) AS ks_num,
-             |  CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
-             |    / CAST(na * nb AS DOUBLE) AS ks
+             |  MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS ks_num,
+             |  CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+             |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks
              |FROM r, tot GROUP BY na, nb""".stripMargin),
       "two-sample KS distance between cohort value distributions on " +
-        "distributed ECDFs (range-partitioned prefix sums, O(P) driver " +
-        "state) with an exact-integer numerator — the drift gate between " +
-        "ingest batches (extension: data quality / statistics)"),
+        "distributed ECDFs (ONE range-partitioned multi-column prefix-sum " +
+        "pass, O(P) driver state) with an exact 128-bit numerator — the " +
+        "drift gate between ingest batches (extension: data quality / " +
+        "statistics)"),
 
     CatalogEntry(
       "x143_dp_release",
       (s, dir) => {
-        // Differentially-private count release (ε = 1, sensitivity 1):
-        // per-event-type counts plus Laplace noise drawn by inverse CDF
-        // from a SEEDED uniform — the salted polyhash of the group key
-        // (x86's Gumbel-trick cousin), so the release is bit-replayable in
-        // the oracle. u ∈ (0,1) via (h+1)/(P+1); noise = −sgn(v)·ln(1−2|v|)
-        // for v = u − ½, rounded to milli-units BEFORE the add so libm ULP
-        // differences can't reach the hash. One map-side-combinable count
-        // shuffle; the noise is a scalar expression on |groups| rows.
+        // Laplace-mechanism count release (ε = 1, sensitivity 1) in
+        // deterministic REPLAY form: noise drawn by inverse CDF from a
+        // seeded uniform — the salted polyhash of the group key (x86's
+        // Gumbel-trick cousin) — so the oracle replays the mechanism
+        // bit-for-bit. A PUBLIC salt carries no privacy (anyone can
+        // recompute and subtract the noise): the production release swaps
+        // the salt for a per-release SECRET (or a CSPRNG draw), which
+        // changes nothing in the plan — this entry pins the mechanism's
+        // arithmetic, not the secrecy of its seed. u ∈ (0,1) via
+        // (h+1)/(P+1); noise = −sgn(v)·ln(1−2|v|) for v = u − ½, rounded
+        // to milli-units BEFORE the add so libm ULP differences can't
+        // reach the hash. One map-side-combinable count shuffle; the
+        // noise is a scalar expression on |groups| rows.
         val g = t(s, dir, "events")
           .groupBy("event_type").agg(count(lit(1)).as("n"))
         g.withColumn("h",
@@ -6028,10 +6037,10 @@ object ExtensionCatalog {
               |    * ln(1.0 - 2.0 * abs(v)) * 1000.0) AS BIGINT) AS BIGINT)
               |    AS released_milli
               |FROM nz ORDER BY event_type""".stripMargin),
-      "ε=1 differentially-private count release: deterministic seeded " +
-        "Laplace noise (salted-hash uniform → inverse CDF, milli-unit " +
-        "rounded) on one count shuffle — the privacy-preserving stats a " +
-        "corpus publishes without row access (extension: privacy)"),
+      "ε=1 Laplace-mechanism count release in oracle-replayable form " +
+        "(salted-hash uniform → inverse CDF, milli-unit rounded; a SECRET " +
+        "per-release salt makes the identical plan an actual DP release) " +
+        "on one count shuffle (extension: privacy)"),
 
     CatalogEntry(
       "x144_ivf_probe",

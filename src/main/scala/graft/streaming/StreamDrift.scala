@@ -25,11 +25,16 @@ import org.apache.spark.sql.functions._
 object StreamDrift {
 
   /** 10 fixed value-milli bands (x98's binning — band = value·1000 div
-    * 50000, clamped to 9).
+    * 50000), clamped at BOTH ends: x98 runs on the non-negative fixture,
+    * but a monitor pointed at an arbitrary feed must not let negative
+    * values fall below the 0..9 grid — unclamped they would be counted in
+    * the denominators yet carry no band mass, so two entirely-negative
+    * distributions would compare as "no drift" no matter how far apart.
     */
   private def banded(events: DataFrame): DataFrame =
     events.select(col("event_type"),
-      expr("least(cast(floor(value * 1000) as bigint) div 50000, 9)").as("band"))
+      expr("greatest(least(cast(floor(value * 1000) as bigint) div 50000, 9), 0)")
+        .as("band"))
 
   /** Reference band histogram per event type, written once per release —
     * the q distribution incoming batches are scored against.
@@ -54,8 +59,13 @@ object StreamDrift {
     import spark.implicits._
     val refC = spark.read.parquet(refPath)
     val refTot = refC.groupBy("event_type").agg(sum("c").as("refn"))
-    val bc = banded(batch).groupBy("event_type", "band").agg(count(lit(1)).as("bc"))
-    val bTot = banded(batch).groupBy("event_type").agg(count(lit(1)).as("bn"))
+    // ONE scan of the micro-batch: inside foreachBatch every plan subtree
+    // re-reads the trigger's source files, so the band counts are
+    // materialized once (they are ≤ |types|×10 rows) and the per-type
+    // total is derived from them, not from a second banded() pass
+    val bc = banded(batch).groupBy("event_type", "band")
+      .agg(count(lit(1)).as("bc")).localCheckpoint()
+    val bTot = bc.groupBy("event_type").agg(sum("bc").as("bn"))
     // dense type × band grid over the BATCH's types, so empty bands on
     // either side still get smoothed mass
     val grid = bTot.crossJoin((0L to 9L).toDF("band"))

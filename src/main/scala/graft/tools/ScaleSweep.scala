@@ -166,9 +166,13 @@ object ScaleSweep {
       if (want("ivf_index_build") || want("ivf_probe_staged")) {
         val embBase = baseEmb.where(col("vec_id") % 10 === 0)
         val emb = replicateEmb(embBase, c, par).localCheckpoint()
+        // count OUTSIDE the timed block (siblings return the untimed
+        // n0 * c) — an in-block count would add a c-proportional scan to
+        // the very row whose growth exponent is the headline
+        val nEmb = emb.count()
         val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
         if (want("ivf_index_build")) record("ivf_index_build", c) {
-          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500); emb.count()
+          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500); nEmb
         } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500)
         record("ivf_probe_staged", c)(
           SimilaritySearch.ivfTopKStaged(

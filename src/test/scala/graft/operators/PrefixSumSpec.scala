@@ -60,6 +60,21 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("runningTotals over two columns matches two nested single-column passes") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i =>
+      (i, i % 7, (i % 3) - 1)) // second column exercises negatives
+    val df = rows.toDF("id", "a", "b")
+    val once = PrefixSum.runningTotals(df, "id", Seq("a" -> "ca", "b" -> "cb"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toMap
+    val nested = PrefixSum.runningTotal(
+      PrefixSum.runningTotal(df, "id", "a", "ca"), "id", "b", "cb")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("ca"), r.getAs[Long]("cb"))).toMap
+    once shouldBe nested
+  }
+
   test("plan has no single-partition global window") {
     val df = PrefixSum.runningTotal(
       spark.range(1000).selectExpr("id", "id % 7 AS v"), "id", "v", "cum")

@@ -43,6 +43,19 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
     led(1L) should be > 0L
   }
 
+  test("negative-valued distributions cannot hide below the band grid") {
+    // both distributions entirely negative: unclamped binning would put
+    // zero mass in bands 0..9 on both sides and score PSI 0 for a total
+    // shift; the double-ended clamp folds them into band 0 vs the
+    // reference's 10.0/80.0 mix, which must register as drift
+    val refPath = java.nio.file.Files.createTempDirectory("drift-refn").toString + "/bands"
+    StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("drift-ledn").toString + "/ledger"
+    val negative = refRows.map { case (a, b, c, t, _, p) => (a, b, c, t, -500.0, p) }
+    StreamDrift.psiBatch(eventsDf(negative), 0L, refPath, ledger)
+    spark.read.parquet(ledger).collect().head.getAs[Long]("psi_micro") should be > 0L
+  }
+
   test("a replayed batch_id overwrites its ledger slice (idempotent under at-least-once)") {
     val refPath = java.nio.file.Files.createTempDirectory("drift-ref2").toString + "/bands"
     StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
