@@ -114,6 +114,90 @@ object SimilaritySearch {
     broadcast(centroids.select(
       col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
 
+  /** Fixed quadratic polynomial mod the shared Prime — the lattice-robust
+    * deterministic sampler (see [[semDedupScaled]]'s scaladoc for why an
+    * affine hash degenerates on arithmetic-progression ids).
+    */
+  private def latticeHash(
+      id: org.apache.spark.sql.Column, a: Long, b: Long, c: Long) = {
+    val y = id % lit(Prime)
+    (y * y % lit(Prime) * lit(a) + y * lit(b) + lit(c)) % lit(Prime)
+  }
+
+  /** √k coarse layer over a materialized (cent_id, centv, centn) table:
+    * hash-subsample with the min-centroid guard (a hash sample CAN miss
+    * every centroid; an empty coarse layer would silently lose the whole
+    * assignment). Shared by [[semDedupScaled]] and
+    * [[invertedListsTwoLevel]].
+    */
+  private def coarseLayer(cents: DataFrame, k: Long): DataFrame = {
+    val coarseMod = math.max(1L, math.round(math.sqrt(k.toDouble)))
+    val minCent = cents.agg(min("cent_id")).head()
+    val coarseSel = latticeHash(col("cent_id"), 40503L, 2654435761L, 11L) %
+      lit(coarseMod) === 0
+    broadcast(cents
+      .where(if (minCent.isNullAt(0)) coarseSel
+             else coarseSel || col("cent_id") === lit(minCent.get(0)))
+      .select(col("cent_id").as("coarse_id"), col("centv").as("coarsev"),
+        col("centn").as("coarsen")))
+  }
+
+  /** Nearest coarse centroid per row (probe-1; ties to the lower id). */
+  private def toCoarse(
+      df: DataFrame, coarse: DataFrame, id: String, v: String, n: String): DataFrame = {
+    val w = Window.partitionBy(id).orderBy(col("ccsim").desc, col("coarse_id"))
+    df.crossJoin(coarse)
+      .select(df.columns.map(col) :+ col("coarse_id") :+
+        (dot(col(v), col("coarsev")) / col(n) / col("coarsen")).as("ccsim"): _*)
+      .withColumn("cr", row_number().over(w))
+      .where(col("cr") === 1)
+      .drop("ccsim", "cr")
+  }
+
+  /** [[invertedLists]] with TWO-LEVEL assignment — the build that stays
+    * affordable when the centroid count is corpus-proportional (constant
+    * cell size): a √k coarse layer partitions both the corpus and the
+    * fine centroids, and each corpus row scores only its coarse cell's
+    * fine centroids — n·√k + k·√k dot products and one shuffle on the
+    * coarse id, versus the flat build's n·k. Probe-1 coarse assignment is
+    * approximate at cell boundaries (x140's documented trade: a row near
+    * a coarse boundary can land in a fine cell that is second-nearest
+    * globally — raise the coarse probe count at the recall frontier);
+    * the OUTPUT CONTRACT (cent_id, corpus_id, corpusv, corpusn) and the
+    * persisted layout are identical to the flat build, so
+    * [[ivfTopKStaged]] probes either without change.
+    */
+  def invertedListsTwoLevel(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"),
+        col(vecCol).as("centv"), norm(col(vecCol)).as("centn"))
+      .localCheckpoint()
+    val coarse = coarseLayer(cents, math.max(1L, cents.count()))
+    val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
+    val corpusByCoarse = toCoarse(
+      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpusv"),
+        norm(col(vecCol)).as("corpusn")),
+      coarse, "corpus_id", "corpusv", "corpusn")
+    // LEFT join + coalesce fallback: a coarse centroid can cosine-defect
+    // to a sibling's cell, leaving its own coarse cell with zero fine
+    // centroids — rows assigned there fall back to the coarse centroid
+    // itself (always a real fine centroid id). Same guard as
+    // semDedupScaled's assignment.
+    val wFine = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cent_id"))
+    corpusByCoarse
+      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
+      .select(col("corpus_id"), col("corpusv"), col("corpusn"),
+        col("coarse_id"), col("cent_id"),
+        (dot(col("corpusv"), col("centv")) / col("corpusn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(wFine))
+      .where(col("r") === 1)
+      .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
+        col("corpus_id"), col("corpusv"), col("corpusn"))
+  }
+
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -336,21 +420,18 @@ object SimilaritySearch {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     // sampling hashes are fixed QUADRATIC polynomials mod the shared Prime
-    // — deterministic and bit-replayable in the DuckDB oracle, like the
-    // MinHash-permutation constants, but lattice-robust, unlike them. An
-    // AFFINE hash ((id·A + B) mod P mod m) is itself affine on any
-    // arithmetic-progression id set (auto-increment ids, shard offsets,
-    // id + i·10⁶ replication), and its residues mod m can systematically
-    // avoid 0: the ScaleSweep 50× lattice left the coarse layer with ONE
-    // cell, so every corpus row scored every fine centroid — 200 M join
-    // rows, 369 s. The id² term maps an arithmetic progression to a
-    // non-progression mod P, so the mod-m sample stays near-uniform on
-    // structured ids (measured within ~3× of k/m on step-1/2²⁰/10⁶
-    // lattices; the affine form hit 0). All terms bound by P·A < 2⁶³.
-    def latticeHash(id: org.apache.spark.sql.Column, a: Long, b: Long, c: Long) = {
-      val y = id % lit(Prime)
-      (y * y % lit(Prime) * lit(a) + y * lit(b) + lit(c)) % lit(Prime)
-    }
+    // ([[latticeHash]]) — deterministic and bit-replayable in the DuckDB
+    // oracle, like the MinHash-permutation constants, but lattice-robust,
+    // unlike them. An AFFINE hash ((id·A + B) mod P mod m) is itself
+    // affine on any arithmetic-progression id set (auto-increment ids,
+    // shard offsets, id + i·10⁶ replication), and its residues mod m can
+    // systematically avoid 0: the ScaleSweep 50× lattice left the coarse
+    // layer with ONE cell, so every corpus row scored every fine centroid
+    // — 200 M join rows, 369 s. The id² term maps an arithmetic
+    // progression to a non-progression mod P, so the mod-m sample stays
+    // near-uniform on structured ids (measured within ~3× of k/m on
+    // step-1/2²⁰/10⁶ lattices; the affine form hit 0). All terms bound by
+    // P·A < 2⁶³.
     // the min corpus id is always a centroid: a hash sample can select
     // ZERO rows on a small corpus ((1-1/m)^n is not negligible at n ~ m),
     // and an empty centroid table would silently empty the whole ledger —
@@ -365,32 +446,13 @@ object SimilaritySearch {
         % lit(targetCellSize.toLong) === 0 || minIdSel)
       .localCheckpoint()
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
-    // already-materialized centroid table — O(k), not a corpus scan)
-    val k = math.max(1L, cents.count())
-    val coarseMod = math.max(1L, math.round(math.sqrt(k.toDouble)))
-    // the min centroid id is always coarse: a hash sample CAN miss every
-    // centroid, and an empty coarse layer would silently empty the ledger
-    val minCent = cents.agg(min("cent_id")).head()
-    val coarseSel = latticeHash(col("cent_id"), 40503L, 2654435761L, 11L) %
-      lit(coarseMod) === 0
-    val coarse = broadcast(cents
-      .where(if (minCent.isNullAt(0)) coarseSel
-             else coarseSel || col("cent_id") === lit(minCent.get(0)))
-      .select(col("cent_id").as("coarse_id"), col("centv").as("coarsev"),
-        col("centn").as("coarsen")))
-    def toCoarse(df: DataFrame, id: String, v: String, n: String): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("ccsim").desc, col("coarse_id"))
-      df.crossJoin(coarse)
-        .select(df.columns.map(col) :+ col("coarse_id") :+
-          (dot(col(v), col("coarsev")) / col(n) / col("coarsen")).as("ccsim"): _*)
-        .withColumn("cr", row_number().over(w))
-        .where(col("cr") === 1)
-        .drop("ccsim", "cr")
-    }
-    val fineByCoarse = toCoarse(cents, "cent_id", "centv", "centn")
+    // already-materialized centroid table — O(k), not a corpus scan; the
+    // min-centroid guard lives in [[coarseLayer]])
+    val coarse = coarseLayer(cents, math.max(1L, cents.count()))
+    val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
     val corpusByCoarse = toCoarse(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn")),
-      "id", "v", "vn")
+      coarse, "id", "v", "vn")
     // fine assignment within the coarse cell: argmax cosine, ties to the
     // lower centroid id — same contract as semDedup's flat assignment
     val wFine = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))

@@ -285,10 +285,12 @@ object Layouts {
     *                                           probe's cell equi-join
     *                                           dynamic-partition-prunes
     *                                           to the probed cells only;
-    *   `meta`    one row (cent_modulo)       — how the centroids were
-    *                                           drawn, so a rebuild at the
-    *                                           next corpus release is
-    *                                           reproducible.
+    *   `meta`    one row (cent_modulo,
+    *             two_level)                  — how the centroids were
+    *                                           drawn and which assignment
+    *                                           built the lists, so a
+    *                                           rebuild at the next corpus
+    *                                           release is reproducible.
     * Build is corpus-linear (one broadcast-scored assignment pass); each
     * query batch then reads nprobe directories, not the corpus — the
     * write-once / probe-many split of x101/x117/x139, applied to ANN.
@@ -302,16 +304,23 @@ object Layouts {
       path: String,
       centModulo: Long,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      twoLevel: Boolean = false): Unit = {
     import graft.operators.SimilaritySearch
     val cents = corpus.where(col(idCol) % centModulo === 0)
     cents.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
-    SimilaritySearch.invertedLists(corpus, cents, idCol, vecCol)
-      .write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assign")
+    // twoLevel swaps the n·k flat assignment for the n·√k coarse pass
+    // (SimilaritySearch.invertedListsTwoLevel) — approximate at coarse
+    // cell boundaries, mandatory once cell COUNT is corpus-proportional;
+    // the persisted layout and the probe are identical either way
+    val lists =
+      if (twoLevel) SimilaritySearch.invertedListsTwoLevel(corpus, cents, idCol, vecCol)
+      else SimilaritySearch.invertedLists(corpus, cents, idCol, vecCol)
+    lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assign")
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(centModulo).toDF("cent_modulo")
+    Seq((centModulo, twoLevel)).toDF("cent_modulo", "two_level")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 

@@ -163,7 +163,13 @@ object ScaleSweep {
       // that slope is the measured argument FOR the two-level coarse
       // pass (x140) once cell count is corpus-proportional, so the
       // family runs on a 1/10 base to keep the sweep affordable.
-      if (want("ivf_index_build") || want("ivf_probe_staged")) {
+      if (want("ivf_index_build") || want("ivf_probe_staged")
+          || want("ivf_index_build_2l")) {
+        // SWEEP_IVF_CENTMOD overrides centroid density: the default 500
+        // keeps the default full sweep affordable; a denser setting (e.g.
+        // 50 → cells ∝ c at 5× the count) is where the flat build's n·k
+        // term visibly separates from the two-level n·√k curve
+        val centMod = sys.env.getOrElse("SWEEP_IVF_CENTMOD", "500").toLong
         val embBase = baseEmb.where(col("vec_id") % 10 === 0)
         val emb = replicateEmb(embBase, c, par).localCheckpoint()
         // count OUTSIDE the timed block (siblings return the untimed
@@ -172,12 +178,23 @@ object ScaleSweep {
         val nEmb = emb.count()
         val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
         if (want("ivf_index_build")) record("ivf_index_build", c) {
-          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500); nEmb
-        } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = 500)
+          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod); nEmb
+        } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod)
         record("ivf_probe_staged", c)(
           SimilaritySearch.ivfTopKStaged(
             embBase.where(col("vec_id") < 100), ivfDir, k = 5, nprobe = 2).count())
         scala.reflect.io.Directory(new java.io.File(ivfDir)).deleteRecursively()
+        // the n·√k two-level build at the SAME centroid density — the
+        // curve that must stay flatter than the flat build's n·cells as
+        // cells grow ∝ c
+        if (want("ivf_index_build_2l")) {
+          val ivf2 = java.nio.file.Files.createTempDirectory(s"sweep-ivf2l$c").toString
+          record("ivf_index_build_2l", c) {
+            graft.sources.Layouts.ivfIndex(emb, ivf2, centModulo = centMod,
+              twoLevel = true); nEmb
+          }
+          scala.reflect.io.Directory(new java.io.File(ivf2)).deleteRecursively()
+        }
       }
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale
       if (want("semdedup_scaled")) {
