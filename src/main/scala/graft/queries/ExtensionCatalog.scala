@@ -6087,7 +6087,76 @@ object ExtensionCatalog {
       "IVF ANN probe of a persisted cell-partitioned index: dynamic " +
         "partition pruning reads only the nprobe probed cells — storage-" +
         "level ANN selectivity, the write-once/probe-many split applied " +
-        "to similarity search (extension: similarity search / scale)")
+        "to similarity search (extension: similarity search / scale)"),
+
+    CatalogEntry(
+      "x145_ivf_probe_2l",
+      (s, dir) => {
+        // x144's probe against the TWO-LEVEL-built index (Layouts.ivfIndex
+        // twoLevel = true): assignment ran as the √k coarse pass instead
+        // of flat n·k — the build that stays affordable at corpus-
+        // proportional cell count (SCALING.md ¶: 52.2 vs 29.2 s at 100×,
+        // 5× density). The oracle replays the ENTIRE two-level assignment
+        // (quadratic lattice-hash coarse sampling, min-centroid guard,
+        // probe-1 coarse routing, LEFT-join fine argmax with the
+        // coarse-fallback COALESCE) — the same replay discipline as x140,
+        // so the approximate-at-boundaries assignment is still value-exact
+        // to the engine that defines it.
+        val e = t(s, dir, "embeddings")
+        SimilaritySearch.ivfTopKStaged(
+          e.where(col("vec_id") < 10), stagedIvfIndex2l(s, dir), k = 5, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH cents AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10),
+              |km AS (SELECT GREATEST(1, CAST(round(sqrt(GREATEST(1, COUNT(*))))
+              |         AS BIGINT)) AS cm,
+              |       MIN(cent_id) AS mn FROM cents),
+              |coarse AS (
+              |  SELECT cent_id AS coarse_id, centv AS coarsev FROM cents, km
+              |  WHERE ((cent_id % 1000000007) * (cent_id % 1000000007) % 1000000007
+              |         * 40503 + (cent_id % 1000000007) * 2654435761 + 11)
+              |        % 1000000007 % km.cm = 0
+              |     OR cent_id = km.mn),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |fine_asg AS (SELECT cent_id, centv, coarse_id FROM (
+              |  SELECT c.cent_id, c.centv, co.coarse_id,
+              |    ROW_NUMBER() OVER (PARTITION BY c.cent_id
+              |      ORDER BY ${dCos("c.centv", "co.coarsev")} DESC, co.coarse_id) AS r
+              |  FROM cents c, coarse co) WHERE r = 1),
+              |corp_coarse AS (SELECT corpus_id, corpusv, coarse_id FROM (
+              |  SELECT cr.corpus_id, cr.corpusv, co.coarse_id,
+              |    ROW_NUMBER() OVER (PARTITION BY cr.corpus_id
+              |      ORDER BY ${dCos("cr.corpusv", "co.coarsev")} DESC, co.coarse_id) AS r
+              |  FROM corp cr, coarse co) WHERE r = 1),
+              |lists AS (SELECT corpus_id, corpusv, cent_id FROM (
+              |  SELECT cc.corpus_id, cc.corpusv,
+              |    COALESCE(f.cent_id, cc.coarse_id) AS cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY cc.corpus_id
+              |      ORDER BY ${dCos("cc.corpusv", "f.centv")} DESC NULLS LAST,
+              |        f.cent_id) AS r
+              |  FROM corp_coarse cc LEFT JOIN fine_asg f ON cc.coarse_id = f.coarse_id)
+              |  WHERE r = 1),
+              |qs AS (SELECT vec_id AS query_id, embedding AS queryv
+              |  FROM embeddings WHERE vec_id < 10),
+              |probes AS (SELECT query_id, queryv, cent_id FROM (
+              |  SELECT q.query_id, q.queryv, ct.cent_id,
+              |    ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |      ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |  FROM qs q, cents ct) WHERE r <= 2)
+              |SELECT * FROM (
+              |  SELECT p.query_id, l.corpus_id, ${dCos("p.queryv", "l.corpusv")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |  FROM probes p JOIN lists l ON p.cent_id = l.cent_id)
+              |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin),
+      "IVF probe of the TWO-LEVEL-built persisted index: oracle replays " +
+        "the √k coarse assignment end-to-end (lattice-hash sampling, " +
+        "probe-1 routing, fine argmax with coarse fallback) — the " +
+        "corpus-proportional-k build, value-exact " +
+        "(extension: similarity search / scale)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via
@@ -6147,6 +6216,20 @@ object ExtensionCatalog {
       out
     })
 
+  /** x145 staging: the same corpus-side IVF index built with the TWO-LEVEL
+    * assignment ([[graft.sources.Layouts.ivfIndex]] `twoLevel = true`) —
+    * the build that stays affordable at corpus-proportional cell count.
+    */
+  private val ivf2Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfIndex2l(s: SparkSession, dir: String): String =
+    ivf2Dirs.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf2idx").toString
+      graft.sources.Layouts.ivfIndex(
+        t(s, dir, "embeddings").where(col("vec_id") >= 10), out,
+        centModulo = 50, twoLevel = true)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -6159,5 +6242,6 @@ object ExtensionCatalog {
     "build_x101_posting" -> ((s, dir) => { stagedPostingIndex(s, dir); () }),
     "build_x117_minhash_index" -> ((s, dir) => { stagedMinhashIndex(s, dir); () }),
     "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
-    "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }))
+    "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
+    "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }))
 }

@@ -121,10 +121,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // x137 crosses the 4-row literal (bands, rows) grid (the x98 pattern)
       "x136_source_unigram_kl", "x137_lsh_band_tuning",
       // x142 crosses the 1-row (na, nb) cohort-totals aggregate into the
-      // ECDF rows (the x63 pattern); x144 is x18's bounded-broadcast
+      // ECDF rows (the x63 pattern); x144/x145 are x18's bounded-broadcast
       // probe (≤10 query vectors × the centroid table) against the
       // persisted index
-      "x142_ks_drift", "x144_ivf_probe")
+      "x142_ks_drift", "x144_ivf_probe", "x145_ivf_probe_2l")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
