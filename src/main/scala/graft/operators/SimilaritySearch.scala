@@ -130,7 +130,11 @@ object SimilaritySearch {
     * assignment). Shared by [[semDedupScaled]] and
     * [[invertedListsTwoLevel]].
     */
-  private def coarseLayer(cents: DataFrame, k: Long): DataFrame = {
+  private def coarseLayer(cents: DataFrame): DataFrame = {
+    // k counted here (cents must be materialized — both callers
+    // localCheckpoint it first) so the max(1, ·) floor cannot be
+    // forgotten by a caller on an empty centroid table
+    val k = math.max(1L, cents.count())
     val coarseMod = math.max(1L, math.round(math.sqrt(k.toDouble)))
     val minCent = cents.agg(min("cent_id")).head()
     val coarseSel = latticeHash(col("cent_id"), 40503L, 2654435761L, 11L) %
@@ -175,7 +179,7 @@ object SimilaritySearch {
     val cents = centroids.select(col(idCol).as("cent_id"),
         col(vecCol).as("centv"), norm(col(vecCol)).as("centn"))
       .localCheckpoint()
-    val coarse = coarseLayer(cents, math.max(1L, cents.count()))
+    val coarse = coarseLayer(cents)
     val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
     val corpusByCoarse = toCoarse(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpusv"),
@@ -267,11 +271,16 @@ object SimilaritySearch {
       // partition column and the pruning rule can match it
       .select(col("query_id"), col("queryv"), col("queryn"),
         col("cent_id").cast(lists.schema("cent_id").dataType).as("cent_id"))
+    // pre-corpusn layouts (the write-once contract means an index can
+    // outlive the release that wrote it) fall back to recomputing the
+    // norm per candidate — correct, just the old per-pair cost
+    val cn =
+      if (lists.columns.contains("corpusn")) col("corpusn")
+      else norm(col("corpusv"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
     lists.join(broadcast(probes), "cent_id")
       .select(col("query_id"), col("corpus_id"),
-        (dot(col("queryv"), col("corpusv")) / col("queryn") / col("corpusn"))
-          .as("cos"))
+        (dot(col("queryv"), col("corpusv")) / col("queryn") / cn).as("cos"))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
@@ -448,7 +457,7 @@ object SimilaritySearch {
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
     // already-materialized centroid table — O(k), not a corpus scan; the
     // min-centroid guard lives in [[coarseLayer]])
-    val coarse = coarseLayer(cents, math.max(1L, cents.count()))
+    val coarse = coarseLayer(cents)
     val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
     val corpusByCoarse = toCoarse(
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn")),

@@ -30,6 +30,12 @@ object StreamAnn {
 
   /** One micro-batch of probes → ledger rows
     * (query_id, corpus_id, cos, rank, batch_id), idempotent under replay.
+    * vec_id is the idempotency key WITHIN a batch too: an at-least-once
+    * feed can re-deliver a query inside one file, and duplicated rows
+    * sharing a query_id would pollute the per-query row_number windows
+    * (each top cell/neighbor kept once per copy) — so the batch is
+    * deduped before probing, which is also what makes the
+    * batching-invariance claim hold for replayed rows.
     */
   def probeBatch(
       batch: DataFrame,
@@ -39,7 +45,7 @@ object StreamAnn {
       k: Int,
       nprobe: Int): Unit =
     graft.operators.SimilaritySearch
-      .ivfTopKStaged(batch, indexPath, k = k, nprobe = nprobe)
+      .ivfTopKStaged(batch.dropDuplicates("vec_id"), indexPath, k = k, nprobe = nprobe)
       .withColumn("batch_id", lit(batchId))
       .write
       .option("partitionOverwriteMode", "dynamic")

@@ -176,14 +176,19 @@ object ScaleSweep {
         // n0 * c) — an in-block count would add a c-proportional scan to
         // the very row whose growth exponent is the headline
         val nEmb = emb.count()
-        val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
-        if (want("ivf_index_build")) record("ivf_index_build", c) {
-          graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod); nEmb
-        } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod)
-        record("ivf_probe_staged", c)(
-          SimilaritySearch.ivfTopKStaged(
-            embBase.where(col("vec_id") < 100), ivfDir, k = 5, nprobe = 2).count())
-        scala.reflect.io.Directory(new java.io.File(ivfDir)).deleteRecursively()
+        // the flat build runs only when its own row or the probe needs
+        // it — a 2l-only sweep must not pay the flat n·k build untimed
+        // (at dense centroids that is minutes of dead work per scale)
+        if (want("ivf_index_build") || want("ivf_probe_staged")) {
+          val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
+          if (want("ivf_index_build")) record("ivf_index_build", c) {
+            graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod); nEmb
+          } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod)
+          record("ivf_probe_staged", c)(
+            SimilaritySearch.ivfTopKStaged(
+              embBase.where(col("vec_id") < 100), ivfDir, k = 5, nprobe = 2).count())
+          scala.reflect.io.Directory(new java.io.File(ivfDir)).deleteRecursively()
+        }
         // the n·√k two-level build at the SAME centroid density — the
         // curve that must stay flatter than the flat build's n·cells as
         // cells grow ∝ c

@@ -48,6 +48,22 @@ class StreamAnnSpec extends AnyFunSuite with Matchers {
     } finally q.stop()
   }
 
+  test("a query re-delivered WITHIN one batch does not corrupt its top-k") {
+    // duplicated rows sharing a query_id would share the per-query
+    // row_number windows (each top cell/neighbor kept once per copy);
+    // probeBatch dedups on vec_id so the ledger equals the clean probe
+    val ledger = java.nio.file.Files.createTempDirectory("ann-led3").toString + "/ledger"
+    val dup = e.where(col("vec_id") < 3).union(e.where(col("vec_id") === 1))
+    StreamAnn.probeBatch(dup, 0L, indexDir, ledger, k = 5, nprobe = 2)
+    val got = spark.read.parquet(ledger)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .collect().map(_.toSeq.toList).toSet
+    val clean = SimilaritySearch
+      .ivfTopKStaged(e.where(col("vec_id") < 3), indexDir, k = 5, nprobe = 2)
+      .collect().map(_.toSeq.toList).toSet
+    got shouldBe clean
+  }
+
   test("a replayed batch_id overwrites its ledger slice") {
     val ledger = java.nio.file.Files.createTempDirectory("ann-led2").toString + "/ledger"
     val qs = e.where(col("vec_id") < 3)
