@@ -6156,7 +6156,97 @@ object ExtensionCatalog {
         "the √k coarse assignment end-to-end (lattice-hash sampling, " +
         "probe-1 routing, fine argmax with coarse fallback) — the " +
         "corpus-proportional-k build, value-exact " +
-        "(extension: similarity search / scale)")
+        "(extension: similarity search / scale)"),
+
+    CatalogEntry(
+      "x146_bloom_decontam",
+      (s, dir) => {
+        // Bounded-memory membership decontamination: the TRAIN-side 8-gram
+        // window fingerprints (x128's primitive) are compressed into an
+        // m = 2^16-bit Bloom filter (k = 4 salted affine hashes), and the
+        // eval shard probes it — a hit means "possibly seen in training",
+        // a miss is a GUARANTEE of novelty. This is the form the exact
+        // x128 join takes at 100 TB when the train fp set no longer fits
+        // a join side: the filter is O(m) bits regardless of corpus size
+        // and broadcasts to every probe task. The filter is modeled as
+        // the distinct set of SET bit positions (semantically identical
+        // to the bitset: membership = all k positions present), which is
+        // what makes the whole structure — including the measured vs
+        // analytic (filled/m)^k false-positive rate — replayable in the
+        // oracle. The analytic power is explicit multiplication, not
+        // pow(), so both engines evaluate identical IEEE ops.
+        val M = 65536L
+        def posArr(fp: org.apache.spark.sql.Column) = array((0 until 4).map(i =>
+          ((fp % Prime) * lit(2654435761L + i * 40503L)
+            + lit(7L + i * 100003L)) % Prime % M): _*)
+        val wins = dupSpanWindows(t(s, dir, "documents"))
+          .select(col("doc_id"), col("fp"))
+        val train = wins.where(col("doc_id") % 97 =!= 0).select("fp").distinct()
+        val ev = wins.where(col("doc_id") % 97 === 0).select("fp").distinct()
+        val tpos = train.select(explode(posArr(col("fp"))).as("pos")).distinct()
+        val epos = ev.select(col("fp"),
+          array_distinct(posArr(col("fp"))).as("parr"))
+        val hits = epos.select(col("fp"), size(col("parr")).as("npos"),
+            explode(col("parr")).as("pos"))
+          .join(tpos.withColumn("m", lit(1L)), Seq("pos"), "left")
+          .groupBy("fp", "npos").agg(sum(coalesce(col("m"), lit(0L))).as("h"))
+        val bh = hits.where(col("h") === col("npos")).agg(count(lit(1)).as("n_bloom_hits"))
+        val tr = ev.join(train, "fp").agg(count(lit(1)).as("n_true"))
+        val stats = train.agg(count(lit(1)).as("n_train_fps"))
+          .crossJoin(tpos.agg(count(lit(1)).as("filled")))
+          .crossJoin(ev.agg(count(lit(1)).as("n_eval_fps")))
+          .crossJoin(tr).crossJoin(bh)
+        val r = col("filled").cast("double") / lit(M.toDouble)
+        stats.select(col("n_train_fps"), col("filled"), col("n_eval_fps"),
+          col("n_true"), col("n_bloom_hits"),
+          (col("n_bloom_hits") - col("n_true")).as("false_pos"),
+          round((col("n_bloom_hits") - col("n_true")).cast("double")
+            / when(col("n_eval_fps") - col("n_true") =!= 0,
+                col("n_eval_fps") - col("n_true")).cast("double") * 1e6)
+            .cast("long").as("fpr_measured_ppm"),
+          round(r * r * r * r * lit(1e6)).cast("long").as("fpr_analytic_ppm"))
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+              |    list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+              |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+              |wf AS (SELECT doc_id, unnest(list_transform(range(0, len(hs) - 8 + 1),
+              |    i -> list_reduce(list_prepend(0::BIGINT, hs[i + 1 : i + 8]),
+              |      (acc, h) -> (acc * 31 + h) % $Prime))) AS fp
+              |  FROM base),
+              |train AS (SELECT DISTINCT fp FROM wf WHERE doc_id % 97 <> 0),
+              |ev AS (SELECT DISTINCT fp FROM wf WHERE doc_id % 97 = 0),
+              |tpos AS (SELECT DISTINCT
+              |    ((fp % $Prime) * (2654435761 + i * 40503) + (7 + i * 100003))
+              |      % $Prime % 65536 AS pos
+              |  FROM train, range(0, 4) r(i)),
+              |epos AS (SELECT fp, list_distinct(list_transform(range(0, 4),
+              |    i -> ((fp % $Prime) * (2654435761 + i * 40503) + (7 + i * 100003))
+              |      % $Prime % 65536)) AS parr FROM ev),
+              |eflat AS (SELECT fp, len(parr) AS npos, unnest(parr) AS pos FROM epos),
+              |hitc AS (SELECT f.fp, f.npos,
+              |    CAST(SUM(CASE WHEN t.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS h
+              |  FROM eflat f LEFT JOIN tpos t ON f.pos = t.pos GROUP BY 1, 2),
+              |agg AS (SELECT
+              |  (SELECT COUNT(*) FROM train)::BIGINT AS n_train_fps,
+              |  (SELECT COUNT(*) FROM tpos)::BIGINT AS filled,
+              |  (SELECT COUNT(*) FROM ev)::BIGINT AS n_eval_fps,
+              |  (SELECT COUNT(*) FROM ev e JOIN train t ON e.fp = t.fp)::BIGINT AS n_true,
+              |  (SELECT COUNT(*) FROM hitc WHERE h = npos)::BIGINT AS n_bloom_hits)
+              |SELECT n_train_fps, filled, n_eval_fps, n_true, n_bloom_hits,
+              |  n_bloom_hits - n_true AS false_pos,
+              |  CAST(round(CAST(n_bloom_hits - n_true AS DOUBLE)
+              |    / CAST(NULLIF(n_eval_fps - n_true, 0) AS DOUBLE) * 1000000.0)
+              |    AS BIGINT) AS fpr_measured_ppm,
+              |  CAST(round((filled::DOUBLE / 65536.0) * (filled::DOUBLE / 65536.0)
+              |    * (filled::DOUBLE / 65536.0) * (filled::DOUBLE / 65536.0)
+              |    * 1000000.0) AS BIGINT) AS fpr_analytic_ppm
+              |FROM agg""".stripMargin),
+      "Bloom-filter decontamination audit: train 8-gram windows compressed " +
+        "into a 2^16-bit filter (4 salted hashes, set-of-positions model), " +
+        "eval shard probed map-side — no false negatives by construction, " +
+        "measured vs analytic (filled/m)^k FPR — the bounded-memory form " +
+        "of x128 at corpus scales where the exact fp set no longer fits " +
+        "a join side (extension: curation / decontamination / sketches)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -124,7 +124,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // ECDF rows (the x63 pattern); x144/x145 are x18's bounded-broadcast
       // probe (≤10 query vectors × the centroid table) against the
       // persisted index
-      "x142_ks_drift", "x144_ivf_probe", "x145_ivf_probe_2l")
+      "x142_ks_drift", "x144_ivf_probe", "x145_ivf_probe_2l",
+      // x146 crosses five 1-row count aggregates into the single stats row
+      // (the x85 pattern)
+      "x146_bloom_decontam")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
