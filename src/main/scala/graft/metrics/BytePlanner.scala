@@ -46,11 +46,22 @@ object BytePlanner {
 
   /** Plan a scan of `columns` (empty ⇒ all) under the reference-grammar
     * `predicate` over one parquet file or a directory of them.
+    * `floatEpsilonEq` opts into v1's F6 behavior
+    * (v1/src/main.rs:711-756): the NEGATED float Equal prunes a group
+    * when min and max are both within f64 machine epsilon of the
+    * literal — slightly LOSSY (a row differing from the literal by less
+    * than one ulp satisfies `NOT (c == v)` yet its group is dropped),
+    * which is why exact-compare pruning is the default and the flag
+    * exists for reference-exact ablation only.
     */
-  def plan(path: String, columns: Seq[String], predicate: Option[String]): Plan = {
+  def plan(
+      path: String,
+      columns: Seq[String],
+      predicate: Option[String],
+      floatEpsilonEq: Boolean = false): Plan = {
     val expr = predicate.map(Predicates.parse)
     val files = listParquet(new java.io.File(path))
-    Plan(files.map(planFile(_, columns, expr)))
+    Plan(files.map(planFile(_, columns, expr, floatEpsilonEq)))
   }
 
   private def listParquet(f: java.io.File): Seq[String] =
@@ -58,7 +69,11 @@ object BytePlanner {
       f.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
     else Seq(f.getPath)
 
-  private def planFile(file: String, columns: Seq[String], expr: Option[Expr]): FilePlan = {
+  private def planFile(
+      file: String,
+      columns: Seq[String],
+      expr: Option[Expr],
+      epsEq: Boolean = false): FilePlan = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
@@ -67,7 +82,7 @@ object BytePlanner {
       val footerBytes = readFooterLength(file) + 8L // footer + length word + magic (S1)
       val surviving = blocks.filter { b =>
         val stats = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
-        expr.forall(e => keepRowGroup(e, stats, not = false))
+        expr.forall(e => keepRowGroup(e, stats, not = false, epsEq))
       }
       val wanted: ColumnChunkMetaData => Boolean =
         if (columns.isEmpty) _ => true
@@ -360,18 +375,19 @@ object BytePlanner {
   private[metrics] def keepRowGroup(
       e: Expr,
       stats: Map[String, ColumnChunkMetaData],
-      not: Boolean): Boolean = e match {
+      not: Boolean,
+      epsEq: Boolean = false): Boolean = e match {
     case And(l, r) =>
-      if (not) keepRowGroup(l, stats, not) || keepRowGroup(r, stats, not)
-      else keepRowGroup(l, stats, not) && keepRowGroup(r, stats, not)
+      if (not) keepRowGroup(l, stats, not, epsEq) || keepRowGroup(r, stats, not, epsEq)
+      else keepRowGroup(l, stats, not, epsEq) && keepRowGroup(r, stats, not, epsEq)
     case Or(l, r) =>
-      if (not) keepRowGroup(l, stats, not) && keepRowGroup(r, stats, not)
-      else keepRowGroup(l, stats, not) || keepRowGroup(r, stats, not)
-    case Not(x) => keepRowGroup(x, stats, !not)
+      if (not) keepRowGroup(l, stats, not, epsEq) && keepRowGroup(r, stats, not, epsEq)
+      else keepRowGroup(l, stats, not, epsEq) || keepRowGroup(r, stats, not, epsEq)
+    case Not(x) => keepRowGroup(x, stats, !not, epsEq)
     case Cond(c, op, v) =>
       stats.get(c) match {
         case None => true // unknown column name here ⇒ conservative
-        case Some(meta) => keepCond(meta, if (not) negate(op) else op, v)
+        case Some(meta) => keepCond(meta, if (not) negate(op) else op, v, epsEq)
       }
   }
 
@@ -391,10 +407,11 @@ object BytePlanner {
     * stats, but parquet truncation keeps them valid bounds, so interval
     * logic stays sound.
     */
-  private def keepCond(meta: ColumnChunkMetaData, op: String, v: Value): Boolean = {
+  private def keepCond(
+      meta: ColumnChunkMetaData, op: String, v: Value, epsEq: Boolean = false): Boolean = {
     val s = meta.getStatistics
     if (s == null || !s.hasNonNullValue) return true
-    keepBounds(meta.getPrimitiveType, s.genericGetMin, s.genericGetMax, op, v)
+    keepBounds(meta.getPrimitiveType, s.genericGetMin, s.genericGetMax, op, v, epsEq)
   }
 
   /** Interval check for one (min, max) bound pair — the shared kernel of
@@ -402,7 +419,8 @@ object BytePlanner {
     */
   private def keepBounds(
       tpe: org.apache.parquet.schema.PrimitiveType,
-      mnAny: Any, mxAny: Any, op: String, v: Value): Boolean = {
+      mnAny: Any, mxAny: Any, op: String, v: Value,
+      epsEq: Boolean = false): Boolean = {
 
     def interval(min: Double, max: Double, x: Double): Boolean = {
       if (min.isNaN || max.isNaN) return true // never prune on unusable stats
@@ -437,7 +455,17 @@ object BytePlanner {
       case (INT32 | INT64, F64(_)) if !isTimestamp(tpe) =>
         interval(num(mnAny), num(mxAny), numValue(v))
       case (FLOAT | DOUBLE, I64(_) | F64(_)) =>
-        interval(num(mnAny), num(mxAny), numValue(v))
+        // F6 (opt-in): v1 routes floats through compare_floats, whose
+        // only epsilon branch is the NEGATED Equal — prune when min and
+        // max BOTH sit within f64::EPSILON of the literal
+        // (v1/src/main.rs:729-731,746-747); every other op is the exact
+        // interval test
+        if (epsEq && op == "!=") {
+          val (mn, mx, x) = (num(mnAny), num(mxAny), numValue(v))
+          val eps = 2.220446049250313e-16 // f64::EPSILON == Math.ulp(1.0)
+          if (mn.isNaN || mx.isNaN) true
+          else !(math.abs(mn - x) < eps && math.abs(mx - x) < eps)
+        } else interval(num(mnAny), num(mxAny), numValue(v))
       case (INT64, Ts(ms)) =>
         timestampUnitScale(tpe) match {
           case Some(perMilli) =>

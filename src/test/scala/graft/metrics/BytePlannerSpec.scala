@@ -239,6 +239,29 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
       .survivingGroups should be > 0
   }
 
+  test("F6 opt-in: negated float Equal prunes within machine epsilon, exact mode keeps") {
+    // one row group whose double column is constantly 0.5; probe with a
+    // literal one ulp away (|x - 0.5| = 1.11e-16 < f64::EPSILON). v1's
+    // compare_floats prunes the group under NOT(c == x) — epsilon-equal
+    // min and max — even though every row satisfies the predicate; the
+    // exact default keeps it. This is the documented-lossy branch, which
+    // is why it is an ablation flag and not the default.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("f6eps").toString
+    Seq.fill(100)(0.5).toDF("d").coalesce(1).write.mode("overwrite").parquet(dir)
+    val x = "0.5000000000000001" // 0.5 + Math.ulp(0.5)
+    x.toDouble should not be 0.5
+    val pred = Some(s"NOT (d == $x)")
+    BytePlanner.plan(dir, Seq("d"), pred).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("d"), pred, floatEpsilonEq = true)
+      .survivingGroups shouldBe 0
+    // the positive Equal branch is exact in BOTH modes (v1's not=false arm
+    // has no epsilon): a literal inside [min, max] keeps the group either way
+    val eq = Some("d == 0.5")
+    BytePlanner.plan(dir, Seq("d"), eq).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("d"), eq, floatEpsilonEq = true).survivingGroups shouldBe 1
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))
