@@ -48,20 +48,32 @@ object BytePlanner {
     * `predicate` over one parquet file or a directory of them.
     * `floatEpsilonEq` opts into v1's F6 behavior
     * (v1/src/main.rs:711-756): the NEGATED float Equal prunes a group
-    * when min and max are both within f64 machine epsilon of the
-    * literal — slightly LOSSY (a row differing from the literal by less
-    * than one ulp satisfies `NOT (c == v)` yet its group is dropped),
-    * which is why exact-compare pruning is the default and the flag
-    * exists for reference-exact ablation only.
+    * when min and max are both within machine epsilon of the literal —
+    * per stat width, f32::EPSILON in f32 arithmetic for FLOAT columns
+    * and f64::EPSILON for DOUBLE (v1/src/main.rs:716-731) — slightly
+    * LOSSY (a row differing from the literal by less than one ulp
+    * satisfies `NOT (c == v)` yet its group is dropped), which is why
+    * exact-compare pruning is the default and the flag exists for
+    * reference-exact ablation only.
+    *
+    * `truncStringStats` (0 = off/exact) opts into v2's stats-cache
+    * divergence (v2/src/main.rs:291-298,378-386,601-609,931-936): v2
+    * caches only the first 8 bytes of BINARY min/max in a u64 and
+    * compares the FULL literal against those truncated bounds (lossy
+    * UTF-8 decode, trailing-NUL trim). The truncated max UNDERESTIMATES
+    * the true max, so `>`/`>=`/`==` against a literal sharing the
+    * 8-byte prefix can wrongly prune a group that contains matches.
+    * Like F6 this is a reference-exact ablation, never the default.
     */
   def plan(
       path: String,
       columns: Seq[String],
       predicate: Option[String],
-      floatEpsilonEq: Boolean = false): Plan = {
+      floatEpsilonEq: Boolean = false,
+      truncStringStats: Int = 0): Plan = {
     val expr = predicate.map(Predicates.parse)
     val files = listParquet(new java.io.File(path))
-    Plan(files.map(planFile(_, columns, expr, floatEpsilonEq)))
+    Plan(files.map(planFile(_, columns, expr, floatEpsilonEq, truncStringStats)))
   }
 
   private def listParquet(f: java.io.File): Seq[String] =
@@ -73,7 +85,8 @@ object BytePlanner {
       file: String,
       columns: Seq[String],
       expr: Option[Expr],
-      epsEq: Boolean = false): FilePlan = {
+      epsEq: Boolean = false,
+      truncStr: Int = 0): FilePlan = {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(file), new Configuration()))
     try {
@@ -82,7 +95,7 @@ object BytePlanner {
       val footerBytes = readFooterLength(file) + 8L // footer + length word + magic (S1)
       val surviving = blocks.filter { b =>
         val stats = b.getColumns.asScala.map(c => c.getPath.toDotString -> c).toMap
-        expr.forall(e => keepRowGroup(e, stats, not = false, epsEq))
+        expr.forall(e => keepRowGroup(e, stats, not = false, epsEq, truncStr))
       }
       val wanted: ColumnChunkMetaData => Boolean =
         if (columns.isEmpty) _ => true
@@ -376,18 +389,23 @@ object BytePlanner {
       e: Expr,
       stats: Map[String, ColumnChunkMetaData],
       not: Boolean,
-      epsEq: Boolean = false): Boolean = e match {
+      epsEq: Boolean = false,
+      truncStr: Int = 0): Boolean = e match {
     case And(l, r) =>
-      if (not) keepRowGroup(l, stats, not, epsEq) || keepRowGroup(r, stats, not, epsEq)
-      else keepRowGroup(l, stats, not, epsEq) && keepRowGroup(r, stats, not, epsEq)
+      if (not) keepRowGroup(l, stats, not, epsEq, truncStr) ||
+        keepRowGroup(r, stats, not, epsEq, truncStr)
+      else keepRowGroup(l, stats, not, epsEq, truncStr) &&
+        keepRowGroup(r, stats, not, epsEq, truncStr)
     case Or(l, r) =>
-      if (not) keepRowGroup(l, stats, not, epsEq) && keepRowGroup(r, stats, not, epsEq)
-      else keepRowGroup(l, stats, not, epsEq) || keepRowGroup(r, stats, not, epsEq)
-    case Not(x) => keepRowGroup(x, stats, !not, epsEq)
+      if (not) keepRowGroup(l, stats, not, epsEq, truncStr) &&
+        keepRowGroup(r, stats, not, epsEq, truncStr)
+      else keepRowGroup(l, stats, not, epsEq, truncStr) ||
+        keepRowGroup(r, stats, not, epsEq, truncStr)
+    case Not(x) => keepRowGroup(x, stats, !not, epsEq, truncStr)
     case Cond(c, op, v) =>
       stats.get(c) match {
         case None => true // unknown column name here ⇒ conservative
-        case Some(meta) => keepCond(meta, if (not) negate(op) else op, v, epsEq)
+        case Some(meta) => keepCond(meta, if (not) negate(op) else op, v, epsEq, truncStr)
       }
   }
 
@@ -408,10 +426,11 @@ object BytePlanner {
     * logic stays sound.
     */
   private def keepCond(
-      meta: ColumnChunkMetaData, op: String, v: Value, epsEq: Boolean = false): Boolean = {
+      meta: ColumnChunkMetaData, op: String, v: Value, epsEq: Boolean = false,
+      truncStr: Int = 0): Boolean = {
     val s = meta.getStatistics
     if (s == null || !s.hasNonNullValue) return true
-    keepBounds(meta.getPrimitiveType, s.genericGetMin, s.genericGetMax, op, v, epsEq)
+    keepBounds(meta.getPrimitiveType, s.genericGetMin, s.genericGetMax, op, v, epsEq, truncStr)
   }
 
   /** Interval check for one (min, max) bound pair — the shared kernel of
@@ -420,7 +439,7 @@ object BytePlanner {
   private def keepBounds(
       tpe: org.apache.parquet.schema.PrimitiveType,
       mnAny: Any, mxAny: Any, op: String, v: Value,
-      epsEq: Boolean = false): Boolean = {
+      epsEq: Boolean = false, truncStr: Int = 0): Boolean = {
 
     def interval(min: Double, max: Double, x: Double): Boolean = {
       if (min.isNaN || max.isNaN) return true // never prune on unusable stats
@@ -457,14 +476,26 @@ object BytePlanner {
       case (FLOAT | DOUBLE, I64(_) | F64(_)) =>
         // F6 (opt-in): v1 routes floats through compare_floats, whose
         // only epsilon branch is the NEGATED Equal — prune when min and
-        // max BOTH sit within f64::EPSILON of the literal
-        // (v1/src/main.rs:729-731,746-747); every other op is the exact
-        // interval test
+        // max BOTH sit within machine epsilon of the literal
+        // (v1/src/main.rs:729-731,746-747). The epsilon is PER STAT
+        // WIDTH, computed in that width's arithmetic, exactly like the
+        // reference's two Float impls (v1/src/main.rs:716-731):
+        // f32::EPSILON for FLOAT stats, f64::EPSILON for DOUBLE — a
+        // single f64 epsilon would make the flag a no-op on FLOAT
+        // columns (f32 bounds promoted to double are never within
+        // 2.2e-16 of the literal unless exactly equal).
         if (epsEq && op == "!=") {
-          val (mn, mx, x) = (num(mnAny), num(mxAny), numValue(v))
-          val eps = 2.220446049250313e-16 // f64::EPSILON == Math.ulp(1.0)
-          if (mn.isNaN || mx.isNaN) true
-          else !(math.abs(mn - x) < eps && math.abs(mx - x) < eps)
+          if (tpe.getPrimitiveTypeName == FLOAT) {
+            val (mn, mx, x) = (num(mnAny).toFloat, num(mxAny).toFloat, numValue(v).toFloat)
+            val eps = 1.1920929e-7f // f32::EPSILON
+            if (mn.isNaN || mx.isNaN) true
+            else !(math.abs(mn - x) < eps && math.abs(mx - x) < eps)
+          } else {
+            val (mn, mx, x) = (num(mnAny), num(mxAny), numValue(v))
+            val eps = 2.220446049250313e-16 // f64::EPSILON == Math.ulp(1.0)
+            if (mn.isNaN || mx.isNaN) true
+            else !(math.abs(mn - x) < eps && math.abs(mx - x) < eps)
+          }
         } else interval(num(mnAny), num(mxAny), numValue(v))
       case (INT64, Ts(ms)) =>
         timestampUnitScale(tpe) match {
@@ -479,8 +510,14 @@ object BytePlanner {
       case (BINARY, Str(x)) =>
         (mnAny, mxAny) match {
           case (mn: Binary, mx: Binary) =>
-            val min = mn.toStringUsingUTF8
-            val max = mx.toStringUsingUTF8
+            // truncStr > 0: v2's stats-cache ablation — bounds are the
+            // first `truncStr` bytes only, decoded the way v2 decodes its
+            // u64 cache (v2/src/main.rs:378-386,931-936); the full
+            // literal still compares against them, reproducing the
+            // mis-prune when the true bound extends past the prefix.
+            val (min, max) =
+              if (truncStr > 0) (truncStat(mn, truncStr), truncStat(mx, truncStr))
+              else (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
             op match {
               case "<" => min < x
               case "<=" => min <= x
@@ -502,6 +539,20 @@ object BytePlanner {
           case _ => true
         }
       case _ => true
+    }
+  }
+
+  /** v2's truncated stat decode (v2/src/main.rs:378-386 encode_byte_array,
+    * 931-936 bytes_to_string): first `n` bytes, strict UTF-8 if they decode
+    * cleanly, else lossy (replacement chars) — trailing-NUL trim is moot
+    * here because we never zero-pad.
+    */
+  private def truncStat(b: Binary, n: Int): String = {
+    val bytes = b.getBytes.take(n)
+    try java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    catch { case _: java.nio.charset.CharacterCodingException =>
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8) // lossy
     }
   }
 

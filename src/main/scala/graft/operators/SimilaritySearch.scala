@@ -73,16 +73,6 @@ object SimilaritySearch {
       GraftFunctions.expression(col(vecCol)), planes))
   }
 
-  /** IVF-style ANN: corpus vectors are inverted-listed under their nearest
-    * centroid (by cosine, ties to the lower centroid id); a query probes
-    * its `nprobe` nearest centroids and searches only those lists. The
-    * centroid set is supplied by the caller (deterministic — e.g. a fixed
-    * id-sampled subset; a production pipeline would plug k-means output in)
-    * so results are exactly reproducible. Centroids broadcast; the corpus
-    * shuffles once on centroid id — at 100 TB each inverted list is a
-    * partition-local slice, and only the probed lists are scanned per
-    * query.
-    */
   /** The `n` nearest centroids per row of `df` (cosine, ties to the lower
     * centroid id) — THE nearest-cell kernel every IVF path shares
     * ([[ivfTopK]]'s list+probe stages, [[invertedLists]],
@@ -202,6 +192,16 @@ object SimilaritySearch {
         col("corpus_id"), col("corpusv"), col("corpusn"))
   }
 
+  /** IVF-style ANN: corpus vectors are inverted-listed under their nearest
+    * centroid (by cosine, ties to the lower centroid id); a query probes
+    * its `nprobe` nearest centroids and searches only those lists. The
+    * centroid set is supplied by the caller (deterministic — e.g. a fixed
+    * id-sampled subset; a production pipeline would plug k-means output in)
+    * so results are exactly reproducible. Centroids broadcast; the corpus
+    * shuffles once on centroid id — at 100 TB each inverted list is a
+    * partition-local slice, and only the probed lists are scanned per
+    * query.
+    */
   def ivfTopK(
       queries: DataFrame,
       corpus: DataFrame,

@@ -5956,7 +5956,12 @@ object ExtensionCatalog {
         // value axis. The KS numerator |ca·NB − cb·NA| is exact
         // DECIMAL(38,0) arithmetic (cohort counts past ~3·10⁹ would wrap
         // the i64 product — the oracle's HUGEINT is the same 128-bit
-        // lane); the statistic is one double division of exact operands.
+        // lane, CAST to DECIMAL(38,0) so the driver's typed hash sees one
+        // lane on both legs). The final statistic follows the catalog's
+        // milli/micro-unit determinism recipe (x141/x143): one double
+        // division of exact operands, rounded to micro-units as BIGINT on
+        // BOTH legs, with the empty-cohort denominator NULL-guarded the
+        // same way x141 guards its OLS denominator.
         val e = t(s, dir, "events").select(
           floor(col("value") * 1000).cast("long").as("vm"),
           (col("user_id") % 2).as("g"))
@@ -5972,8 +5977,10 @@ object ExtensionCatalog {
               - dec(col("cb")) * dec(col("na"))).as("d"))
           .groupBy("na", "nb").agg(max(col("d")).cast("decimal(38,0)").as("ks_num"))
           .select(col("na"), col("nb"), col("ks_num"),
-            (col("ks_num").cast("double")
-              / (dec(col("na")) * dec(col("nb"))).cast("double")).as("ks"))
+            when(dec(col("na")) * dec(col("nb")) =!= 0,
+              round(col("ks_num").cast("double")
+                / (dec(col("na")) * dec(col("nb"))).cast("double") * 1e6))
+              .cast("long").as("ks_micro"))
       },
       Some("""WITH e AS (SELECT CAST(floor(value * 1000) AS BIGINT) AS vm,
              |    user_id % 2 AS g FROM events),
@@ -5987,9 +5994,12 @@ object ExtensionCatalog {
              |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
              |    CAST(SUM(b) AS BIGINT) AS nb FROM c)
              |SELECT na, nb,
-             |  MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS ks_num,
-             |  CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
-             |    / CAST(CAST(na AS HUGEINT) * nb AS DOUBLE) AS ks
+             |  CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
+             |    AS DECIMAL(38,0)) AS ks_num,
+             |  CAST(round(
+             |    CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
+             |      / CAST(NULLIF(CAST(na AS HUGEINT) * nb, 0) AS DOUBLE) * 1e6)
+             |    AS BIGINT) AS ks_micro
              |FROM r, tot GROUP BY na, nb""".stripMargin),
       "two-sample KS distance between cohort value distributions on " +
         "distributed ECDFs (ONE range-partitioned multi-column prefix-sum " +

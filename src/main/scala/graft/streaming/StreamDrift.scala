@@ -44,11 +44,14 @@ object StreamDrift {
       .groupBy("event_type", "band").agg(count(lit(1)).as("c"))
       .coalesce(1).write.mode("overwrite").parquet(path)
 
-  /** PSI of one micro-batch against the reference, per event type present
-    * in the batch; ledger rows (event_type, n, psi_micro, batch_id)
-    * overwrite their own batch_id partition so replays are idempotent.
-    * A type the reference has never seen scores against pure smoothing
-    * mass (refN = 0) — maximally drifted, which is the right alarm.
+  /** PSI of one micro-batch against the reference, per event type in the
+    * UNION of batch and reference types; ledger rows (event_type, n,
+    * psi_micro, batch_id) overwrite their own batch_id partition so
+    * replays are idempotent. A type the reference has never seen scores
+    * against pure smoothing mass (refN = 0) — maximally drifted — and
+    * symmetrically a reference type absent from the batch (bn = 0, total
+    * disappearance) still emits an alarmed row rather than vanishing from
+    * the ledger.
     */
   def psiBatch(
       batch: DataFrame,
@@ -66,11 +69,18 @@ object StreamDrift {
     val bc = banded(batch).groupBy("event_type", "band")
       .agg(count(lit(1)).as("bc")).localCheckpoint()
     val bTot = bc.groupBy("event_type").agg(sum("bc").as("bn"))
-    // dense type × band grid over the BATCH's types, so empty bands on
-    // either side still get smoothed mass
-    val grid = bTot.crossJoin((0L to 9L).toDF("band"))
+    // dense type × band grid over the UNION of batch and reference types:
+    // empty bands on either side get smoothed mass, and a reference type
+    // that vanishes from the batch entirely — the strongest drift signal —
+    // still gets a ledger row (bn = 0, scored against pure smoothing mass,
+    // the mirror of a never-seen type's refn = 0)
+    val types = bTot.select("event_type")
+      .union(refTot.select("event_type")).distinct()
+    val grid = types.crossJoin((0L to 9L).toDF("band"))
       .join(broadcast(refTot), Seq("event_type"), "left")
-      .select(col("event_type"), col("band"), col("bn"),
+      .join(broadcast(bTot), Seq("event_type"), "left")
+      .select(col("event_type"), col("band"),
+        coalesce(col("bn"), lit(0L)).as("bn"),
         coalesce(col("refn"), lit(0L)).as("refn"))
     val terms = grid
       .join(broadcast(refC.withColumnRenamed("c", "rc")),

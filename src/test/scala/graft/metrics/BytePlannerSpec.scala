@@ -262,6 +262,50 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     BytePlanner.plan(dir, Seq("d"), eq, floatEpsilonEq = true).survivingGroups shouldBe 1
   }
 
+  test("F6 epsilon is per stat width: f32::EPSILON fires on FLOAT columns") {
+    // FLOAT stats route through f32 arithmetic with f32::EPSILON
+    // (v1/src/main.rs:716-722), not the f64 epsilon — a literal one f32
+    // ulp from the stored value (5.96e-8, within 1.19e-7 but *far*
+    // outside 2.22e-16) must prune under the flag. With a single f64
+    // epsilon the flag was a silent no-op on float columns.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("f6eps32").toString
+    Seq.fill(100)(0.5f).toDF("f").coalesce(1).write.mode("overwrite").parquet(dir)
+    val x = "0.50000006" // nextUp(0.5f) — a DIFFERENT f32 than the stats
+    x.toFloat should not be 0.5f
+    val pred = Some(s"NOT (f == $x)")
+    BytePlanner.plan(dir, Seq("f"), pred).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("f"), pred, floatEpsilonEq = true)
+      .survivingGroups shouldBe 0
+  }
+
+  test("v2 truncated-string-stats ablation mis-prunes past the 8-byte prefix") {
+    // v2 caches only the first 8 bytes of BINARY min/max
+    // (v2/src/main.rs:291-298,378-386) and compares the FULL literal
+    // against the truncated bounds (601-609, 931-936). The truncated max
+    // UNDERESTIMATES the true max, so `==`/`>` against a literal that
+    // shares the 8-byte prefix but extends past it wrongly prunes a group
+    // that contains matches — the documented divergence, reproduced as an
+    // opt-in flag (exact stats stay the default, like F6).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("truncstr").toString
+    Seq.fill(100)("abcdefghz").toDF("s").coalesce(1).write.mode("overwrite").parquet(dir)
+    val eq = Some("s == abcdefghz")
+    BytePlanner.plan(dir, Seq("s"), eq).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("s"), eq, truncStringStats = 8)
+      .survivingGroups shouldBe 0 // mis-prune: every row matches
+    val gt = Some("s > abcdefgh")
+    BytePlanner.plan(dir, Seq("s"), gt).survivingGroups shouldBe 1
+    BytePlanner.plan(dir, Seq("s"), gt, truncStringStats = 8)
+      .survivingGroups shouldBe 0 // truncated max == literal ⇒ not >
+    // literals decided within the prefix are unaffected by truncation
+    val lt = Some("s < abcdefgh")
+    BytePlanner.plan(dir, Seq("s"), lt, truncStringStats = 8)
+      .survivingGroups shouldBe 0
+    BytePlanner.plan(dir, Seq("s"), Some("s >= abcdefgh"), truncStringStats = 8)
+      .survivingGroups shouldBe 1
+  }
+
   test("property grid: planner never prunes a group that holds matching rows") {
     val quantities = spark.read.parquet(staged).collect()
       .map(_.getAs[Double]("l_quantity"))

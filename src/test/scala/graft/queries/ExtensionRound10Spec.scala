@@ -54,13 +54,22 @@ class ExtensionRound10Spec extends AnyFunSuite with Matchers {
       (i, 1000L * i, i % 2, "e", ((i / 2) % 2).toDouble, "{}")))
     val r0 = entry("x142_ks_drift").build(spark, same).collect().head
     r0.getAs[java.math.BigDecimal]("ks_num").longValueExact shouldBe 0L
-    r0.getAs[Double]("ks") shouldBe 0.0
+    r0.getAs[Long]("ks_micro") shouldBe 0L
     // cohort 0 sees values {0,1}, cohort 1 sees {100,101} → at vm=1000·1
     // every g=0 observation has passed and no g=1 has → KS = 1.
     val disjoint = writeEvents((0L until 8L).map(i =>
       (i, 1000L * i, i % 2, "e", if (i % 2 == 0) (i % 4).toDouble else 100.0 + (i % 4), "{}")))
     val r1 = entry("x142_ks_drift").build(spark, disjoint).collect().head
-    r1.getAs[Double]("ks") shouldBe 1.0
+    r1.getAs[Long]("ks_micro") shouldBe 1000000L
+  }
+
+  test("x142: a single-cohort fixture yields NULL ks_micro, not a 0-division") {
+    // every user_id even → cohort 1 is empty, na·nb = 0; both legs must
+    // agree on NULL (Spark's when-guard, the oracle's NULLIF).
+    val oneCohort = writeEvents((0L until 6L).map(i =>
+      (i, 1000L * i, 2 * i, "e", (i % 3).toDouble, "{}")))
+    val r = entry("x142_ks_drift").build(spark, oneCohort).collect().head
+    r.isNullAt(r.fieldIndex("ks_micro")) shouldBe true
   }
 
   test("x143: release is deterministic, bounded, and actually noisy") {

@@ -67,6 +67,24 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
     rows.head.getAs[Long]("psi_micro") shouldBe 0L
   }
 
+  test("a reference type that vanishes from a batch still gets an alarmed ledger row") {
+    // total disappearance of "click" is the strongest drift signal — with
+    // a batch-only type axis it produced NO ledger row at all; the union
+    // axis scores it against pure smoothing mass (bn = 0) instead
+    val refPath = java.nio.file.Files.createTempDirectory("drift-refv").toString + "/bands"
+    StreamDrift.referenceHistogram(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("drift-ledv").toString + "/ledger"
+    val replaced = refRows.map { case (a, b, c, _, v, p) => (a, b, c, "scroll", v, p) }
+    StreamDrift.psiBatch(eventsDf(replaced), 0L, refPath, ledger)
+    val rows = spark.read.parquet(ledger).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("psi_micro"))).toMap
+    rows.keySet shouldBe Set("click", "scroll")
+    rows("click")._1 shouldBe 0L // vanished: zero batch observations
+    rows("click")._2 should be > 0L // and loudly drifted, not absent
+    rows("scroll")._2 should be > 0L // never-seen type alarms as before
+  }
+
   test("monitor streams per-trigger ledger rows; a never-seen type alarms loudest") {
     val in = java.nio.file.Files.createTempDirectory("drift-in").toString
     val refPath = java.nio.file.Files.createTempDirectory("drift-ref3").toString + "/bands"
