@@ -82,74 +82,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // 1 Hz sampler: per-query RSS max (read-and-reset) plus a run-long
-    // CPU/RSS/disk/net timeline CSV (the utils/benchmark.sh analog, which
-    // samples cpu, ram, disk utilization and net rx/tx at 1 Hz) so a noisy
-    // total can be explained from phase data instead of rerun folklore —
-    // disk_util_pct (busiest block device's io-tick share, /proc/diskstats
-    // field 13) and net_rx/tx_mbps (Mbit/s summed over every interface
-    // incl. loopback, which carries the probe traffic on this single-node
-    // harness) tell an operator whether a slow query was I/O-bound or
-    // CPU-bound without re-running it.
-    def diskTicks(): Map[String, Long] =
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/diskstats"))
-          .asScala.toSeq.map(_.trim.split("\\s+"))
-          .filter(f => f.length > 12 &&
-            f(2).matches("sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+|md\\d+"))
-          .map(f => f(2) -> f(12).toLong).toMap
-      } catch { case _: Throwable => Map.empty }
-    def netBytes(): (Long, Long) =
-      try {
-        val ifs = Option(new java.io.File("/sys/class/net").listFiles())
-          .getOrElse(Array.empty)
-        def rd(f: java.io.File, s: String): Long =
-          try new String(java.nio.file.Files.readAllBytes(
-            f.toPath.resolve("statistics").resolve(s))).trim.toLong
-          catch { case _: Throwable => 0L }
-        (ifs.map(rd(_, "rx_bytes")).sum, ifs.map(rd(_, "tx_bytes")).sum)
-      } catch { case _: Throwable => (0L, 0L) }
-    val rssMax = new java.util.concurrent.atomic.AtomicLong(0L) // milli-MB
-    val timeline = new java.lang.StringBuilder(
-      "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps\n")
-    val benchT0 = System.nanoTime()
-    val sampler = new Thread(() => {
-      var lastCpu = osBean.getProcessCpuTime
-      var lastNs = System.nanoTime()
-      var lastDisk = diskTicks()
-      var lastNet = netBytes()
-      while (true) {
-        Thread.sleep(1000)
-        val mb = (rssMb() * 1000).toLong
-        rssMax.getAndUpdate(m => math.max(m, mb))
-        val cpu = osBean.getProcessCpuTime
-        val ns = System.nanoTime()
-        val disk = diskTicks()
-        val net = netBytes()
-        val elapsedMs = (ns - lastNs) / 1e6
-        val pct = if (ns == lastNs) 0.0 else (cpu - lastCpu) * 100.0 / (ns - lastNs)
-        // util of the BUSIEST device: summing across devices overstates a
-        // RAID stripe, max answers "was any spindle saturated"
-        val dUtil =
-          if (elapsedMs <= 0 || disk.isEmpty) 0.0
-          else disk.map { case (d, t) =>
-            (t - lastDisk.getOrElse(d, t)) * 100.0 / elapsedMs
-          }.max
-        val elapsedSec = (ns - lastNs) / 1e9
-        def mbps(now: Long, prev: Long): Double =
-          if (elapsedSec <= 0) 0.0 else (now - prev) * 8.0 / 1e6 / elapsedSec
-        timeline.synchronized {
-          timeline.append(f"${(ns - benchT0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d," +
-            f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f\n")
-        }
-        lastCpu = cpu
-        lastNs = ns
-        lastDisk = disk
-        lastNet = net
-      }
-    })
-    sampler.setDaemon(true)
-    sampler.start()
+    // CPU/RSS/disk/net timeline CSV — [[graft.metrics.Telemetry]], the
+    // utils/benchmark.sh analog shared with ScaleSweep, so a noisy total
+    // can be explained from phase data instead of rerun folklore:
+    // disk_util_pct and net_rx/tx_mbps tell an operator whether a slow
+    // query was I/O-bound or CPU-bound without re-running it.
+    val telem = new graft.metrics.Telemetry().start()
+    val rssMax = telem.rssMaxMilliMb
 
     case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double, failed: Boolean)
     def runThunk(label: String)(body: => Unit): R = {
@@ -157,6 +96,7 @@ object Bench {
       // bill to this query
       spark.sharedState.cacheManager.clearCache()
       System.gc()
+      telem.mark(label) // phase boundary row in the timeline CSV
       rssMax.set((rssMb() * 1000).toLong)
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
@@ -221,9 +161,7 @@ object Bench {
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
         telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench-timeline.csv"),
-        timeline.synchronized(timeline.toString)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      telem.writeCsv("target/bench-timeline.csv")
     } catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] telemetry write failed: $e")

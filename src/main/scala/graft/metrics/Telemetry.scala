@@ -1,0 +1,131 @@
+package graft.metrics
+
+/** 1 Hz process/host sampler — the `utils/benchmark.sh` analog (the
+  * reference samples cpu, ram, disk utilization and net rx/tx at 1 Hz,
+  * utils/benchmark.sh:3-18,32-110) — shared by [[graft.Bench]] (one
+  * run-long CSV) and [[graft.tools.ScaleSweep]] (one CSV per scale point),
+  * so a noisy wall-clock number can be explained from phase data (was the
+  * slow interval CPU-bound or shuffle/disk-bound?) instead of rerun
+  * folklore.
+  *
+  * Columns: `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps`.
+  * `disk_util_pct` is the io-tick share of the BUSIEST block device
+  * (/proc/diskstats field 13 — summing across devices would overstate a
+  * RAID stripe; max answers "was any spindle saturated").
+  * `net_*_mbps` sums every interface including loopback, which carries the
+  * shuffle/probe traffic on a single-node harness. [[mark]] interleaves
+  * `# sec label` comment rows so one timeline can be segmented per query
+  * or per sweep family.
+  */
+final class Telemetry {
+  import Telemetry._
+
+  /** Per-phase RSS high-water mark in milli-MB: read-and-reset by callers
+    * ([[graft.Bench]] resets before each query via [[resetRssMax]]).
+    */
+  val rssMaxMilliMb = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private val timeline = new java.lang.StringBuilder(
+    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps\n")
+  private val t0 = System.nanoTime()
+  @volatile private var stopped = false
+
+  private val thread = new Thread(() => {
+    var lastCpu = osBean.getProcessCpuTime
+    var lastNs = System.nanoTime()
+    var lastDisk = diskTicks()
+    var lastNet = netBytes()
+    while (!stopped) {
+      Thread.sleep(1000)
+      val mb = (rssMb() * 1000).toLong
+      rssMaxMilliMb.getAndUpdate(m => math.max(m, mb))
+      val cpu = osBean.getProcessCpuTime
+      val ns = System.nanoTime()
+      val disk = diskTicks()
+      val net = netBytes()
+      val elapsedMs = (ns - lastNs) / 1e6
+      val pct = if (ns == lastNs) 0.0 else (cpu - lastCpu) * 100.0 / (ns - lastNs)
+      val dUtil =
+        if (elapsedMs <= 0 || disk.isEmpty) 0.0
+        else disk.map { case (d, t) =>
+          (t - lastDisk.getOrElse(d, t)) * 100.0 / elapsedMs
+        }.max
+      val elapsedSec = (ns - lastNs) / 1e9
+      def mbps(now: Long, prev: Long): Double =
+        if (elapsedSec <= 0) 0.0 else (now - prev) * 8.0 / 1e6 / elapsedSec
+      timeline.synchronized {
+        timeline.append(f"${(ns - t0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d," +
+          f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f\n")
+      }
+      lastCpu = cpu
+      lastNs = ns
+      lastDisk = disk
+      lastNet = net
+    }
+  })
+
+  def start(): this.type = {
+    thread.setDaemon(true)
+    thread.start()
+    this
+  }
+
+  /** Stop sampling (the thread exits after its current 1 s sleep). */
+  def stop(): Unit = stopped = true
+
+  /** Interleave a `# sec label` comment row — phase boundary marker. */
+  def mark(label: String): Unit = timeline.synchronized {
+    timeline.append(f"# ${(System.nanoTime() - t0) / 1e9}%.0f $label\n")
+  }
+
+  def resetRssMax(): Unit = rssMaxMilliMb.set((rssMb() * 1000).toLong)
+
+  def csv: String = timeline.synchronized(timeline.toString)
+
+  def writeCsv(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p,
+      csv.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+}
+
+object Telemetry {
+  val osBean: com.sun.management.OperatingSystemMXBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  def rssMb(): Double =
+    try {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/self/status"))
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (l.startsWith("VmRSS:"))
+          return l.split("\\s+")(1).toDouble / 1024.0
+      }
+      0.0
+    } catch { case _: Throwable => 0.0 }
+
+  private def diskTicks(): Map[String, Long] =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/diskstats"))
+        .asScala.toSeq.map(_.trim.split("\\s+"))
+        .filter(f => f.length > 12 &&
+          f(2).matches("sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+|md\\d+"))
+        .map(f => f(2) -> f(12).toLong).toMap
+    } catch { case _: Throwable => Map.empty }
+
+  private def netBytes(): (Long, Long) =
+    try {
+      val ifs = Option(new java.io.File("/sys/class/net").listFiles())
+        .getOrElse(Array.empty)
+      def rd(f: java.io.File, s: String): Long =
+        try new String(java.nio.file.Files.readAllBytes(
+          f.toPath.resolve("statistics").resolve(s))).trim.toLong
+        catch { case _: Throwable => 0L }
+      (ifs.map(rd(_, "rx_bytes")).sum, ifs.map(rd(_, "tx_bytes")).sum)
+    } catch { case _: Throwable => (0L, 0L) }
+}

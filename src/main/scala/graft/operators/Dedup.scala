@@ -392,11 +392,24 @@ object Dedup {
     */
   private[graft] def freqOrderedPrefix(
       sorted: DataFrame, freq: DataFrame, idCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, freqShuffleHash: Boolean = false): DataFrame = {
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(asc("f"), asc("tok"))
+    // freqShuffleHash pins a shuffled-hash join on the vocabulary-sized
+    // freq table. freq crosses the broadcast threshold as the corpus
+    // grows, and left alone AQE's plan is BIMODAL at the crossing: when
+    // the broadcast still fits it is the fastest plan, but the fallback
+    // sort-merge join SORTS the exploded corpus side — the round-11
+    // median-of-3 A/B at 100× measured unhinted runs of [794, 201, 52] s
+    // (median 201) against pinned [106, 91, 184] s (median 106), and the
+    // round-10 single-run build cliff (15.1→73.4 s at 50→100×) was the
+    // same mode. At a real 100 TB vocabulary the broadcast mode does not
+    // exist at all, so every production call site pins the hash join —
+    // deterministic and sort-free — and the parameter remains an
+    // ablation knob for re-measuring the broadcast mode while it fits.
+    val freqSide = if (freqShuffleHash) freq.hint("shuffle_hash") else freq
     sorted.select(col(idCol), col("ns"), explode(col("s")).as("tok"))
-      .join(freq, Seq("tok"), "left")
+      .join(freqSide, Seq("tok"), "left")
       .withColumn("f", coalesce(col("f"), lit(0L)))
       .withColumn("rk", row_number().over(wDoc))
       // ceil(ns·t − ε): for thresholds whose double product rounds just
@@ -418,7 +431,8 @@ object Dedup {
     val sorted = stage(sortedSets(sets, idCol, setCol))
     val freq = sorted.select(explode(col("s")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("f"))
-    val pref = freqOrderedPrefix(sorted, freq, idCol, threshold)
+    val pref = freqOrderedPrefix(sorted, freq, idCol, threshold,
+      freqShuffleHash = true)
     // positional filter (PPJoin): a match at frequency-order ranks (ra, rb)
     // bounds the overlap by the elements AT-OR-AFTER those ranks —
     // |A∩B| ≤ min(na−ra, nb−rb) + 1 (everything before the FIRST shared
@@ -480,7 +494,13 @@ object Dedup {
         expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)")
           .as("shingles")),
       idCol, "shingles"))
-    val prefIn = freqOrderedPrefix(sortedIn, freqEx, idCol, threshold)
+    // shuffle_hash on the INDEX's freq table: it is corpus-vocabulary-
+    // sized, so re-broadcasting it for every probe batch is the wrong
+    // steady state — the hash join shuffles only the (small) exploded
+    // batch. Probe stays flat either way at sweep scale (4.0 s hinted vs
+    // 4.8 s r10 unhinted at 100×).
+    val prefIn = freqOrderedPrefix(sortedIn, freqEx, idCol, threshold,
+      freqShuffleHash = true)
     val cands = prefIn.as("a")
       .join(prefEx.as("b"),
         col("a.tok") === col("b.tok") &&

@@ -105,4 +105,60 @@ object PrefixSum {
     }.drop("__pid" +: cols.indices.flatMap(i =>
       Seq(s"__run$i", s"__off$i", s"__offcnt$i")): _*)
   }
+
+  /** Adds `<out>` = inclusive running MINIMUM of `valueCol` in ascending
+    * `orderCol` order — the second half of the distributed CUSUM identity
+    * S_i = P_i − min(0, min_{j≤i} P_j) (a running max-of-zero recursion
+    * rewrites to prefix-sum minus prefix-min, both of which distribute;
+    * the recursion itself would be a sequential scan). Same two-pass shape
+    * as [[runningTotals]]: range-partition on the (globally unique) order
+    * column, per-partition window mins, then one O(P) driver pass turns
+    * the P partition minimums into exclusive prefix-min offsets that
+    * broadcast-join back. Window-MIN NULL semantics: NULL values are
+    * skipped; a row is NULL only when nothing non-null precedes it.
+    */
+  def runningMin(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val vt = df.schema(valueCol).dataType
+    require(vt == ByteType || vt == ShortType || vt == IntegerType || vt == LongType,
+      s"PrefixSum.runningMin: valueCol '$valueCol' must be integral " +
+        s"(got ${vt.simpleString}); scale to fixed-point integer units first")
+    // same barrier rationale as runningTotals: ONE set of range bounds
+    val parted = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val w = Window.partitionBy("__pid").orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__runmin",
+      min(col(valueCol)).over(w).cast("long"))
+    val totals = local.groupBy("__pid")
+      .agg(min(col(valueCol)).cast("long").as("__min"), count(col(valueCol)).as("__cnt"))
+      .collect()
+      .map(r => (r.getInt(0),
+        if (r.isNullAt(1)) Long.MaxValue else r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var accMin = Long.MaxValue
+    var accCnt = 0L
+    val offRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    totals.foreach { case (pid, mn, cnt) =>
+      offRows.add(org.apache.spark.sql.Row(pid, accMin, accCnt))
+      accMin = math.min(accMin, mn)
+      accCnt += cnt
+    }
+    import org.apache.spark.sql.types.{StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType => IT, LongType => LT}
+    val offSchema = StructType(Seq(StructField("__pid", IT),
+      StructField("__offmin", LT), StructField("__offcnt", LT)))
+    val spark = df.sparkSession
+    val offDf = broadcast(spark.createDataFrame(offRows, offSchema))
+    local.join(offDf, "__pid")
+      .withColumn(out,
+        when(col("__runmin").isNotNull && col("__offcnt") > 0,
+          least(col("__runmin"), col("__offmin")))
+          .when(col("__runmin").isNotNull, col("__runmin"))
+          .when(col("__offcnt") > 0, col("__offmin"))
+          .otherwise(lit(null)))
+      .drop("__pid", "__runmin", "__offmin", "__offcnt")
+  }
 }

@@ -362,6 +362,12 @@ object SimilaritySearch {
     * search is confined to each cluster — a self-equi-join on cent_id, the
     * one shuffle in the plan — so the corpus is never compared all-pairs;
     * cluster sizes bound the quadratic term exactly as in the paper.
+    * CALLER-FIXED k means cells grow as n/k with the corpus: this form is
+    * for fixture-scale audits and k-managed deployments only. When the
+    * corpus grows under a fixed centroid budget, use [[semDedupScaled]]
+    * (corpus-proportional centroids at constant `targetCellSize`, two-level
+    * assignment) — the x140 catalog form — so neither the within-cell
+    * pair term nor the assignment goes quadratic.
     * The assignment feeds three consumers (both self-join sides and the
     * final ledger) and ReuseExchange does not unify them across the
     * window boundary — without a barrier the plan re-scans the corpus and

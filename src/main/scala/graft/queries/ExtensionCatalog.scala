@@ -4817,10 +4817,13 @@ object ExtensionCatalog {
               |FROM asg g LEFT JOIN dropped d
               |  ON g.cent_id = d.cent_id AND g.id = d.id
               |GROUP BY 1 ORDER BY 1""".stripMargin),
-      "SemDeDup semantic pruning: seeded-centroid clustering, within-cluster " +
-        "smaller-id-neighbor drop at cosine >= 0.25 — broadcast centroids, " +
-        "pair search fenced to cells, per-cell ledger " +
-        "(extension: dedup / embeddings)"),
+      "SemDeDup semantic pruning, FIXTURE-SCALE reference form: seeded " +
+        "FIXED centroids (cells grow n/k — the within-cell pair term is " +
+        "quadratic as the corpus outgrows the centroid budget; the " +
+        "deployment form is x140's corpus-proportional two-level " +
+        "semDedupScaled), within-cluster smaller-id-neighbor drop at " +
+        "cosine >= 0.25 — broadcast centroids, pair search fenced to " +
+        "cells, per-cell ledger (extension: dedup / embeddings)"),
 
     CatalogEntry(
       "x123_dup_span_coverage",
@@ -6256,7 +6259,54 @@ object ExtensionCatalog {
         "eval shard probed map-side — no false negatives by construction, " +
         "measured vs analytic (filled/m)^k FPR — the bounded-memory form " +
         "of x128 at corpus scales where the exact fp set no longer fits " +
-        "a join side (extension: curation / decontamination / sketches)")
+        "a join side (extension: curation / decontamination / sketches)"),
+
+    CatalogEntry(
+      "x147_cusum_shift",
+      (s, dir) => {
+        // Distributed CUSUM mean-shift ledger over the hourly event-count
+        // series — the sequential-change-detection sibling of the x142 KS
+        // gate. The textbook recursion S_i = max(0, S_{i-1} + dev_i) is a
+        // sequential scan; it rewrites exactly to
+        // S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of the
+        // deviations, and BOTH prefix statistics distribute
+        // (PrefixSum.runningTotals + runningMin: range-partition, local
+        // windows, O(P) driver offsets — never a single-partition global
+        // window). Deviations are exact integers against the
+        // integer-floored global mean (dev = n_h − T div H), so the whole
+        // ledger replays bit-for-bit in the oracle. At 100 TB the hourly
+        // reduction is the one corpus-sized shuffle; the series the CUSUM
+        // runs on is hours-sized yet still handled distributively.
+        import graft.operators.PrefixSum
+        val hc = t(s, dir, "events")
+          .groupBy(expr("ts div 3600000000000").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val tot = hc.agg(sum("n").as("t"), count(lit(1)).as("hh"))
+        val dev = hc.crossJoin(broadcast(tot))
+          .select(col("h"), col("n"),
+            (col("n") - expr("t div hh")).as("dev"))
+        val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))
+        PrefixSum.runningMin(p, "h", "p", "mn")
+          .select(col("h"), col("n"),
+            (col("p") - least(col("mn"), lit(0L))).as("cusum"))
+          .orderBy("h")
+      },
+      Some("""WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+             |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
+             |    COUNT(*)::BIGINT AS hh FROM hc),
+             |d AS (SELECT h, n, n - (t // hh) AS dev FROM hc, tot),
+             |p AS (SELECT h, n,
+             |    CAST(SUM(dev) OVER (ORDER BY h) AS BIGINT) AS p FROM d),
+             |m AS (SELECT h, n, p,
+             |    CAST(MIN(p) OVER (ORDER BY h) AS BIGINT) AS mn FROM p)
+             |SELECT h, n, p - LEAST(mn, 0) AS cusum
+             |FROM m ORDER BY h""".stripMargin),
+      "distributed CUSUM mean-shift ledger over the hourly event series: " +
+        "max(0, S+dev) rewritten as prefix-sum minus clamped prefix-min, " +
+        "both range-partitioned (PrefixSum.runningTotals/runningMin, O(P) " +
+        "driver state), exact integer deviations vs the floored global " +
+        "mean (extension: data quality / drift / statistics)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

@@ -261,7 +261,11 @@ object Layouts {
       .groupBy("tok").agg(count(lit(1)).as("f"))
     sortedStats(freq, s"$path/freq", Seq("tok"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold),
+    // freqShuffleHash: at build scale the vocabulary outgrows broadcast
+    // and AQE's fallback sort-merge join sorts the exploded corpus — the
+    // round-10 sweep cliff (50→100× 15.1→73.4 s; pinned: 10.8→20.2 s).
+    sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold,
+        freqShuffleHash = true),
       s"$path/pref", Seq("tok"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
     sortedStats(sorted, s"$path/sets", Seq(idCol),

@@ -124,4 +124,89 @@ object StreamDrift {
         psiBatch(batch, batchId, refPath, ledgerPath)
       }
       .start()
+
+  // ---------------------------------------------------------------- KS —
+
+  /** Reference VALUE histogram for the KS gate: exact per-milli-unit
+    * bucket counts (vm, c) — x142's value axis, persisted once per
+    * release. Unlike the 10-band PSI table this is value-vocabulary-sized
+    * (every distinct milli-unit), which is what lets the KS statistic see
+    * shape differences the coarse bands wash out; it is still a GROUPED
+    * table (one row per distinct value, not per event), so the per-trigger
+    * read is bounded by value cardinality, not corpus size.
+    */
+  def referenceEcdf(ref: DataFrame, path: String): Unit =
+    ref.select(floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("vm").agg(count(lit(1)).as("c"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Two-sample KS distance of one micro-batch against the persisted
+    * reference — the x142 construction lifted into the continuous gate:
+    * cohort a = reference counts, cohort b = the batch, merged on the
+    * union value axis; both ECDFs in ONE range-partitioned prefix-sum
+    * pass ([[graft.operators.PrefixSum.runningTotals]], O(P) driver
+    * state — never a single-partition global window); numerator
+    * |ca·NB − cb·NA| exact in DECIMAL(38,0); the statistic rounded to
+    * micro-units as BIGINT (the catalog's determinism recipe, so stream
+    * and batch legs agree bit-for-bit). Ledger row (n, ks_micro,
+    * batch_id) overwrites its own batch_id partition — idempotent under
+    * at-least-once replay, like the PSI ledger. An empty batch yields
+    * NULL ks_micro (0-denominator guarded the x142 way).
+    */
+  def ksBatch(
+      batch: DataFrame,
+      batchId: Long,
+      refPath: String,
+      ledgerPath: String): Unit = {
+    val spark = batch.sparkSession
+    val refC = spark.read.parquet(refPath)
+    val bC = batch.select(floor(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("vm").agg(count(lit(1)).as("c")).localCheckpoint()
+    val merged = refC.select(col("vm"), col("c").as("a"), lit(0L).as("b"))
+      .unionByName(bC.select(col("vm"), lit(0L).as("a"), col("c").as("b")))
+      .groupBy("vm").agg(sum("a").as("a"), sum("b").as("b"))
+    val run = graft.operators.PrefixSum.runningTotals(
+      merged, "vm", Seq("a" -> "ca", "b" -> "cb"))
+    val tot = merged.agg(sum("a").as("na"), sum("b").as("nb"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(19,0)")
+    run.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        abs(dec(col("ca")) * dec(col("nb"))
+          - dec(col("cb")) * dec(col("na"))).as("d"))
+      .groupBy("na", "nb").agg(max(col("d")).cast("decimal(38,0)").as("ks_num"))
+      .select(col("nb").as("n"),
+        when(dec(col("na")) * dec(col("nb")) =!= 0,
+          round(col("ks_num").cast("double")
+            / (dec(col("na")) * dec(col("nb"))).cast("double") * 1e6))
+          .cast("long").as("ks_micro"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(ledgerPath)
+  }
+
+  /** File-source stream → per-trigger KS ledger against the persisted
+    * value histogram. Each batch is scored independently against the
+    * reference (no cross-batch state), so the stream leg is the batch
+    * leg per trigger — StreamDriftSpec pins stream ≡ batch exactly.
+    */
+  def monitorKs(
+      spark: SparkSession,
+      dir: String,
+      refPath: String,
+      ledgerPath: String,
+      checkpoint: String) =
+    spark.readStream
+      .schema(EventsStream.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ksBatch(batch, batchId, refPath, ledgerPath)
+      }
+      .start()
 }

@@ -75,6 +75,49 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     once shouldBe nested
   }
 
+  test("two-pass running min equals the sequential truth, negatives included") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(200).toLong - 100L))
+    val truth = rows.map(_._2).scanLeft(Long.MaxValue)(math.min).tail
+    for (parts <- Seq(1, 3, 17)) {
+      val out = PrefixSum.runningMin(
+          rows.toDF("id", "v").repartition(parts), "id", "v", "mn")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("mn")).toMap
+      rows.map(_._1).zip(truth).foreach { case (id, t) =>
+        withClue(s"parts=$parts id=$id") { out(id) shouldBe t }
+      }
+    }
+  }
+
+  test("runningMin NULL semantics: skipped, NULL only before any non-null") {
+    val df = Seq[(Long, Option[Long])]((0L, None), (1L, Some(5L)), (2L, None),
+      (3L, Some(3L)), (4L, None)).toDF("id", "v")
+    val out = PrefixSum.runningMin(df, "id", "v", "mn")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("mn")).map(_.longValue)).toMap
+    out(0L) shouldBe None
+    out(1L) shouldBe Some(5L)
+    out(2L) shouldBe Some(5L)
+    out(3L) shouldBe Some(3L)
+    out(4L) shouldBe Some(3L)
+  }
+
+  test("CUSUM identity: prefix-sum minus clamped prefix-min equals the recursion") {
+    // S_i = max(0, S_{i-1} + d_i) is sequential; x147 computes it as
+    // P_i − min(0, min_{j≤i} P_j) — pin the rewrite against the recursion
+    val rnd = new scala.util.Random(17)
+    val devs = Seq.tabulate(2000)(i => (i.toLong, rnd.nextInt(21).toLong - 10L))
+    val truth = devs.map(_._2).scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+    val p = PrefixSum.runningTotals(devs.toDF("id", "d").repartition(7),
+      "id", Seq("d" -> "p"))
+    val out = PrefixSum.runningMin(p, "id", "p", "mn")
+      .selectExpr("id", "p - least(mn, 0L) AS cusum")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cusum")).toMap
+    devs.map(_._1).zip(truth).foreach { case (id, t) =>
+      withClue(s"id=$id") { out(id) shouldBe t }
+    }
+  }
+
   test("plan has no single-partition global window") {
     val df = PrefixSum.runningTotal(
       spark.range(1000).selectExpr("id", "id % 7 AS v"), "id", "v", "cum")

@@ -85,6 +85,50 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
     rows("scroll")._2 should be > 0L // never-seen type alarms as before
   }
 
+  test("KS gate: reference-drawn batch scores 0, disjoint scores 1e6, replay idempotent") {
+    val refPath = java.nio.file.Files.createTempDirectory("ks-ref").toString + "/ecdf"
+    StreamDrift.referenceEcdf(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("ks-led").toString + "/ledger"
+    StreamDrift.ksBatch(eventsDf(refRows), 0L, refPath, ledger)
+    // every batch value above every reference value → KS = 1 exactly
+    val disjoint = refRows.map { case (a, b, c, t, _, p) => (a, b, c, t, 900.0, p) }
+    StreamDrift.ksBatch(eventsDf(disjoint), 1L, refPath, ledger)
+    StreamDrift.ksBatch(eventsDf(disjoint), 1L, refPath, ledger) // replay
+    val led = spark.read.parquet(ledger).collect()
+      .map(r => r.getAs[Number]("batch_id").longValue ->
+        (r.getAs[Long]("n"), r.getAs[Long]("ks_micro"))).toMap
+    led.size shouldBe 2 // replay overwrote its slice, no duplicate rows
+    led(0L) shouldBe ((40L, 0L))
+    led(1L) shouldBe ((40L, 1000000L))
+  }
+
+  test("KS monitor: stream ledger equals the batch leg per trigger (stream ≡ batch)") {
+    val in = java.nio.file.Files.createTempDirectory("ks-in").toString
+    val refPath = java.nio.file.Files.createTempDirectory("ks-ref2").toString + "/ecdf"
+    StreamDrift.referenceEcdf(eventsDf(refRows), refPath)
+    val streamLed = java.nio.file.Files.createTempDirectory("ks-led2").toString + "/ledger"
+    val batchLed = java.nio.file.Files.createTempDirectory("ks-led3").toString + "/ledger"
+    val ckpt = java.nio.file.Files.createTempDirectory("ks-ckpt").toString
+    val b1 = refRows.take(20)
+    val b2 = refRows.map { case (a, b, c, t, v, p) => (a, b, c, t, v + 35.0, p) }
+    val q = StreamDrift.monitorKs(spark, in, refPath, streamLed, ckpt)
+    try {
+      landParquet(in, "b1", b1)
+      q.processAllAvailable()
+      landParquet(in, "b2", b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // batch leg: the same micro-batches scored directly
+    StreamDrift.ksBatch(eventsDf(b1), 0L, refPath, batchLed)
+    StreamDrift.ksBatch(eventsDf(b2), 1L, refPath, batchLed)
+    def led(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getAs[Number]("batch_id").longValue,
+        r.getAs[Long]("n"), r.getAs[Long]("ks_micro"))).toSet
+    led(streamLed) shouldBe led(batchLed)
+    // and the gate is live: the half-shifted second batch drifted
+    led(streamLed).find(_._1 == 1L).get._3 should be > 0L
+  }
+
   test("monitor streams per-trigger ledger rows; a never-seen type alarms loudest") {
     val in = java.nio.file.Files.createTempDirectory("drift-in").toString
     val refPath = java.nio.file.Files.createTempDirectory("drift-ref3").toString + "/bands"
