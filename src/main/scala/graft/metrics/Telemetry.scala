@@ -26,7 +26,7 @@ final class Telemetry {
   val rssMaxMilliMb = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val timeline = new java.lang.StringBuilder(
-    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps\n")
+    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct\n")
   private val t0 = System.nanoTime()
   @volatile private var stopped = false
 
@@ -35,6 +35,7 @@ final class Telemetry {
     var lastNs = System.nanoTime()
     var lastDisk = diskTicks()
     var lastNet = netBytes()
+    var lastStat = statJiffies()
     while (!stopped) {
       Thread.sleep(1000)
       val mb = (rssMb() * 1000).toLong
@@ -43,6 +44,7 @@ final class Telemetry {
       val ns = System.nanoTime()
       val disk = diskTicks()
       val net = netBytes()
+      val stat = statJiffies()
       val elapsedMs = (ns - lastNs) / 1e6
       val pct = if (ns == lastNs) 0.0 else (cpu - lastCpu) * 100.0 / (ns - lastNs)
       val dUtil =
@@ -53,14 +55,22 @@ final class Telemetry {
       val elapsedSec = (ns - lastNs) / 1e9
       def mbps(now: Long, prev: Long): Double =
         if (elapsedSec <= 0) 0.0 else (now - prev) * 8.0 / 1e6 / elapsedSec
+      // share of this guest's cpu time stolen by the hypervisor over the
+      // interval — on a shared host THE differential diagnosis between
+      // "our plan is slow" and "we were not scheduled" (a slow cell with
+      // high steal_pct is the host's fault, not the plan's)
+      val dTot = (stat._1 - lastStat._1).toDouble
+      val stealPct = if (dTot <= 0) 0.0 else (stat._2 - lastStat._2) * 100.0 / dTot
       timeline.synchronized {
         timeline.append(f"${(ns - t0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d," +
-          f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f\n")
+          f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f," +
+          f"$stealPct%.1f\n")
       }
       lastCpu = cpu
       lastNs = ns
       lastDisk = disk
       lastNet = net
+      lastStat = stat
     }
   })
 
@@ -117,6 +127,16 @@ object Telemetry {
           f(2).matches("sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+|md\\d+"))
         .map(f => f(2) -> f(12).toLong).toMap
     } catch { case _: Throwable => Map.empty }
+
+  /** (total jiffies across all cpu fields, steal jiffies) from the
+    * aggregate `cpu` line of /proc/stat.
+    */
+  private def statJiffies(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+        .get(0).trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
 
   private def netBytes(): (Long, Long) =
     try {

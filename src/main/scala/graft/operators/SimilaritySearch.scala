@@ -88,16 +88,29 @@ object SimilaritySearch {
       n: Int,
       idCol: String,
       vecCol: String): DataFrame = {
-    val w = Window.partitionBy(s"${side}_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
+    val scored = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}v"),
       norm(col(vecCol)).as(s"${side}n"))
       .crossJoin(cent)
       .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"),
         (dot(col(s"${side}v"), col("centv")) / col(s"${side}n") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") <= n)
-      .drop("csim", "r")
+    if (n == 1) {
+      // the corpus-sized list stage: top-1 as the [[argTop1]] aggregate so
+      // the row×centroid product never shuffles (the window form moved the
+      // whole product, embedding arrays included, through one exchange)
+      scored.groupBy(s"${side}_id")
+        .agg(any_value(col(s"${side}v")).as(s"${side}v"),
+          any_value(col(s"${side}n")).as(s"${side}n"),
+          argTop1(col("csim"), col("cent_id")).as("cent_id"))
+        .select(col(s"${side}_id"), col(s"${side}v"), col(s"${side}n"), col("cent_id"))
+    } else {
+      // probe side (n = nprobe > 1): query-batch-sized, the window is fine
+      val w = Window.partitionBy(s"${side}_id")
+        .orderBy(col("csim").desc, col("cent_id"))
+      scored
+        .withColumn("r", row_number().over(w))
+        .where(col("r") <= n)
+        .drop("csim", "r")
+    }
   }
 
   private def centTable(centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
@@ -136,17 +149,30 @@ object SimilaritySearch {
         col("centn").as("coarsen")))
   }
 
+  /** Top-1 by (score desc, id asc) as an AGGREGATE, not a window: `max_by`
+    * over struct(score, −id) partially aggregates map-side, so the
+    * (row × candidate) intermediate — which carries the embedding array —
+    * never crosses a shuffle; only one best-so-far row per key does. The
+    * window form shuffled and SORTED the full cross product (~20 GB at the
+    * 100× sweep point), and whether that spilled was the dominant
+    * variance term in the semdedup/IVF cells. Tie semantics are identical
+    * to `row_number over (order by score desc, id)`: struct comparison is
+    * lexicographic and NULL scores sort below any real score, so
+    * all-NULL groups yield a NULL id (callers' coalesce fallbacks keep
+    * working).
+    */
+  private def argTop1(score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+    max_by(id, struct(score, -id))
+
   /** Nearest coarse centroid per row (probe-1; ties to the lower id). */
   private def toCoarse(
-      df: DataFrame, coarse: DataFrame, id: String, v: String, n: String): DataFrame = {
-    val w = Window.partitionBy(id).orderBy(col("ccsim").desc, col("coarse_id"))
+      df: DataFrame, coarse: DataFrame, id: String, v: String, n: String): DataFrame =
     df.crossJoin(coarse)
-      .select(df.columns.map(col) :+ col("coarse_id") :+
-        (dot(col(v), col("coarsev")) / col(n) / col("coarsen")).as("ccsim"): _*)
-      .withColumn("cr", row_number().over(w))
-      .where(col("cr") === 1)
-      .drop("ccsim", "cr")
-  }
+      .select(col(id), col(v), col(n), col("coarse_id"),
+        (dot(col(v), col("coarsev")) / col(n) / col("coarsen")).as("ccsim"))
+      .groupBy(id)
+      .agg(any_value(col(v)).as(v), any_value(col(n)).as(n),
+        argTop1(col("ccsim"), col("coarse_id")).as("coarse_id"))
 
   /** [[invertedLists]] with TWO-LEVEL assignment — the build that stays
     * affordable when the centroid count is corpus-proportional (constant
@@ -179,15 +205,17 @@ object SimilaritySearch {
     // to a sibling's cell, leaving its own coarse cell with zero fine
     // centroids — rows assigned there fall back to the coarse centroid
     // itself (always a real fine centroid id). Same guard as
-    // semDedupScaled's assignment.
-    val wFine = Window.partitionBy("corpus_id").orderBy(col("csim").desc, col("cent_id"))
+    // semDedupScaled's assignment; same [[argTop1]] aggregate form.
     corpusByCoarse
       .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
       .select(col("corpus_id"), col("corpusv"), col("corpusn"),
         col("coarse_id"), col("cent_id"),
         (dot(col("corpusv"), col("centv")) / col("corpusn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(wFine))
-      .where(col("r") === 1)
+      .groupBy("corpus_id")
+      .agg(any_value(col("corpusv")).as("corpusv"),
+        any_value(col("corpusn")).as("corpusn"),
+        any_value(col("coarse_id")).as("coarse_id"),
+        argTop1(col("csim"), col("cent_id")).as("cent_id"))
       .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
         col("corpus_id"), col("corpusv"), col("corpusn"))
   }
@@ -469,8 +497,9 @@ object SimilaritySearch {
       corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn")),
       coarse, "id", "v", "vn")
     // fine assignment within the coarse cell: argmax cosine, ties to the
-    // lower centroid id — same contract as semDedup's flat assignment
-    val wFine = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    // lower centroid id — same contract as semDedup's flat assignment,
+    // computed as the map-side-combinable [[argTop1]] aggregate (the
+    // window form shuffled the full row×centroid product).
     // LEFT join + coalesce: computed cosine is not exactly 1.0 even for
     // cos(X,X), so a coarse centroid can "defect" to a near-parallel
     // sibling's cell, leaving its own coarse cell with zero fine
@@ -482,8 +511,10 @@ object SimilaritySearch {
       .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
       .select(col("id"), col("v"), col("vn"), col("coarse_id"), col("cent_id"),
         (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(wFine))
-      .where(col("r") === 1)
+      .groupBy("id")
+      .agg(any_value(col("v")).as("v"), any_value(col("vn")).as("vn"),
+        any_value(col("coarse_id")).as("coarse_id"),
+        argTop1(col("csim"), col("cent_id")).as("cent_id"))
       .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
         col("id"), col("v"), col("vn"))
       .localCheckpoint()

@@ -209,4 +209,79 @@ object StreamDrift {
         ksBatch(batch, batchId, refPath, ledgerPath)
       }
       .start()
+
+  // -------------------------------------------------------------- CUSUM —
+
+  private def hourly(events: DataFrame): DataFrame =
+    graft.GraftSession.normalizeEventTs(events)
+      .select(expr("ts div 3600000000000").as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+
+  /** Reference RATE for the CUSUM gate: ONE row — the reference window's
+    * mean events/hour, floored to an exact integer (x147's dev baseline).
+    * The target is FIXED at release time on purpose: a self-updating mean
+    * would absorb exactly the gradual shift a sequential detector exists
+    * to catch.
+    */
+  def referenceRate(ref: DataFrame, path: String): Unit =
+    hourly(ref).agg(expr("sum(n) div count(1)").as("mean_per_hour"))
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Append one micro-batch's per-hour counts to the CUSUM ledger,
+    * idempotently (batch_id partition overwrite). The ledger IS the
+    * hourly series: hours split across triggers re-aggregate at read
+    * time, so the stream accumulates exactly the table the batch leg
+    * would build — which is what makes [[cusumLedger]] ≡ x147-on-the-
+    * concatenated-feed an identity, not an approximation.
+    */
+  def cusumBatch(batch: DataFrame, batchId: Long, ledgerPath: String): Unit =
+    hourly(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(ledgerPath)
+
+  /** The CUSUM ledger scored against the fixed reference rate — x147's
+    * distributed rewrite (prefix-sum minus clamped prefix-min, both
+    * range-partitioned via PrefixSum, O(P) driver state) over the
+    * accumulated hourly series: (h, n, cusum), cusum ≥ 0, alarm when it
+    * crosses the operator's threshold. Hours-sized input, so this runs
+    * per trigger or on demand at any corpus scale.
+    */
+  def cusumLedger(spark: SparkSession, ledgerPath: String, refPath: String): DataFrame = {
+    import graft.operators.PrefixSum
+    val mean = spark.read.parquet(refPath)
+    val hc = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
+    val dev = hc.crossJoin(broadcast(mean))
+      .select(col("h"), col("n"), (col("n") - col("mean_per_hour")).as("dev"))
+    val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))
+    PrefixSum.runningMin(p, "h", "p", "mn")
+      .select(col("h"), col("n"),
+        (col("p") - least(col("mn"), lit(0L))).as("cusum"))
+  }
+
+  /** File-source stream → CUSUM ledger rows per trigger. Unlike the
+    * per-batch KS/PSI gates this detector is SEQUENTIAL across triggers
+    * (that is its point — small persistent shifts accumulate); the
+    * cross-trigger state lives entirely in the idempotent ledger, not in
+    * stream memory, so the stream itself stays O(batch).
+    */
+  def monitorCusum(
+      spark: SparkSession,
+      dir: String,
+      ledgerPath: String,
+      checkpoint: String) =
+    spark.readStream
+      .schema(EventsStream.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        cusumBatch(batch, batchId, ledgerPath)
+      }
+      .start()
 }

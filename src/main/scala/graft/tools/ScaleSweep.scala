@@ -79,7 +79,16 @@ object ScaleSweep {
       if (args.length > 2) Some(args(2).split(",").map(_.trim).toSet) else None
     def want(family: String): Boolean = famFilter.forall(_.contains(family))
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = GraftSession.build("graft-scalesweep", cores = cores.toInt)
+    // SWEEP_NO_COALESCE=1: A/B hook for the AQE partition-coalescing
+    // hypothesis — byte-targeted coalescing under-parallelizes CPU-heavy
+    // per-row stages (dot-product assignment) at middle scales where the
+    // shuffled bytes are small but the compute is not
+    val extra =
+      if (sys.env.get("SWEEP_NO_COALESCE").contains("1"))
+        Map("spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+      else Map.empty[String, String]
+    val spark = GraftSession.build("graft-scalesweep", cores = cores.toInt,
+      extraConf = extra)
     spark.sparkContext.setLogLevel("ERROR")
     val baseDocs = GraftSession.table(spark, sfDir, "documents")
       .select("doc_id", "text").localCheckpoint()
@@ -230,7 +239,19 @@ object ScaleSweep {
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale
       if (want("semdedup_scaled")) {
         val emb = replicateEmb(baseEmb, c, par).localCheckpoint()
-        record("semdedup_scaled", c)(
+        // SWEEP_CELL_HISTO=1: print the fine-cell occupancy tail instead of
+        // timing — the diagnosis probe for the hot-cell-skew hypothesis
+        // (one coarse/fine cell attracting a large corpus share turns the
+        // within-cell stages into a single hot task)
+        if (sys.env.get("SWEEP_CELL_HISTO").contains("1")) {
+          val ledger = SimilaritySearch
+            .semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
+          val top = ledger.groupBy("cent_id").count()
+            .orderBy(col("count").desc).limit(10).collect()
+          val tot = ledger.count()
+          println(s"[sweep] c=$c cell histogram: total=$tot top10=" +
+            top.map(r => r.getLong(1)).mkString(","))
+        } else record("semdedup_scaled", c)(
           SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
             .where(col("dropped")).count())
       }

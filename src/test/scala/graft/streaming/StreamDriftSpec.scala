@@ -129,6 +129,59 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
     led(streamLed).find(_._1 == 1L).get._3 should be > 0L
   }
 
+  test("CUSUM monitor: ledger-derived CUSUM equals the batch leg on the concatenated feed") {
+    val in = java.nio.file.Files.createTempDirectory("cu-in").toString
+    val refPath = java.nio.file.Files.createTempDirectory("cu-ref").toString + "/rate"
+    StreamDrift.referenceRate(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("cu-led").toString + "/ledger"
+    val ckpt = java.nio.file.Files.createTempDirectory("cu-ckpt").toString
+    // trigger 1: reference-rate traffic; trigger 2: a sustained 3× burst,
+    // with one HOUR split across the two triggers (ts overlaps) so the
+    // read-time re-aggregation is exercised, not just appended. ts is in
+    // MICROS here — landParquet's convention — and the direct batch leg
+    // goes through the same TIMESTAMP_NTZ projection so both legs feed
+    // normalizeEventTs identically.
+    val b1 = (0L until 40L).map(i =>
+      (i, 90L * 60L * 1000000L * i / 40L, i % 3, "click", 1.0, "{}"))
+    val b2 = (100L until 220L).map(i =>
+      (i, 60L * 60L * 1000000L + 90L * 60L * 1000000L * (i - 100L) / 120L,
+        i % 3, "click", 1.0, "{}"))
+    def eventsNtz(rows: Seq[(Long, Long, Long, String, Double, String)]) =
+      eventsDf(rows).withColumn("ts",
+        org.apache.spark.sql.functions.expr(
+          "cast(timestamp_micros(ts) as timestamp_ntz)"))
+    val q = StreamDrift.monitorCusum(spark, in, ledger, ckpt)
+    try {
+      landParquet(in, "b1", b1)
+      q.processAllAvailable()
+      landParquet(in, "b2", b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = StreamDrift.cusumLedger(spark, ledger, refPath).collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("n"), r.getAs[Long]("cusum"))).toSet
+    // batch leg: one ledger from the concatenated feed, same fixed rate
+    val ledger2 = java.nio.file.Files.createTempDirectory("cu-led2").toString + "/ledger"
+    StreamDrift.cusumBatch(eventsNtz(b1 ++ b2), 0L, ledger2)
+    val direct = StreamDrift.cusumLedger(spark, ledger2, refPath).collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("n"), r.getAs[Long]("cusum"))).toSet
+    streamed shouldBe direct
+    // the detector detects: cusum is strictly larger after the burst hours
+    val byHour = streamed.toSeq.sortBy(_._1)
+    byHour.last._3 should be > byHour.head._3
+    byHour.last._3 should be > 0L
+  }
+
+  test("CUSUM replayed batch_id overwrites its ledger slice") {
+    val refPath = java.nio.file.Files.createTempDirectory("cu-ref2").toString + "/rate"
+    StreamDrift.referenceRate(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("cu-led3").toString + "/ledger"
+    StreamDrift.cusumBatch(eventsDf(refRows), 4L, ledger)
+    StreamDrift.cusumBatch(eventsDf(refRows), 4L, ledger) // replay
+    val n = spark.read.parquet(ledger).agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    n shouldBe refRows.length.toLong // counted once, not twice
+  }
+
   test("monitor streams per-trigger ledger rows; a never-seen type alarms loudest") {
     val in = java.nio.file.Files.createTempDirectory("drift-in").toString
     val refPath = java.nio.file.Files.createTempDirectory("drift-ref3").toString + "/bands"
