@@ -141,4 +141,47 @@ class SimilaritySearchSpec extends AnyFunSuite with Matchers {
     val cellSizes = rows.groupBy(_.getLong(0)).map(_._2.length)
     cellSizes.max should be <= 10 * 12 // hash-sample variance bound, not n
   }
+
+  test("argTop1 assignment equals the row_number window on adversarial ties") {
+    // the top-1 aggregate (max_by over struct(score, −id)) replaced the
+    // window in every assignment path; this pins the equivalence on a
+    // randomized corpus SEEDED with the hard cases — exact-duplicate
+    // vectors (cosine ties decided by centroid id) and scaled copies
+    // (cosine-identical, different norms). A zero vector is excluded on
+    // purpose: the ANSI session throws DIVIDE_BY_ZERO on a 0 norm in
+    // BOTH forms identically, so there is no divergence to pin there.
+    // Small integer components make exact cosine ties common, not rare.
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def vec(): Seq[Float] = Seq.fill(8)(rnd.nextInt(5).toFloat - 2f)
+    val base = (0L until 300L).map(i => (i, vec()))
+    val rows = base ++
+      base.take(40).map { case (i, v) => (1000L + i, v) } ++            // exact dups
+      base.take(40).map { case (i, v) => (2000L + i, v.map(_ * 3f)) }    // scaled copies
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = corpus.where(col("vec_id") % 7 === 0)
+    val agg = SimilaritySearch.invertedLists(corpus, cents)
+      .select("corpus_id", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: the window form, rebuilt inline exactly as pre-round-11
+    val cent = broadcast(cents.select(col("vec_id").as("cent_id"),
+      col("embedding").as("centv"), SimilaritySearch.norm(col("embedding")).as("centn")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cid").orderBy(col("csim").desc, col("cent_id"))
+    val win = corpus.select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        SimilaritySearch.norm(col("embedding")).as("cn"))
+      .crossJoin(cent)
+      .select(col("cid"), col("cent_id"),
+        (SimilaritySearch.dot(col("cv"), col("centv")) / col("cn") / col("centn")).as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") === 1)
+      .select("cid", "cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    agg.size shouldBe win.size
+    agg shouldBe win
+    // the planted ties really exercised the tie-break: every exact dup
+    // landed with its original
+    base.take(40).foreach { case (i, _) => agg(1000L + i) shouldBe agg(i) }
+  }
 }
