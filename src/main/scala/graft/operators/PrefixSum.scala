@@ -117,12 +117,30 @@ object PrefixSum {
     * broadcast-join back. Window-MIN NULL semantics: NULL values are
     * skipped; a row is NULL only when nothing non-null precedes it.
     */
-  def runningMin(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame = {
+  def runningMin(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame =
+    runningExtreme(df, orderCol, valueCol, out, isMin = true)
+
+  /** Inclusive running MAXIMUM — the mirror of [[runningMin]], and the
+    * other half of TWO-SIDED CUSUM: the downward statistic is
+    * S⁻_i = max(0, max_{j≤i} P_j) − P_i, a running max of the deviation
+    * prefix sums (a sustained traffic DROP is as alarming as a burst).
+    */
+  def runningMax(df: DataFrame, orderCol: String, valueCol: String, out: String): DataFrame =
+    runningExtreme(df, orderCol, valueCol, out, isMin = false)
+
+  private def runningExtreme(
+      df: DataFrame, orderCol: String, valueCol: String, out: String,
+      isMin: Boolean): DataFrame = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val vt = df.schema(valueCol).dataType
     require(vt == ByteType || vt == ShortType || vt == IntegerType || vt == LongType,
-      s"PrefixSum.runningMin: valueCol '$valueCol' must be integral " +
-        s"(got ${vt.simpleString}); scale to fixed-point integer units first")
+      s"PrefixSum.running${if (isMin) "Min" else "Max"}: valueCol '$valueCol' " +
+        s"must be integral (got ${vt.simpleString}); scale to fixed-point " +
+        "integer units first")
+    def ext(c: org.apache.spark.sql.Column) = if (isMin) min(c) else max(c)
+    def pick(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      if (isMin) least(a, b) else greatest(a, b)
+    val unit = if (isMin) Long.MaxValue else Long.MinValue
     // same barrier rationale as runningTotals: ONE set of range bounds
     val parted = df
       .repartitionByRange(col(orderCol))
@@ -130,35 +148,35 @@ object PrefixSum {
       .localCheckpoint()
     val w = Window.partitionBy("__pid").orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("__runmin",
-      min(col(valueCol)).over(w).cast("long"))
+    val local = parted.withColumn("__runext",
+      ext(col(valueCol)).over(w).cast("long"))
     val totals = local.groupBy("__pid")
-      .agg(min(col(valueCol)).cast("long").as("__min"), count(col(valueCol)).as("__cnt"))
+      .agg(ext(col(valueCol)).cast("long").as("__ext"), count(col(valueCol)).as("__cnt"))
       .collect()
       .map(r => (r.getInt(0),
-        if (r.isNullAt(1)) Long.MaxValue else r.getLong(1), r.getLong(2)))
+        if (r.isNullAt(1)) unit else r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
-    var accMin = Long.MaxValue
+    var accExt = unit
     var accCnt = 0L
     val offRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
-    totals.foreach { case (pid, mn, cnt) =>
-      offRows.add(org.apache.spark.sql.Row(pid, accMin, accCnt))
-      accMin = math.min(accMin, mn)
+    totals.foreach { case (pid, e, cnt) =>
+      offRows.add(org.apache.spark.sql.Row(pid, accExt, accCnt))
+      accExt = if (isMin) math.min(accExt, e) else math.max(accExt, e)
       accCnt += cnt
     }
     import org.apache.spark.sql.types.{StructField, StructType}
     import org.apache.spark.sql.types.{IntegerType => IT, LongType => LT}
     val offSchema = StructType(Seq(StructField("__pid", IT),
-      StructField("__offmin", LT), StructField("__offcnt", LT)))
+      StructField("__offext", LT), StructField("__offcnt", LT)))
     val spark = df.sparkSession
     val offDf = broadcast(spark.createDataFrame(offRows, offSchema))
     local.join(offDf, "__pid")
       .withColumn(out,
-        when(col("__runmin").isNotNull && col("__offcnt") > 0,
-          least(col("__runmin"), col("__offmin")))
-          .when(col("__runmin").isNotNull, col("__runmin"))
-          .when(col("__offcnt") > 0, col("__offmin"))
+        when(col("__runext").isNotNull && col("__offcnt") > 0,
+          pick(col("__runext"), col("__offext")))
+          .when(col("__runext").isNotNull, col("__runext"))
+          .when(col("__offcnt") > 0, col("__offext"))
           .otherwise(lit(null)))
-      .drop("__pid", "__runmin", "__offmin", "__offcnt")
+      .drop("__pid", "__runext", "__offext", "__offcnt")
   }
 }

@@ -6277,6 +6277,10 @@ object ExtensionCatalog {
         // ledger replays bit-for-bit in the oracle. At 100 TB the hourly
         // reduction is the one corpus-sized shuffle; the series the CUSUM
         // runs on is hours-sized yet still handled distributively.
+        // TWO-SIDED: the upward statistic S⁺ = P − min(0, min P) catches
+        // bursts; the downward S⁻ = max(0, max P) − P catches sustained
+        // DROPS (as alarming as bursts for an ingest feed) — the second
+        // recursion rewrites to a running MAX the same way.
         import graft.operators.PrefixSum
         val hc = t(s, dir, "events")
           .groupBy(expr("ts div 3600000000000").as("h"))
@@ -6286,9 +6290,10 @@ object ExtensionCatalog {
           .select(col("h"), col("n"),
             (col("n") - expr("t div hh")).as("dev"))
         val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))
-        PrefixSum.runningMin(p, "h", "p", "mn")
+        PrefixSum.runningMax(PrefixSum.runningMin(p, "h", "p", "mn"), "h", "p", "mx")
           .select(col("h"), col("n"),
-            (col("p") - least(col("mn"), lit(0L))).as("cusum"))
+            (col("p") - least(col("mn"), lit(0L))).as("cusum"),
+            (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
           .orderBy("h")
       },
       Some("""WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
@@ -6299,14 +6304,18 @@ object ExtensionCatalog {
              |p AS (SELECT h, n,
              |    CAST(SUM(dev) OVER (ORDER BY h) AS BIGINT) AS p FROM d),
              |m AS (SELECT h, n, p,
-             |    CAST(MIN(p) OVER (ORDER BY h) AS BIGINT) AS mn FROM p)
-             |SELECT h, n, p - LEAST(mn, 0) AS cusum
+             |    CAST(MIN(p) OVER (ORDER BY h) AS BIGINT) AS mn,
+             |    CAST(MAX(p) OVER (ORDER BY h) AS BIGINT) AS mx FROM p)
+             |SELECT h, n, p - LEAST(mn, 0) AS cusum,
+             |  GREATEST(mx, 0) - p AS cusum_down
              |FROM m ORDER BY h""".stripMargin),
-      "distributed CUSUM mean-shift ledger over the hourly event series: " +
-        "max(0, S+dev) rewritten as prefix-sum minus clamped prefix-min, " +
-        "both range-partitioned (PrefixSum.runningTotals/runningMin, O(P) " +
-        "driver state), exact integer deviations vs the floored global " +
-        "mean (extension: data quality / drift / statistics)")
+      "distributed TWO-SIDED CUSUM mean-shift ledger over the hourly event " +
+        "series: max(0, S±dev) rewritten as prefix-sum minus clamped " +
+        "prefix-min (bursts) and clamped prefix-max minus prefix-sum " +
+        "(sustained drops), all range-partitioned (PrefixSum.runningTotals/" +
+        "runningMin/runningMax, O(P) driver state), exact integer " +
+        "deviations vs the floored global mean " +
+        "(extension: data quality / drift / statistics)")
   )
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

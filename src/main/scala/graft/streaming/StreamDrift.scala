@@ -243,12 +243,13 @@ object StreamDrift {
       .mode("overwrite")
       .parquet(ledgerPath)
 
-  /** The CUSUM ledger scored against the fixed reference rate — x147's
-    * distributed rewrite (prefix-sum minus clamped prefix-min, both
-    * range-partitioned via PrefixSum, O(P) driver state) over the
-    * accumulated hourly series: (h, n, cusum), cusum ≥ 0, alarm when it
-    * crosses the operator's threshold. Hours-sized input, so this runs
-    * per trigger or on demand at any corpus scale.
+  /** The TWO-SIDED CUSUM ledger scored against the fixed reference rate —
+    * x147's distributed rewrite (prefix-sum vs clamped prefix-min for the
+    * burst side, clamped prefix-max vs prefix-sum for the sustained-drop
+    * side, all range-partitioned via PrefixSum, O(P) driver state) over
+    * the accumulated hourly series: (h, n, cusum, cusum_down), both ≥ 0,
+    * alarm when either crosses the operator's threshold. Hours-sized
+    * input, so this runs per trigger or on demand at any corpus scale.
     */
   def cusumLedger(spark: SparkSession, ledgerPath: String, refPath: String): DataFrame = {
     import graft.operators.PrefixSum
@@ -257,9 +258,10 @@ object StreamDrift {
     val dev = hc.crossJoin(broadcast(mean))
       .select(col("h"), col("n"), (col("n") - col("mean_per_hour")).as("dev"))
     val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))
-    PrefixSum.runningMin(p, "h", "p", "mn")
+    PrefixSum.runningMax(PrefixSum.runningMin(p, "h", "p", "mn"), "h", "p", "mx")
       .select(col("h"), col("n"),
-        (col("p") - least(col("mn"), lit(0L))).as("cusum"))
+        (col("p") - least(col("mn"), lit(0L))).as("cusum"),
+        (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
   }
 
   /** File-source stream → CUSUM ledger rows per trigger. Unlike the

@@ -102,6 +102,35 @@ class PrefixSumSpec extends AnyFunSuite with Matchers {
     out(4L) shouldBe Some(3L)
   }
 
+  test("two-pass running max equals the sequential truth, negatives included") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.tabulate(5000)(i => (i.toLong, rnd.nextInt(200).toLong - 100L))
+    val truth = rows.map(_._2).scanLeft(Long.MinValue)(math.max).tail
+    for (parts <- Seq(1, 3, 17)) {
+      val out = PrefixSum.runningMax(
+          rows.toDF("id", "v").repartition(parts), "id", "v", "mx")
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("mx")).toMap
+      rows.map(_._1).zip(truth).foreach { case (id, t) =>
+        withClue(s"parts=$parts id=$id") { out(id) shouldBe t }
+      }
+    }
+  }
+
+  test("downward-CUSUM identity: clamped prefix-max minus prefix-sum equals the recursion") {
+    // S⁻_i = max(0, S⁻_{i-1} − d_i) rewritten as max(0, max_{j≤i} P_j) − P_i
+    val rnd = new scala.util.Random(29)
+    val devs = Seq.tabulate(2000)(i => (i.toLong, rnd.nextInt(21).toLong - 10L))
+    val truth = devs.map(_._2).scanLeft(0L)((s, d) => math.max(0L, s - d)).tail
+    val p = PrefixSum.runningTotals(devs.toDF("id", "d").repartition(7),
+      "id", Seq("d" -> "p"))
+    val out = PrefixSum.runningMax(p, "id", "p", "mx")
+      .selectExpr("id", "greatest(mx, 0L) - p AS cusum_down")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cusum_down")).toMap
+    devs.map(_._1).zip(truth).foreach { case (id, t) =>
+      withClue(s"id=$id") { out(id) shouldBe t }
+    }
+  }
+
   test("CUSUM identity: prefix-sum minus clamped prefix-min equals the recursion") {
     // S_i = max(0, S_{i-1} + d_i) is sequential; x147 computes it as
     // P_i − min(0, min_{j≤i} P_j) — pin the rewrite against the recursion

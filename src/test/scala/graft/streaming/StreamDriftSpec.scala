@@ -157,16 +157,19 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
       landParquet(in, "b2", b2)
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = StreamDrift.cusumLedger(spark, ledger, refPath).collect()
-      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("n"), r.getAs[Long]("cusum"))).toSet
+    def led(p: String) = StreamDrift.cusumLedger(spark, p, refPath).collect()
+      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("n"),
+        r.getAs[Long]("cusum"), r.getAs[Long]("cusum_down"))).toSet
+    val streamed = led(ledger)
     // batch leg: one ledger from the concatenated feed, same fixed rate
     val ledger2 = java.nio.file.Files.createTempDirectory("cu-led2").toString + "/ledger"
     StreamDrift.cusumBatch(eventsNtz(b1 ++ b2), 0L, ledger2)
-    val direct = StreamDrift.cusumLedger(spark, ledger2, refPath).collect()
-      .map(r => (r.getAs[Long]("h"), r.getAs[Long]("n"), r.getAs[Long]("cusum"))).toSet
-    streamed shouldBe direct
-    // the detector detects: cusum is strictly larger after the burst hours
+    streamed shouldBe led(ledger2)
+    // BOTH directions are live: hour 0 ran below the reference rate
+    // (27 < 40 → cusum_down > 0) and the burst drives the upward
+    // statistic strictly higher by the last hour
     val byHour = streamed.toSeq.sortBy(_._1)
+    byHour.head._4 should be > 0L
     byHour.last._3 should be > byHour.head._3
     byHour.last._3 should be > 0L
   }
