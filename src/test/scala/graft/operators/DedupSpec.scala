@@ -73,6 +73,17 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .as[(Long, Long, Double)].collect().filter(_._3 >= 0.5).toSet
     fast shouldBe brute
     fast should not be empty // the fixture must exercise the join
+    // the shuffle_hash pin is a PLAN choice, never a semantics one: the
+    // prefix rows must be identical with the hint on and off (the knob
+    // exists only to re-measure the broadcast mode while it still fits)
+    val sorted = Dedup.stage(Dedup.sortedSets(sh, "doc_id", "shingles"))
+    val freq = sorted.select(explode(col("s")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+    def prefRows(hinted: Boolean) =
+      Dedup.freqOrderedPrefix(sorted, freq, "doc_id", 0.5, freqShuffleHash = hinted)
+        .select("doc_id", "ns", "tok", "rk")
+        .as[(Long, Int, Long, Int)].collect().toSet
+    prefRows(hinted = true) shouldBe prefRows(hinted = false)
   }
 
   test("prefix-filtered exact jaccard join: randomized equivalence, no cartesian") {
