@@ -5959,12 +5959,17 @@ object ExtensionCatalog {
         // value axis. The KS numerator |ca·NB − cb·NA| is exact
         // DECIMAL(38,0) arithmetic (cohort counts past ~3·10⁹ would wrap
         // the i64 product — the oracle's HUGEINT is the same 128-bit
-        // lane, CAST to DECIMAL(38,0) so the driver's typed hash sees one
-        // lane on both legs). The final statistic follows the catalog's
-        // milli/micro-unit determinism recipe (x141/x143): one double
-        // division of exact operands, rounded to micro-units as BIGINT on
-        // BOTH legs, with the empty-cohort denominator NULL-guarded the
-        // same way x141 guards its OLS denominator.
+        // lane), but the decimal stays strictly INTERNAL: the emitted
+        // schema is BIGINT-only (na, nb, ks_micro). Rounds 10–11 proved
+        // both legs bit-identical under a local Arrow compare while the
+        // driver's typed hash still rejected the DECIMAL(38,0) lane, so
+        // the exact numerator is an intermediate, not an output
+        // (DeterminismSpec now bans decimal output columns catalog-wide).
+        // The final statistic follows the catalog's milli/micro-unit
+        // determinism recipe (x141/x143): one double division of exact
+        // operands, rounded to micro-units as BIGINT on BOTH legs, with
+        // the empty-cohort denominator NULL-guarded the same way x141
+        // guards its OLS denominator.
         val e = t(s, dir, "events").select(
           floor(col("value") * 1000).cast("long").as("vm"),
           (col("user_id") % 2).as("g"))
@@ -5979,7 +5984,7 @@ object ExtensionCatalog {
             abs(dec(col("ca")) * dec(col("nb"))
               - dec(col("cb")) * dec(col("na"))).as("d"))
           .groupBy("na", "nb").agg(max(col("d")).cast("decimal(38,0)").as("ks_num"))
-          .select(col("na"), col("nb"), col("ks_num"),
+          .select(col("na"), col("nb"),
             when(dec(col("na")) * dec(col("nb")) =!= 0,
               round(col("ks_num").cast("double")
                 / (dec(col("na")) * dec(col("nb"))).cast("double") * 1e6))
@@ -5997,8 +6002,6 @@ object ExtensionCatalog {
              |tot AS (SELECT CAST(SUM(a) AS BIGINT) AS na,
              |    CAST(SUM(b) AS BIGINT) AS nb FROM c)
              |SELECT na, nb,
-             |  CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na))
-             |    AS DECIMAL(38,0)) AS ks_num,
              |  CAST(round(
              |    CAST(MAX(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS DOUBLE)
              |      / CAST(NULLIF(CAST(na AS HUGEINT) * nb, 0) AS DOUBLE) * 1e6)

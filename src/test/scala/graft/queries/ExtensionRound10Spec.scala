@@ -53,7 +53,6 @@ class ExtensionRound10Spec extends AnyFunSuite with Matchers {
     val same = writeEvents((0L until 8L).map(i =>
       (i, 1000L * i, i % 2, "e", ((i / 2) % 2).toDouble, "{}")))
     val r0 = entry("x142_ks_drift").build(spark, same).collect().head
-    r0.getAs[java.math.BigDecimal]("ks_num").longValueExact shouldBe 0L
     r0.getAs[Long]("ks_micro") shouldBe 0L
     // cohort 0 sees values {0,1}, cohort 1 sees {100,101} → at vm=1000·1
     // every g=0 observation has passed and no g=1 has → KS = 1.

@@ -14,10 +14,37 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
   private lazy val spark = SparkTestSession.spark
   private val dir = SparkTestSession.sf0001
 
+  private lazy val built: Map[String, org.apache.spark.sql.DataFrame] =
+    QueryCatalog.all.map(e => e.name -> e.build(spark, dir)).toMap
+
   private lazy val plans: Map[String, String] =
-    QueryCatalog.all.map { e =>
-      e.name -> e.build(spark, dir).queryExecution.executedPlan.toString
-    }.toMap
+    built.map { case (name, df) =>
+      name -> df.queryExecution.executedPlan.toString
+    }
+
+  test("no catalog query emits a decimal output column (driver-hash contract)") {
+    // Rounds 10–11: x142 was the catalog's only DECIMAL(38,0)-emitting
+    // query and the only red driver row — with both legs bit-identical
+    // under a local Arrow compare. The driver's typed hash has a decimal
+    // lane the local gate cannot reproduce, so exact decimal arithmetic
+    // stays internal and every EMITTED column must be integral, floating,
+    // string, boolean, date/time, or a container thereof.
+    def hasDecimal(dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case _: DecimalType => true
+        case ArrayType(e, _) => hasDecimal(e)
+        case MapType(k, v, _) => hasDecimal(k) || hasDecimal(v)
+        case StructType(fs) => fs.exists(f => hasDecimal(f.dataType))
+        case _ => false
+      }
+    }
+    val offenders = built.collect {
+      case (name, df) if df.schema.fields.exists(f => hasDecimal(f.dataType)) =>
+        s"$name: ${df.schema.simpleString}"
+    }
+    offenders.toSeq shouldBe empty
+  }
 
   test("no catalog query plans a cartesian product") {
     // x10's broadcast nested loop over ≤10 query vectors is the one
