@@ -90,7 +90,22 @@ object Bench {
     val telem = new graft.metrics.Telemetry().start()
     val rssMax = telem.rssMaxMilliMb
 
-    case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double, failed: Boolean)
+    // Per-query scan-input accounting: task-end input bytes accumulated on
+    // the listener bus, read-and-reset around each query. This is the
+    // attribution the round-11 postmortem lacked — the staged-probe rows
+    // (x101/x117/x139/x144/x145) were 5-6x slower at the driver and only
+    // the host's cold-read probe hinted why; with bytes per query the
+    // artifact itself separates "read more" from "read slower".
+    val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) inputBytes.addAndGet(m.inputMetrics.bytesRead)
+      }
+    })
+
+    case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double,
+        inputMb: Double, failed: Boolean)
     def runThunk(label: String)(body: => Unit): R = {
       // start clean: previous query's staged caches and garbage must not
       // bill to this query
@@ -98,6 +113,7 @@ object Bench {
       System.gc()
       telem.mark(label) // phase boundary row in the timeline CSV
       rssMax.set((rssMb() * 1000).toLong)
+      inputBytes.set(0L)
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       // NonFatal only: an OOM/VM error must crash the run (rc != 0), not
@@ -111,7 +127,11 @@ object Bench {
         }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-      R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()), failed)
+      // listener events post asynchronously; give the bus a beat to drain
+      // so straggler task-end bytes bill to this query, not the next
+      Thread.sleep(50)
+      R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()),
+        inputBytes.get() / 1e6, failed)
     }
     def run(name: String): R = runThunk(name) {
       SparkEntry.queries(name)(spark, sfDir)
@@ -153,14 +173,37 @@ object Bench {
     // in it whole — per-query cpu/rss tripled its length in round 3 and
     // pushed the total out of the capture window. Per-query wall seconds are
     // centisecond-rounded for the same reason.
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    // Staged-index on-disk sizes: the probe rows' I/O denominator (how many
+    // bytes each persisted index occupies on the bench host's scratch).
+    def dirBytes(p: String): Long =
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size(_)).sum
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+    val indexMb = graft.queries.ExtensionCatalog.stagedIndexPaths(sfDir)
+      .map { case (k, p) => "\"" + k + "\":" + round(dirBytes(p) / 1e6, 10) }
+      .mkString("{", ",", "}")
+    // Host-health summary from the run's own 1 Hz timeline — the
+    // differential the round-11 postmortem needed (uniform 1.6x per-query
+    // slowdown + 0.16 GB/s cold reads = host, not plans), now carried in
+    // the artifact AND on the driver-visible stdout line.
+    val (cpuMedPct, diskMedPct, stealMaxPct) = telem.summary
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
-    // must never suppress the stdout result line below.
+    // must never suppress the stdout result line below. bench_full.json is
+    // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
+    // rss/input-bytes in one file, immune to the driver's stdout-tail
+    // truncation; committed per round as bench_full_r{N}.json.
     try {
-      val path = java.nio.file.Paths.get("target/bench-telemetry.json")
+      val path = java.nio.file.Paths.get("target/bench_full.json")
       Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(path,
         telemetry.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.copy(path,
+        java.nio.file.Paths.get("target/bench-telemetry.json"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       telem.writeCsv("target/bench-timeline.csv")
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -178,7 +221,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

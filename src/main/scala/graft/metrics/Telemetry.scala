@@ -8,7 +8,8 @@ package graft.metrics
   * slow interval CPU-bound or shuffle/disk-bound?) instead of rerun
   * folklore.
   *
-  * Columns: `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps`.
+  * Columns:
+  * `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct`.
   * `disk_util_pct` is the io-tick share of the BUSIEST block device
   * (/proc/diskstats field 13 — summing across devices would overstate a
   * RAID stripe; max answers "was any spindle saturated").
@@ -91,6 +92,30 @@ final class Telemetry {
   def resetRssMax(): Unit = rssMaxMilliMb.set((rssMb() * 1000).toLong)
 
   def csv: String = timeline.synchronized(timeline.toString)
+
+  /** Run-level host-health summary over the samples so far:
+    * (median cpu_pct, median disk_util_pct, max steal_pct). These three
+    * numbers are the differential diagnosis the round-11 driver run needed
+    * in its own artifact — a run with normal cpu medians but high steal or
+    * saturated disk is the HOST's regression, not the plans' — so
+    * [[graft.Bench]] emits them on its final stdout JSON line where the
+    * driver's bounded tail capture is guaranteed to keep them.
+    */
+  def summary: (Double, Double, Double) = {
+    val rows = csv.linesIterator
+      .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
+      .map(_.split(",")).filter(_.length >= 7).toSeq
+    if (rows.isEmpty) (0.0, 0.0, 0.0)
+    else {
+      def median(xs: Seq[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      (median(rows.map(_(1).toDouble)),
+        median(rows.map(_(3).toDouble)),
+        rows.map(_(6).toDouble).max)
+    }
+  }
 
   def writeCsv(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)

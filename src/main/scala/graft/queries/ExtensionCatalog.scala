@@ -6321,6 +6321,22 @@ object ExtensionCatalog {
         "(extension: data quality / drift / statistics)")
   )
 
+  /** Scratch base for the one-time staged index builds. Defaults under the
+    * project's own `target/` — the same filesystem as the fixtures — NOT
+    * `java.io.tmpdir`: on the round-11 driver host /tmp cold-read at
+    * 0.16 GB/s and made the five staged-probe queries the slowest rows in
+    * the whole bench. Override with `GRAFT_SCRATCH_DIR` (e.g. to a RAM
+    * disk, or per-executor local dirs on a real cluster — at 100 TB the
+    * analog is the persisted-index table location, a deliberate choice,
+    * never whatever tmpdir happens to be).
+    */
+  private def stagedScratch(prefix: String): String = {
+    val base = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_SCRATCH_DIR", "target/graft-scratch"))
+    java.nio.file.Files.createDirectories(base)
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
+  }
+
   /** x101 staging: the posting index is written ONCE per fixture dir via
     * [[graft.sources.Layouts.postingIndex]] and reused for every build in
     * this JVM — the write-once / probe-many split a persisted index exists
@@ -6330,7 +6346,7 @@ object ExtensionCatalog {
   private val postingDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedPostingIndex(s: SparkSession, dir: String): String =
     postingDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-posting").toString
+      val out = stagedScratch("graft-posting")
       graft.sources.Layouts.postingIndex(t(s, dir, "documents"), out,
         groupBytes = 256L * 1024, pageRows = 2000)
       out
@@ -6344,7 +6360,7 @@ object ExtensionCatalog {
   private val jaccardDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedJaccardIndex(s: SparkSession, dir: String): String =
     jaccardDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-jacidx").toString
+      val out = stagedScratch("graft-jacidx")
       graft.sources.Layouts.jaccardIndex(
         t(s, dir, "documents").where(col("doc_id") % 2 === 0), out,
         groupBytes = 256L * 1024, pageRows = 2000)
@@ -6358,7 +6374,7 @@ object ExtensionCatalog {
   private val minhashDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedMinhashIndex(s: SparkSession, dir: String): String =
     minhashDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+      val out = stagedScratch("graft-mhidx")
       graft.sources.Layouts.minhashIndex(
         t(s, dir, "documents").where(col("doc_id") % 2 === 0), out,
         groupBytes = 256L * 1024, pageRows = 2000)
@@ -6372,7 +6388,7 @@ object ExtensionCatalog {
   private val ivfDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedIvfIndex(s: SparkSession, dir: String): String =
     ivfDirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivfidx").toString
+      val out = stagedScratch("graft-ivfidx")
       graft.sources.Layouts.ivfIndex(
         t(s, dir, "embeddings").where(col("vec_id") >= 10), out, centModulo = 50)
       out
@@ -6385,7 +6401,7 @@ object ExtensionCatalog {
   private val ivf2Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedIvfIndex2l(s: SparkSession, dir: String): String =
     ivf2Dirs.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf2idx").toString
+      val out = stagedScratch("graft-ivf2idx")
       graft.sources.Layouts.ivfIndex(
         t(s, dir, "embeddings").where(col("vec_id") >= 10), out,
         centModulo = 50, twoLevel = true)
@@ -6406,4 +6422,16 @@ object ExtensionCatalog {
     "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
     "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
     "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }))
+
+  /** On-disk locations of the indexes staged for `dir` so far (build label
+    * → scratch path) — lets [[graft.Bench]] attribute probe-side I/O by
+    * reporting each index's byte size next to the probe timings.
+    */
+  def stagedIndexPaths(dir: String): Seq[(String, String)] = Seq(
+    "build_x101_posting" -> postingDirs.get(dir),
+    "build_x117_minhash_index" -> minhashDirs.get(dir),
+    "build_x139_jaccard_index" -> jaccardDirs.get(dir),
+    "build_x144_ivf_index" -> ivfDirs.get(dir),
+    "build_x145_ivf2_index" -> ivf2Dirs.get(dir)
+  ).collect { case (k, v) if v != null => k -> v }
 }
