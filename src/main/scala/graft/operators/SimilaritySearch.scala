@@ -157,9 +157,13 @@ object SimilaritySearch {
     * 100× sweep point), and whether that spilled was the dominant
     * variance term in the semdedup/IVF cells. Tie semantics are identical
     * to `row_number over (order by score desc, id)`: struct comparison is
-    * lexicographic and NULL scores sort below any real score, so
-    * all-NULL groups yield a NULL id (callers' coalesce fallbacks keep
-    * working).
+    * lexicographic and a NULL score field sorts below any real score. A
+    * group whose rows are ALL join-misses (id and score both NULL — the
+    * left-join-miss shape every current call site produces) yields a NULL
+    * id, so callers' coalesce fallbacks keep working; a caller mixing
+    * non-null ids with NULL scores would instead get the max_by-arbitrary
+    * row among the all-NULL-score structs, not NULL — guard with
+    * `when(score.isNotNull, ...)` if that shape ever arises.
     */
   private def argTop1(score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
     max_by(id, struct(score, -id))
