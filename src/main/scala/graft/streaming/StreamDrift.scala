@@ -187,6 +187,21 @@ object StreamDrift {
       .parquet(ledgerPath)
   }
 
+  /** The KS gate's ALARM contract: the batches whose ks_micro crossed the
+    * operator's threshold. An alarm is a deterministic VIEW over the
+    * idempotent ledger — not a side effect raised at write time — so
+    * replaying a batch (at-least-once delivery) overwrites its ledger
+    * slice and re-derives the identical alarm set; an alarm can never be
+    * duplicated or lost to redelivery. The threshold is in the ledger's
+    * own micro-units (e.g. 100000 = KS distance 0.1); a NULL ks_micro
+    * (empty batch) never alarms — no data is not drift.
+    */
+  def ksAlarms(spark: SparkSession, ledgerPath: String, thresholdMicro: Long): DataFrame =
+    spark.read.parquet(ledgerPath)
+      .where(col("ks_micro") >= thresholdMicro)
+      .select(col("batch_id"), col("n"), col("ks_micro"))
+      .orderBy("batch_id")
+
   /** File-source stream → per-trigger KS ledger against the persisted
     * value histogram. Each batch is scored independently against the
     * reference (no cross-batch state), so the stream leg is the batch
@@ -263,6 +278,27 @@ object StreamDrift {
         (col("p") - least(col("mn"), lit(0L))).as("cusum"),
         (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
   }
+
+  /** The CUSUM gate's ALARM contract: the hours at which either side's
+    * statistic crossed the operator's threshold `h` (in the same integer
+    * units as the deviations — events per hour), with the crossing side
+    * named. Like [[ksAlarms]] this is a deterministic view over the
+    * idempotent hourly ledger, so at-least-once replay re-derives the
+    * identical alarm set (the ledger re-aggregates the replayed hours and
+    * the prefix-sum statistics replay bit-for-bit); a detector that
+    * mutated running state at write time would double-count redelivered
+    * batches — exactly the failure the ledger design exists to rule out.
+    */
+  def cusumAlarms(
+      spark: SparkSession, ledgerPath: String, refPath: String,
+      threshold: Long): DataFrame =
+    cusumLedger(spark, ledgerPath, refPath)
+      .where(col("cusum") >= threshold || col("cusum_down") >= threshold)
+      .select(col("h"), col("n"), col("cusum"), col("cusum_down"),
+        when(col("cusum") >= threshold && col("cusum_down") >= threshold, "both")
+          .when(col("cusum") >= threshold, "up")
+          .otherwise("down").as("side"))
+      .orderBy("h")
 
   /** File-source stream → CUSUM ledger rows per trigger. Unlike the
     * per-batch KS/PSI gates this detector is SEQUENTIAL across triggers

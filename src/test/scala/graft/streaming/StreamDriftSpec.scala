@@ -213,4 +213,54 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
       second("mystery") should be > second("click")
     } finally q.stop()
   }
+
+  test("KS alarms: raised under an injected shift, silent under the null, replay-idempotent") {
+    val refPath = java.nio.file.Files.createTempDirectory("ksa-ref").toString + "/ecdf"
+    StreamDrift.referenceEcdf(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("ksa-led").toString + "/ledger"
+    // batch 0: drawn from the reference (KS = 0); batch 1: every value
+    // above every reference value (KS = 1 exactly)
+    StreamDrift.ksBatch(eventsDf(refRows), 0L, refPath, ledger)
+    val shifted = refRows.map { case (a, b, c, t, _, p) => (a, b, c, t, 450.0, p) }
+    StreamDrift.ksBatch(eventsDf(shifted), 1L, refPath, ledger)
+    def alarms() = StreamDrift.ksAlarms(spark, ledger, thresholdMicro = 100000L)
+      .collect().map(r => (r.getAs[Number]("batch_id").longValue,
+        r.getAs[Long]("ks_micro"))).toSeq
+    alarms() shouldBe Seq((1L, 1000000L)) // the null batch stays silent
+    // at-least-once redelivery of the shifted batch: same alarm set, not two
+    StreamDrift.ksBatch(eventsDf(shifted), 1L, refPath, ledger)
+    alarms() shouldBe Seq((1L, 1000000L))
+    // an empty batch writes a NULL ks_micro row and must never alarm
+    StreamDrift.ksBatch(eventsDf(Seq.empty), 2L, refPath, ledger)
+    alarms() shouldBe Seq((1L, 1000000L))
+  }
+
+  test("CUSUM alarms: a sustained burst raises 'up', null traffic is silent, replay-idempotent") {
+    val refPath = java.nio.file.Files.createTempDirectory("cua-ref").toString + "/rate"
+    StreamDrift.referenceRate(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("cua-led").toString + "/ledger"
+    // refRows land in one hour → reference rate = 40/hour. Batch 0: two
+    // hours AT the rate (dev 0 → both statistics 0). Batch 1: two hours at
+    // 3× (dev +80/hour accumulates to 160 by hour 3).
+    def hoursAt(idBase: Long, firstHour: Long, perHour: Long) =
+      (0L until 2 * perHour).map(i => (idBase + i,
+        (firstHour + i / perHour) * 3600L * 1000000L + (i % perHour) * 1000L,
+        i % 3, "click", 1.0, "{}"))
+    StreamDrift.cusumBatch(eventsDf(hoursAt(0L, 0L, 40L))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts) as timestamp_ntz)")), 0L, ledger)
+    def alarms(h: Long) = StreamDrift.cusumAlarms(spark, ledger, refPath, h)
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("cusum"),
+        r.getAs[String]("side"))).toSeq
+    alarms(50L) shouldBe Seq.empty // null traffic: no alarm at any sane h
+    StreamDrift.cusumBatch(eventsDf(hoursAt(1000L, 2L, 120L))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts) as timestamp_ntz)")), 1L, ledger)
+    alarms(100L) shouldBe Seq((3L, 160L, "up")) // h=100 < 160: hour 3 alarms
+    // redelivered burst batch: ledger slice overwritten, alarm set identical
+    StreamDrift.cusumBatch(eventsDf(hoursAt(1000L, 2L, 120L))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts) as timestamp_ntz)")), 1L, ledger)
+    alarms(100L) shouldBe Seq((3L, 160L, "up"))
+  }
 }
