@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads
   * with typed metadata, pushed through a partition-wise feature-extraction
   * stage. The Spark-side shape — schema, `Dataset[T]` encoders, batch-wise
-  * `mapPartitions`, partitioning — is real and tested; the actual media
-  * decode is STUBBED with a deterministic fake (no image/audio libs in this
-  * environment): features derive from the payload bytes via the same base-31
-  * rolling hash the text layer uses, so results are reproducible and
-  * oracle-checkable.
+  * `mapPartitions`, partitioning — is real and tested. The codec slot is
+  * filled for REAL on the audio path: [[audioWindowsWav]] decodes
+  * RIFF/WAVE PCM16 container bytes via the pure-JVM [[WavCodec]]. Image
+  * and video decode remain STUBBED with a deterministic fake (no image/
+  * video libs in this environment): features derive from the payload
+  * bytes via the same base-31 rolling hash the text layer uses, so
+  * results are reproducible and oracle-checkable.
   *
   * Scale design: `mapPartitions` keeps the decode batched per partition
   * (one decoder init per partition, not per row — the same reason the
@@ -104,9 +106,11 @@ object Multimodal {
     * at 128, windowed (`win` samples, `hop` stride), per window the RMS
     * (integer-exact sum of squares, one sqrt on an identical double in any
     * engine) and the zero-crossing count (sign changes — integer-exact).
-    * The `???` in a real pipeline is the codec decode to PCM; the windowed
-    * DSP after it is exactly this shape. Map-side only, payloads never
-    * shuffle; one row explodes to its window count.
+    * The codec decode to PCM that a real pipeline needs here EXISTS for
+    * WAV — [[audioWindowsWav]] runs this same windowed DSP on decoded
+    * container bytes; this byte-stub variant remains for payloads with no
+    * container framing. Map-side only, payloads never shuffle; one row
+    * explodes to its window count.
     */
   def audioWindows(media: DataFrame, win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
     val spark = media.sparkSession
@@ -133,6 +137,52 @@ object Multimodal {
             i += 1
           }
           AudioWindow(r.doc_id, w, math.sqrt(s.toDouble / win), zc)
+        }
+      }
+    }
+  }
+
+  /** [[audioWindows]] on REAL container bytes: payloads are RIFF/WAVE
+    * PCM16 decoded by [[WavCodec]] (the codec slot, filled — no stub on
+    * this path), then the identical windowed DSP over the decoded 16-bit
+    * samples: per window the RMS (integer-exact sum of squares, one sqrt
+    * at the end) and the zero-crossing count. Multi-channel payloads use
+    * channel 0 (deinterleaved) — deterministic, integer-exact, and the
+    * usual mono-ize choice for VAD-style features. An undecodable payload
+    * (not WAV, compressed, truncated) contributes ZERO windows rather
+    * than failing the stage: at 100 TB one poison blob must never kill
+    * the featurize job; count input vs output doc_ids to audit drops.
+    * Decode is per-row inside iterator-to-iterator mapPartitions —
+    * payloads never shuffle, only the small window rows flow on.
+    */
+  def audioWindowsWav(media: DataFrame, win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions { it =>
+      it.flatMap { r =>
+        WavCodec.decode(r.payload).iterator.flatMap { pcm =>
+          val ch = pcm.channels
+          val n = pcm.samples.length / ch
+          val nw = if (n >= win) (n - win) / hop + 1 else 0
+          (0 until nw).iterator.map { w =>
+            val start = w * hop
+            var s = 0L
+            var i = start
+            while (i < start + win) {
+              val c = pcm.samples(i * ch).toLong
+              s += c * c
+              i += 1
+            }
+            var zc = 0L
+            i = start
+            while (i < start + win - 1) {
+              val a = pcm.samples(i * ch).toInt
+              val b = pcm.samples((i + 1) * ch).toInt
+              if (a * b < 0) zc += 1
+              i += 1
+            }
+            AudioWindow(r.doc_id, w, math.sqrt(s.toDouble / win), zc)
+          }
         }
       }
     }

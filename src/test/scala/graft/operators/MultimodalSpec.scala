@@ -39,4 +39,81 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
       .queryExecution.sparkPlan.toString
     plan should not include "Exchange"
   }
+
+  // ------------------------------------------------- WAV codec (real) —
+
+  test("WavCodec round trip: encode → decode recovers rate and samples exactly") {
+    val samples = Array.tabulate(1000)(i => (math.sin(i / 10.0) * 20000).toShort)
+    val pcm = WavCodec.decode(WavCodec.encode(samples, sampleRate = 8000)).get
+    pcm.sampleRate shouldBe 8000
+    pcm.channels shouldBe 1
+    pcm.samples.toSeq shouldBe samples.toSeq
+  }
+
+  test("WavCodec rejects garbage, truncation, compressed formats, and 8-bit PCM") {
+    WavCodec.decode(Array.fill[Byte](100)(42)) shouldBe None
+    WavCodec.decode(WavCodec.encode(Array.fill[Short](64)(1)).take(30)) shouldBe None
+    val wav = WavCodec.encode(Array.fill[Short](64)(1))
+    val compressed = wav.clone(); compressed(20) = 3 // fmt audioFormat ≠ PCM
+    WavCodec.decode(compressed) shouldBe None
+    val eightBit = wav.clone(); eightBit(34) = 8 // bitsPerSample
+    WavCodec.decode(eightBit) shouldBe None
+    // a chunk whose declared size runs past the payload must not crash
+    val lying = wav.clone(); lying(43) = 0x7f
+    WavCodec.decode(lying) shouldBe None
+  }
+
+  test("WavCodec skips unknown chunks between fmt and data") {
+    // hand-assemble RIFF [fmt ][LIST junk][data] — decoders must walk, not
+    // assume the canonical 44-byte layout
+    val samples = Array[Short](100, -200, 300)
+    val canon = WavCodec.encode(samples)
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9)
+    val patched = java.nio.ByteBuffer.allocate(canon.length + junk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    patched.put(canon, 0, 36) // RIFF..WAVE + fmt chunk
+    patched.put(junk)
+    patched.put(canon, 36, canon.length - 36) // data chunk
+    val bytes = patched.array()
+    // fix RIFF size field
+    val fixed = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fixed.putInt(4, bytes.length - 8)
+    WavCodec.decode(bytes).get.samples.toSeq shouldBe samples.toSeq
+  }
+
+  test("audioWindowsWav: square wave has exact RMS and zero-crossing count; stereo uses channel 0") {
+    // ±1000 square, half-period 16 → window RMS exactly 1000.0 and 15 sign
+    // changes in 256 samples (transitions every 16 samples)
+    val square = Array.tabulate(256)(i => (if ((i / 16) % 2 == 0) 1000 else -1000).toShort)
+    val mono = Seq((1L, WavCodec.encode(square), "audio/wav"))
+      .toDF("doc_id", "payload", "media_type")
+    val w = Multimodal.audioWindowsWav(mono, win = 256, hop = 256).collect()
+    w should have length 1
+    w.head.rms shouldBe 1000.0
+    w.head.zero_crossings shouldBe 15L
+    // stereo: channel 1 carries silence; channel 0's square must win through
+    val stereo = Array.tabulate(512)(i => if (i % 2 == 0) square(i / 2) else 0.toShort)
+    val wavStereo = {
+      val b = WavCodec.encode(stereo) // mono header, then patch to 2 channels
+      val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putShort(22, 2) // numChannels
+      bb.putShort(32, 4) // blockAlign
+      b
+    }
+    val s = Multimodal.audioWindowsWav(
+      Seq((2L, wavStereo, "audio/wav")).toDF("doc_id", "payload", "media_type"),
+      win = 256, hop = 256).collect()
+    s should have length 1
+    s.head.rms shouldBe 1000.0
+    s.head.zero_crossings shouldBe 15L
+  }
+
+  test("audioWindowsWav: undecodable payloads contribute zero windows, not failures") {
+    val mixed = Seq(
+      (1L, WavCodec.encode(Array.fill[Short](300)(500)), "audio/wav"),
+      (2L, Array.fill[Byte](400)(7), "audio/wav")) // not a container
+      .toDF("doc_id", "payload", "media_type")
+    val out = Multimodal.audioWindowsWav(mixed).collect()
+    out.map(_.doc_id).distinct.toSeq shouldBe Seq(1L)
+  }
 }
