@@ -105,7 +105,7 @@ object Bench {
     })
 
     case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double,
-        inputMb: Double, failed: Boolean)
+        inputMb: Double, gcSec: Double, failed: Boolean)
     def runThunk(label: String)(body: => Unit): R = {
       // start clean: previous query's staged caches and garbage must not
       // bill to this query
@@ -114,6 +114,7 @@ object Bench {
       telem.mark(label) // phase boundary row in the timeline CSV
       rssMax.set((rssMb() * 1000).toLong)
       inputBytes.set(0L)
+      val g0 = graft.metrics.Telemetry.gcMillis()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
       // NonFatal only: an OOM/VM error must crash the run (rc != 0), not
@@ -131,7 +132,8 @@ object Bench {
       // so straggler task-end bytes bill to this query, not the next
       Thread.sleep(50)
       R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()),
-        inputBytes.get() / 1e6, failed)
+        inputBytes.get() / 1e6,
+        (graft.metrics.Telemetry.gcMillis() - g0) / 1e3, failed)
     }
     def run(name: String): R = runThunk(name) {
       SparkEntry.queries(name)(spark, sfDir)
@@ -190,7 +192,27 @@ object Bench {
     // slowdown + 0.16 GB/s cold reads = host, not plans), now carried in
     // the artifact AND on the driver-visible stdout line.
     val (cpuMedPct, diskMedPct, stealMaxPct) = telem.summary
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    // Acceptance-bound arithmetic done IN the artifact (round-11 verdict
+    // asked for it): steady-state s/query excludes the one-time staged
+    // builds, the committed bound is round-1's 0.82 s/query (BASELINE.md
+    // "Measured (round 1...)": 27.0 s / 33 queries), and the host-speed
+    // reference is the same ledger's 7.5 GB/s warm seq-read probe
+    // (BASELINE.md "Hardware bound (round 3...)"). vs_baseline_host_norm
+    // scales the raw ratio by measured/reference warm bandwidth — the
+    // exact proxy the round-11 postmortem used to separate host collapse
+    // (uniform per-query inflation tracking the probe) from plan
+    // regression (it would NOT track the probe). Both numbers ship; the
+    // raw one remains the number of record.
+    val refSecPerQuery = 0.82
+    val refWarmGbps = 7.5
+    val buildsSec = buildResults.map(_._2.wallSec).sum
+    val steadySecPerQuery =
+      if (names.nonEmpty) (total - buildsSec) / names.size else 0.0
+    val vsBaselineRaw = steadySecPerQuery / refSecPerQuery
+    val vsBaselineHostNorm =
+      if (refWarmGbps > 0 && gbps > 0) vsBaselineRaw * (gbps / refWarmGbps)
+      else vsBaselineRaw
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
@@ -221,7 +243,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

@@ -9,7 +9,7 @@ package graft.metrics
   * folklore.
   *
   * Columns:
-  * `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct`.
+  * `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct`.
   * `disk_util_pct` is the io-tick share of the BUSIEST block device
   * (/proc/diskstats field 13 — summing across devices would overstate a
   * RAID stripe; max answers "was any spindle saturated").
@@ -27,7 +27,7 @@ final class Telemetry {
   val rssMaxMilliMb = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val timeline = new java.lang.StringBuilder(
-    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct\n")
+    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct\n")
   private val t0 = System.nanoTime()
   @volatile private var stopped = false
 
@@ -37,6 +37,7 @@ final class Telemetry {
     var lastDisk = diskTicks()
     var lastNet = netBytes()
     var lastStat = statJiffies()
+    var lastGc = gcMillis()
     while (!stopped) {
       Thread.sleep(1000)
       val mb = (rssMb() * 1000).toLong
@@ -62,16 +63,23 @@ final class Telemetry {
       // high steal_pct is the host's fault, not the plan's)
       val dTot = (stat._1 - lastStat._1).toDouble
       val stealPct = if (dTot <= 0) 0.0 else (stat._2 - lastStat._2) * 100.0 / dTot
+      // stop-the-world GC share of the interval (cumulative collector
+      // millis / wall millis) — the JVM-side differential the SCALING.md
+      // semdedup variance question left open: a slow cell with low steal
+      // but high gc_pct is heap churn, not hypervisor or plan
+      val gc = gcMillis()
+      val gcPct = if (elapsedMs <= 0) 0.0 else (gc - lastGc) * 100.0 / elapsedMs
       timeline.synchronized {
         timeline.append(f"${(ns - t0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d," +
           f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f," +
-          f"$stealPct%.1f\n")
+          f"$stealPct%.1f,$gcPct%.1f\n")
       }
       lastCpu = cpu
       lastNs = ns
       lastDisk = disk
       lastNet = net
       lastStat = stat
+      lastGc = gc
     }
   })
 
@@ -129,6 +137,16 @@ object Telemetry {
   val osBean: com.sun.management.OperatingSystemMXBean =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Cumulative stop-the-world collection time (ms) summed across all
+    * garbage collectors; -1 beans count as 0.
+    */
+  def gcMillis(): Long =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    } catch { case _: Throwable => 0L }
 
   def rssMb(): Double =
     try {

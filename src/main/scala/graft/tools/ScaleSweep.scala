@@ -83,13 +83,39 @@ object ScaleSweep {
     // hypothesis — byte-targeted coalescing under-parallelizes CPU-heavy
     // per-row stages (dot-product assignment) at middle scales where the
     // shuffled bytes are small but the compute is not
+    // SWEEP_INIT_PARTITIONS=N: A/B hook for shuffle-width headroom — raise
+    // AQE's initialPartitionNum above the fixed `cores` width so large
+    // shuffles (the 100× prefix join's exploded posting lists) split into
+    // bounded per-partition hash-build state instead of growing with scale
     val extra =
-      if (sys.env.get("SWEEP_NO_COALESCE").contains("1"))
+      (if (sys.env.get("SWEEP_NO_COALESCE").contains("1"))
         Map("spark.sql.adaptive.coalescePartitions.enabled" -> "false")
-      else Map.empty[String, String]
+      else Map.empty[String, String]) ++
+      sys.env.get("SWEEP_INIT_PARTITIONS").map(n =>
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum" -> n)
     val spark = GraftSession.build("graft-scalesweep", cores = cores.toInt,
       extraConf = extra)
     spark.sparkContext.setLogLevel("ERROR")
+    // SWEEP_STAGE_LOG=1: per-stage wall/task attribution on stderr — the
+    // probe for "which stage starves the cores" (a cell whose timeline
+    // shows 6 of 24 cores busy with zero GC and zero steal is bottlenecked
+    // on one stage's task shape, and THAT is invisible from 1 Hz host
+    // counters). wall = stage submission→completion; runtime = summed
+    // executor task time (wall ≈ runtime/1 ⇒ one task ran alone; wall ≈
+    // runtime/cores ⇒ fully parallel); spill flags memory pressure.
+    if (sys.env.get("SWEEP_STAGE_LOG").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = for (a <- i.submissionTime; b <- i.completionTime) yield b - a
+          System.err.println(f"[stage] id=${i.stageId}%4d tasks=${i.numTasks}%5d " +
+            f"wall=${wall.getOrElse(-1L) / 1e3}%8.1fs " +
+            f"runtime=${i.taskMetrics.executorRunTime / 1e3}%9.1fs " +
+            f"shuffleRead=${i.taskMetrics.shuffleReadMetrics.totalBytesRead / 1e6}%9.1fMB " +
+            f"spill=${i.taskMetrics.diskBytesSpilled / 1e6}%8.1fMB  ${i.name.take(60)}")
+        }
+      })
     val baseDocs = GraftSession.table(spark, sfDir, "documents")
       .select("doc_id", "text").localCheckpoint()
     val baseEmb = GraftSession.table(spark, sfDir, "embeddings")
@@ -161,6 +187,30 @@ object ScaleSweep {
           Dedup.minhashSignature(docs, k = 16, shingleN = 3)
             .select(col("doc_id"), col("shingles")),
           threshold = 0.5).count())
+      // volume probe, not a timing row: counts at each funnel stage of the
+      // prefix pipeline (exploded prefix rows → raw tok-join candidate rows
+      // → distinct pairs), so "time grew 8× for 2× data" decomposes into
+      // "the work grew" vs "the per-row cost grew" from the artifact
+      // instead of estimation
+      if (want("prefix_diag")) {
+        val sorted = Dedup.sortedSets(
+          Dedup.minhashSignature(docs, k = 16, shingleN = 3)
+            .select(col("doc_id"), col("shingles")),
+          "doc_id", "shingles").localCheckpoint()
+        val freq = sorted.select(explode(col("s")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+        val pref = Dedup.freqOrderedPrefix(sorted, freq, "doc_id", 0.5,
+          freqShuffleHash = true).localCheckpoint()
+        val nPref = pref.count()
+        val cand = pref.as("a").join(pref.as("b"),
+          col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.ns"), col("b.ns")).cast("double") >=
+              greatest(col("a.ns"), col("b.ns")) * lit(0.5) - lit(1e-9))
+        val nCand = cand.count()
+        val nPairs = cand.select("a.doc_id", "b.doc_id").distinct().count()
+        println(f"[sweep] c=$c%3d prefix_diag: prefix_rows=$nPref%,d " +
+          f"candidate_rows=$nCand%,d distinct_pairs=$nPairs%,d")
+      }
       // persisted-index path: build on the corpus (linear), probe a FIXED
       // shard (must track the shard, i.e. stay ~flat as c grows). The
       // shard is copy 0 of the corpus re-identified — half exact
