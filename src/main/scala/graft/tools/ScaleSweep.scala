@@ -305,6 +305,65 @@ object ScaleSweep {
           SimilaritySearch.semDedupScaled(emb, targetCellSize = 50, tau = 0.25)
             .where(col("dropped")).count())
       }
+      // Drift monitors at scale — the two range-partitioned prefix-sum
+      // constructions (x142 KS, x147 CUSUM) measured on the axis each one
+      // claims to survive. Replication grows the HARD dimension, not just
+      // the row count: ks_drift shifts value by i·1000 per copy so the
+      // milli-bucket ECDF axis grows ∝ c (10 M distinct buckets at 100×);
+      // cusum_ledger shifts ts by i·1 year so the hourly series grows ∝ c.
+      // user_id shifts by an EVEN constant per copy, preserving the
+      // cohort-parity split exactly.
+      if (want("ks_drift") || want("cusum_ledger")) {
+        val baseEv = GraftSession.table(spark, sfDir, "events")
+          .select(col("ts"), col("user_id"), col("value"))
+        val ev = baseEv
+          .select(col("ts"), col("user_id"), col("value"),
+            explode(sequence(lit(0), lit(c - 1))).as("i"))
+          .select(
+            (col("ts") + col("i") * lit(31536000000000000L)).as("ts"),
+            (col("user_id") + col("i") * lit(1000000L)).as("user_id"),
+            (col("value") + col("i") * lit(1000.0)).as("value"))
+          .repartition(par).localCheckpoint()
+        // the recorded "count" for ks_drift is the KS statistic itself
+        // (micro-units): an exact integer that must reproduce across
+        // repeats — the same determinism pin the other families get from
+        // their pair counts
+        if (want("ks_drift")) record("ks_drift", c) {
+          val e = ev.select(floor(col("value") * 1000).cast("long").as("vm"),
+            (col("user_id") % 2).as("g"))
+          val cnt = e.groupBy("vm").agg(
+            sum(when(col("g") === 0, 1L).otherwise(0L)).as("a"),
+            sum(when(col("g") === 1, 1L).otherwise(0L)).as("b"))
+          val run = graft.operators.PrefixSum.runningTotals(
+            cnt, "vm", Seq("a" -> "ca", "b" -> "cb"))
+          val tot = cnt.agg(sum("a").as("na"), sum("b").as("nb"))
+          def dec(x: org.apache.spark.sql.Column) = x.cast("decimal(19,0)")
+          run.crossJoin(broadcast(tot))
+            .select(col("na"), col("nb"),
+              abs(dec(col("ca")) * dec(col("nb"))
+                - dec(col("cb")) * dec(col("na"))).as("d"))
+            .groupBy("na", "nb").agg(max(col("d")).cast("decimal(38,0)").as("ks_num"))
+            .select(when(dec(col("na")) * dec(col("nb")) =!= 0,
+              round(col("ks_num").cast("double")
+                / (dec(col("na")) * dec(col("nb"))).cast("double") * 1e6))
+              .cast("long").as("ks_micro"))
+            .collect()(0).getLong(0)
+        }
+        if (want("cusum_ledger")) record("cusum_ledger", c) {
+          import graft.operators.PrefixSum
+          val hc = ev.groupBy(expr("ts div 3600000000000").as("h"))
+            .agg(count(lit(1)).as("n"))
+          val tot = hc.agg(sum("n").as("t"), count(lit(1)).as("hh"))
+          val dev = hc.crossJoin(broadcast(tot))
+            .select(col("h"), col("n"), (col("n") - expr("t div hh")).as("dev"))
+          val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))
+          PrefixSum.runningMax(
+              PrefixSum.runningMin(p, "h", "p", "mn"), "h", "p", "mx")
+            .select((col("p") - least(col("mn"), lit(0L))).as("cusum"),
+              (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
+            .count()
+        }
+      }
       telem.foreach { t =>
         t.stop()
         try t.writeCsv(s"target/sweep-timeline-${c}x.csv")
