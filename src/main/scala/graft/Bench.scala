@@ -128,9 +128,18 @@ object Bench {
         }
       val wall = (System.nanoTime() - t0) / 1e9
       val cpu = (osBean.getProcessCpuTime - c0) / 1e9
-      // listener events post asynchronously; give the bus a beat to drain
-      // so straggler task-end bytes bill to this query, not the next
-      Thread.sleep(50)
+      // listener events post asynchronously; wait for the bus to go quiet
+      // (two consecutive equal reads) so straggler task-end bytes bill to
+      // this query, not the next — capped so a busy bus can't stall the
+      // run, and typically one 10 ms beat instead of a flat 50 ms × 171
+      // thunks (~8.5 s of dead wall time per bench run)
+      var drained = false
+      var waited = 0
+      while (!drained && waited < 100) {
+        val before = inputBytes.get()
+        Thread.sleep(10); waited += 10
+        drained = inputBytes.get() == before
+      }
       R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()),
         inputBytes.get() / 1e6,
         (graft.metrics.Telemetry.gcMillis() - g0) / 1e3, failed)
@@ -180,9 +189,11 @@ object Bench {
     def dirBytes(p: String): Long =
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        try walk.iterator().asScala
           .filter(java.nio.file.Files.isRegularFile(_))
           .map(java.nio.file.Files.size(_)).sum
+        finally walk.close() // Files.walk holds open directory handles
       } catch { case scala.util.control.NonFatal(_) => 0L }
     val indexMb = graft.queries.ExtensionCatalog.stagedIndexPaths(sfDir)
       .map { case (k, p) => "\"" + k + "\":" + round(dirBytes(p) / 1e6, 10) }

@@ -63,7 +63,11 @@ object WavCodec {
       val id = ascii(off)
       val size = le32(off + 4)
       val body = off + 8
-      if (size < 0 || body + size > payload.length) return None
+      // Long arithmetic: a near-Int.MaxValue size field would wrap
+      // `body + size` negative and slip past an Int comparison, then
+      // crash ascii() on a negative offset — the poison-blob crash the
+      // decode contract forbids
+      if (size < 0 || body.toLong + size > payload.length) return None
       id match {
         case "fmt " =>
           if (size < 16) return None

@@ -5964,7 +5964,7 @@ object ExtensionCatalog {
         // both legs bit-identical under a local Arrow compare while the
         // driver's typed hash still rejected the DECIMAL(38,0) lane, so
         // the exact numerator is an intermediate, not an output
-        // (DeterminismSpec now bans decimal output columns catalog-wide).
+        // (PlanAuditSpec now bans decimal output columns catalog-wide).
         // The final statistic follows the catalog's milli/micro-unit
         // determinism recipe (x141/x143): one double division of exact
         // operands, rounded to micro-units as BIGINT on BOTH legs, with
@@ -6389,8 +6389,16 @@ object ExtensionCatalog {
   private def stagedScratch(prefix: String): String = {
     val base = java.nio.file.Paths.get(
       sys.env.getOrElse("GRAFT_SCRATCH_DIR", "target/graft-scratch"))
-    java.nio.file.Files.createDirectories(base)
-    java.nio.file.Files.createTempDirectory(base, prefix).toString
+    try {
+      java.nio.file.Files.createDirectories(base)
+      java.nio.file.Files.createTempDirectory(base, prefix).toString
+    } catch {
+      // read-only cwd (spark-submit from an unwritable dir): fall back to
+      // tmpdir rather than failing all five staged builds — slower on a
+      // degraded /tmp, but correct; the preferred dir remains the default
+      case _: java.io.IOException | _: SecurityException =>
+        java.nio.file.Files.createTempDirectory(prefix).toString
+    }
   }
 
   /** x101 staging: the posting index is written ONCE per fixture dir via

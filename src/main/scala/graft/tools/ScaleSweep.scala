@@ -191,8 +191,10 @@ object ScaleSweep {
       // prefix pipeline (exploded prefix rows → raw tok-join candidate rows
       // → distinct pairs), so "time grew 8× for 2× data" decomposes into
       // "the work grew" vs "the per-row cost grew" from the artifact
-      // instead of estimation
-      if (want("prefix_diag")) {
+      // instead of estimation. EXPLICIT selection only (famFilter names
+      // it) — unlike timed families it must not ride the default sweep,
+      // where it would re-run the heaviest join twice more per scale
+      if (famFilter.exists(_.contains("prefix_diag"))) {
         val sorted = Dedup.sortedSets(
           Dedup.minhashSignature(docs, k = 16, shingleN = 3)
             .select(col("doc_id"), col("shingles")),

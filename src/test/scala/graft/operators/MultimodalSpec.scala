@@ -61,6 +61,13 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     // a chunk whose declared size runs past the payload must not crash
     val lying = wav.clone(); lying(43) = 0x7f
     WavCodec.decode(lying) shouldBe None
+    // near-Int.MaxValue size field: body + size wraps negative in Int
+    // arithmetic — the bounds check must not overflow (poison-blob
+    // contract: None, never a thrown exception)
+    val overflowing = wav.clone()
+    overflowing(16) = -12; overflowing(17) = -1
+    overflowing(18) = -1; overflowing(19) = 0x7f // fmt size = 0x7FFFFFF4
+    WavCodec.decode(overflowing) shouldBe None
   }
 
   test("WavCodec skips unknown chunks between fmt and data") {
