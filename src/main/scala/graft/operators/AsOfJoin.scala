@@ -53,7 +53,14 @@ object AsOfJoin {
       .withColumn("__carry", lit(null).cast(carryType))
       .select(Seq(col(key), col("__t"), col("__side"), col("__tie"), col("__carry")) ++
         leftCols.filterNot(_ == key).map(col): _*)
+    // a NULL rightTime would sort FIRST under ascending nulls-first and be
+    // carried as a phantom "prior" match into left rows that have no true
+    // predecessor — a right row with no timestamp can never be the most
+    // recent row at-or-before anything, so it is excluded up front. (Left
+    // rows with NULL leftTime sort first too, see nothing prior, and get
+    // the documented all-NULL result.)
     val r = right
+      .where(col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .withColumn("__tie", col(rightTieBreak))

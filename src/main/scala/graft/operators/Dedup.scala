@@ -78,8 +78,8 @@ object Dedup {
         expr(s"graft_minhash_sig(shingles, $k)").as("sig"))
 
   /** Banded (id, band, bandhash) table — the shuffle key both the self-join
-    * ([[lshCandidates]]) and cross-table ([[lshCandidatesBetween]]) paths
-    * bucket on.
+    * ([[lshCandidates]]) and cross-table ([[candidatesFromBanded]], the
+    * incremental-ingest shape) paths bucket on.
     */
   private[graft] def bandedHashes(
       sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -103,15 +103,38 @@ object Dedup {
       .distinct()
   }
 
-  /** Asymmetric LSH candidates: docs from `sigsA` × docs from `sigsB`
-    * sharing any (band, bandhash) — the incremental-ingest shape, where the
-    * sides are different tables and an id ordering can't dedup the pair.
+  /** The exact-Jaccard verify join every candidate generator funnels into:
+    * attach both sides' element sets to the (idA, idB) pairs, optionally
+    * apply the lossless size-ratio prefilter (jac ≤ min/max of the set
+    * sizes, so pairs failing min ≥ t·max − ε skip the O(|a|+|b|) merge
+    * walk — only valid when the consumer IS a Jaccard threshold; prefix
+    * pipelines pass `sizePrefilter = false` because their candidate stage
+    * already applied it), compute the exact merge-walk intersection, and
+    * keep pairs at jac ≥ threshold. `setsA`/`setsB` arrive pre-named
+    * ((idA, sh_a) / (idB, sh_b)) and pre-hinted — pass
+    * `.hint("shuffle_hash")` frames when the element arrays must not
+    * broadcast. One definition so an epsilon or prefilter fix can never
+    * silently miss one of the five call sites again.
     */
-  def lshCandidatesBetween(
-      sigsA: DataFrame, sigsB: DataFrame, idCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
-    candidatesFromBanded(bandedHashes(sigsA, idCol, bands, rowsPerBand),
-      bandedHashes(sigsB, idCol, bands, rowsPerBand), idCol)
+  private def verifyJaccard(
+      cands: DataFrame, idA: String, idB: String,
+      setsA: DataFrame, setsB: DataFrame,
+      threshold: Double, sizePrefilter: Boolean): DataFrame = {
+    val joined = cands.select(idA, idB)
+      .join(setsA, idA).join(setsB, idB)
+      .select(col(idA), col(idB), col("sh_a"), col("sh_b"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+    val pre =
+      if (sizePrefilter)
+        joined.where(least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
+      else joined
+    pre.select(col(idA), col(idB),
+        expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
+      .select(col(idA), col(idB),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
+      .where(col("jac") >= threshold)
+  }
 
   private def candidatesFromBanded(
       bandedA: DataFrame, bandedB: DataFrame, idCol: String): DataFrame =
@@ -120,6 +143,14 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
+
+  /** Normalized-text fingerprints of a corpus — the existing-side table the
+    * exact stage of [[incrementalDedup]] anti-joins against (persisted by
+    * [[graft.sources.Layouts.minhashIndex]]).
+    */
+  def exactFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    withGraftFns(docs)
+      .select(expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp")).distinct()
 
   /** Incremental ingest dedup: classify each INCOMING doc against the
     * EXISTING corpus — `exact_dup` if its normalized-text fingerprint is
@@ -132,14 +163,6 @@ object Dedup {
     * layout built once per corpus release — only the (small) shard side is
     * computed per ingest.
     */
-  /** Normalized-text fingerprints of a corpus — the existing-side table the
-    * exact stage of [[incrementalDedup]] anti-joins against (persisted by
-    * [[graft.sources.Layouts.minhashIndex]]).
-    */
-  def exactFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
-    withGraftFns(docs)
-      .select(expr(s"graft_poly_hash(lower(trim($textCol)))").as("fp")).distinct()
-
   def incrementalDedup(
       incoming: DataFrame,
       existing: DataFrame,
@@ -157,12 +180,6 @@ object Dedup {
       idCol, textCol, k, bands, shingleN, threshold)
   }
 
-  /** [[incrementalDedup]] against a PRE-STAGED existing side — the three
-    * tables [[graft.sources.Layouts.minhashIndex]] persists (fingerprints;
-    * banded hashes; shingle sets). This is the deployment shape: the
-    * corpus-sized existing side is built once per release and every ingest
-    * batch only computes its own (small) shard-side signatures.
-    */
   /** Path form of [[incrementalDedupStaged]]: reads the persisted index's
     * `meta` row and probes with the BUILD's (k, bands, shingle_n) — a probe
     * hashed with different parameters joins a disjoint hash space and every
@@ -189,6 +206,12 @@ object Dedup {
       threshold = threshold)
   }
 
+  /** [[incrementalDedup]] against a PRE-STAGED existing side — the three
+    * tables [[graft.sources.Layouts.minhashIndex]] persists (fingerprints;
+    * banded hashes; shingle sets). This is the deployment shape: the
+    * corpus-sized existing side is built once per release and every ingest
+    * batch only computes its own (small) shard-side signatures.
+    */
   def incrementalDedupStaged(
       incoming: DataFrame,
       fpEx: DataFrame,
@@ -207,17 +230,10 @@ object Dedup {
     val sigIn = minhashSignature(survivors, idCol, textCol, k, shingleN)
     val cands = candidatesFromBanded(
       bandedHashes(sigIn, idCol, bands, k / bands), bandedEx, idCol)
-    val near = cands
-      .join(sigIn.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(shinglesEx.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("sh_a"), col("sh_b"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .select(col("id_a"),
-        expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
-      .where((col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        >= threshold)
+    val near = verifyJaccard(cands, "id_a", "id_b",
+        sigIn.select(col(idCol).as("id_a"), col("shingles").as("sh_a")),
+        shinglesEx.select(col(idCol).as("id_b"), col("shingles").as("sh_b")),
+        threshold, sizePrefilter = true)
       .select(col("id_a").as(idCol)).distinct()
     incoming.select(col(idCol))
       .join(exactDup.withColumn("__exact", lit(1)), Seq(idCol), "left")
@@ -245,20 +261,10 @@ object Dedup {
     val sigs = stage(minhashSignature(docs, idCol, textCol, k, shingleN))
     val cands = lshCandidates(sigs, idCol, bands, k / bands)
     val sets = sigs.select(col(idCol), col("shingles"))
-    cands
-      .join(sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
-      .join(sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      // lossless prefilter: jac ≤ min/max of the set sizes, so pairs
-      // failing min ≥ t·max can skip the O(|a|+|b|) merge intersection
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .select(col("id_a"), col("id_b"),
-        expr("graft_intersect_size(sh_a, sh_b)").as("inter"), col("na"), col("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= threshold)
+    verifyJaccard(cands, "id_a", "id_b",
+      sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"),
+      sets.withColumnRenamed(idCol, "id_b").withColumnRenamed("shingles", "sh_b"),
+      threshold, sizePrefilter = true)
   }
 
   /** Containment near-dup: the same LSH candidate generation as
@@ -336,18 +342,10 @@ object Dedup {
     // (tens of MB at fixture scale, unbounded at 100 TB) — broadcasting it
     // serializes the whole set table to every task
     val byId = sets.hint("shuffle_hash")
-    cands
-      .join(byId.select(col(idCol).as("id_a"), col("grams").as("g_a"), col("ng").as("na")), "id_a")
-      .join(byId.select(col(idCol).as("id_b"), col("grams").as("g_b"), col("ng").as("nb")), "id_b")
-      // lossless prefilter: jac ≤ min/max of the set sizes (see
-      // minhashNearDups) — skips the merge walk for size-mismatched pairs
-      .where(least(col("na"), col("nb")).cast("double") >=
-        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
-      .select(col("id_a"), col("id_b"),
-        expr("graft_intersect_size(g_a, g_b)").as("inter"), col("na"), col("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= threshold)
+    verifyJaccard(cands, "id_a", "id_b",
+      byId.select(col(idCol).as("id_a"), col("grams").as("sh_a")),
+      byId.select(col(idCol).as("id_b"), col("grams").as("sh_b")),
+      threshold, sizePrefilter = true)
   }
 
   /** EXACT Jaccard ≥ `threshold` self-join over pre-hashed distinct sets,
@@ -455,16 +453,13 @@ object Dedup {
       .where(col("ub").cast("double") >=
         (lit(threshold) / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
       .select("id_a", "id_b")
-    // shuffle-hash, not broadcast: the build side carries the full arrays
+    // shuffle-hash, not broadcast: the build side carries the full arrays.
+    // no size prefilter: the candidate join above already applied it
     val byId = sorted.hint("shuffle_hash")
-    cands
-      .join(byId.select(col(idCol).as("id_a"), col("s").as("s_a"), col("ns").as("na")), "id_a")
-      .join(byId.select(col(idCol).as("id_b"), col("s").as("s_b"), col("ns").as("nb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        expr("graft_intersect_size(s_a, s_b)").as("inter"), col("na"), col("nb"))
-      .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= threshold)
+    verifyJaccard(cands, "id_a", "id_b",
+      byId.select(col(idCol).as("id_a"), col("s").as("sh_a")),
+      byId.select(col(idCol).as("id_b"), col("s").as("sh_b")),
+      threshold, sizePrefilter = false)
   }
 
   /** Asymmetric EXACT Jaccard probe against a persisted corpus index
@@ -515,17 +510,14 @@ object Dedup {
       .where(col("ub").cast("double") >=
         (lit(threshold) / (1.0 + threshold)) * (col("na") + col("nb")) - lit(1e-9))
       .select("in_id", "ex_id")
-    cands
-      .join(sortedIn.hint("shuffle_hash")
-        .select(col(idCol).as("in_id"), col("s").as("s_a")), "in_id")
-      .join(setsEx.hint("shuffle_hash")
-        .select(col(idCol).as("ex_id"), col("s").as("s_b"), col("ns").as("nb")), "ex_id")
-      .select(col("in_id"), col("ex_id"),
-        expr("graft_intersect_size(s_a, s_b)").as("inter"),
-        size(col("s_a")).as("na"), col("nb"))
-      .select(col("in_id"), col("ex_id"),
-        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jac"))
-      .where(col("jac") >= threshold)
+    // candidate stage already applied the size-ratio cut, so the verify
+    // join runs without the prefilter
+    verifyJaccard(cands, "in_id", "ex_id",
+      sortedIn.hint("shuffle_hash")
+        .select(col(idCol).as("in_id"), col("s").as("sh_a")),
+      setsEx.hint("shuffle_hash")
+        .select(col(idCol).as("ex_id"), col("s").as("sh_b")),
+      threshold, sizePrefilter = false)
   }
 
   /** Path form of [[exactJaccardPairsStaged]] over a persisted

@@ -69,8 +69,11 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // real pipeline: init decoder/model once per partition here
-      it.map(decodeStub)
+      // real pipeline: init decoder/model once per partition here.
+      // NULL payloads (NULL binary cell, encode(NULL)) contribute zero
+      // rows rather than an executor NPE — the poison-blob contract;
+      // audit drops by comparing input vs output doc_id counts
+      it.filter(_.payload != null).map(decodeStub)
     }
   }
 
@@ -84,10 +87,14 @@ object Multimodal {
     * the row) is the part that matters at 100 TB.
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): Dataset[Frame] = {
+    // fail fast on the driver: a zero frame size or stride would otherwise
+    // surface as an ArithmeticException inside a distributed stage
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.flatMap { r =>
+      it.filter(_.payload != null).flatMap { r =>
         val nFrames = r.payload.length / frameBytes
         (0 until nFrames by stride).iterator.map { f =>
           var acc = 0L
@@ -113,10 +120,12 @@ object Multimodal {
     * explodes to its window count.
     */
   def audioWindows(media: DataFrame, win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    require(win > 0, s"win must be positive, got $win")
+    require(hop > 0, s"hop must be positive, got $hop")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      it.flatMap { r =>
+      it.filter(_.payload != null).flatMap { r =>
         val n = r.payload.length
         val nw = if (n >= win) (n - win) / hop + 1 else 0
         (0 until nw).iterator.map { w =>
@@ -156,6 +165,8 @@ object Multimodal {
     * payloads never shuffle, only the small window rows flow on.
     */
   def audioWindowsWav(media: DataFrame, win: Int = 256, hop: Int = 128): Dataset[AudioWindow] = {
+    require(win > 0, s"win must be positive, got $win")
+    require(hop > 0, s"hop must be positive, got $hop")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>

@@ -27,6 +27,7 @@ object Profile {
     * exactness stops mattering for profiling.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "columnProfile needs at least one column")
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
@@ -46,6 +47,7 @@ object Profile {
     * nulls themselves are the defect.
     */
   def constraintAudit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "constraintAudit needs at least one rule")
     val aggs = count(lit(1)).as("n_rows") +:
       rules.map { case (name, viol) =>
         sum(when(viol, 1L).otherwise(0L)).as(s"v_$name")

@@ -339,14 +339,18 @@ object SimilaritySearch {
       vecCol: String = "embedding"): DataFrame = {
     val cent = broadcast(centroids.select(
       col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
-    val w = Window.partitionBy("cid").orderBy(col("csim").desc, col("cent_id"))
+    // assignment as the [[argTop1]] aggregate (ties to the lower cent_id,
+    // identical to the former row_number window) — the row×centroid
+    // product with its embedding arrays combines map-side instead of
+    // crossing a shuffle, the same rewrite every IVF path got in round 11
     val assigned = corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"))
       .crossJoin(cent)
       .select(col("cid"), col("cv"), col("cent_id"),
         (dot(col("cv"), col("centv")) / col("cn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
+      .groupBy("cid")
+      .agg(any_value(col("cv")).as("cv"),
+        argTop1(col("csim"), col("cent_id")).as("cent_id"))
     val means = assigned
       .select(col("cent_id"), posexplode(col("cv")).as(Seq("pos", "v")))
       .groupBy("cent_id", "pos")
@@ -414,14 +418,18 @@ object SimilaritySearch {
       vecCol: String = "embedding"): DataFrame = {
     val cent = broadcast(centroids.select(
       col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
-    val w = Window.partitionBy("id").orderBy(col("csim").desc, col("cent_id"))
+    // assignment as the [[argTop1]] aggregate (ties to the lower cent_id,
+    // identical to the former row_number window): the row×centroid product
+    // carrying the embedding arrays combines map-side; only one
+    // best-so-far row per vector reaches the shuffle
     val assigned = corpus
       .select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn"))
       .crossJoin(cent)
       .select(col("id"), col("v"), col("vn"), col("cent_id"),
         (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
-      .withColumn("r", row_number().over(w))
-      .where(col("r") === 1)
+      .groupBy("id")
+      .agg(any_value(col("v")).as("v"), any_value(col("vn")).as("vn"),
+        argTop1(col("csim"), col("cent_id")).as("cent_id"))
       .select("cent_id", "id", "v", "vn")
       .localCheckpoint()
     val a = assigned.select(col("cent_id"), col("id").as("id_a"),
@@ -466,6 +474,17 @@ object SimilaritySearch {
       tau: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    // NUMERIC ids only: latticeHash computes id % Prime, and a string id
+    // would cast to NULL there — every sampling predicate NULL, only the
+    // min-id guard row survives, ONE centroid cell, and the pair stage
+    // silently degenerates to the O(n²) all-pairs join this function
+    // exists to avoid. Fail loudly at plan time instead. (String corpora:
+    // project a numeric surrogate, e.g. xxhash64(id), before calling.)
+    require(corpus.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"semDedupScaled needs a numeric $idCol (got " +
+        s"${corpus.schema(idCol).dataType.simpleString}): the quadratic " +
+        "sampling hash and the argTop1 tie-break are numeric-only")
     // sampling hashes are fixed QUADRATIC polynomials mod the shared Prime
     // ([[latticeHash]]) — deterministic and bit-replayable in the DuckDB
     // oracle, like the MinHash-permutation constants, but lattice-robust,
@@ -486,7 +505,7 @@ object SimilaritySearch {
     val minIdRow = corpus.agg(min(col(idCol))).head()
     val minIdSel =
       if (minIdRow.isNullAt(0)) lit(false)
-      else col(idCol) === lit(minIdRow.get(0)) // type-agnostic (int/long/str ids)
+      else col(idCol) === lit(minIdRow.get(0)) // any numeric id width
     val cents = corpus.select(col(idCol).as("cent_id"), col(vecCol).as("centv"),
         norm(col(vecCol)).as("centn"))
       .where(latticeHash(col(idCol), 2654435761L, 40503L, 7L)

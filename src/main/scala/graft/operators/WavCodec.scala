@@ -54,7 +54,10 @@ object WavCodec {
         ((payload(off + 2) & 0xff) << 16) | ((payload(off + 3) & 0xff) << 24)
     def le16(off: Int): Int =
       (payload(off) & 0xff) | ((payload(off + 1) & 0xff) << 8)
-    if (payload.length < 44 || ascii(0) != "RIFF" || ascii(8) != "WAVE")
+    // null is a payload shape too (NULL binary cell, encode(NULL)): the
+    // poison-blob contract is None, never an NPE thrown inside a task
+    if (payload == null || payload.length < 44 ||
+        ascii(0) != "RIFF" || ascii(8) != "WAVE")
       return None
     var off = 12
     var fmt: Option[(Int, Int)] = None // (channels, sampleRate)

@@ -58,4 +58,16 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
       .collect().head
     row.getAs[String]("asof_rid") shouldBe "evt-0099"
   }
+
+  test("a NULL right time is never a phantom prior match") {
+    val left = Seq((1L, 5L, 100L)).toDF("k", "t", "lid")
+    // the only right row has no timestamp: ascending nulls-first would sort
+    // it before every left row and last(ignoreNulls) would carry it — the
+    // contract is all-NULL, because no right row truly precedes t = 5
+    val right = Seq((1L, Option.empty[Long], 900L)).toDF("k", "rt", "rid")
+    val row = AsOfJoin.lastPrior(left, right, "k", "t", "rt",
+        carry = Seq("rid"), rightTieBreak = "rid")
+      .collect().head
+    Option(row.getAs[java.lang.Long]("asof_rid")) shouldBe None
+  }
 }

@@ -34,6 +34,33 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     all(r.feature.toSeq) should (be >= 0.0 and be < 1.0)
   }
 
+  test("NULL payloads contribute zero rows, never an executor NPE") {
+    // NULL binary cell (encode(NULL), a null blob column): the poison-blob
+    // contract is dropped rows on every featurize path, not a task crash
+    val media = Seq((1L, Some(Array[Byte](1, 2, 3, 4)), "text/plain"),
+        (2L, Option.empty[Array[Byte]], "text/plain"))
+      .toDF("doc_id", "payload", "media_type")
+    Multimodal.featurize(media).collect().map(_.doc_id) shouldBe Array(1L)
+    Multimodal.sampleFrames(media, frameBytes = 2, stride = 1)
+      .collect().map(_.doc_id).distinct shouldBe Array(1L)
+    Multimodal.audioWindows(media, win = 2, hop = 1)
+      .collect().map(_.doc_id).distinct shouldBe Array(1L)
+    Multimodal.audioWindowsWav(media).collect() shouldBe empty // not WAV
+    WavCodec.decode(null) shouldBe None
+  }
+
+  test("zero or negative window parameters fail fast on the driver") {
+    val media = Multimodal.asMediaTable(docs)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.sampleFrames(media, frameBytes = 0, stride = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.sampleFrames(media, frameBytes = 4, stride = 0)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioWindows(media, win = 0, hop = 1)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.audioWindowsWav(media, win = 256, hop = 0)
+  }
+
   test("featurize is map-side only — no shuffle in the plan") {
     val plan = Multimodal.featurize(Multimodal.asMediaTable(docs))
       .queryExecution.sparkPlan.toString
