@@ -28,7 +28,14 @@ class CountMinSketch(d: Int, w: Int) extends Aggregator[Long, Array[Long], Array
     while (i < d) {
       val a = (1L + i * 2654435761L) % P
       val b = (7L + i * 40503L) % P
-      buf(i * w + (((a * keyHash + b) % P) % w).toInt) += 1L
+      // floorMod twice: a full-range key hash (xxhash64 instead of the
+      // [0, P) poly-hash the current call sites use) would make the signed
+      // % negative here while estimate() uses pmod — an
+      // ArrayIndexOutOfBounds crash at best, reads from cells that were
+      // never incremented at worst. floorMod is identical on [0, P) keys.
+      val y = java.lang.Math.floorMod(keyHash, P)
+      buf(i * w + java.lang.Math.floorMod(
+        java.lang.Math.floorMod(a * y + b, P), w.toLong).toInt) += 1L
       i += 1
     }
     buf
@@ -58,11 +65,15 @@ object CountMinSketch {
     * broadcasting the 1-row sketch against any key set.
     */
   def estimate(sketch: Column, keyHash: Column, d: Int = 4, w: Int = 256): Column = {
+    // normalize the key into [0, P) first, exactly like reduce(): a
+    // full-range hash would overflow a*keyHash in Long and (worse) index
+    // different cells than the sketch side incremented
+    val y = pmod(keyHash, lit(P))
     val cells = (0 until d).map { i =>
       val a = (1L + i * 2654435761L) % P
       val b = (7L + i * 40503L) % P
       element_at(sketch,
-        (lit(i * w) + pmod(pmod(lit(a) * keyHash + lit(b), lit(P)), lit(w))).cast("int") + lit(1))
+        (lit(i * w) + pmod(pmod(lit(a) * y + lit(b), lit(P)), lit(w))).cast("int") + lit(1))
     }
     least(cells: _*)
   }

@@ -79,8 +79,11 @@ object TextFunctions {
 
   /** Jaccard similarity of two pre-distinct i64 array columns. */
   def jaccard(a: Column, b: Column): Column = {
+    // bind the intersection ONCE: Catalyst does not reliably CSE the two
+    // size(array_intersect) calls, and the intersection is the expensive
+    // half of every pairwise-similarity evaluation
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a) + size(b) - inter)
   }
 
   // --- quality scoring -----------------------------------------------------

@@ -509,15 +509,14 @@ object BytePlanner {
         }
       case (BINARY, Str(x)) =>
         (mnAny, mxAny) match {
-          case (mn: Binary, mx: Binary) =>
-            // truncStr > 0: v2's stats-cache ablation — bounds are the
-            // first `truncStr` bytes only, decoded the way v2 decodes its
-            // u64 cache (v2/src/main.rs:378-386,931-936); the full
-            // literal still compares against them, reproducing the
-            // mis-prune when the true bound extends past the prefix.
-            val (min, max) =
-              if (truncStr > 0) (truncStat(mn, truncStr), truncStat(mx, truncStr))
-              else (mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+          case (mn: Binary, mx: Binary) if truncStr > 0 =>
+            // v2's stats-cache ablation — bounds are the first `truncStr`
+            // bytes only, decoded the way v2 decodes its u64 cache
+            // (v2/src/main.rs:378-386,931-936); the full literal still
+            // compares against them (in v2's own string order),
+            // reproducing the mis-prune when the true bound extends past
+            // the prefix.
+            val (min, max) = (truncStat(mn, truncStr), truncStat(mx, truncStr))
             op match {
               case "<" => min < x
               case "<=" => min <= x
@@ -525,6 +524,35 @@ object BytePlanner {
               case ">=" => max >= x
               case "==" => min <= x && x <= max
               case "!=" => !(min == x && max == x)
+            }
+          case (mn: Binary, mx: Binary) =>
+            // parquet BINARY min/max are UNSIGNED-BYTE-lexicographic; a
+            // Java String compare is UTF-16 code-unit order, and the two
+            // disagree exactly where UTF-8 and UTF-16 order diverge
+            // (supplementary-plane chars U+10000.. sort ABOVE U+E000.. in
+            // byte order but BELOW in UTF-16) — a String compare there
+            // can prune a group whose rows match. Compare the literal's
+            // UTF-8 bytes in the stats' own order.
+            def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+              var i = 0
+              val n = math.min(a.length, b.length)
+              while (i < n) {
+                val d = (a(i) & 0xff) - (b(i) & 0xff)
+                if (d != 0) return d
+                i += 1
+              }
+              a.length - b.length
+            }
+            val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val mnC = cmp(mn.getBytes, xb)
+            val mxC = cmp(mx.getBytes, xb)
+            op match {
+              case "<" => mnC < 0
+              case "<=" => mnC <= 0
+              case ">" => mxC > 0
+              case ">=" => mxC >= 0
+              case "==" => mnC <= 0 && mxC >= 0
+              case "!=" => !(mnC == 0 && mxC == 0)
             }
           case _ => true
         }

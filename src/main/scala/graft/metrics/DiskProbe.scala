@@ -66,6 +66,11 @@ object DiskProbe {
             Files.deleteIfExists(path)
           }
         })
+        // daemon: a writer blocked on a stalled mount outlives the join
+        // timeout below, and a non-daemon thread would then keep the JVM
+        // alive after the bench finishes (every other probe thread in this
+        // file and NetProbe is daemon for the same reason)
+        t.setDaemon(true)
         t.start()
         t
       }

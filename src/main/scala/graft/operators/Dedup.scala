@@ -83,6 +83,12 @@ object Dedup {
     */
   private[graft] def bandedHashes(
       sigs: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
+    // rowsPerBand = 0 (bands > k upstream) would fold ZERO signature
+    // coordinates into the constant band hash 0 — every doc in one bucket,
+    // the candidate join a full cross product. Fail at plan time.
+    require(bands >= 1 && rowsPerBand >= 1,
+      s"need bands >= 1 and rowsPerBand >= 1 (got bands=$bands, " +
+        s"rowsPerBand=$rowsPerBand — bands must divide the signature size)")
     val bandHash = (0 until rowsPerBand)
       .map(r => s"element_at(sig, band * $rowsPerBand + ${r + 1})")
       .foldLeft("CAST(0 AS BIGINT)")((acc, el) => s"(($acc * 31 + $el) % $Prime)")

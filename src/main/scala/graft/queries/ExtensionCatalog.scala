@@ -6285,9 +6285,18 @@ object ExtensionCatalog {
         // DROPS (as alarming as bursts for an ingest feed) — the second
         // recursion rewrites to a running MAX the same way.
         import graft.operators.PrefixSum
-        val hc = t(s, dir, "events")
+        val hc0 = t(s, dir, "events")
           .groupBy(expr("ts div 3600000000000").as("h"))
           .agg(count(lit(1)).as("n"))
+        // densified [min h, max h] series: a zero-event hour is the
+        // strongest drop signal, and the sparse groupBy would omit it —
+        // the sustained-drop side must see dev = −mean for silent hours
+        // (mirrored in the streaming twin StreamDrift.cusumLedger)
+        val hb = hc0.agg(min("h").as("h0"), max("h").as("h1"))
+        val hc = hb.where(col("h0").isNotNull)
+          .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+          .join(hc0, Seq("h"), "left")
+          .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
         val tot = hc.agg(sum("n").as("t"), count(lit(1)).as("hh"))
         val dev = hc.crossJoin(broadcast(tot))
           .select(col("h"), col("n"),
@@ -6299,8 +6308,13 @@ object ExtensionCatalog {
             (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
           .orderBy("h")
       },
-      Some("""WITH hc AS (SELECT epoch_us(ts) // 3600000000 AS h,
+      Some("""WITH hc0 AS (SELECT epoch_us(ts) // 3600000000 AS h,
              |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+             |hb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc0),
+             |hs AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM hb
+             |  WHERE h0 IS NOT NULL),
+             |hc AS (SELECT hs.h, COALESCE(hc0.n, 0)::BIGINT AS n
+             |  FROM hs LEFT JOIN hc0 ON hs.h = hc0.h),
              |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
              |    COUNT(*)::BIGINT AS hh FROM hc),
              |d AS (SELECT h, n, n - (t // hh) AS dev FROM hc, tot),
@@ -6312,8 +6326,10 @@ object ExtensionCatalog {
              |SELECT h, n, p - LEAST(mn, 0) AS cusum,
              |  GREATEST(mx, 0) - p AS cusum_down
              |FROM m ORDER BY h""".stripMargin),
-      "distributed TWO-SIDED CUSUM mean-shift ledger over the hourly event " +
-        "series: max(0, S±dev) rewritten as prefix-sum minus clamped " +
+      "distributed TWO-SIDED CUSUM mean-shift ledger over the DENSIFIED " +
+        "hourly event series (zero-event hours enter with dev = -mean — " +
+        "the strongest drop signal a sparse groupBy would omit): " +
+        "max(0, S±dev) rewritten as prefix-sum minus clamped " +
         "prefix-min (bursts) and clamped prefix-max minus prefix-sum " +
         "(sustained drops), all range-partitioned (PrefixSum.runningTotals/" +
         "runningMin/runningMax, O(P) driver state), exact integer " +

@@ -198,15 +198,26 @@ object Layouts {
       pageRows: Int = 20000,
       partitions: Int = 0): Unit = {
     import graft.operators.Dedup
+    // bands must tile the signature exactly: k/bands would truncate
+    // silently, and bands > k makes rowsPerBand 0 — every band hash folds
+    // zero coordinates to the constant 0 and the candidate join becomes a
+    // full cross product (all docs share every band bucket)
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands must divide k (got k=$k, bands=$bands)")
     sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN)
-    sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
-      s"$path/banded", Seq("bh"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    sortedStats(sigs.select(col(idCol), col("shingles")),
-      s"$path/shingles", Seq(idCol),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    // cache: the tokenize+shingle+minhash pipeline is the dominant build
+    // cost and feeds BOTH the banded and shingles writes (the jaccardIndex
+    // pattern below) — without the barrier each write re-scans the corpus
+    val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
+    try {
+      sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
+        s"$path/banded", Seq("bh"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      sortedStats(sigs.select(col(idCol), col("shingles")),
+        s"$path/shingles", Seq(idCol),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    } finally sigs.unpersist()
     // one-row meta: the banded table only matches probes computed with the
     // SAME signature family (k), band split, and shingle width — a probe
     // built with different parameters joins against a disjoint hash space

@@ -55,15 +55,26 @@ object EventsStream {
         col("event_type"), col("n"), col("value_milli_sum"))
 
   /** Stream the events directory as a file source and run [[hourly]] into an
-    * in-memory sink (complete mode: every window stays queryable). Returns
-    * the started query; callers `processAllAvailable()` then read the sink.
+    * in-memory sink. Returns the started query; callers
+    * `processAllAvailable()` then read the sink.
+    *
+    * `outputMode` defaults to `complete` — the memory-sink TEST shape,
+    * where every window stays queryable but the watermark never evicts
+    * window state (complete mode retains all windows by definition, so
+    * state grows with stream lifetime). The bounded-state deployment shape
+    * the header describes is `update` (or `append` to an external sink):
+    * there the 2-hour watermark actually drops closed windows. Pass
+    * `outputMode = "update"` to run that shape against the memory sink —
+    * the sink then accumulates per-trigger deltas, latest row per
+    * (hour, event_type) wins.
     */
-  def runToMemorySink(spark: SparkSession, dir: String, sinkName: String) = {
+  def runToMemorySink(spark: SparkSession, dir: String, sinkName: String,
+      outputMode: String = "complete") = {
     val stream = readEvents(spark, dir)
     hourly(stream).writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .start()
   }
 

@@ -89,9 +89,15 @@ object StreamDedup {
       indexPath: String,
       ledgerPath: String,
       threshold: Double): Unit = {
+    // at-least-once delivery can replay a doc WITHIN one batch file, not
+    // just across batches: without this dedup the duplicate id rows
+    // multiply through the verify join (inflating n_dups) and the ledger
+    // write emits duplicate rows for the same (batch_id, doc_id) — the
+    // same pollution StreamAnn.probeBatch dedups vec_id against
+    val docs = batch.dropDuplicates("doc_id")
     val pairs = graft.operators.Dedup.exactJaccardPairsStaged(
-      batch, indexPath, "doc_id", "text", threshold)
-    batch.select(col("doc_id"))
+      docs, indexPath, "doc_id", "text", threshold)
+    docs.select(col("doc_id"))
       .join(pairs.groupBy(col("in_id").as("doc_id"))
         .agg(count(lit(1)).as("n_dups"),
           max(floor(col("jac") * 1000000.0).cast("long")).as("best_jac_ppm")),

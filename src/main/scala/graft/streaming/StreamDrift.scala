@@ -269,7 +269,19 @@ object StreamDrift {
   def cusumLedger(spark: SparkSession, ledgerPath: String, refPath: String): DataFrame = {
     import graft.operators.PrefixSum
     val mean = spark.read.parquet(refPath)
-    val hc = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
+    val hc0 = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
+    // densify [min h, max h]: an hour with ZERO events produces no ledger
+    // rows, yet it is the strongest possible drop signal — without this a
+    // total outage between two live hours contributes nothing to
+    // cusum_down and the sustained-drop side never fires. (An outage
+    // AFTER the last observed hour is invisible to any ledger-only view —
+    // pair with a wall-clock liveness check for that.) Hours-sized, so
+    // the dense axis stays cheap at any corpus scale.
+    val bounds = hc0.agg(min("h").as("h0"), max("h").as("h1"))
+    val hc = bounds.where(col("h0").isNotNull)
+      .select(explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(hc0, Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
     val dev = hc.crossJoin(broadcast(mean))
       .select(col("h"), col("n"), (col("n") - col("mean_per_hour")).as("dev"))
     val p = PrefixSum.runningTotals(dev, "h", Seq("dev" -> "p"))

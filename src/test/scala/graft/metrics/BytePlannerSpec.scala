@@ -99,6 +99,23 @@ class BytePlannerSpec extends AnyFunSuite with Matchers {
     eq.survivingGroups should be < eq.rowGroups
   }
 
+  test("BINARY stats compare in unsigned byte order, not UTF-16 order") {
+    // parquet BINARY min/max are unsigned-byte-lexicographic and Spark's
+    // UTF8String comparison is too; Java String order (UTF-16 code units)
+    // disagrees exactly on supplementary-plane chars: U+10000 (UTF-8
+    // F0 90 80 80) sorts ABOVE U+E000 (EE 80 80) in byte order but BELOW
+    // it in UTF-16. A String-comparing planner would prune the group for
+    // `s >= <U+E000>x` even though the U+10000 row matches.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("byteplanner-u8").toString
+    Seq("a", "𐀀y").toDF("s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val plan = BytePlanner.plan(dir, Seq("s"), Some("s >= x"))
+    plan.survivingGroups shouldBe 1
+    // and the group really contains a matching row under Spark's semantics
+    spark.read.parquet(dir).where("s >= 'x'").count() shouldBe 1L
+  }
+
   test("i64 stats compare exactly above 2^53 (no double-rounding misprune)") {
     // At 2^62 the double gap is 1024: 2^62+1025 and 2^62+1026 both round to
     // 2^62+1024, where `min < x` is false and a double-compare planner would

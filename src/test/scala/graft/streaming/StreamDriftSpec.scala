@@ -263,4 +263,25 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
         "cast(timestamp_micros(ts) as timestamp_ntz)")), 1L, ledger)
     alarms(100L) shouldBe Seq((3L, 160L, "up"))
   }
+
+  test("a total outage between live hours raises the sustained-drop alarm") {
+    val refPath = java.nio.file.Files.createTempDirectory("cuo-ref").toString + "/ref"
+    val refRows = (0L until 40L).map(i => (i, i * 1000L, i % 3, "click", 1.0, "{}"))
+    StreamDrift.referenceRate(eventsDf(refRows), refPath) // 40 events/hour
+    val ledger = java.nio.file.Files.createTempDirectory("cuo-led").toString + "/ledger"
+    // hour 0 at the rate, hours 1-3 with ZERO events (the feed died), hour 4
+    // at the rate again. The sparse groupBy form would see only hours 0 and
+    // 4 (dev 0 each) and never alarm; the densified series accumulates
+    // dev = -40 for each silent hour -> cusum_down = 120 by hour 3.
+    def hourAt(idBase: Long, hour: Long) =
+      (0L until 40L).map(i => (idBase + i,
+        hour * 3600L * 1000000L + i * 1000L, i % 3, "click", 1.0, "{}"))
+    StreamDrift.cusumBatch(eventsDf(hourAt(0L, 0L) ++ hourAt(1000L, 4L))
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "cast(timestamp_micros(ts) as timestamp_ntz)")), 0L, ledger)
+    val alarms = StreamDrift.cusumAlarms(spark, ledger, refPath, 100L)
+      .collect().map(r => (r.getAs[Long]("h"), r.getAs[Long]("cusum_down"),
+        r.getAs[String]("side"))).toSeq.sortBy(_._1)
+    alarms shouldBe Seq((3L, 120L, "down"), (4L, 120L, "down"))
+  }
 }
