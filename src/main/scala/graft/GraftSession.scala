@@ -74,14 +74,19 @@ object GraftSession {
   // runs every query against them (v1/src/main.rs:118-133). The Spark
   // analog of "cached footers" is a cached *analyzed plan* — schema
   // inference (footer reads) happens once per path, later queries reuse it.
-  // Keyed weakly by the session instance itself (identityHashCode values
-  // can be reused after GC and would pin plans of stopped sessions forever).
+  // Keyed by the session instance, with STOPPED sessions purged lazily on
+  // every access. (A WeakHashMap cannot work here: the cached Dataset
+  // values strongly reference their owning SparkSession — the key — so
+  // the value chain would pin the weak key forever, the exact leak weak
+  // keying was meant to prevent.)
   private val tableCache =
-    new java.util.WeakHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
+    new java.util.IdentityHashMap[SparkSession, java.util.HashMap[String, DataFrame]]()
 
   /** `table` with the analyzed plan memoized per (live session, path). */
   def cachedTable(spark: SparkSession, dir: String, name: String): DataFrame =
     tableCache.synchronized {
+      val it = tableCache.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       tableCache
         .computeIfAbsent(spark, _ => new java.util.HashMap[String, DataFrame]())
         .computeIfAbsent(s"$dir/$name.parquet",

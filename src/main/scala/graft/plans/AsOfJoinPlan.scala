@@ -28,6 +28,16 @@ final case class AsOfJoinNode(
     rightTie: Expression,
     carried: Seq[NamedExpression],
     carriedOut: Seq[Attribute]) extends BinaryNode {
+  // the exec derives its interpreted orderings from the LEFT types and
+  // applies them to right-side values — a type mismatch would surface as
+  // a ClassCastException inside an executor task (or a silently wrong
+  // comparison); fail at plan construction instead
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of join key types differ: left ${leftKey.dataType.simpleString} " +
+      s"vs right ${rightKey.dataType.simpleString}")
+  require(leftTime.dataType == rightTime.dataType,
+    s"as-of join time types differ: left ${leftTime.dataType.simpleString} " +
+      s"vs right ${rightTime.dataType.simpleString}")
   override def output: Seq[Attribute] = left.output ++ carriedOut
   // the node republishes EVERY left column: without this, ColumnPruning
   // would strip the left child down to the key/time expressions

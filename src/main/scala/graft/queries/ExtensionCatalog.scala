@@ -207,6 +207,45 @@ object ExtensionCatalog {
        |  FROM cands c JOIN sh x ON c.id_a = x.doc_id JOIN sh y ON c.id_b = y.doc_id)
        |  WHERE jac >= 0.5)""".stripMargin
 
+  /** The incremental-ingest ledger oracle shared VERBATIM by x115 (direct
+    * existing side) and x117 (persisted-index existing side): the two
+    * entries compute the same result by construction — only the plumbing
+    * differs — so one definition keeps the dedup semantics (threshold,
+    * band constants, status ladder) from silently diverging between them.
+    */
+  private val dIngestLedgerOracle: String =
+    s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
+       |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
+       |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
+       |surv AS (SELECT i.* FROM inc i
+       |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
+       |${dSigChain("surv", "_i")},
+       |${dSigChain("ex", "_e")},
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_i a JOIN banded_e b
+       |    ON a.band = b.band AND a.bh = b.bh),
+       |near AS (SELECT DISTINCT id_a AS doc_id FROM (
+       |  SELECT c.id_a,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+       |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
+       |    JOIN sh_e y ON c.id_b = y.doc_id)
+       |  WHERE jac >= 0.5),
+       |st AS (SELECT i.doc_id, i.source,
+       |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
+       |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+       |       ELSE 'kept' END AS status FROM inc i)
+       |SELECT source, COUNT(*)::BIGINT AS n_incoming,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dropped,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neardup_dropped,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM st GROUP BY 1 ORDER BY source""".stripMargin
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -4120,8 +4159,14 @@ object ExtensionCatalog {
         // ordered cumulative sum runs over the VOCAB (types, not tokens) —
         // bounded by |V|, fine in one window partition even at 100 TB corpus
         // scale since |V| grows sub-linearly.
+        // size >= 2 guard: Spark's sequence(0, -1) defaults to step -1 and
+        // yields [0, -1] — a single-token doc would inject two NULL
+        // bigrams (out-of-bound subscripts) where the oracle's range(1,
+        // len) is empty; the filter makes the degenerate doc contribute
+        // zero bigrams on both legs
         val bg = t(s, dir, "documents")
           .select(split(col("text"), " ").as("toks"))
+          .where(size(col("toks")) >= 2)
           .select(explode(expr(
             "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
             .as("bigram"))
@@ -4430,37 +4475,7 @@ object ExtensionCatalog {
             sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
           .orderBy("source")
       },
-      Some(s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-              |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-              |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
-              |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
-              |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
-              |surv AS (SELECT i.* FROM inc i
-              |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
-              |${dSigChain("surv", "_i")},
-              |${dSigChain("ex", "_e")},
-              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM banded_i a JOIN banded_e b
-              |    ON a.band = b.band AND a.bh = b.bh),
-              |near AS (SELECT DISTINCT id_a AS doc_id FROM (
-              |  SELECT c.id_a,
-              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-              |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
-              |    JOIN sh_e y ON c.id_b = y.doc_id)
-              |  WHERE jac >= 0.5),
-              |st AS (SELECT i.doc_id, i.source,
-              |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
-              |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
-              |       ELSE 'kept' END AS status FROM inc i)
-              |SELECT source, COUNT(*)::BIGINT AS n_incoming,
-              |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_exact_dropped,
-              |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_neardup_dropped,
-              |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_kept
-              |FROM st GROUP BY 1 ORDER BY source""".stripMargin),
+      Some(dIngestLedgerOracle),
       "incremental ingest dedup: new shard classified exact_dup / near_dup / " +
         "kept against the existing corpus — asymmetric banded LSH, shard never " +
         "self-pairs, existing side is a persisted per-release layout at scale " +
@@ -4526,37 +4541,7 @@ object ExtensionCatalog {
             sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
           .orderBy("source")
       },
-      Some(s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-              |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-              |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
-              |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
-              |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
-              |surv AS (SELECT i.* FROM inc i
-              |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
-              |${dSigChain("surv", "_i")},
-              |${dSigChain("ex", "_e")},
-              |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              |  FROM banded_i a JOIN banded_e b
-              |    ON a.band = b.band AND a.bh = b.bh),
-              |near AS (SELECT DISTINCT id_a AS doc_id FROM (
-              |  SELECT c.id_a,
-              |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-              |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-              |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
-              |    JOIN sh_e y ON c.id_b = y.doc_id)
-              |  WHERE jac >= 0.5),
-              |st AS (SELECT i.doc_id, i.source,
-              |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
-              |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
-              |       ELSE 'kept' END AS status FROM inc i)
-              |SELECT source, COUNT(*)::BIGINT AS n_incoming,
-              |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_exact_dropped,
-              |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_neardup_dropped,
-              |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
-              |    AS n_kept
-              |FROM st GROUP BY 1 ORDER BY source""".stripMargin),
+      Some(dIngestLedgerOracle),
       "incremental ingest against the PERSISTED MinHash index " +
         "(Layouts.minhashIndex, staged once): same ledger as x115 with the " +
         "existing corpus never re-scanned — the x101 write-once / probe-many " +
