@@ -28,6 +28,28 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+  /** Acceptance-bound reference numbers, read from BASELINE.md's
+    * `bench-baseline` HTML-comment marker (the committed ledger is the
+    * source of truth; a hardcoded copy here could silently go stale —
+    * ADVICE r12). Returns (secPerQuery, warmGbps, sourceTag).
+    */
+  private def readBaseline(): (Double, Double, String) = {
+    val fallback = (0.82, 7.5, "compiled-fallback")
+    try {
+      val p = java.nio.file.Paths.get("BASELINE.md")
+      if (!java.nio.file.Files.isReadable(p)) fallback
+      else {
+        val text = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val m = java.util.regex.Pattern
+          .compile("""bench-baseline:\s*\{[^}]*"sec_per_query"\s*:\s*([0-9.]+)[^}]*"warm_gbps"\s*:\s*([0-9.]+)""")
+          .matcher(text)
+        if (m.find()) (m.group(1).toDouble, m.group(2).toDouble, "BASELINE.md")
+        else fallback
+      }
+    } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
   private def rssMb(): Double = {
     try {
       val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/self/status"))
@@ -214,8 +236,13 @@ object Bench {
     // (uniform per-query inflation tracking the probe) from plan
     // regression (it would NOT track the probe). Both numbers ship; the
     // raw one remains the number of record.
-    val refSecPerQuery = 0.82
-    val refWarmGbps = 7.5
+    // The reference numbers come from BASELINE.md's machine-readable
+    // `bench-baseline` marker (single source of truth — ADVICE r12: the
+    // old hardcoded copies could silently go stale if the ledger were
+    // re-measured); the compiled constants remain only as a fallback for
+    // a run outside the repo checkout, and the emitted `baseline_source`
+    // field says which path was taken so a mismatch is auditable.
+    val (refSecPerQuery, refWarmGbps, baselineSource) = readBaseline()
     val buildsSec = buildResults.map(_._2.wallSec).sum
     val steadySecPerQuery =
       if (names.nonEmpty) (total - buildsSec) / names.size else 0.0
@@ -254,7 +281,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

@@ -2480,7 +2480,16 @@ object ExtensionCatalog {
         val ev = t(s, dir, "events")
           .withColumn("h", expr("(ts div 1000) div 3600000000"))
         val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
-        val bounds = ev.agg(min("h").as("h0"), max("h").as("h1"))
+        // hour axis bounded to ±500k hours around the modal hour before
+        // sequence(): one poison far-future timestamp would otherwise
+        // densify a billions-wide grid and kill the stage (ADVICE r12;
+        // same guard as x147 / StreamDrift, in both legs)
+        val hrs = ev.groupBy("h").agg(count(lit(1)).as("nh"))
+        val anc = hrs.orderBy(col("nh").desc, col("h")).limit(1)
+          .select(col("h").as("hm"))
+        val bounds = hrs.crossJoin(broadcast(anc))
+          .where(abs(col("h") - col("hm")) <= lit(500000L))
+          .agg(min("h").as("h0"), max("h").as("h1"))
         val grid = cnts.select("event_type").distinct()
           .crossJoin(bounds)
           .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("h"))
@@ -2490,7 +2499,10 @@ object ExtensionCatalog {
       },
       Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
              |cnts AS (SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY 1, 2),
-             |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+             |hrs AS (SELECT h, COUNT(*) AS nh FROM ev GROUP BY 1),
+             |anc AS (SELECT h AS hm FROM hrs ORDER BY nh DESC, h LIMIT 1),
+             |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs, anc
+             |  WHERE abs(hrs.h - anc.hm) <= 500000),
              |grid AS (SELECT t.event_type, gs.h
              |  FROM (SELECT DISTINCT event_type FROM cnts) t
              |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs)
@@ -6276,11 +6288,21 @@ object ExtensionCatalog {
         // densified [min h, max h] series: a zero-event hour is the
         // strongest drop signal, and the sparse groupBy would omit it —
         // the sustained-drop side must see dev = −mean for silent hours
-        // (mirrored in the streaming twin StreamDrift.cusumLedger)
-        val hb = hc0.agg(min("h").as("h0"), max("h").as("h1"))
+        // (mirrored in the streaming twin StreamDrift.cusumLedger).
+        // The axis is bounded to ±500k hours (~57 y) around the MODAL
+        // hour first: ONE poison far-future timestamp would otherwise
+        // make sequence() span billions of hours and kill the stage —
+        // out-of-window hours are quarantined, not densified (ADVICE
+        // r12; identical guard in both legs and the streaming twin).
+        val anc = hc0.orderBy(col("n").desc, col("h")).limit(1)
+          .select(col("h").as("hm"))
+        val inWin = hc0.crossJoin(broadcast(anc))
+          .where(abs(col("h") - col("hm")) <= lit(500000L))
+          .select("h", "n")
+        val hb = inWin.agg(min("h").as("h0"), max("h").as("h1"))
         val hc = hb.where(col("h0").isNotNull)
           .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-          .join(hc0, Seq("h"), "left")
+          .join(inWin, Seq("h"), "left")
           .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
         val tot = hc.agg(sum("n").as("t"), count(lit(1)).as("hh"))
         val dev = hc.crossJoin(broadcast(tot))
@@ -6295,11 +6317,14 @@ object ExtensionCatalog {
       },
       Some("""WITH hc0 AS (SELECT epoch_us(ts) // 3600000000 AS h,
              |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
-             |hb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hc0),
+             |anc AS (SELECT h AS hm FROM hc0 ORDER BY n DESC, h LIMIT 1),
+             |win AS (SELECT hc0.h, hc0.n FROM hc0, anc
+             |  WHERE abs(hc0.h - anc.hm) <= 500000),
+             |hb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM win),
              |hs AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM hb
              |  WHERE h0 IS NOT NULL),
-             |hc AS (SELECT hs.h, COALESCE(hc0.n, 0)::BIGINT AS n
-             |  FROM hs LEFT JOIN hc0 ON hs.h = hc0.h),
+             |hc AS (SELECT hs.h, COALESCE(win.n, 0)::BIGINT AS n
+             |  FROM hs LEFT JOIN win ON hs.h = win.h),
              |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t,
              |    COUNT(*)::BIGINT AS hh FROM hc),
              |d AS (SELECT h, n, n - (t // hh) AS dev FROM hc, tot),
@@ -6313,7 +6338,9 @@ object ExtensionCatalog {
              |FROM m ORDER BY h""".stripMargin),
       "distributed TWO-SIDED CUSUM mean-shift ledger over the DENSIFIED " +
         "hourly event series (zero-event hours enter with dev = -mean — " +
-        "the strongest drop signal a sparse groupBy would omit): " +
+        "the strongest drop signal a sparse groupBy would omit; the dense " +
+        "axis is bounded to a modal-hour-anchored plausibility window so " +
+        "one poison timestamp cannot blow up sequence()): " +
         "max(0, S±dev) rewritten as prefix-sum minus clamped " +
         "prefix-min (bursts) and clamped prefix-max minus prefix-sum " +
         "(sustained drops), all range-partitioned (PrefixSum.runningTotals/" +

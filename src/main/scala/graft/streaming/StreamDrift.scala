@@ -266,7 +266,9 @@ object StreamDrift {
     * alarm when either crosses the operator's threshold. Hours-sized
     * input, so this runs per trigger or on demand at any corpus scale.
     */
-  def cusumLedger(spark: SparkSession, ledgerPath: String, refPath: String): DataFrame = {
+  def cusumLedger(
+      spark: SparkSession, ledgerPath: String, refPath: String,
+      maxSpanHours: Long = DefaultMaxSpanHours): DataFrame = {
     import graft.operators.PrefixSum
     val mean = spark.read.parquet(refPath)
     val hc0 = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
@@ -276,11 +278,21 @@ object StreamDrift {
     // cusum_down and the sustained-drop side never fires. (An outage
     // AFTER the last observed hour is invisible to any ledger-only view —
     // pair with a wall-clock liveness check for that.) Hours-sized, so
-    // the dense axis stays cheap at any corpus scale.
-    val bounds = hc0.agg(min("h").as("h0"), max("h").as("h1"))
+    // the dense axis stays cheap at any corpus scale — PROVIDED the span
+    // is sane: one poison timestamp (a far-future ts from a corrupt
+    // producer) would otherwise make sequence() span billions of hours —
+    // Spark errors outright past ~2^31 elements and materializes
+    // multi-GB arrays in one task below that, taking down the monitor
+    // (ADVICE r12). So the axis is bounded to ±maxSpanHours/2 around the
+    // MODAL hour (most events; tie → lowest h — a poison hour cannot be
+    // the mode unless it carries the most events, in which case it is
+    // the feed, not noise); hours outside the window are quarantined —
+    // see [[cusumQuarantine]] — as a data-quality signal, never densified.
+    val inWin = plausibleHours(hc0, maxSpanHours)
+    val bounds = inWin.agg(min("h").as("h0"), max("h").as("h1"))
     val hc = bounds.where(col("h0").isNotNull)
       .select(explode(sequence(col("h0"), col("h1"))).as("h"))
-      .join(hc0, Seq("h"), "left")
+      .join(inWin, Seq("h"), "left")
       .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
     val dev = hc.crossJoin(broadcast(mean))
       .select(col("h"), col("n"), (col("n") - col("mean_per_hour")).as("dev"))
@@ -289,6 +301,44 @@ object StreamDrift {
       .select(col("h"), col("n"),
         (col("p") - least(col("mn"), lit(0L))).as("cusum"),
         (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
+  }
+
+  /** Default plausibility window for the densified hour axis: ~114 years
+    * of hours. Any sane feed fits with orders-of-magnitude headroom, the
+    * dense axis stays ≤ 8 MB of longs per task, and a poison timestamp
+    * can no longer blow the sequence() materialization.
+    */
+  val DefaultMaxSpanHours: Long = 1000000L
+
+  /** Hours within ±maxSpanHours/2 of the modal hour (ties → lowest h).
+    * The anchor is a 1-row sort-limit on the hours-sized series — exact,
+    * deterministic, broadcast.
+    */
+  private def plausibleHours(hc0: DataFrame, maxSpanHours: Long): DataFrame = {
+    val anchor = hc0.orderBy(col("n").desc, col("h")).limit(1)
+      .select(col("h").as("hm"))
+    hc0.crossJoin(broadcast(anchor))
+      .where(abs(col("h") - col("hm")) <= lit(maxSpanHours / 2))
+      .select("h", "n")
+  }
+
+  /** The data-quality surface for [[cusumLedger]]'s plausibility window:
+    * ledger hours OUTSIDE ±maxSpanHours/2 of the modal hour, with their
+    * event counts — the rows the monitor refused to densify. Non-empty
+    * output means a producer is emitting implausible timestamps; route
+    * it to the same alerting as the drift alarms. Deterministic over the
+    * idempotent ledger, so replay re-derives the identical quarantine set.
+    */
+  def cusumQuarantine(
+      spark: SparkSession, ledgerPath: String,
+      maxSpanHours: Long = DefaultMaxSpanHours): DataFrame = {
+    val hc0 = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
+    val anchor = hc0.orderBy(col("n").desc, col("h")).limit(1)
+      .select(col("h").as("hm"))
+    hc0.crossJoin(broadcast(anchor))
+      .where(abs(col("h") - col("hm")) > lit(maxSpanHours / 2))
+      .select(col("h"), col("n"), col("hm").as("modal_h"))
+      .orderBy("h")
   }
 
   /** The CUSUM gate's ALARM contract: the hours at which either side's

@@ -349,7 +349,13 @@ object ScaleSweep {
               round(col("ks_num").cast("double")
                 / (dec(col("na")) * dec(col("nb"))).cast("double") * 1e6))
               .cast("long").as("ks_micro"))
-            .collect()(0).getLong(0)
+            .collect() match {
+              // na*nb == 0 (empty/one-cohort events at some sweep scale)
+              // makes ks_micro NULL — getLong on it would NPE and kill
+              // the whole sweep run; record a -1 sentinel cell instead
+              case rows if rows.isEmpty || rows(0).isNullAt(0) => -1L
+              case rows => rows(0).getLong(0)
+            }
         }
         if (want("cusum_ledger")) record("cusum_ledger", c) {
           import graft.operators.PrefixSum

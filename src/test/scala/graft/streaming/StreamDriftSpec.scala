@@ -174,6 +174,31 @@ class StreamDriftSpec extends AnyFunSuite with Matchers {
     byHour.last._3 should be > 0L
   }
 
+  test("CUSUM poison timestamp: quarantined, never densified") {
+    // one corrupt far-future event (hour ≈ 2.2e6, epoch-nano ts near
+    // Long range) lands in the ledger next to real traffic. Without the
+    // plausibility window sequence(h0, h1) would densify millions of
+    // hours (and billions for a micros-scaled poison — a multi-GB array
+    // in one task, an outright error past 2^31). The guard must (a) keep
+    // the monitor alive, (b) score only the modal-hour window, (c)
+    // surface the poison hour in the quarantine view.
+    val refPath = java.nio.file.Files.createTempDirectory("cu-ref4").toString + "/rate"
+    StreamDrift.referenceRate(eventsDf(refRows), refPath)
+    val ledger = java.nio.file.Files.createTempDirectory("cu-led4").toString + "/ledger"
+    val poisonTs = 8_000_000_000_000_000_000L // nanos → hour 2_222_222
+    val rows = (0L until 40L).map(i =>
+      (i, 90L * 60L * 1000000L * i / 40L, i % 3, "click", 1.0, "{}")) :+
+      (999L, poisonTs, 0L, "click", 1.0, "{}")
+    StreamDrift.cusumBatch(eventsDf(rows), 0L, ledger)
+    val led = StreamDrift.cusumLedger(spark, ledger, refPath).collect()
+    val hours = led.map(_.getAs[Long]("h")).toSet
+    assert(hours.nonEmpty && hours.max < 1000000L,
+      s"poison hour must not enter the dense axis, got max ${hours.max}")
+    val q = StreamDrift.cusumQuarantine(spark, ledger).collect()
+    q.map(_.getAs[Long]("h")).toSet shouldBe Set(poisonTs / 3600000000000L)
+    q.head.getAs[Long]("n") shouldBe 1L
+  }
+
   test("CUSUM replayed batch_id overwrites its ledger slice") {
     val refPath = java.nio.file.Files.createTempDirectory("cu-ref2").toString + "/rate"
     StreamDrift.referenceRate(eventsDf(refRows), refPath)
