@@ -6481,8 +6481,12 @@ object ExtensionCatalog {
   private def stagedIvfIndex(s: SparkSession, dir: String): String =
     ivfDirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-ivfidx")
+      // the FLAT leg of the x144/x145 A/B pair, pinned Some(false): the
+      // default now auto-selects two-level above the centroid threshold,
+      // and x144's oracle replays the exact flat assignment
       graft.sources.Layouts.ivfIndex(
-        t(s, dir, "embeddings").where(col("vec_id") >= 10), out, centModulo = 50)
+        t(s, dir, "embeddings").where(col("vec_id") >= 10), out, centModulo = 50,
+        twoLevel = Some(false))
       out
     })
 
@@ -6496,7 +6500,7 @@ object ExtensionCatalog {
       val out = stagedScratch("graft-ivf2idx")
       graft.sources.Layouts.ivfIndex(
         t(s, dir, "embeddings").where(col("vec_id") >= 10), out,
-        centModulo = 50, twoLevel = true)
+        centModulo = 50, twoLevel = Some(true))
       out
     })
 

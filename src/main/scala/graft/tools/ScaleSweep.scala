@@ -268,6 +268,9 @@ object ScaleSweep {
         // (at dense centroids that is minutes of dead work per scale)
         if (want("ivf_index_build") || want("ivf_probe_staged")) {
           val ivfDir = java.nio.file.Files.createTempDirectory(s"sweep-ivf$c").toString
+          // DEFAULT path (twoLevel auto-select) — the row a naive user's
+          // build measures; above the centroid threshold this now rides
+          // the n·√k two-level assignment (VERDICT r12 watch-item #1)
           if (want("ivf_index_build")) record("ivf_index_build", c) {
             graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod); nEmb
           } else graft.sources.Layouts.ivfIndex(emb, ivfDir, centModulo = centMod)
@@ -283,9 +286,19 @@ object ScaleSweep {
           val ivf2 = java.nio.file.Files.createTempDirectory(s"sweep-ivf2l$c").toString
           record("ivf_index_build_2l", c) {
             graft.sources.Layouts.ivfIndex(emb, ivf2, centModulo = centMod,
-              twoLevel = true); nEmb
+              twoLevel = Some(true)); nEmb
           }
           scala.reflect.io.Directory(new java.io.File(ivf2)).deleteRecursively()
+        }
+        // the FLAT n·k assignment pinned explicitly — the A/B leg the
+        // auto default walks away from at corpus-proportional cell count
+        if (want("ivf_index_build_flat")) {
+          val ivff = java.nio.file.Files.createTempDirectory(s"sweep-ivffl$c").toString
+          record("ivf_index_build_flat", c) {
+            graft.sources.Layouts.ivfIndex(emb, ivff, centModulo = centMod,
+              twoLevel = Some(false)); nEmb
+          }
+          scala.reflect.io.Directory(new java.io.File(ivff)).deleteRecursively()
         }
       }
       // SemDeDup with the centroid knob: cells ~50 at EVERY scale

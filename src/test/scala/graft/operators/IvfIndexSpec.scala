@@ -56,10 +56,27 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
       .toList shouldBe List((50L, false))
   }
 
+  test("default build auto-selects two-level above the centroid threshold") {
+    // centModulo = 1 → every corpus vector is a centroid: k > 128 on the
+    // fixture, so the DEFAULT (no twoLevel arg) must resolve to the
+    // two-level assignment and record it in meta — the scale-safe path a
+    // naive 100 TB user gets without knowing the knob exists. The small-k
+    // flat default is pinned by the meta test above (k ≈ 13 at modulo 50).
+    val out = java.nio.file.Files.createTempDirectory("ivfspecauto").toString
+    val corpus = e.where(col("vec_id") >= 10)
+    assert(corpus.count() > graft.sources.Layouts.IvfAutoTwoLevelCentroids)
+    graft.sources.Layouts.ivfIndex(corpus, out, centModulo = 1)
+    val meta = spark.read.parquet(s"$out/meta").collect()
+    meta.map(_.getAs[Boolean]("two_level")).toList shouldBe List(true)
+    // layout contract unchanged: every vector listed exactly once
+    val assign = spark.read.parquet(s"$out/assign")
+    assert(assign.count() == corpus.count())
+  }
+
   test("two-level build: same layout contract, assignment mostly agrees with flat") {
     val out = java.nio.file.Files.createTempDirectory("ivfspec2l").toString
     val corpus = e.where(col("vec_id") >= 10)
-    graft.sources.Layouts.ivfIndex(corpus, out, centModulo = 50, twoLevel = true)
+    graft.sources.Layouts.ivfIndex(corpus, out, centModulo = 50, twoLevel = Some(true))
     val assign = spark.read.parquet(s"$out/assign")
     // every corpus vector exactly once, every cell id a real centroid
     assert(assign.count() == corpus.count())
