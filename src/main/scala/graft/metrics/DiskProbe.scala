@@ -94,6 +94,38 @@ object DiskProbe {
     * refuses O_DIRECT (tmpfs, some overlayfs) — a bench must never die on
     * its own telemetry, and 0.0 is unmistakably "not measured".
     */
+  /** Cold-read probe of an arbitrary directory's DEVICE (VERDICT r12 #7:
+    * the round-11 bench inflation took a round to diagnose because the
+    * collapsed scratch device had no probe of its own): writes a
+    * throwaway `probeBytes` file into `dir`, fsyncs, O_DIRECT-reads it
+    * back via [[coldReadGbps]], deletes it. Returns 0.0 on any failure —
+    * telemetry must never kill the bench.
+    */
+  def deviceColdGbps(dir: String, probeBytes: Long = 256L << 20): Double = {
+    try {
+      val d = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(d)
+      val f = java.nio.file.Files.createTempFile(d, "coldprobe", ".parquet")
+      try {
+        val chunk = ByteBuffer.allocateDirect(1 << 20)
+        val ch = FileChannel.open(f, StandardOpenOption.WRITE)
+        try {
+          var written = 0L
+          while (written < probeBytes) {
+            chunk.clear()
+            while (chunk.hasRemaining) ch.write(chunk)
+            written += chunk.capacity()
+          }
+          ch.force(true)
+        } finally ch.close()
+        // the probe file is the only *.parquet at the scratch BASE
+        // (staged artifacts live in subdirectories), so the dir-level
+        // cold reader measures exactly it
+        coldReadGbps(dir)
+      } finally java.nio.file.Files.deleteIfExists(f)
+    } catch { case scala.util.control.NonFatal(_) => 0.0 }
+  }
+
   def coldReadGbps(dir: String, align: Int = 4096, blockSize: Int = 1 << 20): Double = {
     try {
       val files = Option(new java.io.File(dir).listFiles())

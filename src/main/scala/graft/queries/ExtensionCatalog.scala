@@ -6546,9 +6546,17 @@ object ExtensionCatalog {
     * analog is the persisted-index table location, a deliberate choice,
     * never whatever tmpdir happens to be).
     */
+  /** The scratch base every staged artifact lands under — exposed so
+    * [[graft.Bench]] can probe the DEVICE behind it (cold-read GB/s +
+    * free space on the final JSON line; the round-11 postmortem took a
+    * full round because a collapsed scratch device was invisible in the
+    * artifact).
+    */
+  def scratchBase: String =
+    sys.env.getOrElse("GRAFT_SCRATCH_DIR", "target/graft-scratch")
+
   private def stagedScratch(prefix: String): String = {
-    val base = java.nio.file.Paths.get(
-      sys.env.getOrElse("GRAFT_SCRATCH_DIR", "target/graft-scratch"))
+    val base = java.nio.file.Paths.get(scratchBase)
     try {
       java.nio.file.Files.createDirectories(base)
       java.nio.file.Files.createTempDirectory(base, prefix).toString
@@ -6650,6 +6658,92 @@ object ExtensionCatalog {
     "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
     "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
     "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }))
+
+  /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
+    * sources: write a 1-part parquet to a staging dir, copy the part file
+    * into the feed dir under a stable name (the StreamDriftSpec landing
+    * pattern, shared by the streaming bench rows).
+    */
+  private def landFeedFile(
+      df: DataFrame, stage: String, feedDir: String, name: String): Unit = {
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$feedDir/$name.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Fixture events projected to the streaming file-source shape
+    * (EventsStream.schema: ts TIMESTAMP_NTZ) — the feed the monitors read.
+    */
+  private def eventsFeed(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("event_id"),
+      expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("ts"),
+      col("user_id"), col("event_type"), col("value"), col("props"))
+
+  /** Steady-state STREAMING serving rows, timed by [[graft.Bench]] as
+    * their own category next to the one-time builds (VERDICT r12 #6: the
+    * streaming legs ran only under specs — now they are graded like
+    * batch). Each thunk lands a small multi-file feed, runs the real
+    * Structured Streaming query to completion (processAllAvailable), and
+    * tears its stream down; the wall covers feed landing + stream
+    * startup + every micro-batch, so the row is a round-over-round
+    * comparable end-to-end serving measurement against the SAME persisted
+    * artifacts the batch probes use (memoized staged indexes / in-row
+    * reference tables).
+    */
+  val streamingBench: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    // 3 micro-batches of ~1000 query vectors probed against the staged
+    // x144 IVF index (already built by the build rows — this row measures
+    // SERVING: per-trigger dedup + dynamic-partition-pruned cell probe +
+    // idempotent ledger append)
+    "stream_x144_ann_serve" -> ((s, dir) => {
+      val idx = stagedIvfIndex(s, dir)
+      val base = stagedScratch("graft-sann")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val queries = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+      (0 until 3).foreach(b =>
+        landFeedFile(queries, s"$base/stage$b", in, s"q$b"))
+      val q = graft.streaming.StreamAnn.serve(
+        s, in, idx, s"$base/ledger", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }),
+    // 2 event micro-batches scored against the persisted PSI band
+    // histogram (reference built in-row: |types|×10 rows, trivial)
+    "stream_x98_psi_monitor" -> ((s, dir) => {
+      val base = stagedScratch("graft-spsi")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = eventsFeed(s, dir)
+      graft.streaming.StreamDrift.referenceHistogram(ev, s"$base/ref")
+      (0 until 2).foreach(b =>
+        landFeedFile(ev.where(col("user_id") % 2 === b), s"$base/stage$b", in, s"b$b"))
+      val q = graft.streaming.StreamDrift.monitor(
+        s, in, s"$base/ref", s"$base/ledger", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }),
+    // 2 event micro-batches appended to the idempotent hourly ledger,
+    // then the distributed two-sided CUSUM scoring pass over the
+    // accumulated series — ledger build AND the scoring read both billed
+    "stream_x147_cusum_monitor" -> ((s, dir) => {
+      val base = stagedScratch("graft-scusum")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val ev = eventsFeed(s, dir)
+      graft.streaming.StreamDrift.referenceRate(ev, s"$base/ref")
+      (0 until 2).foreach(b =>
+        landFeedFile(ev.where(col("user_id") % 2 === b), s"$base/stage$b", in, s"b$b"))
+      val q = graft.streaming.StreamDrift.monitorCusum(
+        s, in, s"$base/ledger", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      graft.streaming.StreamDrift.cusumLedger(s, s"$base/ledger", s"$base/ref")
+        .write.format("noop").mode("overwrite").save()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }))
 
   /** On-disk locations of the indexes staged for `dir` so far (build label
     * → scratch path) — lets [[graft.Bench]] attribute probe-side I/O by
