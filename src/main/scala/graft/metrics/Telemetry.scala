@@ -9,7 +9,7 @@ package graft.metrics
   * folklore.
   *
   * Columns:
-  * `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct`.
+  * `sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct,spin_mops`.
   * `disk_util_pct` is the io-tick share of the BUSIEST block device
   * (/proc/diskstats field 13 — summing across devices would overstate a
   * RAID stripe; max answers "was any spindle saturated").
@@ -17,6 +17,17 @@ package graft.metrics
   * shuffle/probe traffic on a single-node harness. [[mark]] interleaves
   * `# sec label` comment rows so one timeline can be segmented per query
   * or per sweep family.
+  *
+  * `spin_mops` is a FIXED-WORK userspace CPU probe (million modmul ops/s
+  * over [[Telemetry.spinKernel]]'s constant loop, ~10 ms of one core per
+  * tick): the one host signal the kernel counters cannot fake. The
+  * round-13 prefix-sweep investigation found slow cells where gc_pct,
+  * steal_pct and disk told a clean story while JFR showed kernel-time
+  * bursts (jvmSystem to 72 %) — per-tick single-thread throughput on
+  * identical work is the differential that separates "the host's
+  * effective CPU throughput degraded" (spin_mops drops with the cell)
+  * from "our plan got slower" (spin_mops flat). First samples run ~cold
+  * (JIT); compare within a run, not across JVMs.
   */
 final class Telemetry {
   import Telemetry._
@@ -27,7 +38,7 @@ final class Telemetry {
   val rssMaxMilliMb = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private val timeline = new java.lang.StringBuilder(
-    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct\n")
+    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct,spin_mops\n")
   private val t0 = System.nanoTime()
   @volatile private var stopped = false
 
@@ -69,10 +80,17 @@ final class Telemetry {
       // but high gc_pct is heap churn, not hypervisor or plan
       val gc = gcMillis()
       val gcPct = if (elapsedMs <= 0) 0.0 else (gc - lastGc) * 100.0 / elapsedMs
+      // fixed-work CPU probe: identical integer loop every tick, timed —
+      // a drop here is the HOST's effective throughput degrading under
+      // identical work, the signal steal/gc/disk can all miss
+      val spinNs0 = System.nanoTime()
+      spinSink = spinKernel(SpinIters)
+      val spinNs = System.nanoTime() - spinNs0
+      val spinMops = if (spinNs <= 0) 0.0 else SpinIters / (spinNs / 1e3)
       timeline.synchronized {
         timeline.append(f"${(ns - t0) / 1e9}%.0f,$pct%.0f,${mb / 1000}%d," +
           f"$dUtil%.0f,${mbps(net._1, lastNet._1)}%.1f,${mbps(net._2, lastNet._2)}%.1f," +
-          f"$stealPct%.1f,$gcPct%.1f\n")
+          f"$stealPct%.1f,$gcPct%.1f,$spinMops%.1f\n")
       }
       lastCpu = cpu
       lastNs = ns
@@ -98,6 +116,28 @@ final class Telemetry {
   }
 
   def resetRssMax(): Unit = rssMaxMilliMb.set((rssMb() * 1000).toLong)
+
+  /** Seconds since this sampler started — the time base of the `sec`
+    * column, so callers can window [[spinMedian]] to a timed cell.
+    */
+  def nowSec: Double = (System.nanoTime() - t0) / 1e9
+
+  /** Median `spin_mops` over samples in [fromSec, toSec] — the host's
+    * effective single-thread throughput DURING a timed cell. 0.0 when no
+    * sample landed in the window (cell shorter than the 1 s tick).
+    */
+  def spinMedian(fromSec: Double, toSec: Double): Double = {
+    val vals = csv.linesIterator
+      .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
+      .map(_.split(",", -1))
+      .filter(f => f.length >= 9 && {
+        val s = f(0).toDouble; s >= fromSec && s <= toSec
+      })
+      .map(_(8).toDouble).toSeq.sorted
+    if (vals.isEmpty) 0.0
+    else if (vals.size % 2 == 1) vals(vals.size / 2)
+    else (vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2
+  }
 
   def csv: String = timeline.synchronized(timeline.toString)
 
@@ -134,6 +174,30 @@ final class Telemetry {
 }
 
 object Telemetry {
+  /** Iterations of [[spinKernel]] per sampler tick: ~10 ms of one core —
+    * cheap enough to ride every 1 s sample, long enough to average over
+    * scheduler noise.
+    */
+  val SpinIters: Long = 4000000L
+
+  /** Volatile sink so the spin loop cannot be dead-code-eliminated. */
+  @volatile private var spinSink: Long = 0L
+
+  /** The fixed integer workload behind `spin_mops`: data-independent
+    * modmul chain, no allocation, no memory traffic beyond two locals —
+    * pure ALU throughput, so its per-tick wall time moves ONLY with the
+    * host's effective scheduling/clock of this thread.
+    */
+  def spinKernel(iters: Long): Long = {
+    var x = 1L
+    var i = 0L
+    while (i < iters) {
+      x = (x * 31 + 7) % 1000003L
+      i += 1
+    }
+    x
+  }
+
   val osBean: com.sun.management.OperatingSystemMXBean =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]

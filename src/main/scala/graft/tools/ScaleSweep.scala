@@ -144,9 +144,17 @@ object ScaleSweep {
         // between-queries discipline; a repeat-3 100× prefix run exhausted
         // an 8g heap on accumulated checkpoint blocks without it)
         if (i > 1) { spark.sharedState.cacheManager.clearCache(); System.gc() }
+        val spinFrom = telem.map(_.nowSec).getOrElse(0.0)
         val t0 = System.nanoTime()
         val count = body
-        ((System.nanoTime() - t0) / 1e9, count)
+        val wall = (System.nanoTime() - t0) / 1e9
+        // host throughput DURING this run: the round-13 prefix
+        // investigation proved this box's single-thread throughput swings
+        // 10–20× in bursts invisible to steal_pct — a cell is only
+        // comparable to another cell at a similar spin level, so every
+        // run records the probe median over its own window
+        val spin = telem.map(_.spinMedian(spinFrom, spinFrom + wall)).getOrElse(0.0)
+        (wall, count, spin)
       }
       require(runs.map(_._2).distinct.size == 1,
         s"$family c=$c: driver counts diverged across repeats: ${runs.map(_._2)}")
@@ -156,7 +164,11 @@ object ScaleSweep {
         scala.collection.mutable.LinkedHashMap.empty) += c -> (sec, count)
       val runsNote = if (repeat > 1)
         runs.map(r => f"${r._1}%.2f").mkString(" runs=[", ",", "]") else ""
-      println(f"[sweep] c=$c%3d $family%-24s ${sec}%8.2f s  n=$count%,d$runsNote")
+      // per-run host throughput (median spin_mops inside each run's own
+      // window): a run list like [60.2@6.3, 20.9@8.1] reads as "the slow
+      // run happened on a degraded host", settled from the artifact
+      val spinNote = runs.map(r => f"${r._3}%.1f").mkString(" spin=[", ",", "]")
+      println(f"[sweep] c=$c%3d $family%-24s ${sec}%8.2f s  n=$count%,d$runsNote$spinNote")
       spark.sharedState.cacheManager.clearCache()
     }
 

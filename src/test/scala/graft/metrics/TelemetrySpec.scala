@@ -12,7 +12,7 @@ import org.scalatest.matchers.should.Matchers
 class TelemetrySpec extends AnyFunSuite with Matchers {
 
   private val Header =
-    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct"
+    "sec,cpu_pct,rss_mb,disk_util_pct,net_rx_mbps,net_tx_mbps,steal_pct,gc_pct,spin_mops"
 
   test("timeline rows carry exactly the documented columns; marks interleave") {
     val t = new Telemetry().start()
@@ -42,6 +42,16 @@ class TelemetrySpec extends AnyFunSuite with Matchers {
     diskMed should be >= 0.0
     stealMax should be >= 0.0
     cpuMed.isNaN shouldBe false
+  }
+
+  test("spin_mops probe samples are positive on every row") {
+    val t = new Telemetry().start()
+    Thread.sleep(2200)
+    t.stop()
+    val rows = t.csv.linesIterator.toSeq.tail.filterNot(_.startsWith("#"))
+    rows should not be empty
+    // the fixed-work probe always completes in finite nonzero time
+    rows.foreach(_.split(",", -1).last.toDouble should be > 0.0)
   }
 
   test("gcMillis is a non-negative monotone counter") {
