@@ -41,11 +41,19 @@ object Bench {
       else {
         val text = new String(java.nio.file.Files.readAllBytes(p),
           java.nio.charset.StandardCharsets.UTF_8)
-        val m = java.util.regex.Pattern
-          .compile("""bench-baseline:\s*\{[^}]*"sec_per_query"\s*:\s*([0-9.]+)[^}]*"warm_gbps"\s*:\s*([0-9.]+)""")
-          .matcher(text)
-        if (m.find()) (m.group(1).toDouble, m.group(2).toDouble, "BASELINE.md")
-        else fallback
+        // one regex PER key, anchored to the same marker object — a
+        // regenerated marker with reordered (still-valid-JSON) keys must
+        // not silently fall back to the compiled constants
+        def key(name: String): Option[Double] = {
+          val m = java.util.regex.Pattern
+            .compile(s"""bench-baseline:\\s*\\{[^}]*"$name"\\s*:\\s*([0-9.]+)""")
+            .matcher(text)
+          if (m.find()) Some(m.group(1).toDouble) else None
+        }
+        (key("sec_per_query"), key("warm_gbps")) match {
+          case (Some(spq), Some(gbps)) => (spq, gbps, "BASELINE.md")
+          case _ => fallback
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => fallback }
   }

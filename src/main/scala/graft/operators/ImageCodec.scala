@@ -91,7 +91,14 @@ object ImageCodec {
     val height = if (topDown) -rawHeight.toLong else rawHeight.toLong
     if (width <= 0 || height <= 0 || height > Int.MaxValue) return None
     val rowBytes = (width.toLong * 3 + 3) & ~3L
-    if (dataOff < 14 + infoSize ||
+    // overflow-proof geometry: any real image needs rowBytes ≤ payload
+    // and height ≤ payload, so enforcing both FIRST caps the later
+    // rowBytes·height product at ~2^62 (no Long wrap from forged
+    // near-Int.MaxValue dimensions), and the header comparison runs in
+    // Long so a forged infoSize near Int.MaxValue cannot wrap
+    // `14 + infoSize` negative and smuggle a negative dataOff through
+    if (rowBytes > payload.length || height > payload.length) return None
+    if (dataOff.toLong < 14L + infoSize.toLong ||
         dataOff.toLong + rowBytes * height > payload.length) return None
     val w = width
     val h = height.toInt

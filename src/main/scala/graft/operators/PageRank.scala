@@ -77,6 +77,17 @@ object PageRank {
         // 1-row invariant: computed once here, broadcast every use below —
         // previously re-aggregated from `nodes` inside every iteration
         val nn = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
+        // e/nodes/nn are materialized (eager checkpoints), so e1's blocks
+        // are dead weight from here: release them NOW rather than pinning
+        // a second full copy of the edge table for the whole iteration
+        // loop (the accumulated-checkpoint heap pressure ScaleSweep's
+        // between-repeat discipline exists for). The checkpointed RDD
+        // hides behind the LogicalRDD in e1's plan; unpersist is a no-op
+        // if the plan shape ever changes.
+        e1.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+        }
         (e, nodes, nn)
       } finally spark.conf.set(aqeKey, aqeWas)
     val init = nodes.crossJoin(broadcast(nn))

@@ -2484,15 +2484,17 @@ object ExtensionCatalog {
         val ev = t(s, dir, "events")
           .withColumn("h", expr("(ts div 1000) div 3600000000"))
         val cnts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
-        // hour axis bounded to ±500k hours around the modal hour before
-        // sequence(): one poison far-future timestamp would otherwise
-        // densify a billions-wide grid and kill the stage (ADVICE r12;
-        // same guard as x147 / StreamDrift, in both legs)
+        // hour axis bounded to ±DefaultMaxSpanHours/2 around the modal
+        // hour before sequence(): one poison far-future timestamp would
+        // otherwise densify a billions-wide grid and kill the stage
+        // (ADVICE r12; the HALF-WINDOW is the streaming twin's constant,
+        // not a re-typed literal — retuning StreamDrift retunes this leg)
         val hrs = ev.groupBy("h").agg(count(lit(1)).as("nh"))
         val anc = hrs.orderBy(col("nh").desc, col("h")).limit(1)
           .select(col("h").as("hm"))
         val bounds = hrs.crossJoin(broadcast(anc))
-          .where(abs(col("h") - col("hm")) <= lit(500000L))
+          .where(abs(col("h") - col("hm")) <=
+            lit(graft.streaming.StreamDrift.DefaultMaxSpanHours / 2))
           .agg(min("h").as("h0"), max("h").as("h1"))
         val grid = cnts.select("event_type").distinct()
           .crossJoin(bounds)
@@ -2501,12 +2503,12 @@ object ExtensionCatalog {
           .withColumn("n", coalesce(col("n"), lit(0L)))
           .orderBy("event_type", "h")
       },
-      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+      Some(s"""WITH ev AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
              |cnts AS (SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY 1, 2),
              |hrs AS (SELECT h, COUNT(*) AS nh FROM ev GROUP BY 1),
              |anc AS (SELECT h AS hm FROM hrs ORDER BY nh DESC, h LIMIT 1),
              |bounds AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM hrs, anc
-             |  WHERE abs(hrs.h - anc.hm) <= 500000),
+             |  WHERE abs(hrs.h - anc.hm) <= ${graft.streaming.StreamDrift.DefaultMaxSpanHours / 2}),
              |grid AS (SELECT t.event_type, gs.h
              |  FROM (SELECT DISTINCT event_type FROM cnts) t
              |  CROSS JOIN (SELECT unnest(generate_series(h0, h1)) AS h FROM bounds) gs)
@@ -6293,15 +6295,17 @@ object ExtensionCatalog {
         // strongest drop signal, and the sparse groupBy would omit it —
         // the sustained-drop side must see dev = −mean for silent hours
         // (mirrored in the streaming twin StreamDrift.cusumLedger).
-        // The axis is bounded to ±500k hours (~57 y) around the MODAL
-        // hour first: ONE poison far-future timestamp would otherwise
-        // make sequence() span billions of hours and kill the stage —
-        // out-of-window hours are quarantined, not densified (ADVICE
-        // r12; identical guard in both legs and the streaming twin).
+        // The axis is bounded to ±DefaultMaxSpanHours/2 (~57 y) around
+        // the MODAL hour first: ONE poison far-future timestamp would
+        // otherwise make sequence() span billions of hours and kill the
+        // stage — out-of-window hours are quarantined, not densified
+        // (ADVICE r12). The half-window is the streaming twin's OWN
+        // constant, so the two legs cannot drift apart on a retune.
         val anc = hc0.orderBy(col("n").desc, col("h")).limit(1)
           .select(col("h").as("hm"))
         val inWin = hc0.crossJoin(broadcast(anc))
-          .where(abs(col("h") - col("hm")) <= lit(500000L))
+          .where(abs(col("h") - col("hm")) <=
+            lit(graft.streaming.StreamDrift.DefaultMaxSpanHours / 2))
           .select("h", "n")
         val hb = inWin.agg(min("h").as("h0"), max("h").as("h1"))
         val hc = hb.where(col("h0").isNotNull)
@@ -6319,11 +6323,11 @@ object ExtensionCatalog {
             (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
           .orderBy("h")
       },
-      Some("""WITH hc0 AS (SELECT epoch_us(ts) // 3600000000 AS h,
+      Some(s"""WITH hc0 AS (SELECT epoch_us(ts) // 3600000000 AS h,
              |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
              |anc AS (SELECT h AS hm FROM hc0 ORDER BY n DESC, h LIMIT 1),
              |win AS (SELECT hc0.h, hc0.n FROM hc0, anc
-             |  WHERE abs(hc0.h - anc.hm) <= 500000),
+             |  WHERE abs(hc0.h - anc.hm) <= ${graft.streaming.StreamDrift.DefaultMaxSpanHours / 2}),
              |hb AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM win),
              |hs AS (SELECT unnest(range(h0, h1 + 1)) AS h FROM hb
              |  WHERE h0 IS NOT NULL),

@@ -310,17 +310,25 @@ object StreamDrift {
     */
   val DefaultMaxSpanHours: Long = 1000000L
 
-  /** Hours within ±maxSpanHours/2 of the modal hour (ties → lowest h).
-    * The anchor is a 1-row sort-limit on the hours-sized series — exact,
-    * deterministic, broadcast.
+  /** (h, n, hm): every ledger hour tagged with the modal anchor hour
+    * (most events; ties → lowest h — a 1-row sort-limit, exact,
+    * deterministic, broadcast). THE single definition of the
+    * plausibility anchor: [[cusumLedger]] keeps hours inside
+    * ±maxSpanHours/2 of `hm`, [[cusumQuarantine]] reports the ones
+    * outside — both filter THIS frame, so the two legs cannot diverge
+    * on the window rule or the tie-break.
     */
-  private def plausibleHours(hc0: DataFrame, maxSpanHours: Long): DataFrame = {
+  private def hoursWithAnchor(hc0: DataFrame): DataFrame = {
     val anchor = hc0.orderBy(col("n").desc, col("h")).limit(1)
       .select(col("h").as("hm"))
     hc0.crossJoin(broadcast(anchor))
+  }
+
+  /** Hours within ±maxSpanHours/2 of the modal hour. */
+  private def plausibleHours(hc0: DataFrame, maxSpanHours: Long): DataFrame =
+    hoursWithAnchor(hc0)
       .where(abs(col("h") - col("hm")) <= lit(maxSpanHours / 2))
       .select("h", "n")
-  }
 
   /** The data-quality surface for [[cusumLedger]]'s plausibility window:
     * ledger hours OUTSIDE ±maxSpanHours/2 of the modal hour, with their
@@ -333,9 +341,7 @@ object StreamDrift {
       spark: SparkSession, ledgerPath: String,
       maxSpanHours: Long = DefaultMaxSpanHours): DataFrame = {
     val hc0 = spark.read.parquet(ledgerPath).groupBy("h").agg(sum("n").as("n"))
-    val anchor = hc0.orderBy(col("n").desc, col("h")).limit(1)
-      .select(col("h").as("hm"))
-    hc0.crossJoin(broadcast(anchor))
+    hoursWithAnchor(hc0)
       .where(abs(col("h") - col("hm")) > lit(maxSpanHours / 2))
       .select(col("h"), col("n"), col("hm").as("modal_h"))
       .orderBy("h")

@@ -14,6 +14,7 @@ object TimeQuery {
     require(args.length >= 2, "usage: TimeQuery <sfDir> <queryName> [reps]")
     val (sfDir, name) = (args(0), args(1))
     val reps = if (args.length > 2) args(2).toInt else 3
+    require(reps > 0, s"reps must be positive, got $reps")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.build("graft-timequery", cores = cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -28,7 +29,10 @@ object TimeQuery {
       System.err.println(f"[timequery] rep $i: $w%.2f s")
       w
     }
-    val median = walls.sorted.apply(reps / 2)
+    val sorted = walls.sorted
+    val median =
+      if (reps % 2 == 1) sorted(reps / 2)
+      else (sorted(reps / 2 - 1) + sorted(reps / 2)) / 2
     println(f"""{"query":"$name","median_sec":$median%.3f,"runs":[${walls.map(w => f"$w%.2f").mkString(",")}],"sf":"$sfDir"}""")
     spark.stop()
   }

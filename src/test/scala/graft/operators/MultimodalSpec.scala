@@ -206,6 +206,21 @@ class MultimodalSpec extends AnyFunSuite with Matchers {
     val ob = java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     ob.putInt(10, -1000) // negative pixel offset
     ImageCodec.decode(badOff) shouldBe None
+    // COMBINED forgeries that defeat single-field checks via overflow
+    // (round-13 review): infoSize near Int.MaxValue wraps `14 + infoSize`
+    // negative in Int, letting a negative dataOff through to a crash
+    val wrapInfo = ok.clone()
+    val ib = java.nio.ByteBuffer.wrap(wrapInfo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ib.putInt(10, -52)
+    ib.putInt(14, Int.MaxValue)
+    ImageCodec.decode(wrapInfo) shouldBe None
+    // width·height both ~1.8e9: rowBytes·height wraps negative in LONG,
+    // passing a naive length check into NegativeArraySizeException
+    val wrapGeom = ok.clone()
+    val gb = java.nio.ByteBuffer.wrap(wrapGeom).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    gb.putInt(18, 1800000000)
+    gb.putInt(22, 1800000000)
+    ImageCodec.decode(wrapGeom) shouldBe None
   }
 
   test("featurize dispatches on content: BMP gets real dimensions, WAV real audio stats, text the byte branch") {
