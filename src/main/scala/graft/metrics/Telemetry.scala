@@ -165,6 +165,26 @@ final class Telemetry {
     }
   }
 
+  /** (median, min) `spin_mops` over the whole run — the host-throughput
+    * companion to [[summary]], emitted on Bench's final JSON line so a
+    * degraded round (r12→r13 steady-state gap) is attributable to host
+    * weather from the artifact alone. min is the depth of the worst
+    * burst; the first (JIT-cold) sample is excluded.
+    */
+  def spinSummary: (Double, Double) = {
+    val vals = csv.linesIterator
+      .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
+      .map(_.split(",", -1)).filter(_.length >= 9)
+      .map(_(8).toDouble).toSeq.drop(1)
+    if (vals.isEmpty) (0.0, 0.0)
+    else {
+      val s = vals.sorted
+      val med = if (s.size % 2 == 1) s(s.size / 2)
+        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      (med, s.head)
+    }
+  }
+
   def writeCsv(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
