@@ -6538,7 +6538,56 @@ object ExtensionCatalog {
         "resolved back to exact byte ranges through the container's own " +
         "index — lengths and fingerprints oracle-replayed from the raw " +
         "frame formulas, proving the walk end-to-end " +
-        "(extension: multimodal)")
+        "(extension: multimodal)"),
+
+    CatalogEntry(
+      "x151_cusum_quarantine",
+      (s, dir) => {
+        // The data-quality surface behind x147's densification guard,
+        // exercised END-TO-END through the real streaming helper: the
+        // fixture's hourly ledger plus two INJECTED poison hours — far
+        // outside ±DefaultMaxSpanHours/2 of the modal hour, counts 1 and
+        // 2 so they can never become the anchor themselves — is
+        // persisted as an actual parquet ledger, and
+        // StreamDrift.cusumQuarantine reads it back and must return
+        // EXACTLY the two poison rows tagged with the modal hour (the
+        // rows the monitor refused to densify; x147's in-window series
+        // is what it DID densify). The oracle replays the ledger
+        // construction and the window rule from the events table alone —
+        // it never sees the parquet — so a hash match proves the
+        // quarantine leg, the injected offsets, and the guard window
+        // agree bit-for-bit across engines. Poison offsets and the
+        // half-window interpolate from the streaming twin's OWN constant.
+        val half = graft.streaming.StreamDrift.DefaultMaxSpanHours / 2
+        val hc0 = t(s, dir, "events")
+          .groupBy(expr("ts div 3600000000000").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val anc = hc0.orderBy(col("n").desc, col("h")).limit(1)
+          .select(col("h").as("hm"))
+        val poison = anc.select(explode(array(
+            struct((col("hm") + lit(half + 100000L)).as("h"), lit(2L).as("n")),
+            struct((col("hm") - lit(half + 200001L)).as("h"), lit(1L).as("n")))).as("p"))
+          .select(col("p.h").as("h"), col("p.n").as("n"))
+        val path = stagedScratch("graft-x151-ledger")
+        hc0.unionByName(poison).write.mode("overwrite").parquet(path)
+        graft.streaming.StreamDrift.cusumQuarantine(s, path)
+      },
+      Some(s"""WITH hc0 AS (SELECT epoch_us(ts) // 3600000000 AS h,
+             |    COUNT(*)::BIGINT AS n FROM events GROUP BY 1),
+             |anc0 AS (SELECT h AS hm FROM hc0 ORDER BY n DESC, h LIMIT 1),
+             |ledger AS (SELECT h, n FROM hc0
+             |  UNION ALL SELECT hm + ${graft.streaming.StreamDrift.DefaultMaxSpanHours / 2 + 100000}, 2::BIGINT FROM anc0
+             |  UNION ALL SELECT hm - ${graft.streaming.StreamDrift.DefaultMaxSpanHours / 2 + 200001}, 1::BIGINT FROM anc0),
+             |anc AS (SELECT h AS hm FROM ledger ORDER BY n DESC, h LIMIT 1)
+             |SELECT l.h, l.n, anc.hm AS modal_h FROM ledger l, anc
+             |WHERE abs(l.h - anc.hm) > ${graft.streaming.StreamDrift.DefaultMaxSpanHours / 2}
+             |ORDER BY l.h""".stripMargin),
+      "the quarantine leg of the CUSUM densification guard, end-to-end " +
+        "through a REAL persisted ledger: two injected poison hours far " +
+        "outside the plausibility window come back as exactly the " +
+        "quarantined rows (with the modal anchor), oracle-replayed from " +
+        "the events table and the streaming twin's own constants " +
+        "(extension: streaming / data quality)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the

@@ -154,7 +154,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x142_ks_drift", "x144_ivf_probe", "x145_ivf_probe_2l",
       // x146 crosses five 1-row count aggregates into the single stats row
       // (the x85 pattern)
-      "x146_bloom_decontam")
+      "x146_bloom_decontam",
+      // x151 crosses the 1-row modal-anchor aggregate into the hours-sized
+      // ledger (StreamDrift.hoursWithAnchor — the x63 pattern, twice: once
+      // building the poison ledger, once inside cusumQuarantine)
+      "x151_cusum_quarantine")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
