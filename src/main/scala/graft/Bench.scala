@@ -243,8 +243,9 @@ object Bench {
     val (cpuMedPct, diskMedPct, stealMaxPct) = telem.summary
     // host single-thread throughput over the run (fixed-work probe,
     // round 13): a steady-state regression with a depressed spin median
-    // is host weather, settled from this line alone
-    val (spinMedMops, spinMinMops) = telem.spinSummary
+    // or p10 is host weather, settled from this line alone (p10, not
+    // min — min is confounded by the bench's own core saturation)
+    val (spinMedMops, spinP10Mops) = telem.spinSummary
     // Acceptance-bound arithmetic done IN the artifact (round-11 verdict
     // asked for it): steady-state s/query excludes the one-time staged
     // builds, the committed bound is round-1's 0.82 s/query (BASELINE.md
@@ -280,7 +281,7 @@ object Bench {
     val vsBaselineHostNorm =
       if (refWarmGbps > 0 && gbps > 0) vsBaselineRaw * (gbps / refWarmGbps)
       else vsBaselineRaw
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
@@ -311,7 +312,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_min_mops":${round(spinMinMops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

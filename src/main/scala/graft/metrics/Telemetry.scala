@@ -126,18 +126,18 @@ final class Telemetry {
     * effective single-thread throughput DURING a timed cell. 0.0 when no
     * sample landed in the window (cell shorter than the 1 s tick).
     */
-  def spinMedian(fromSec: Double, toSec: Double): Double = {
-    val vals = csv.linesIterator
+  def spinMedian(fromSec: Double, toSec: Double): Double =
+    Telemetry.median(spinSamples()
+      .collect { case (s, v) if s >= fromSec && s <= toSec => v })
+
+  /** (sec, spin_mops) pairs parsed once — the single place that knows
+    * the probe lives in column 8, shared by every spin statistic.
+    */
+  private def spinSamples(): Seq[(Double, Double)] =
+    csv.linesIterator
       .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
-      .map(_.split(",", -1))
-      .filter(f => f.length >= 9 && {
-        val s = f(0).toDouble; s >= fromSec && s <= toSec
-      })
-      .map(_(8).toDouble).toSeq.sorted
-    if (vals.isEmpty) 0.0
-    else if (vals.size % 2 == 1) vals(vals.size / 2)
-    else (vals(vals.size / 2 - 1) + vals(vals.size / 2)) / 2
-  }
+      .map(_.split(",", -1)).filter(_.length >= 9)
+      .map(f => (f(0).toDouble, f(8).toDouble)).toSeq
 
   def csv: String = timeline.synchronized(timeline.toString)
 
@@ -154,34 +154,29 @@ final class Telemetry {
       .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
       .map(_.split(",")).filter(_.length >= 7).toSeq
     if (rows.isEmpty) (0.0, 0.0, 0.0)
-    else {
-      def median(xs: Seq[Double]): Double = {
-        val s = xs.sorted
-        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      }
-      (median(rows.map(_(1).toDouble)),
-        median(rows.map(_(3).toDouble)),
+    else
+      (Telemetry.median(rows.map(_(1).toDouble)),
+        Telemetry.median(rows.map(_(3).toDouble)),
         rows.map(_(6).toDouble).max)
-    }
   }
 
-  /** (median, min) `spin_mops` over the whole run — the host-throughput
+  /** (median, p10) `spin_mops` over the whole run — the host-throughput
     * companion to [[summary]], emitted on Bench's final JSON line so a
     * degraded round (r12→r13 steady-state gap) is attributable to host
-    * weather from the artifact alone. min is the depth of the worst
-    * burst; the first (JIT-cold) sample is excluded.
+    * weather from the artifact alone. The low tail is the 10th
+    * PERCENTILE, not the min: on a core-saturated local[n] run a single
+    * preempted or GC-spanning 10 ms tick produces one collapsed sample
+    * and min would read catastrophic on a perfectly healthy host —
+    * p10 only drops when the degradation is SUSTAINED (≥10 % of the
+    * run's ticks), which is the host-weather signature and not the
+    * benchmark's own saturation. First (JIT-cold) sample excluded.
     */
   def spinSummary: (Double, Double) = {
-    val vals = csv.linesIterator
-      .filterNot(l => l.startsWith("#") || l.startsWith("sec,"))
-      .map(_.split(",", -1)).filter(_.length >= 9)
-      .map(_(8).toDouble).toSeq.drop(1)
+    val vals = spinSamples().map(_._2).drop(1)
     if (vals.isEmpty) (0.0, 0.0)
     else {
       val s = vals.sorted
-      val med = if (s.size % 2 == 1) s(s.size / 2)
-        else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-      (med, s.head)
+      (Telemetry.median(vals), s(math.min(s.size - 1, s.size / 10)))
     }
   }
 
@@ -194,6 +189,16 @@ final class Telemetry {
 }
 
 object Telemetry {
+  /** Median of a sample list; 0.0 on empty. One definition for every
+    * statistic this file emits (review r13: three hand-rolled copies).
+    */
+  private[metrics] def median(xs: Seq[Double]): Double = {
+    if (xs.isEmpty) return 0.0
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   /** Iterations of [[spinKernel]] per sampler tick: ~10 ms of one core —
     * cheap enough to ride every 1 s sample, long enough to average over
     * scheduler noise.
