@@ -20,14 +20,19 @@ package graft.metrics
   *
   * `spin_mops` is a FIXED-WORK userspace CPU probe (million modmul ops/s
   * over [[Telemetry.spinKernel]]'s constant loop, ~10 ms of one core per
-  * tick): the one host signal the kernel counters cannot fake. The
-  * round-13 prefix-sweep investigation found slow cells where gc_pct,
-  * steal_pct and disk told a clean story while JFR showed kernel-time
-  * bursts (jvmSystem to 72 %) — per-tick single-thread throughput on
-  * identical work is the differential that separates "the host's
-  * effective CPU throughput degraded" (spin_mops drops with the cell)
-  * from "our plan got slower" (spin_mops flat). First samples run ~cold
-  * (JIT); compare within a run, not across JVMs.
+  * tick): a host signal the kernel counters cannot fake. The round-13
+  * prefix-sweep investigation found slow cells where gc_pct, steal_pct
+  * and disk told a clean story while JFR showed kernel-time bursts
+  * (jvmSystem to 72 %). The probe's contract is ONE-DIRECTIONAL: a
+  * depressed spin proves the host's scheduling/clock of this JVM
+  * degraded (sufficient evidence — no plan change can slow a constant
+  * register-resident loop), but a FLAT spin does not acquit the host
+  * for memory-bound work: the same investigation measured 5× per-run
+  * wall swings at flat spin, attributed via JFR hot frames (copyMemory/
+  * hash-probe/TimSort) to shared LLC/DRAM/writeback contention, which
+  * an ALU loop never touches. Pair a flat-spin slow cell with funnel
+  * counts and per-stage shuffle bytes before blaming the plan. First
+  * samples run ~cold (JIT); compare within a run, not across JVMs.
   */
 final class Telemetry {
   import Telemetry._
