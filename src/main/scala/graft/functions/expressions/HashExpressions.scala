@@ -36,14 +36,40 @@ object HashExpressions {
   /** Fully-qualified name the generated Java uses for static calls. */
   final val H = "graft.functions.expressions.HashExpressions"
 
+  /** Rolling base-31 hash of s[from, until) — from/until are UTF-16
+    * indices, but the SUMMED UNITS ARE UNICODE CODE POINTS: Spark's
+    * `split('') + ascii` leg and DuckDB's `string_split('') + ascii`
+    * oracle fragment both yield code points (verified: 'a😀b' →
+    * [97, 128512, 98] in BOTH engines), so hashing UTF-16 units here
+    * would silently diverge on any non-BMP character (review r13 —
+    * the surrogate pair 55357/56832 vs the code point 128512). BMP
+    * text is unchanged: one code unit == one code point there.
+    */
   @inline def polyHash(s: String, from: Int, until: Int): Long = {
     var acc = 0L
     var i = from
     while (i < until) {
-      acc = (acc * 31 + s.charAt(i)) % Prime
-      i += 1
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % Prime
+      i += Character.charCount(cp)
     }
     acc
+  }
+
+  /** Unicode code points of s — the iteration unit shared with the HOF
+    * and oracle legs; the windowed kernels index this, not raw chars.
+    */
+  @inline def codePoints(s: String): Array[Int] = {
+    val out = new Array[Int](s.length)
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    if (k == s.length) out else java.util.Arrays.copyOf(out, k)
   }
 
   /** Distinct + ascending sort (order is never observable downstream — only
@@ -74,26 +100,31 @@ object HashExpressions {
     polyHash(str, 0, str.length)
   }
 
-  /** All m = len-n+1 window hashes (undeduplicated), by rolling update:
-    * h' = (h - s[i]·31^(n-1))·31 + s[i+n], all mod P — O(len) instead of
-    * O(n·len); identical values to the windowed polyHash. Bounds:
-    * h < P ≈ 2^30, drop term < 2^17·P < 2^47, normalized difference < P,
-    * ×31 + char < 2^35 — no i64 overflow.
+  /** All m = len-n+1 window hashes (undeduplicated) over the CODE POINT
+    * sequence (n-gram = n code points, matching the HOF/oracle legs), by
+    * rolling update: h' = (h - cp[i]·31^(n-1))·31 + cp[i+n], all mod P —
+    * O(len) instead of O(n·len); identical values to the windowed
+    * polyHash. Bounds: h < P ≈ 2^30, code point < 2^21, drop term
+    * < 2^21·P < 2^51, normalized difference < P, ×31 + cp < 2^35 — no
+    * i64 overflow.
     */
   private def ngramHashesRaw(s: String, n: Int): Array[Long] = {
-    val len = s.length
+    val cps = codePoints(s)
+    val len = cps.length
     if (len < n) return Array.empty[Long]
     val m = len - n + 1
     val hashes = new Array[Long](m)
     var pow = 1L // 31^(n-1) mod P
     var j = 1
     while (j < n) { pow = pow * 31 % Prime; j += 1 }
-    var h = polyHash(s, 0, n)
+    var h = 0L
+    j = 0
+    while (j < n) { h = (h * 31 + cps(j)) % Prime; j += 1 }
     hashes(0) = h
     var i = 1
     while (i < m) {
-      h = (((h - s.charAt(i - 1) * pow % Prime + Prime) % Prime) * 31 +
-        s.charAt(i + n - 1)) % Prime
+      h = (((h - cps(i - 1) * pow % Prime + Prime) % Prime) * 31 +
+        cps(i + n - 1)) % Prime
       hashes(i) = h
       i += 1
     }
@@ -139,9 +170,12 @@ object HashExpressions {
     new GenericArrayData(out.result())
   }
 
-  def evalShingleHashes(input: ArrayData, n: Int): ArrayData = {
-    val th = input.toLongArray()
-    if (th.length < n) return new GenericArrayData(Array.empty[Long])
+  /** One combined hash per position over the pre-hashed token array —
+    * the single fold both the shingle (deduplicated) and window
+    * (positional) forms share; empty when fewer than n tokens.
+    */
+  private def windowHashesRaw(th: Array[Long], n: Int): Array[Long] = {
+    if (th.length < n) return Array.empty[Long]
     val m = th.length - n + 1
     val hashes = new Array[Long](m)
     var i = 0
@@ -152,28 +186,21 @@ object HashExpressions {
       hashes(i) = acc
       i += 1
     }
-    new GenericArrayData(distinct(hashes, m))
+    hashes
+  }
+
+  def evalShingleHashes(input: ArrayData, n: Int): ArrayData = {
+    val hashes = windowHashesRaw(input.toLongArray(), n)
+    if (hashes.isEmpty) return new GenericArrayData(Array.empty[Long])
+    new GenericArrayData(distinct(hashes, hashes.length))
   }
 
   /** [[evalShingleHashes]] WITHOUT the distinct: one hash per POSITION, so
     * window i's hash sits at index i — the positional form winnowing /
     * span-coverage selection windows need (they index into it).
     */
-  def evalWindowHashes(input: ArrayData, n: Int): ArrayData = {
-    val th = input.toLongArray()
-    if (th.length < n) return new GenericArrayData(Array.empty[Long])
-    val m = th.length - n + 1
-    val hashes = new Array[Long](m)
-    var i = 0
-    while (i < m) {
-      var acc = th(i)
-      var j = 1
-      while (j < n) { acc = (acc * 31 + th(i + j)) % Prime; j += 1 }
-      hashes(i) = acc
-      i += 1
-    }
-    new GenericArrayData(hashes)
-  }
+  def evalWindowHashes(input: ArrayData, n: Int): ArrayData =
+    new GenericArrayData(windowHashesRaw(input.toLongArray(), n))
 
   /** null (NOT an empty array) on an empty shingle set — caller handles. */
   def evalMinHashSig(input: ArrayData, k: Int): ArrayData = {
@@ -335,11 +362,20 @@ object HashExpressions {
     // empty codebook → empty reconstruction (the HOF fold this replaces
     // flattened nsub empty init slices), never an index crash
     if (ncb == 0) return new GenericArrayData(Array.empty[Float])
+    // a vector whose length is not a multiple of nsub is a malformed row,
+    // not a config: NULL (poison-row drop contract), never a silently
+    // zero-filled tail (review r13)
+    if (sub * nsub != dim) return null
     val out = new Array[Float](dim)
     var b = 0
     while (b < nsub) {
       val off = b * sub
-      var best = -1
+      // seed on codeword 0, not -1/∞: a NaN anywhere (poison vector or
+      // codebook entry) makes every `d < bestD` false, and an unseeded
+      // best would index getArray(-1) and kill the scan task on one bad
+      // row (review r13) — seeded, an all-NaN subspace deterministically
+      // reconstructs from the lowest cb_id, the same tie-break direction
+      var best = 0
       var bestD = Double.PositiveInfinity
       var c = 0
       while (c < ncb) {

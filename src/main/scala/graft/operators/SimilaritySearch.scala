@@ -168,6 +168,72 @@ object SimilaritySearch {
   private def argTop1(score: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
     max_by(id, struct(score, -id))
 
+  /** [[argTop1]] negates the id for its lowest-id tie-break — numeric
+    * only. A string id would implicit-cast to NULL inside the struct
+    * (ties then resolved max_by-arbitrarily, silently breaking the
+    * deterministic-ledger contract) or throw under ANSI mode. Fail
+    * loudly at plan time instead (review r13); string corpora project a
+    * numeric surrogate (e.g. xxhash64(id)) first.
+    */
+  private def requireNumericId(df: DataFrame, idCol: String, where: String): Unit =
+    require(df.schema(idCol).dataType.isInstanceOf[
+        org.apache.spark.sql.types.NumericType],
+      s"$where needs a numeric $idCol (got " +
+        s"${df.schema(idCol).dataType.simpleString}): the argTop1 " +
+        "lowest-id tie-break negates the id and is numeric-only")
+
+  /** The coarse→fine two-level assignment both [[invertedListsTwoLevel]]
+    * and [[semDedupScaled]] ride (review r13: previously two verbatim
+    * copies): rows and fine centroids each probe-1 into the coarse
+    * layer, each row scores only its coarse cell's fine centroids, and
+    * the LEFT join + coalesce fallback covers the defecting-centroid
+    * case — a coarse centroid can cosine-defect to a near-parallel
+    * sibling's cell, leaving its own coarse cell with zero fine
+    * centroids; rows assigned there fall back to the coarse centroid
+    * itself, always a real fine centroid id since the coarse layer is
+    * sampled FROM the fine one. Returns (cent_id, id, v, n) under the
+    * caller's names.
+    */
+  private def assignTwoLevel(
+      rows: DataFrame, cents: DataFrame,
+      id: String, v: String, n: String): DataFrame = {
+    val coarse = coarseLayer(cents)
+    val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
+    val byCoarse = toCoarse(rows, coarse, id, v, n)
+    byCoarse
+      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
+      .select(col(id), col(v), col(n), col("coarse_id"), col("cent_id"),
+        (dot(col(v), col("centv")) / col(n) / col("centn")).as("csim"))
+      .groupBy(id)
+      .agg(any_value(col(v)).as(v), any_value(col(n)).as(n),
+        any_value(col("coarse_id")).as("coarse_id"),
+        argTop1(col("csim"), col("cent_id")).as("cent_id"))
+      .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
+        col(id), col(v), col(n))
+  }
+
+  /** The within-cell pair scan + dropped ledger both semDedup forms
+    * share (review r13: previously two verbatim copies): cell-cohabiting
+    * pairs at cosine ≥ tau mark the HIGHER id dropped; output
+    * (cent_id, id, dropped) covers every assigned row. `assigned` must
+    * carry (cent_id, id, v, vn).
+    */
+  private def dropLedger(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
+      col("v").as("va"), col("vn").as("na"))
+    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
+      col("v").as("vb"), col("vn").as("nb"))
+    val dropped = a.join(b, Seq("cent_id"))
+      .where(col("id_a") < col("id_b") &&
+        dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
+      .select(col("cent_id"), col("id_b").as("id"))
+      .distinct()
+    assigned.select("cent_id", "id")
+      .join(dropped.withColumn("dropped", lit(true)), Seq("cent_id", "id"), "left")
+      .select(col("cent_id"), col("id"),
+        coalesce(col("dropped"), lit(false)).as("dropped"))
+  }
+
   /** Nearest coarse centroid per row (probe-1; ties to the lower id). */
   private def toCoarse(
       df: DataFrame, coarse: DataFrame, id: String, v: String, n: String): DataFrame =
@@ -196,32 +262,14 @@ object SimilaritySearch {
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(corpus, idCol, "invertedListsTwoLevel")
     val cents = centroids.select(col(idCol).as("cent_id"),
         col(vecCol).as("centv"), norm(col(vecCol)).as("centn"))
       .localCheckpoint()
-    val coarse = coarseLayer(cents)
-    val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
-    val corpusByCoarse = toCoarse(
+    assignTwoLevel(
       corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("corpusv"),
         norm(col(vecCol)).as("corpusn")),
-      coarse, "corpus_id", "corpusv", "corpusn")
-    // LEFT join + coalesce fallback: a coarse centroid can cosine-defect
-    // to a sibling's cell, leaving its own coarse cell with zero fine
-    // centroids — rows assigned there fall back to the coarse centroid
-    // itself (always a real fine centroid id). Same guard as
-    // semDedupScaled's assignment; same [[argTop1]] aggregate form.
-    corpusByCoarse
-      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
-      .select(col("corpus_id"), col("corpusv"), col("corpusn"),
-        col("coarse_id"), col("cent_id"),
-        (dot(col("corpusv"), col("centv")) / col("corpusn") / col("centn")).as("csim"))
-      .groupBy("corpus_id")
-      .agg(any_value(col("corpusv")).as("corpusv"),
-        any_value(col("corpusn")).as("corpusn"),
-        any_value(col("coarse_id")).as("coarse_id"),
-        argTop1(col("csim"), col("cent_id")).as("cent_id"))
-      .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
-        col("corpus_id"), col("corpusv"), col("corpusn"))
+      cents, "corpus_id", "corpusv", "corpusn")
   }
 
   /** IVF-style ANN: corpus vectors are inverted-listed under their nearest
@@ -266,7 +314,8 @@ object SimilaritySearch {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame =
+      vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(corpus, idCol, "invertedLists")
     // corpusn rides along into the persisted layout: the probe join
     // scores O(pairs) rows, so recomputing the norm there would pay a
     // full-vector dot+sqrt per (query, candidate) instead of once per
@@ -274,6 +323,7 @@ object SimilaritySearch {
     nearestCells(corpus, centTable(centroids, idCol, vecCol),
       "corpus", 1, idCol, vecCol)
       .select("cent_id", "corpus_id", "corpusv", "corpusn")
+  }
 
   /** Probe of a PERSISTED IVF index ([[graft.sources.Layouts.ivfIndex]]):
     * queries rank the (small, broadcast) centroid table, keep their
@@ -337,6 +387,7 @@ object SimilaritySearch {
       centroids: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(centroids, idCol, "kmeansIterate")
     val cent = broadcast(centroids.select(
       col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
     // assignment as the [[argTop1]] aggregate (ties to the lower cent_id,
@@ -416,6 +467,7 @@ object SimilaritySearch {
       tau: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    requireNumericId(corpus, idCol, "semDedup")
     val cent = broadcast(centroids.select(
       col(idCol).as("cent_id"), col(vecCol).as("centv"), norm(col(vecCol)).as("centn")))
     // assignment as the [[argTop1]] aggregate (ties to the lower cent_id,
@@ -432,19 +484,7 @@ object SimilaritySearch {
         argTop1(col("csim"), col("cent_id")).as("cent_id"))
       .select("cent_id", "id", "v", "vn")
       .localCheckpoint()
-    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
-      col("v").as("va"), col("vn").as("na"))
-    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
-      col("v").as("vb"), col("vn").as("nb"))
-    val dropped = a.join(b, Seq("cent_id"))
-      .where(col("id_a") < col("id_b") &&
-        dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
-      .select(col("cent_id"), col("id_b").as("id"))
-      .distinct()
-    assigned.select("cent_id", "id")
-      .join(dropped.withColumn("dropped", lit(true)), Seq("cent_id", "id"), "left")
-      .select(col("cent_id"), col("id"),
-        coalesce(col("dropped"), lit(false)).as("dropped"))
+    dropLedger(assigned, tau)
   }
 
   /** [[semDedup]] with the centroid count scaled ∝ corpus — the knob that
@@ -514,45 +554,15 @@ object SimilaritySearch {
     // coarse layer: ~√k of the fine centroids (k is a cheap count of the
     // already-materialized centroid table — O(k), not a corpus scan; the
     // min-centroid guard lives in [[coarseLayer]])
-    val coarse = coarseLayer(cents)
-    val fineByCoarse = toCoarse(cents, coarse, "cent_id", "centv", "centn")
-    val corpusByCoarse = toCoarse(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v"), norm(col(vecCol)).as("vn")),
-      coarse, "id", "v", "vn")
-    // fine assignment within the coarse cell: argmax cosine, ties to the
-    // lower centroid id — same contract as semDedup's flat assignment,
-    // computed as the map-side-combinable [[argTop1]] aggregate (the
-    // window form shuffled the full row×centroid product).
-    // LEFT join + coalesce: computed cosine is not exactly 1.0 even for
-    // cos(X,X), so a coarse centroid can "defect" to a near-parallel
-    // sibling's cell, leaving its own coarse cell with zero fine
-    // centroids; an inner join would then silently drop every corpus row
-    // assigned there (neither kept nor dropped). Such rows fall back to
-    // the coarse centroid itself — always a real fine centroid id, since
-    // the coarse layer is sampled FROM cents.
-    val assigned = corpusByCoarse
-      .join(fineByCoarse.hint("shuffle_hash"), Seq("coarse_id"), "left")
-      .select(col("id"), col("v"), col("vn"), col("coarse_id"), col("cent_id"),
-        (dot(col("v"), col("centv")) / col("vn") / col("centn")).as("csim"))
-      .groupBy("id")
-      .agg(any_value(col("v")).as("v"), any_value(col("vn")).as("vn"),
-        any_value(col("coarse_id")).as("coarse_id"),
-        argTop1(col("csim"), col("cent_id")).as("cent_id"))
-      .select(coalesce(col("cent_id"), col("coarse_id")).as("cent_id"),
-        col("id"), col("v"), col("vn"))
+    // fine assignment within the coarse cell via the shared
+    // [[assignTwoLevel]] (argmax cosine, ties to the lower centroid id,
+    // LEFT-join defect fallback — one definition with
+    // invertedListsTwoLevel), then the shared within-cell [[dropLedger]].
+    val assigned = assignTwoLevel(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("vn")),
+      cents, "id", "v", "vn")
       .localCheckpoint()
-    val a = assigned.select(col("cent_id"), col("id").as("id_a"),
-      col("v").as("va"), col("vn").as("na"))
-    val b = assigned.select(col("cent_id"), col("id").as("id_b"),
-      col("v").as("vb"), col("vn").as("nb"))
-    val dropped = a.join(b, Seq("cent_id"))
-      .where(col("id_a") < col("id_b") &&
-        dot(col("va"), col("vb")) / col("na") / col("nb") >= tau)
-      .select(col("cent_id"), col("id_b").as("id"))
-      .distinct()
-    assigned.select("cent_id", "id")
-      .join(dropped.withColumn("dropped", lit(true)), Seq("cent_id", "id"), "left")
-      .select(col("cent_id"), col("id"),
-        coalesce(col("dropped"), lit(false)).as("dropped"))
+    dropLedger(assigned, tau)
   }
 }

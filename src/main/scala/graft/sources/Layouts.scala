@@ -95,9 +95,14 @@ object Layouts {
     // constant z (the write still produces a valid, empty-or-unordered
     // layout) instead of an NPE killing the layout job
     def stat(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    // column names ride in BACKTICK-QUOTED form: a raw splice of a name
+    // like `a-b` or one with spaces would parse as arithmetic / fail
+    // (review r13); quoting keeps the expression meaning "this column"
+    // for every legal column name
+    def q(c: String): String = s"`${c.replace("`", "``")}`"
     def b(c: String, lo: Double, hi: Double): String =
       if (hi <= lo) "0L"
-      else s"CAST(least(greatest(($c - $lo) / ${hi - lo}, 0d), 1d) * 255 AS BIGINT)"
+      else s"CAST(least(greatest((${q(c)} - $lo) / ${hi - lo}, 0d), 1d) * 255 AS BIGINT)"
     val ba = b(colA, stat(0), stat(1))
     val bb = b(colB, stat(2), stat(3))
     // interleave: bit k of A → bit 2k+1, bit k of B → bit 2k
@@ -105,13 +110,19 @@ object Layouts {
       s"(shiftleft(shiftright($ba, $k) & 1, ${2 * k + 1}) | " +
         s"shiftleft(shiftright($bb, $k) & 1, ${2 * k}))"
     }.mkString(" | ")
-    val withZ = df.withColumn("__z", expr(z))
+    // collision-free name, never a bare "__z": withColumn would silently
+    // REPLACE a user column of that name and drop() would then delete the
+    // user's data from the written layout (review r13). Deterministic so
+    // repeated builds plan identically.
+    val zc = Iterator.iterate("__z")(_ + "_")
+      .dropWhile(df.columns.contains).next()
+    val withZ = df.withColumn(zc, expr(z))
     val ranged =
-      if (partitions > 0) withZ.repartitionByRange(partitions, col("__z"))
-      else withZ.repartitionByRange(col("__z"))
+      if (partitions > 0) withZ.repartitionByRange(partitions, col(zc))
+      else withZ.repartitionByRange(col(zc))
     ranged
-      .sortWithinPartitions("__z")
-      .drop("__z")
+      .sortWithinPartitions(zc)
+      .drop(zc)
       .write.mode("overwrite")
       .option("parquet.block.size", groupBytes.toString)
       .option("parquet.page.row.count.limit", pageRows.toString)
@@ -268,20 +279,24 @@ object Layouts {
         expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)")
           .as("shingles")),
       idCol, "shingles").cache()
-    val freq = sorted.select(explode(col("s")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("f"))
-    sortedStats(freq, s"$path/freq", Seq("tok"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    // freqShuffleHash: at build scale the vocabulary outgrows broadcast
-    // and AQE's fallback sort-merge join sorts the exploded corpus — the
-    // round-10 sweep cliff (50→100× 15.1→73.4 s; pinned: 10.8→20.2 s).
-    sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold,
-        freqShuffleHash = true),
-      s"$path/pref", Seq("tok"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    sortedStats(sorted, s"$path/sets", Seq(idCol),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    sorted.unpersist()
+    // try/finally like minhashIndex: a failed write (disk full, task
+    // abort) must not leak the corpus-sized cached frame for the life of
+    // the session (review r13)
+    try {
+      val freq = sorted.select(explode(col("s")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("f"))
+      sortedStats(freq, s"$path/freq", Seq("tok"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      // freqShuffleHash: at build scale the vocabulary outgrows broadcast
+      // and AQE's fallback sort-merge join sorts the exploded corpus — the
+      // round-10 sweep cliff (50→100× 15.1→73.4 s; pinned: 10.8→20.2 s).
+      sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold,
+          freqShuffleHash = true),
+        s"$path/pref", Seq("tok"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      sortedStats(sorted, s"$path/sets", Seq(idCol),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    } finally sorted.unpersist()
     val s = docs.sparkSession
     import s.implicits._
     Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
@@ -334,7 +349,17 @@ object Layouts {
       vecCol: String = "embedding",
       twoLevel: Option[Boolean] = None): Unit = {
     import graft.operators.SimilaritySearch
-    val cents = corpus.where(col(idCol) % centModulo === 0)
+    // modulo sampling CAN select zero rows (offset/odd id lattices, or a
+    // non-numeric idCol where `id % m` is NULL) — an index with an empty
+    // centroid table would be written without error and every later
+    // probe would return nothing forever (review r13; semDedupScaled
+    // carries the same min-id fallback for the same reason). One
+    // lowest-id centroid is the degenerate-but-correct single-cell index.
+    val sampled = corpus.where(col(idCol) % centModulo === 0)
+    val cents =
+      if (sampled.isEmpty)
+        corpus.orderBy(col(idCol)).limit(1)
+      else sampled
     cents.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
     // twoLevel swaps the n·k flat assignment for the n·√k coarse pass
@@ -347,11 +372,18 @@ object Layouts {
     // probe are identical either way, and meta records the RESOLVED
     // choice so a rebuild is reproducible.
     val spark = corpus.sparkSession
+    // the assignment pass reads the centroids BACK from the just-written
+    // one-file table instead of re-deriving them with a second full
+    // corpus scan+filter (review r13: at the 100 TB regime that scan
+    // doubles the dominant build I/O)
+    val centsBack = spark.read.parquet(s"$path/cent")
     val useTwoLevel = twoLevel.getOrElse(
-      spark.read.parquet(s"$path/cent").count() > IvfAutoTwoLevelCentroids)
+      centsBack.count() > IvfAutoTwoLevelCentroids)
+    val centsFor = centsBack
+      .select(col("cent_id").as(idCol), col("centv").as(vecCol))
     val lists =
-      if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(corpus, cents, idCol, vecCol)
-      else SimilaritySearch.invertedLists(corpus, cents, idCol, vecCol)
+      if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(corpus, centsFor, idCol, vecCol)
+      else SimilaritySearch.invertedLists(corpus, centsFor, idCol, vecCol)
     lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assign")
     import spark.implicits._
     Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")

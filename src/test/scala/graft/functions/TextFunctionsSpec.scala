@@ -37,6 +37,29 @@ class TextFunctionsSpec extends AnyFunSuite with Matchers {
     polyRef("abc") shouldBe 96354L // = java.lang.String#hashCode of "abc"
   }
 
+  test("hashes iterate Unicode CODE POINTS, matching the HOF/oracle legs on non-BMP text") {
+    // Spark's split('')+ascii leg and DuckDB's string_split('')+ascii
+    // oracle fragment both yield code points ('a😀b' → 97, 128512, 98);
+    // the native kernels iterated UTF-16 units until round 13, which
+    // diverged on any non-BMP character (surrogate pair 55357/56832
+    // instead of 128512) — this pins all three legs to one answer.
+    val s = "a😀b" // a😀b
+    val cpRef = Seq(97L, 128512L, 98L)
+      .foldLeft(0L)((acc, c) => (acc * 31 + c) % Prime)
+    // native expression
+    Seq(s).toDF("text").select(expr("graft_poly_hash(text)")).as[Long]
+      .collect().head shouldBe cpRef
+    // Spark HOF leg (the TextFunctions formulation)
+    Seq(s).toDF("text").select(expr(
+      s"aggregate(transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)), " +
+        s"0L, (acc, ch) -> (acc * 31 + ch) % $Prime)")).as[Long]
+      .collect().head shouldBe cpRef
+    // char n-grams window over code points too: 'a😀b' has exactly two
+    // 2-grams (a😀, 😀b), not three UTF-16-unit windows
+    Seq(s).toDF("text").select(expr("graft_char_ngram_hashes(text, 2)"))
+      .as[Seq[Long]].collect().head.size shouldBe 2
+  }
+
   test("token shingles slide over tokens; short docs yield empty") {
     val df = Seq("a b c d", "a b").toDF("text")
       .select(expr(tokenShinglesExpr("text", 3)).as("sh"))
