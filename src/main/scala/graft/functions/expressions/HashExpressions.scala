@@ -366,6 +366,13 @@ object HashExpressions {
     // not a config: NULL (poison-row drop contract), never a silently
     // zero-filled tail (review r13)
     if (sub * nsub != dim) return null
+    // a codebook row shorter than the vector would read past its end on
+    // UnsafeArrayData (silent garbage); same poison contract → NULL
+    var v = 0
+    while (v < ncb) {
+      if (cbs.getArray(v).numElements() != dim) return null
+      v += 1
+    }
     val out = new Array[Float](dim)
     var b = 0
     while (b < nsub) {
@@ -588,10 +595,17 @@ case class PqReconstruct(left: Expression, right: Expression, nsub: Int)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   require(nsub >= 1)
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  // NULL on a malformed row (vector length not a multiple of nsub, or a
+  // codebook row of the wrong length) — the poison-drop contract. The
+  // codegen must propagate it explicitly, like MinHashSig/DotProduct.
+  override def nullable: Boolean = true
   override def nullSafeEval(a: Any, b: Any): Any =
     evalPqReconstruct(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], nsub)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"$H.evalPqReconstruct($a, $b, $nsub)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      ${ev.value} = $H.evalPqReconstruct($a, $b, $nsub);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqReconstruct =
     copy(left = l, right = r)
 }

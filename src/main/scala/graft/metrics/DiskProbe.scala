@@ -118,19 +118,26 @@ object DiskProbe {
           }
           ch.force(true)
         } finally ch.close()
-        // the probe file is the only *.parquet at the scratch BASE
-        // (staged artifacts live in subdirectories), so the dir-level
-        // cold reader measures exactly it
-        coldReadGbps(dir)
+        // cold-read EXACTLY the file just written — a stale coldprobe
+        // left by a hard-killed prior run, or any pre-existing parquet
+        // at the base, must not skew the device number (advice r13)
+        coldReadFilesGbps(Array(f.toFile))
       } finally java.nio.file.Files.deleteIfExists(f)
     } catch { case scala.util.control.NonFatal(_) => 0.0 }
   }
 
   def coldReadGbps(dir: String, align: Int = 4096, blockSize: Int = 1 << 20): Double = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+    coldReadFilesGbps(files, align, blockSize)
+  }
+
+  def coldReadFilesGbps(
+      files: Array[java.io.File],
+      align: Int = 4096,
+      blockSize: Int = 1 << 20): Double = {
     try {
-      val files = Option(new java.io.File(dir).listFiles())
-        .getOrElse(Array.empty)
-        .filter(_.getName.endsWith(".parquet"))
       if (files.isEmpty) return 0.0
       // alignment: allocate align-extra and slice to an aligned position
       val raw = ByteBuffer.allocateDirect(blockSize + align)

@@ -51,6 +51,13 @@ object PageRank {
     // `src` and nodes on `node` across every unrolled iteration — per
     // iteration only the score side shuffles onto the edges' layout,
     // plus the groupBy(dst) aggregate that IS the PageRank step.
+    // NOTE: the AQE suspension below mutates session-shared conf for the
+    // (short) window in which the two invariant localCheckpoints
+    // materialize, and restores the prior value in `finally`. This assumes
+    // run() is not invoked concurrently with other queries on the SAME
+    // SparkSession (true for the bench/catalog, which are sequential); a
+    // multi-tenant caller should pass edges from `spark.newSession()` so
+    // the toggle is scoped to that session's conf (advice r13).
     val spark = edges.sparkSession
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqeWas = spark.conf.get(aqeKey, "true")

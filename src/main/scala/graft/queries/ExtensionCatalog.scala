@@ -3089,9 +3089,14 @@ object ExtensionCatalog {
         // candidate set, and contains() verifies — output is identical.
         org.apache.spark.sql.graft.GraftFunctions.register(s)
         val pat = "table part"
-        val patHashes = (0 to pat.length - 3)
-          .map(i => graft.functions.expressions.HashExpressions.polyHash(pat, i, i + 3))
-          .distinct
+        // pattern hashes from the SAME kernel the posting side runs
+        // (code-point windows, distinct) — UTF-16 index arithmetic here
+        // would silently window differently on any non-BMP pattern
+        // (advice r13)
+        val patHashes = graft.functions.expressions.HashExpressions
+          .evalCharNgramHashes(
+            org.apache.spark.unsafe.types.UTF8String.fromString(pat), 3)
+          .toLongArray().toSeq
         val docs = t(s, dir, "documents")
         val posting = docs.where(length(col("text")) >= 3)
           .select(col("doc_id"),
