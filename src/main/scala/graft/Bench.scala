@@ -31,10 +31,11 @@ object Bench {
   /** Acceptance-bound reference numbers, read from BASELINE.md's
     * `bench-baseline` HTML-comment marker (the committed ledger is the
     * source of truth; a hardcoded copy here could silently go stale —
-    * ADVICE r12). Returns (secPerQuery, warmGbps, sourceTag).
+    * ADVICE r12). Returns (secPerQuery, warmGbps, healthySpinMops,
+    * sourceTag).
     */
-  private def readBaseline(): (Double, Double, String) = {
-    val fallback = (0.82, 7.5, "compiled-fallback")
+  private def readBaseline(): (Double, Double, Double, String) = {
+    val fallback = (0.82, 7.5, 180.0, "compiled-fallback")
     try {
       val p = java.nio.file.Paths.get("BASELINE.md")
       if (!java.nio.file.Files.isReadable(p)) fallback
@@ -51,11 +52,66 @@ object Bench {
           if (m.find()) Some(m.group(1).toDouble) else None
         }
         (key("sec_per_query"), key("warm_gbps")) match {
-          case (Some(spq), Some(gbps)) => (spq, gbps, "BASELINE.md")
+          case (Some(spq), Some(gbps)) =>
+            (spq, gbps, key("spin_mops").getOrElse(fallback._3), "BASELINE.md")
           case _ => fallback
         }
       }
     } catch { case scala.util.control.NonFatal(_) => fallback }
+  }
+
+  /** Host-contamination preamble gate (VERDICT r13 #2: a leaked busy-loop
+    * process contaminated a whole round's bench windows and took a judge's
+    * `ps` to find). BEFORE the first query: ~1 s of /proc/stat sampling
+    * yields the CPU cores burned by OTHER processes (whole-box busy minus
+    * this JVM), and 8 reps of the fixed-work spin kernel yield the host's
+    * current single-thread throughput. Returns (otherCores,
+    * preambleSpinMops, degraded) — degraded when other-process load
+    * exceeds a quarter core or spin falls under 60 % of the healthy level
+    * from BASELINE.md's marker. The run proceeds either way (refusing
+    * would kill the round's artifact); the flag rides the stdout line so a
+    * weather-inflated bench can never again read as a plan regression.
+    */
+  private def hostPreamble(healthySpinMops: Double): (Double, Double, Boolean) = {
+    def jiffies(): (Long, Long) =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try {
+          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+          val total = f.sum
+          (total - f(3) - f(4), total) // busy = total - idle - iowait
+        } finally src.close()
+      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    // JIT-warm the kernel so the preamble measures the host, not C2
+    (0 until 5).foreach(_ => graft.metrics.Telemetry.spinKernel(
+      graft.metrics.Telemetry.SpinIters))
+    val spins = (0 until 8).map { _ =>
+      val s0 = System.nanoTime()
+      graft.metrics.Telemetry.spinKernel(graft.metrics.Telemetry.SpinIters)
+      graft.metrics.Telemetry.SpinIters / ((System.nanoTime() - s0) / 1e3)
+    }.sorted
+    // MIN over three windows: the sbt parent JVM is still settling right
+    // after the fork and shows ~1 core in the first window (measured — a
+    // single-window gate false-positived on every launch); a genuinely
+    // leaked busy-loop burns in EVERY window, so the min keeps the signal
+    // and drops the launch transient
+    val otherCores = (0 until 3).map { _ =>
+      val (b0, t0) = jiffies()
+      val c0 = osBean.getProcessCpuTime
+      val n0 = System.nanoTime()
+      try Thread.sleep(600) catch { case _: InterruptedException => }
+      val (b1, t1) = jiffies()
+      val elapsed = (System.nanoTime() - n0) / 1e9
+      val selfCores = (osBean.getProcessCpuTime - c0) / 1e9 / elapsed
+      if (t1 <= t0) 0.0
+      else math.max(0.0,
+        (b1 - b0).toDouble / (t1 - t0) * Runtime.getRuntime.availableProcessors
+          - selfCores)
+    }.min
+    val spinMed = spins(spins.size / 2)
+    val degraded = otherCores > 0.25 ||
+      (healthySpinMops > 0 && spinMed < 0.6 * healthySpinMops)
+    (otherCores, spinMed, degraded)
   }
 
   private def rssMb(): Double = {
@@ -127,15 +183,42 @@ object Bench {
     // the host's cold-read probe hinted why; with bytes per query the
     // artifact itself separates "read more" from "read slower".
     val inputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // ... and written bytes (VERDICT r13 #5): the staged-index builds are
+    // write-bound rows, and without MB-written on each one a collapsed
+    // scratch device reads as a build regression (r13's builds doubled on
+    // a 0.34 GB/s device and attributing it took ledger archaeology).
+    val outputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) inputBytes.addAndGet(m.inputMetrics.bytesRead)
+        if (m != null) {
+          inputBytes.addAndGet(m.inputMetrics.bytesRead)
+          outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+        }
+      }
+    })
+    // Per-trigger latency for the streaming serving rows (VERDICT r13 #4):
+    // their total wall is ~fixed Structured Streaming setup at sf0.1 and
+    // reads as a false regression forever; the per-trigger execution time
+    // is the number a serving deployment would grade. Collected from the
+    // engine's own progress events; zero-input triggers (the tail poll
+    // processAllAvailable drains on) are excluded.
+    val triggerSecs = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) {
+          val d = p.durationMs.get("triggerExecution")
+          if (d != null) triggerSecs.add(d.toDouble / 1e3)
+        }
       }
     })
 
     case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double,
-        inputMb: Double, gcSec: Double, failed: Boolean)
+        inputMb: Double, outputMb: Double, gcSec: Double, failed: Boolean)
     def runThunk(label: String)(body: => Unit): R = {
       // start clean: previous query's staged caches and garbage must not
       // bill to this query
@@ -144,6 +227,7 @@ object Bench {
       telem.mark(label) // phase boundary row in the timeline CSV
       rssMax.set((rssMb() * 1000).toLong)
       inputBytes.set(0L)
+      outputBytes.set(0L)
       val g0 = graft.metrics.Telemetry.gcMillis()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
@@ -171,7 +255,7 @@ object Bench {
         drained = inputBytes.get() == before
       }
       R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()),
-        inputBytes.get() / 1e6,
+        inputBytes.get() / 1e6, outputBytes.get() / 1e6,
         (graft.metrics.Telemetry.gcMillis() - g0) / 1e3, failed)
     }
     def run(name: String): R = runThunk(name) {
@@ -179,6 +263,14 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
 
+    val (refSecPerQuery, refWarmGbps, refSpinMops, baselineSource) = readBaseline()
+    // host gate FIRST — before the bounds probes below saturate the box,
+    // so the idle-load sample sees what a contaminating process would add
+    val (idleOtherCores, preSpinMops, hostDegraded) = hostPreamble(refSpinMops)
+    if (hostDegraded) System.err.println(
+      f"[bench] HOST DEGRADED at start: other-process load $idleOtherCores%.2f cores, " +
+        f"spin $preSpinMops%.1f vs healthy $refSpinMops%.1f Mops — " +
+        "numbers below are weather-contaminated")
     val gbps = seqReadGbps(sfDir)
     // cold counterpart: O_DIRECT over the same files, page cache bypassed
     // (0.0 where the fs refuses O_DIRECT) — makes the denominator pair
@@ -210,8 +302,26 @@ object Bench {
     // staged IVF index, PSI + CUSUM monitors) run to completion, each as
     // its own row, excluded from steady_sec_per_query like the builds —
     // their wall includes feed landing + stream startup by design.
-    val streamResults = graft.queries.ExtensionCatalog.streamingBench
-      .map { case (label, f) => label -> runThunk(label)(f(spark, sfDir)) }
+    val streamRows = graft.queries.ExtensionCatalog.streamingBench
+      .map { case (label, f) =>
+        triggerSecs.clear()
+        val r = runThunk(label)(f(spark, sfDir))
+        // progress events post asynchronously; wait for quiescence like
+        // the input-bytes drain above
+        var last = -1
+        var waited = 0
+        while (waited < 100 && triggerSecs.size != last) {
+          last = triggerSecs.size
+          Thread.sleep(10); waited += 10
+        }
+        import scala.jdk.CollectionConverters._
+        val ds = triggerSecs.asScala.map(_.doubleValue).toSeq.sorted
+        val p50 = if (ds.isEmpty) 0.0 else ds(ds.size / 2)
+        val p95 = if (ds.isEmpty) 0.0 else ds(math.min(ds.size - 1,
+          math.ceil(ds.size * 0.95).toInt - 1))
+        (label, r, p50, p95)
+      }
+    val streamResults = streamRows.map { case (l, r, _, _) => l -> r }
     val results = buildResults ++ queryResults ++ streamResults
     def round(x: Double, p: Double): Double = math.round(x * p) / p
     def col(f: R => Double, p: Double): String = results
@@ -263,7 +373,7 @@ object Bench {
     // re-measured); the compiled constants remain only as a fallback for
     // a run outside the repo checkout, and the emitted `baseline_source`
     // field says which path was taken so a mismatch is auditable.
-    val (refSecPerQuery, refWarmGbps, baselineSource) = readBaseline()
+    // (read once, before the preamble gate — see top of main)
     // Scratch-device health (VERDICT r12 #7): its own cold probe + free
     // space, measured AFTER the sweep so the probe write never bills to a
     // query row — a degraded driver host (the round-11 collapsed-tmpdir
@@ -281,7 +391,22 @@ object Bench {
     val vsBaselineHostNorm =
       if (refWarmGbps > 0 && gbps > 0) vsBaselineRaw * (gbps / refWarmGbps)
       else vsBaselineRaw
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    // build rows billed with their write volume (VERDICT r13 #5): MB
+    // written through the committers plus the effective write rate — a
+    // slow build on a collapsed device is attributable from the artifact
+    def buildMap(f: (String, R) => Double, p: Double): String = buildResults
+      .map { case (k, r) => "\"" + k.stripPrefix("build_") + "\":" + round(f(k, r), p) }
+      .mkString("{", ",", "}")
+    val buildWriteMb = buildMap((_, r) => r.outputMb, 10)
+    val buildWriteGbps = buildMap((_, r) =>
+      if (r.wallSec > 0) r.outputMb / 1e3 / r.wallSec else 0.0, 1000)
+    def streamMap(f: ((String, R, Double, Double)) => Double, p: Double): String =
+      streamRows.map { t =>
+        "\"" + t._1.stripPrefix("stream_") + "\":" + round(f(t), p)
+      }.mkString("{", ",", "}")
+    val streamP50 = streamMap(_._3, 1000)
+    val streamP95 = streamMap(_._4, 1000)
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
@@ -308,11 +433,14 @@ object Bench {
     // and sized to survive any sane tail window.
     val failedNames = results.collect { case (k, r) if r.failed => k }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_warm_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
-    val slowest = results.sortBy(-_._2.wallSec).take(12)
+    // `slowest` trimmed 12→10: the trigger-latency/build-write/host-gate
+    // fields below must fit with the rest inside the driver's 2000-char
+    // stdout tail window
+    val slowest = results.sortBy(-_._2.wallSec).take(10)
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"build_write_mb":$buildWriteMb,"build_write_gbps":$buildWriteGbps,"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }
