@@ -28,6 +28,11 @@ object Bench {
   private val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     .asInstanceOf[com.sun.management.OperatingSystemMXBean]
 
+  /** Dead-code-elimination guard for the preamble spin loop (see
+    * [[graft.metrics.Telemetry]]'s spinSink).
+    */
+  @volatile private var preambleSpinSink: Long = 0L
+
   /** Acceptance-bound reference numbers, read from BASELINE.md's
     * `bench-baseline` HTML-comment marker (the committed ledger is the
     * source of truth; a hardcoded copy here could silently go stale —
@@ -73,42 +78,35 @@ object Bench {
     * weather-inflated bench can never again read as a plan regression.
     */
   private def hostPreamble(healthySpinMops: Double): (Double, Double, Boolean) = {
-    def jiffies(): (Long, Long) =
-      try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        try {
-          val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          val total = f.sum
-          (total - f(3) - f(4), total) // busy = total - idle - iowait
-        } finally src.close()
-      } catch { case scala.util.control.NonFatal(_) => (0L, 0L) }
+    // volatile sink: without it C2 could eliminate the pure spin loop
+    // once this path JITs (the same hazard Telemetry's spinSink guards)
     // JIT-warm the kernel so the preamble measures the host, not C2
-    (0 until 5).foreach(_ => graft.metrics.Telemetry.spinKernel(
+    (0 until 5).foreach(_ => preambleSpinSink = graft.metrics.Telemetry.spinKernel(
       graft.metrics.Telemetry.SpinIters))
     val spins = (0 until 8).map { _ =>
       val s0 = System.nanoTime()
-      graft.metrics.Telemetry.spinKernel(graft.metrics.Telemetry.SpinIters)
+      preambleSpinSink = graft.metrics.Telemetry.spinKernel(
+        graft.metrics.Telemetry.SpinIters)
       graft.metrics.Telemetry.SpinIters / ((System.nanoTime() - s0) / 1e3)
-    }.sorted
+    }
     // MIN over three windows: the sbt parent JVM is still settling right
     // after the fork and shows ~1 core in the first window (measured — a
     // single-window gate false-positived on every launch); a genuinely
     // leaked busy-loop burns in EVERY window, so the min keeps the signal
     // and drops the launch transient
     val otherCores = (0 until 3).map { _ =>
-      val (b0, t0) = jiffies()
+      val (b0, t0, ncpus) = graft.metrics.Telemetry.busyTotalCpus()
       val c0 = osBean.getProcessCpuTime
       val n0 = System.nanoTime()
       try Thread.sleep(600) catch { case _: InterruptedException => }
-      val (b1, t1) = jiffies()
+      val (b1, t1, _) = graft.metrics.Telemetry.busyTotalCpus()
       val elapsed = (System.nanoTime() - n0) / 1e9
       val selfCores = (osBean.getProcessCpuTime - c0) / 1e9 / elapsed
-      if (t1 <= t0) 0.0
+      if (t1 <= t0 || ncpus == 0) 0.0
       else math.max(0.0,
-        (b1 - b0).toDouble / (t1 - t0) * Runtime.getRuntime.availableProcessors
-          - selfCores)
+        (b1 - b0).toDouble / (t1 - t0) * ncpus - selfCores)
     }.min
-    val spinMed = spins(spins.size / 2)
+    val spinMed = graft.metrics.Telemetry.median(spins)
     val degraded = otherCores > 0.25 ||
       (healthySpinMops > 0 && spinMed < 0.6 * healthySpinMops)
     (otherCores, spinMed, degraded)
@@ -188,12 +186,18 @@ object Bench {
     // scratch device reads as a build regression (r13's builds doubled on
     // a 0.34 GB/s device and attributing it took ledger archaeology).
     val outputBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    // ... and shuffle-write bytes: this round's write billing showed the
+    // index builds emit only ~MBs of FINAL output, so their cost is the
+    // shuffle leg — which writes through the same local device and
+    // deserves its own per-row attribution
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
         if (m != null) {
           inputBytes.addAndGet(m.inputMetrics.bytesRead)
           outputBytes.addAndGet(m.outputMetrics.bytesWritten)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
     })
@@ -218,7 +222,8 @@ object Bench {
     })
 
     case class R(wallSec: Double, cpuSec: Double, rssMaxMb: Double,
-        inputMb: Double, outputMb: Double, gcSec: Double, failed: Boolean)
+        inputMb: Double, outputMb: Double, shuffleMb: Double, gcSec: Double,
+        failed: Boolean)
     def runThunk(label: String)(body: => Unit): R = {
       // start clean: previous query's staged caches and garbage must not
       // bill to this query
@@ -228,6 +233,7 @@ object Bench {
       rssMax.set((rssMb() * 1000).toLong)
       inputBytes.set(0L)
       outputBytes.set(0L)
+      shuffleBytes.set(0L)
       val g0 = graft.metrics.Telemetry.gcMillis()
       val c0 = osBean.getProcessCpuTime
       val t0 = System.nanoTime()
@@ -247,15 +253,19 @@ object Bench {
       // this query, not the next — capped so a busy bus can't stall the
       // run, and typically one 10 ms beat instead of a flat 50 ms × 171
       // thunks (~8.5 s of dead wall time per bench run)
+      // ... on ALL the billed counters: a final stage that only writes
+      // (inputs zero, e.g. an index build's commit stage) would otherwise
+      // read as drained while its output/shuffle events are still queued
       var drained = false
       var waited = 0
       while (!drained && waited < 100) {
-        val before = inputBytes.get()
+        val before = (inputBytes.get(), outputBytes.get(), shuffleBytes.get())
         Thread.sleep(10); waited += 10
-        drained = inputBytes.get() == before
+        drained = (inputBytes.get(), outputBytes.get(), shuffleBytes.get()) == before
       }
       R(wall, cpu, math.max(rssMax.get() / 1000.0, rssMb()),
         inputBytes.get() / 1e6, outputBytes.get() / 1e6,
+        shuffleBytes.get() / 1e6,
         (graft.metrics.Telemetry.gcMillis() - g0) / 1e3, failed)
     }
     def run(name: String): R = runThunk(name) {
@@ -316,7 +326,7 @@ object Bench {
         }
         import scala.jdk.CollectionConverters._
         val ds = triggerSecs.asScala.map(_.doubleValue).toSeq.sorted
-        val p50 = if (ds.isEmpty) 0.0 else ds(ds.size / 2)
+        val p50 = graft.metrics.Telemetry.median(ds)
         val p95 = if (ds.isEmpty) 0.0 else ds(math.min(ds.size - 1,
           math.ceil(ds.size * 0.95).toInt - 1))
         (label, r, p50, p95)
@@ -406,7 +416,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val streamP50 = streamMap(_._3, 1000)
     val streamP95 = streamMap(_._4, 1000)
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/

@@ -366,11 +366,12 @@ object HashExpressions {
     // not a config: NULL (poison-row drop contract), never a silently
     // zero-filled tail (review r13)
     if (sub * nsub != dim) return null
-    // a codebook row shorter than the vector would read past its end on
-    // UnsafeArrayData (silent garbage); same poison contract → NULL
+    // a NULL codebook row, or one shorter than the vector (which would
+    // read past its end on UnsafeArrayData — silent garbage), is the same
+    // poison contract → NULL, never an NPE/OOB that kills the stage
     var v = 0
     while (v < ncb) {
-      if (cbs.getArray(v).numElements() != dim) return null
+      if (cbs.isNullAt(v) || cbs.getArray(v).numElements() != dim) return null
       v += 1
     }
     val out = new Array[Float](dim)

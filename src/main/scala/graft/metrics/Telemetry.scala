@@ -197,7 +197,7 @@ object Telemetry {
   /** Median of a sample list; 0.0 on empty. One definition for every
     * statistic this file emits (review r13: three hand-rolled copies).
     */
-  private[metrics] def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     if (xs.isEmpty) return 0.0
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -264,6 +264,29 @@ object Telemetry {
           f(2).matches("sd[a-z]+|nvme\\d+n\\d+|vd[a-z]+|xvd[a-z]+|md\\d+"))
         .map(f => f(2) -> f(12).toLong).toMap
     } catch { case _: Throwable => Map.empty }
+
+  /** (busy, total, ncpus) from /proc/stat, for whole-box other-process
+    * load accounting (Bench's host preamble gate). busy excludes
+    * idle+iowait; guest/guest_nice are excluded from BOTH sums — the
+    * kernel already folds guest time into user/nice, so summing all
+    * fields double-counts KVM guests. ncpus is counted from the cpuN
+    * lines, which is what the aggregate line actually aggregates
+    * (Runtime.availableProcessors diverges under cgroup cpusets or
+    * -XX:ActiveProcessorCount and would mis-scale the busy fraction).
+    */
+  private[graft] def busyTotalCpus(): (Long, Long, Int) =
+    try {
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get("/proc/stat"))
+      val f = lines.get(0).trim.split("\\s+").drop(1).map(_.toLong).take(8)
+      var ncpus = 0
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val l = it.next()
+        if (l.length > 3 && l.startsWith("cpu") && l.charAt(3) >= '0' && l.charAt(3) <= '9')
+          ncpus += 1
+      }
+      (f.sum - f(3) - f(4), f.sum, ncpus)
+    } catch { case _: Throwable => (0L, 0L, 0) }
 
   /** (total jiffies across all cpu fields, steal jiffies) from the
     * aggregate `cpu` line of /proc/stat.

@@ -62,6 +62,17 @@ class PqReconstructSpec extends AnyFunSuite {
     assert(out(1) === ((2, Some(Seq(1f, 1f, 0f, 0f)))))
   }
 
+  test("NULL codebook row → NULL, never an NPE killing the stage") {
+    val nullCb = Seq(Array(0f, 0f, 0f, 0f), null)
+    val df = Seq(
+      (1, Array(0.1f, 0.2f, 0.9f, 1.1f), nullCb),
+      (2, Array(1.0f, 0.9f, 0.1f, 0.0f), cb)).toDF("id", "cv", "cbs")
+    val out = recon(df, nsub = 2).orderBy("id")
+      .as[(Int, Option[Seq[Float]])].collect()
+    assert(out(0) === ((1, None)))
+    assert(out(1) === ((2, Some(Seq(1f, 1f, 0f, 0f)))))
+  }
+
   test("empty codebook → empty reconstruction (config, not poison)") {
     val df = Seq((1, Array(0.1f, 0.2f), Seq.empty[Array[Float]]))
       .toDF("id", "cv", "cbs")
