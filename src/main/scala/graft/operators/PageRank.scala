@@ -67,7 +67,7 @@ object PageRank {
     // over the already-materialized (far smaller) edge table run with
     // AQE suspended
     val e1 = edges.localCheckpoint()
-    val (e, nodes, nn) =
+    val (e, nodes) =
       try {
         spark.conf.set(aqeKey, "false")
         // deg folded in by a window over the src-partitioned edges: one
@@ -81,10 +81,7 @@ object PageRank {
         val nodes = e.select(col("src").as("node"))
           .union(e.select(col("dst").as("node"))).distinct()
           .repartition(col("node")).localCheckpoint()
-        // 1-row invariant: computed once here, broadcast every use below —
-        // previously re-aggregated from `nodes` inside every iteration
-        val nn = nodes.agg(count(lit(1)).as("n")).localCheckpoint()
-        // e/nodes/nn are materialized (eager checkpoints), so e1's blocks
+        // e/nodes are materialized (eager checkpoints), so e1's blocks
         // are dead weight from here: release them NOW rather than pinning
         // a second full copy of the edge table for the whole iteration
         // loop (the accumulated-checkpoint heap pressure ScaleSweep's
@@ -95,19 +92,25 @@ object PageRank {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
             lr.rdd.unpersist(blocking = false)
         }
-        (e, nodes, nn)
+        (e, nodes)
       } finally spark.conf.set(aqeKey, aqeWas)
-    val init = nodes.crossJoin(broadcast(nn))
-      .select(col("node"), expr("CAST(1000000000 AS BIGINT) div n").as("score"))
+    // 1-row invariant folded to a literal: node count collected ONCE on
+    // the driver (O(1) bytes — same class as the index-meta read) instead
+    // of a checkpoint job plus a broadcast cross join in init and every
+    // iteration; at bench scale those were ~5 extra jobs of pure overhead,
+    // and at cluster scale a literal beats shipping a 1-row broadcast per
+    // stage. Integer semantics identical: `x div n` == Long division.
+    val n = math.max(1L, nodes.count())
+    val init = nodes.select(col("node"), lit(1000000000L / n).as("score"))
     (1 to iters).foldLeft(init) { (score, i) =>
       val next = e
         .join(score.withColumnRenamed("node", "src"), "src")
         .groupBy("dst")
         .agg(sum(expr("((score * 85) div 100) div deg")).as("m"))
-      val stepped = nodes.crossJoin(broadcast(nn))
+      val stepped = nodes
         .join(next.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
-          (expr("CAST(150000000 AS BIGINT) div n") + coalesce(col("m"), lit(0L))).as("score"))
+          (lit(150000000L / n) + coalesce(col("m"), lit(0L))).as("score"))
       // flatten lineage between iterations; leave the last lazy so the
       // caller's orderBy/limit fuses onto it
       if (i < iters) stepped.localCheckpoint() else stepped
