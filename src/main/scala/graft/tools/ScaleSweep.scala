@@ -173,6 +173,47 @@ object ScaleSweep {
     }
 
     val par = cores.toInt * 2
+    // Streaming ANN serving support (VERDICT r13 #4): per-trigger latency
+    // collected from the engine's own progress events (the Bench listener
+    // pattern); zero-input drain triggers excluded. The index is built
+    // ONCE at base corpus size — the serving axis swept here is stream
+    // LENGTH (trigger count ∝ c), the claim being that per-trigger
+    // latency stays flat as the stream runs longer (no state/ledger
+    // bloat); index-size growth is ivf_index_build/ivf_probe's row.
+    val annTriggers = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    if (want("ann_serve"))
+      spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          if (p.numInputRows > 0) {
+            val d = p.durationMs.get("triggerExecution")
+            if (d != null) annTriggers.add(d.toDouble / 1e3)
+          }
+        }
+      })
+    lazy val annIdx: String = {
+      val out = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("target/graft-scratch")), "sweep-annidx").toString
+      graft.sources.Layouts.ivfIndex(
+        GraftSession.table(spark, sfDir, "embeddings").where(col("vec_id") >= 10),
+        out, centModulo = 50, twoLevel = Some(false))
+      out
+    }
+    def landFeed(df: DataFrame, stage: String, feedDir: String, name: String): Unit = {
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$feedDir/$name.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    // per-scale (p50, p95) of the LAST repeat — the flatness line after
+    // the sweep compares these across scales
+    val annServeP = scala.collection.mutable.LinkedHashMap.empty[Int, (Double, Double)]
     for (c <- scales) {
       println(s"[sweep] ==== scale ${c}x: ${n0 * c} docs ====")
       telem = Some(new graft.metrics.Telemetry().start())
@@ -397,6 +438,41 @@ object ScaleSweep {
             .count()
         }
       }
+      // Streaming serving: c one-file micro-batches of the same 1000-query
+      // feed against the base-size staged IVF index. The recorded count is
+      // the trigger count (== c, the determinism pin); the wall cell is
+      // linear in c by construction, and the serving-grade number — flat
+      // per-trigger p50 — prints per scale plus a flatness verdict after
+      // the sweep.
+      if (want("ann_serve")) record("ann_serve", c) {
+        annTriggers.clear()
+        val base = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get("target/graft-scratch"), "sweep-annserve").toString
+        val in = s"$base/in"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+        val queries = GraftSession.table(spark, sfDir, "embeddings")
+          .where(col("vec_id") < 1000)
+        (0 until c).foreach(b => landFeed(queries, s"$base/stage$b", in, f"q$b%04d"))
+        val q = graft.streaming.StreamAnn.serve(
+          spark, in, annIdx, s"$base/ledger", s"$base/ckpt")
+        try q.processAllAvailable() finally q.stop()
+        // progress events post asynchronously — drain to quiescence
+        var last = -1
+        var waited = 0
+        while (waited < 100 && annTriggers.size != last) {
+          last = annTriggers.size
+          Thread.sleep(10); waited += 10
+        }
+        import scala.jdk.CollectionConverters._
+        val ds = annTriggers.asScala.map(_.doubleValue).toSeq.sorted
+        val p50 = graft.metrics.Telemetry.median(ds)
+        val p95 = if (ds.isEmpty) 0.0 else ds(math.min(ds.size - 1,
+          math.ceil(ds.size * 0.95).toInt - 1))
+        annServeP += c -> (p50, p95)
+        println(f"[sweep] c=$c%3d ann_serve trigger p50=$p50%.3f s p95=$p95%.3f s triggers=${ds.size}")
+        scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+        ds.size.toLong
+      }
       telem.foreach { t =>
         t.stop()
         try t.writeCsv(s"target/sweep-timeline-${c}x.csv")
@@ -406,6 +482,17 @@ object ScaleSweep {
       telem = None
     }
 
+    // the serving flatness verdict: per-trigger p50 must not grow with
+    // stream length (a growing p50 means per-batch cost depends on
+    // accumulated state — the exact failure a serving deployment hits)
+    if (annServeP.size >= 2) {
+      val (minC, (minP, _)) = annServeP.minBy(_._1)
+      val (maxC, (maxP, _)) = annServeP.maxBy(_._1)
+      val ratio = if (minP > 0) maxP / minP else Double.NaN
+      println(f"[sweep] ann_serve per-trigger p50: c=$minC $minP%.3f s -> " +
+        f"c=$maxC $maxP%.3f s ratio=$ratio%.2f " +
+        (if (ratio < 2.0) "FLAT" else "DEGRADED"))
+    }
     // ln-ln least-squares slope of wall time vs scale per family: the
     // growth exponent the 100 TB claims rest on
     println("family,scales,times_sec,counts,exponent")
