@@ -49,4 +49,32 @@ object HashExpressionsProps extends Properties("HashExpressions") {
       HashExpressions.evalCharNgramDistinctCount(UTF8String.fromString(s), n) ==
         HashExpressions.evalCharNgramHashes(UTF8String.fromString(s), n).numElements()
     }
+
+  // x87's trigram prefilter contract (advice r13): when `pat` is a
+  // substring of `text`, every pattern n-gram hash must appear in the
+  // text's n-gram hash set — no false negatives, INCLUDING non-BMP code
+  // points, where UTF-16 index windowing used to diverge from the
+  // code-point windowing the posting side runs. Both sides here use the
+  // one shared kernel, so this pins that they can never drift apart.
+  private val genCp: Gen[Int] = Gen.frequency(
+    4 -> Gen.choose('a'.toInt, 'e'.toInt),
+    1 -> Gen.choose(0x10000, 0x1003F)) // supplementary plane: surrogate pairs
+  private val genAstralText: Gen[String] =
+    Gen.listOf(genCp).map(_.flatMap(Character.toChars(_).toSeq).mkString)
+
+  property("substring's ngram hashes ⊆ text's (prefilter, incl. non-BMP)") =
+    Prop.forAll(genAstralText, Gen.choose(0, 20), Gen.choose(1, 12), Gen.choose(1, 4)) {
+      (s, off, len, n) =>
+        // carve the substring on CODE POINT boundaries (a UTF-16 slice
+        // could split a surrogate pair and not be a real substring)
+        val cps = HashExpressions.codePoints(s)
+        val from = math.min(off, cps.length)
+        val until = math.min(from + len, cps.length)
+        val pat = cps.slice(from, until).flatMap(Character.toChars(_).toSeq).mkString
+        val patH = HashExpressions
+          .evalCharNgramHashes(UTF8String.fromString(pat), n).toLongArray().toSet
+        val txtH = HashExpressions
+          .evalCharNgramHashes(UTF8String.fromString(s), n).toLongArray().toSet
+        patH.subsetOf(txtH)
+    }
 }
