@@ -52,8 +52,6 @@ object PqReconstructProps extends Properties("PqReconstruct") {
       new GenericArrayData(cbs.map(r => new GenericArrayData(r): ArrayData).toArray),
       nsub)).map(_.toFloatArray().toSeq)
 
-  // small floats incl. exact ties (0.5 steps) so the tie-break path runs
-  private val genF: Gen[Float] = Gen.choose(-4, 4).map(_ * 0.5f)
   private val genShape: Gen[(Int, Int)] = for {
     nsub <- Gen.choose(1, 4)
     sub <- Gen.choose(1, 4)
@@ -62,6 +60,8 @@ object PqReconstructProps extends Properties("PqReconstruct") {
   property("well-formed == naive reference (incl. ties)") =
     Prop.forAll(genShape, Gen.choose(1, 5), Gen.long) { case ((nsub, sub), ncb, seed) =>
       val rnd = new scala.util.Random(seed)
+      // small 0.5-step floats so exact distance ties occur and the
+      // first-strict-minimum tie-break path actually runs
       def vec(dim: Int) = Array.fill(dim)((rnd.nextInt(9) - 4) * 0.5f)
       val dim = nsub * sub
       val cv = vec(dim)
