@@ -6586,7 +6586,48 @@ object ExtensionCatalog {
         "outside the plausibility window come back as exactly the " +
         "quarantined rows (with the modal anchor), oracle-replayed from " +
         "the events table and the streaming twin's own constants " +
-        "(extension: streaming / data quality)")
+        "(extension: streaming / data quality)"),
+
+    CatalogEntry(
+      "x152_ivf_append",
+      (s, dir) => {
+        // Incremental IVF index maintenance: the staged builder writes the
+        // index over the EVEN corpus half, then Layouts.ivfAppend assigns
+        // the ODD half against the EXISTING centroids and appends it into
+        // the cell partitions — no corpus rescan, no rebuild (the
+        // streaming-ingest maintenance path; build+append timed as the
+        // build_x152 bench row). Because centroids are not retrained,
+        // append ≡ full rebuild over base ∪ batch with the same centroid
+        // table, and the oracle replays exactly that: the full-corpus
+        // flat assignment, compared per cell. n_appended pins that the
+        // appended rows landed in the RIGHT cells, not just somewhere.
+        val idx = stagedIvfAppendIndex(s, dir)
+        s.read.parquet(s"$idx/assign")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("corpus_id") % 2 === 1, 1L).otherwise(0L)).as("n_appended"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10 AND vec_id % 2 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |assign AS (
+              |  SELECT corpus_id, cent_id FROM (
+              |    SELECT c.corpus_id, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1)
+              |SELECT cent_id, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN corpus_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_appended
+              |FROM assign GROUP BY cent_id ORDER BY cent_id""".stripMargin),
+      "incremental IVF maintenance: batch assigned against the persisted index's " +
+        "existing centroids and appended into the cell partitions — O(batch·k), no " +
+        "rebuild; oracle replays the full-corpus assignment, proving append ≡ rebuild " +
+        "(extension: similarity search / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -6720,6 +6761,25 @@ object ExtensionCatalog {
       out
     })
 
+  /** x152 staging: IVF index built over the EVEN corpus half, then the ODD
+    * half appended via [[graft.sources.Layouts.ivfAppend]] against the
+    * existing centroids — the rebuild-free maintenance path, memoized per
+    * fixture dir so the query row measures the read-back audit, not the
+    * build (build+append bill to the build_x152 bench row). Flat build
+    * pinned: the oracle replays the flat assignment.
+    */
+  private val ivfAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfAppendIndex(s: SparkSession, dir: String): String =
+    ivfAppendDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-ivfappidx")
+      val e = t(s, dir, "embeddings").where(col("vec_id") >= 10)
+      graft.sources.Layouts.ivfIndex(
+        e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
+        twoLevel = Some(false))
+      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -6733,7 +6793,8 @@ object ExtensionCatalog {
     "build_x117_minhash_index" -> ((s, dir) => { stagedMinhashIndex(s, dir); () }),
     "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
     "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
-    "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }))
+    "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }),
+    "build_x152_ivf_append" -> ((s, dir) => { stagedIvfAppendIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -6830,6 +6891,7 @@ object ExtensionCatalog {
     "build_x117_minhash_index" -> minhashDirs.get(dir),
     "build_x139_jaccard_index" -> jaccardDirs.get(dir),
     "build_x144_ivf_index" -> ivfDirs.get(dir),
-    "build_x145_ivf2_index" -> ivf2Dirs.get(dir)
+    "build_x145_ivf2_index" -> ivf2Dirs.get(dir),
+    "build_x152_ivf_append" -> ivfAppendDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -390,6 +390,46 @@ object Layouts {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Incremental maintenance of a persisted IVF index: assign ONLY the
+    * new batch against the EXISTING centroid table (read back from the
+    * index, one small file — never a corpus rescan) and append its rows
+    * into the cell-partitioned inverted lists. Existing cells gain files,
+    * untouched cells keep theirs, and the probe path
+    * ([[graft.operators.SimilaritySearch.ivfTopKStaged]]) is oblivious —
+    * dynamic partition pruning works identically on the grown cells.
+    *
+    * Centroids are deliberately NOT retrained: an append is then exactly
+    * equivalent to a full rebuild over base ∪ batch with the same
+    * centroid table (per-row assignment is independent), which is what
+    * makes incremental maintenance value-testable (x152's oracle replays
+    * the full-corpus assignment and compares per-cell counts; IvfIndexSpec
+    * pins probe-result equality against a rebuild). Retraining cadence is
+    * a corpus-release decision — rebuild via [[ivfIndex]] when cell-size
+    * skew from drift warrants it (x131's balance audit is the monitor).
+    *
+    * The assignment pass reuses the build's RESOLVED flat/two-level
+    * choice from the index meta, so append and build shard the same way.
+    * NOT idempotent under replay (parquet append): feed an exactly-once
+    * batch (the streaming ingest path's dedup ledger is upstream of this,
+    * StreamDedup), or rebuild.
+    */
+  def ivfAppend(
+      batch: DataFrame,
+      path: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    import graft.operators.SimilaritySearch
+    val spark = batch.sparkSession
+    val centsFor = spark.read.parquet(s"$path/cent")
+      .select(col("cent_id").as(idCol), col("centv").as(vecCol))
+    val useTwoLevel = spark.read.parquet(s"$path/meta")
+      .head().getAs[Boolean]("two_level")
+    val lists =
+      if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(batch, centsFor, idCol, vecCol)
+      else SimilaritySearch.invertedLists(batch, centsFor, idCol, vecCol)
+    lists.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

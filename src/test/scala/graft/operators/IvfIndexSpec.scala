@@ -24,6 +24,32 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     out
   }
 
+  test("ivfAppend: append over base ≡ full rebuild (cells AND probe results)") {
+    // base = even half, batch = odd half, same centroid sample (multiples
+    // of 50 are even, so the even-half sample == the full-corpus sample)
+    val corpus = e.where(col("vec_id") >= 10)
+    val appended = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    graft.sources.Layouts.ivfIndex(
+      corpus.where(col("vec_id") % 2 === 0), appended, centModulo = 50,
+      twoLevel = Some(false))
+    graft.sources.Layouts.ivfAppend(corpus.where(col("vec_id") % 2 === 1), appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfrebuild").toString
+    graft.sources.Layouts.ivfIndex(corpus, rebuilt, centModulo = 50,
+      twoLevel = Some(false))
+    def cells(p: String) = spark.read.parquet(s"$p/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    val ac = cells(appended)
+    ac.length should be > 0
+    ac shouldBe cells(rebuilt)
+    // the probe is oblivious to how the cells were populated
+    val queries = e.where(col("vec_id") < 10)
+    def probe(p: String) = SimilaritySearch
+      .ivfTopKStaged(queries, p, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq.toList).toList
+    probe(appended) shouldBe probe(rebuilt)
+  }
+
   test("staged probe is row-identical to the in-session IVF search") {
     val queries = e.where(col("vec_id") < 10)
     val staged = SimilaritySearch
