@@ -246,6 +246,68 @@ object ExtensionCatalog {
        |    AS n_kept
        |FROM st GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** x153's oracle: the three-generation ingest lifecycle replayed from
+    * fixtures alone. Stage 1 = gen-1 probed against gen-0 (exact → banded
+    * → verified near-dup, the dIngestLedgerOracle construction); the
+    * index after the append is gen-0 ∪ stage-1 KEPT; stage 2 = gen-2
+    * probed against that union. A gen-2 doc that duplicates a gen-1
+    * ADMITTED doc classifies as a dup only if the append semantics hold —
+    * which is the property under test.
+    */
+  private val dThreeGenIngestOracle: String =
+    s"""WITH g0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+       |g1 AS (SELECT * FROM documents WHERE doc_id % 3 = 1),
+       |g2 AS (SELECT * FROM documents WHERE doc_id % 3 = 2),
+       |g0fp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM g0),
+       |g1fp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM g1),
+       |g1ex AS (SELECT doc_id FROM g1fp WHERE fp IN (SELECT fp FROM g0fp)),
+       |g1surv AS (SELECT g.* FROM g1 g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM g1ex)),
+       |${dSigChain("g1surv", "_1")},
+       |${dSigChain("g0", "_0")},
+       |cands1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_1 a JOIN banded_0 b
+       |    ON a.band = b.band AND a.bh = b.bh),
+       |near1 AS (SELECT DISTINCT id_a AS doc_id FROM (
+       |  SELECT c.id_a,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+       |  FROM cands1 c JOIN sh_1 x ON c.id_a = x.doc_id
+       |    JOIN sh_0 y ON c.id_b = y.doc_id)
+       |  WHERE jac >= 0.5),
+       |kept1 AS (SELECT s.* FROM g1surv s
+       |  WHERE s.doc_id NOT IN (SELECT doc_id FROM near1)),
+       |idx AS (SELECT * FROM g0 UNION ALL SELECT * FROM kept1),
+       |idxfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM idx),
+       |g2fp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM g2),
+       |g2ex AS (SELECT doc_id FROM g2fp WHERE fp IN (SELECT fp FROM idxfp)),
+       |g2surv AS (SELECT g.* FROM g2 g
+       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM g2ex)),
+       |${dSigChain("g2surv", "_2")},
+       |${dSigChain("idx", "_x")},
+       |cands2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_2 a JOIN banded_x b
+       |    ON a.band = b.band AND a.bh = b.bh),
+       |near2 AS (SELECT DISTINCT id_a AS doc_id FROM (
+       |  SELECT c.id_a,
+       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
+       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
+       |  FROM cands2 c JOIN sh_2 x ON c.id_a = x.doc_id
+       |    JOIN sh_x y ON c.id_b = y.doc_id)
+       |  WHERE jac >= 0.5),
+       |st AS (SELECT g.doc_id, g.source,
+       |  CASE WHEN g.doc_id IN (SELECT doc_id FROM g2ex) THEN 'exact_dup'
+       |       WHEN g.doc_id IN (SELECT doc_id FROM near2) THEN 'near_dup'
+       |       ELSE 'kept' END AS status FROM g2 g)
+       |SELECT source, COUNT(*)::BIGINT AS n_incoming,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dropped,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neardup_dropped,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM st GROUP BY 1 ORDER BY source""".stripMargin
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -6627,7 +6689,40 @@ object ExtensionCatalog {
       "incremental IVF maintenance: batch assigned against the persisted index's " +
         "existing centroids and appended into the cell partitions — O(batch·k), no " +
         "rebuild; oracle replays the full-corpus assignment, proving append ≡ rebuild " +
-        "(extension: similarity search / index maintenance)")
+        "(extension: similarity search / index maintenance)"),
+
+    CatalogEntry(
+      "x153_minhash_append_ingest",
+      (s, dir) => {
+        // The full ingest-index LIFECYCLE, three generations: gen-0 is the
+        // built corpus index (Layouts.minhashIndex), gen-1 is probed and
+        // its ADMITTED docs appended (Layouts.minhashAppend — the write
+        // half of the probe-then-admit loop; all staged in build_x153),
+        // and this query probes gen-2 against the GROWN index. A gen-2
+        // doc duplicating a gen-1 admitted doc is caught only if the
+        // append landed in the same hash space the probe reads — the
+        // maintenance property under test. Existing corpus never
+        // re-scanned at any stage.
+        val docs = t(s, dir, "documents")
+        val g2 = docs.where(col("doc_id") % 3 === 2)
+        val idx = stagedMinhashAppendIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text",
+          threshold = 0.5)
+        g2.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(dThreeGenIngestOracle),
+      "incremental MinHash-index maintenance: admitted docs appended into the " +
+        "persisted index's fp/banded/shingles tables so the NEXT batch dedups " +
+        "against them — the write half of the x117 ingest loop; oracle replays the " +
+        "whole three-generation lifecycle (extension: dedup / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -6780,6 +6875,27 @@ object ExtensionCatalog {
       out
     })
 
+  /** x153 staging: the three-generation ingest index — gen-0 built, gen-1
+    * probed against it and its ADMITTED (kept) docs appended via
+    * [[graft.sources.Layouts.minhashAppend]]. Memoized per fixture dir so
+    * the query row measures the gen-2 probe only; build+probe+append bill
+    * to the build_x153 bench row.
+    */
+  private val minhashAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashAppendIndex(s: SparkSession, dir: String): String =
+    minhashAppendDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-mhappidx")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0), out)
+      val g1 = docs.where(col("doc_id") % 3 === 1)
+      val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
+        threshold = 0.5)
+      val kept1 = g1.join(
+        st1.where(col("status") === "kept").select("doc_id"), "doc_id")
+      graft.sources.Layouts.minhashAppend(kept1, out)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -6794,7 +6910,8 @@ object ExtensionCatalog {
     "build_x139_jaccard_index" -> ((s, dir) => { stagedJaccardIndex(s, dir); () }),
     "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
     "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }),
-    "build_x152_ivf_append" -> ((s, dir) => { stagedIvfAppendIndex(s, dir); () }))
+    "build_x152_ivf_append" -> ((s, dir) => { stagedIvfAppendIndex(s, dir); () }),
+    "build_x153_minhash_append" -> ((s, dir) => { stagedMinhashAppendIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -6892,6 +7009,7 @@ object ExtensionCatalog {
     "build_x139_jaccard_index" -> jaccardDirs.get(dir),
     "build_x144_ivf_index" -> ivfDirs.get(dir),
     "build_x145_ivf2_index" -> ivf2Dirs.get(dir),
-    "build_x152_ivf_append" -> ivfAppendDirs.get(dir)
+    "build_x152_ivf_append" -> ivfAppendDirs.get(dir),
+    "build_x153_minhash_append" -> minhashAppendDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -33,14 +33,19 @@ object Layouts {
       sortCols: Seq[String],
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0): Unit = {
+      partitions: Int = 0,
+      mode: String = "overwrite"): Unit = {
     val cols = sortCols.map(col)
     val ranged =
       if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
       else df.repartitionByRange(cols: _*)
+    // mode "append" (the index-maintenance path): each appended file
+    // still carries its own sorted row-group/page stats, so per-file
+    // pruning holds; ranges may overlap ACROSS generations, which widens
+    // pruning but never misses — rebuild to re-tighten when drift warrants
     ranged
       .sortWithinPartitions(cols: _*)
-      .write.mode("overwrite")
+      .write.mode(mode)
       .option("parquet.block.size", groupBytes.toString)
       .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(path)
@@ -239,6 +244,42 @@ object Layouts {
     import spark.implicits._
     Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Incremental maintenance of a persisted MinHash index: compute the
+    * batch's fingerprints / banded hashes / shingle sets with the
+    * parameters recorded in the index META (a mismatched k/bands/shingleN
+    * would join a disjoint hash space — the exact failure the meta row
+    * exists to prevent) and APPEND them into the three tables. This is
+    * the write half of the probe-then-admit ingest loop x115/x117 run:
+    * probe a batch, keep the survivors, append the KEPT docs so the next
+    * batch dedups against them — the existing corpus is never re-scanned
+    * and the index is never rebuilt. Same non-idempotence caveat as
+    * [[ivfAppend]]: feed exactly-once batches.
+    */
+  def minhashAppend(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000): Unit = {
+    import graft.operators.Dedup
+    val spark = docs.sparkSession
+    val m = spark.read.parquet(s"$path/meta").head()
+    val (k, bands, shingleN) =
+      (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
+    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
+      groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+    val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
+    try {
+      sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
+        s"$path/banded", Seq("bh"),
+        groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+      sortedStats(sigs.select(col(idCol), col("shingles")),
+        s"$path/shingles", Seq(idCol),
+        groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+    } finally sigs.unpersist()
   }
 
   /** Persisted EXACT-Jaccard corpus index — the no-miss dual of

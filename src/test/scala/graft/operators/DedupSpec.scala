@@ -211,4 +211,36 @@ class DedupSpec extends AnyFunSuite with Matchers {
       .collect().map(_.getString(1))
     mismatched.count(_ == "near_dup") shouldBe 0
   }
+
+  test("minhashAppend: probe of the grown index ≡ probe of a full rebuild") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.SparkTestSession.spark
+    val docs = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val g0 = docs.where(col("doc_id") % 3 === 0)
+    val g1 = docs.where(col("doc_id") % 3 === 1)
+    val g2 = docs.where(col("doc_id") % 3 === 2).limit(80)
+    // grown: build on gen-0, append ALL of gen-1 (admission filtering is
+    // the catalog's business; equivalence must hold for any batch)
+    val grown = java.nio.file.Files.createTempDirectory("mh-append").toString
+    graft.sources.Layouts.minhashIndex(g0, grown,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    graft.sources.Layouts.minhashAppend(g1, grown,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    // rebuilt: one build over gen-0 ∪ gen-1
+    val rebuilt = java.nio.file.Files.createTempDirectory("mh-rebuild").toString
+    graft.sources.Layouts.minhashIndex(g0.union(g1), rebuilt,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    def probe(p: String) = Dedup.incrementalDedupStaged(g2, p, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaGrown = probe(grown)
+    viaGrown.size should be > 0
+    viaGrown shouldBe probe(rebuilt)
+    // the append actually matters: some gen-2 doc dups a gen-1 doc that
+    // gen-0 alone would have admitted
+    val gen0Only = java.nio.file.Files.createTempDirectory("mh-gen0").toString
+    graft.sources.Layouts.minhashIndex(g0, gen0Only,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val viaGen0 = probe(gen0Only)
+    viaGrown.count(_._2 != "kept") should be > viaGen0.count(_._2 != "kept")
+  }
 }
