@@ -213,38 +213,54 @@ object ExtensionCatalog {
     * differs — so one definition keeps the dedup semantics (threshold,
     * band constants, status ladder) from silently diverging between them.
     */
-  private val dIngestLedgerOracle: String =
-    s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
-       |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
-       |exfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM ex),
-       |incfp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM inc),
-       |exdup AS (SELECT doc_id FROM incfp WHERE fp IN (SELECT fp FROM exfp)),
-       |surv AS (SELECT i.* FROM inc i
-       |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup)),
-       |${dSigChain("surv", "_i")},
-       |${dSigChain("ex", "_e")},
-       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded_i a JOIN banded_e b
+  /** The ONE definition of the ingest-probe replay (exact-fingerprint
+    * ladder → banded candidates → jaccard-verified near-dups → per-doc
+    * status) — view `inc` probed against view `ex`, emitted views
+    * suffixed `sfx` (`surv$sfx`, `near$sfx`, `st$sfx`). Shared by
+    * x115/x117's single-stage oracle and x153's two-stage lifecycle so
+    * the dedup semantics (threshold, band constants, status ladder)
+    * cannot silently diverge between them.
+    */
+  private def dProbeStage(inc: String, ex: String, sfx: String): String =
+    s"""exfp$sfx AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM $ex),
+       |incfp$sfx AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM $inc),
+       |exdup$sfx AS (SELECT doc_id FROM incfp$sfx
+       |  WHERE fp IN (SELECT fp FROM exfp$sfx)),
+       |surv$sfx AS (SELECT i.* FROM $inc i
+       |  WHERE i.doc_id NOT IN (SELECT doc_id FROM exdup$sfx)),
+       |${dSigChain(s"surv$sfx", s"_i$sfx")},
+       |${dSigChain(ex, s"_e$sfx")},
+       |cands$sfx AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM banded_i$sfx a JOIN banded_e$sfx b
        |    ON a.band = b.band AND a.bh = b.bh),
-       |near AS (SELECT DISTINCT id_a AS doc_id FROM (
+       |near$sfx AS (SELECT DISTINCT id_a AS doc_id FROM (
        |  SELECT c.id_a,
        |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
        |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-       |  FROM cands c JOIN sh_i x ON c.id_a = x.doc_id
-       |    JOIN sh_e y ON c.id_b = y.doc_id)
+       |  FROM cands$sfx c JOIN sh_i$sfx x ON c.id_a = x.doc_id
+       |    JOIN sh_e$sfx y ON c.id_b = y.doc_id)
        |  WHERE jac >= 0.5),
-       |st AS (SELECT i.doc_id, i.source,
-       |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
-       |       WHEN i.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
-       |       ELSE 'kept' END AS status FROM inc i)
-       |SELECT source, COUNT(*)::BIGINT AS n_incoming,
+       |st$sfx AS (SELECT i.doc_id, i.source,
+       |  CASE WHEN i.doc_id IN (SELECT doc_id FROM exdup$sfx) THEN 'exact_dup'
+       |       WHEN i.doc_id IN (SELECT doc_id FROM near$sfx) THEN 'near_dup'
+       |       ELSE 'kept' END AS status FROM $inc i)""".stripMargin
+
+  /** Per-source ledger summary over a `dProbeStage` status view. */
+  private def dLedgerSummary(st: String): String =
+    s"""SELECT source, COUNT(*)::BIGINT AS n_incoming,
        |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_exact_dropped,
        |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_neardup_dropped,
        |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_kept
-       |FROM st GROUP BY 1 ORDER BY source""".stripMargin
+       |FROM $st GROUP BY 1 ORDER BY source""".stripMargin
+
+  private val dIngestLedgerOracle: String =
+    s"""WITH ex AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+       |inc AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+       |${dProbeStage("inc", "ex", "0")}
+       |${dLedgerSummary("st0")}""".stripMargin
 
   /** x153's oracle: the three-generation ingest lifecycle replayed from
     * fixtures alone. Stage 1 = gen-1 probed against gen-0 (exact → banded
@@ -258,55 +274,12 @@ object ExtensionCatalog {
     s"""WITH g0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
        |g1 AS (SELECT * FROM documents WHERE doc_id % 3 = 1),
        |g2 AS (SELECT * FROM documents WHERE doc_id % 3 = 2),
-       |g0fp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM g0),
-       |g1fp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM g1),
-       |g1ex AS (SELECT doc_id FROM g1fp WHERE fp IN (SELECT fp FROM g0fp)),
-       |g1surv AS (SELECT g.* FROM g1 g
-       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM g1ex)),
-       |${dSigChain("g1surv", "_1")},
-       |${dSigChain("g0", "_0")},
-       |cands1 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded_1 a JOIN banded_0 b
-       |    ON a.band = b.band AND a.bh = b.bh),
-       |near1 AS (SELECT DISTINCT id_a AS doc_id FROM (
-       |  SELECT c.id_a,
-       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-       |  FROM cands1 c JOIN sh_1 x ON c.id_a = x.doc_id
-       |    JOIN sh_0 y ON c.id_b = y.doc_id)
-       |  WHERE jac >= 0.5),
-       |kept1 AS (SELECT s.* FROM g1surv s
+       |${dProbeStage("g1", "g0", "1")},
+       |kept1 AS (SELECT s.* FROM surv1 s
        |  WHERE s.doc_id NOT IN (SELECT doc_id FROM near1)),
        |idx AS (SELECT * FROM g0 UNION ALL SELECT * FROM kept1),
-       |idxfp AS (SELECT DISTINCT ${dPoly("lower(trim(text))")} AS fp FROM idx),
-       |g2fp AS (SELECT doc_id, ${dPoly("lower(trim(text))")} AS fp FROM g2),
-       |g2ex AS (SELECT doc_id FROM g2fp WHERE fp IN (SELECT fp FROM idxfp)),
-       |g2surv AS (SELECT g.* FROM g2 g
-       |  WHERE g.doc_id NOT IN (SELECT doc_id FROM g2ex)),
-       |${dSigChain("g2surv", "_2")},
-       |${dSigChain("idx", "_x")},
-       |cands2 AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM banded_2 a JOIN banded_x b
-       |    ON a.band = b.band AND a.bh = b.bh),
-       |near2 AS (SELECT DISTINCT id_a AS doc_id FROM (
-       |  SELECT c.id_a,
-       |    len(list_intersect(x.shingles, y.shingles))::DOUBLE
-       |      / (len(x.shingles) + len(y.shingles) - len(list_intersect(x.shingles, y.shingles))) AS jac
-       |  FROM cands2 c JOIN sh_2 x ON c.id_a = x.doc_id
-       |    JOIN sh_x y ON c.id_b = y.doc_id)
-       |  WHERE jac >= 0.5),
-       |st AS (SELECT g.doc_id, g.source,
-       |  CASE WHEN g.doc_id IN (SELECT doc_id FROM g2ex) THEN 'exact_dup'
-       |       WHEN g.doc_id IN (SELECT doc_id FROM near2) THEN 'near_dup'
-       |       ELSE 'kept' END AS status FROM g2 g)
-       |SELECT source, COUNT(*)::BIGINT AS n_incoming,
-       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_exact_dropped,
-       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_neardup_dropped,
-       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_kept
-       |FROM st GROUP BY 1 ORDER BY source""".stripMargin
+       |${dProbeStage("g2", "idx", "2")}
+       |${dLedgerSummary("st2")}""".stripMargin
 
   val all: Seq[CatalogEntry] = Seq(
 
@@ -6886,13 +6859,22 @@ object ExtensionCatalog {
     minhashAppendDirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-mhappidx")
       val docs = t(s, dir, "documents")
-      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0), out)
+      // fixture-scale layout knobs, like every sibling staging: multiple
+      // row groups/pages so the probe's pruning actually engages
+      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000)
       val g1 = docs.where(col("doc_id") % 3 === 1)
       val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
         threshold = 0.5)
+      // materialize the admitted set ONCE: left lazy, the full gen-1
+      // probe (banded candidates + jaccard verify) would re-execute in
+      // every job minhashAppend derives from it (range sampling + write,
+      // ×3 tables — review r14)
       val kept1 = g1.join(
         st1.where(col("status") === "kept").select("doc_id"), "doc_id")
-      graft.sources.Layouts.minhashAppend(kept1, out)
+        .localCheckpoint()
+      graft.sources.Layouts.minhashAppend(kept1, out,
+        groupBytes = 256L * 1024, pageRows = 2000)
       out
     })
 

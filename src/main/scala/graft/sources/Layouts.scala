@@ -468,7 +468,16 @@ object Layouts {
     val lists =
       if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(batch, centsFor, idCol, vecCol)
       else SimilaritySearch.invertedLists(batch, centsFor, idCol, vecCol)
-    lists.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
+    // schema-match the EXISTING files: a pre-corpusn index (the probe's
+    // documented legacy fallback) must not become a mixed-schema directory
+    // — parquet's non-merged read would take one file's schema and either
+    // null out corpusn for every base row (base corpus silently vanishes
+    // from top-k under desc-nulls-last) or drop it for the new rows
+    val existingCols = spark.read.parquet(s"$path/assign").columns.toSet
+    val aligned =
+      if (existingCols.contains("corpusn")) lists
+      else lists.drop("corpusn")
+    aligned.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

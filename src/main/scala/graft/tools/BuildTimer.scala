@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * directly). args: <ivf|ivf2|posting|minhash|jaccard> <sfDir> [reps].
   * Prints per-rep walls and the median, Bench-style (cache-clear + GC
   * between reps).
+  *
+  * Each variant reproduces ITS bench row's exact inputs and knobs
+  * (ExtensionCatalog's staged builders: posting over the full corpus,
+  * the two ingest indexes over the EVEN doc half, all three with 256 KB
+  * groups / 2000-row pages) — this tool exists to cross-check those
+  * rows, so a mismatched corpus or layout knob would produce a wrong
+  * parity verdict (review r14).
   */
 object BuildTimer {
   def main(args: Array[String]): Unit = {
@@ -19,7 +26,10 @@ object BuildTimer {
     val spark = GraftSession.build("graft-buildtimer", cores = cpus)
     spark.sparkContext.setLogLevel("ERROR")
     val emb = GraftSession.table(spark, sfDir, "embeddings").where(col("vec_id") >= 10)
+    // x101's posting index stages over the FULL corpus; the two ingest
+    // indexes (x117/x139) stage over the even "existing" half
     val docs = GraftSession.table(spark, sfDir, "documents")
+    val evenDocs = docs.where(col("doc_id") % 2 === 0)
     def freshOut(): String = java.nio.file.Files.createTempDirectory(
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target/graft-scratch")), s"buildtimer-$which").toString
@@ -33,9 +43,12 @@ object BuildTimer {
           centModulo = 50, twoLevel = Some(false))
         case "ivf2" => graft.sources.Layouts.ivfIndex(emb, out,
           centModulo = 50, twoLevel = Some(true))
-        case "posting" => graft.sources.Layouts.postingIndex(docs, out)
-        case "minhash" => graft.sources.Layouts.minhashIndex(docs, out)
-        case "jaccard" => graft.sources.Layouts.jaccardIndex(docs, out)
+        case "posting" => graft.sources.Layouts.postingIndex(docs, out,
+          groupBytes = 256L * 1024, pageRows = 2000)
+        case "minhash" => graft.sources.Layouts.minhashIndex(evenDocs, out,
+          groupBytes = 256L * 1024, pageRows = 2000)
+        case "jaccard" => graft.sources.Layouts.jaccardIndex(evenDocs, out,
+          groupBytes = 256L * 1024, pageRows = 2000)
         case other => sys.error(s"unknown build '$other'")
       }
       val w = (System.nanoTime() - t0) / 1e9
@@ -43,8 +56,8 @@ object BuildTimer {
       scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
       w
     }
-    val s = walls.sorted
-    println(f"""{"build":"$which","median_sec":${s(reps / 2)}%.3f,"runs":[${walls.map(w => f"$w%.2f").mkString(",")}]}""")
+    val med = graft.metrics.Telemetry.median(walls)
+    println(f"""{"build":"$which","median_sec":$med%.3f,"runs":[${walls.map(w => f"$w%.2f").mkString(",")}]}""")
     spark.stop()
   }
 }

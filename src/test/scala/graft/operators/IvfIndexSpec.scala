@@ -50,6 +50,26 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     probe(appended) shouldBe probe(rebuilt)
   }
 
+  test("ivfAppend honors the index's TWO-LEVEL assignment form from meta") {
+    val corpus = e.where(col("vec_id") >= 10)
+    val appended = java.nio.file.Files.createTempDirectory("ivfappend2l").toString
+    graft.sources.Layouts.ivfIndex(
+      corpus.where(col("vec_id") % 2 === 0), appended, centModulo = 50,
+      twoLevel = Some(true))
+    graft.sources.Layouts.ivfAppend(corpus.where(col("vec_id") % 2 === 1), appended)
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivfrebuild2l").toString
+    graft.sources.Layouts.ivfIndex(corpus, rebuilt, centModulo = 50,
+      twoLevel = Some(true))
+    // the two-level assignment is a pure function of (row, centroid
+    // table), so append ≡ rebuild must hold on this branch too
+    def cells(p: String) = spark.read.parquet(s"$p/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    val ac = cells(appended)
+    ac.length should be > 0
+    ac shouldBe cells(rebuilt)
+  }
+
   test("staged probe is row-identical to the in-session IVF search") {
     val queries = e.where(col("vec_id") < 10)
     val staged = SimilaritySearch
