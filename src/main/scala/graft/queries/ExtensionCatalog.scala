@@ -6844,7 +6844,14 @@ object ExtensionCatalog {
       graft.sources.Layouts.ivfIndex(
         e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
         twoLevel = Some(false))
-      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out)
+      val odd = e.where(col("vec_id") % 2 === 1)
+      // appended TWICE with the same batch id — the ledgered-batch replay
+      // a retry-based ingest loop produces. The dynamic slice overwrite
+      // makes the second call a no-op, and x152's per-cell-count oracle
+      // (which replays the single-append assignment) certifies that at
+      // the driver gate: a double-counted batch would fail n_total.
+      graft.sources.Layouts.ivfAppend(odd, out, batchId = Some("odd"))
+      graft.sources.Layouts.ivfAppend(odd, out, batchId = Some("odd"))
       out
     })
 
@@ -6873,8 +6880,17 @@ object ExtensionCatalog {
       val kept1 = g1.join(
         st1.where(col("status") === "kept").select("doc_id"), "doc_id")
         .localCheckpoint()
+      // replayed append under one batch id — the ledgered-batch retry a
+      // streaming ingest loop produces; the dynamic slice overwrite makes
+      // the second call a no-op. (Unlike x152's per-cell counts, this
+      // probe would ABSORB duplicated index rows — semi-join + distinct —
+      // so the no-op property itself is pinned at the row level by
+      // DedupSpec's replay case; the gate certifies the grown-index
+      // semantics either way.)
       graft.sources.Layouts.minhashAppend(kept1, out,
-        groupBytes = 256L * 1024, pageRows = 2000)
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
+      graft.sources.Layouts.minhashAppend(kept1, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
       out
     })
 

@@ -34,7 +34,9 @@ object Layouts {
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
       partitions: Int = 0,
-      mode: String = "overwrite"): Unit = {
+      mode: String = "overwrite",
+      batchId: Option[String] = None,
+      dynamicOverwrite: Boolean = false): Unit = {
     val cols = sortCols.map(col)
     val ranged =
       if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
@@ -42,11 +44,22 @@ object Layouts {
     // mode "append" (the index-maintenance path): each appended file
     // still carries its own sorted row-group/page stats, so per-file
     // pruning holds; ranges may overlap ACROSS generations, which widens
-    // pruning but never misses — rebuild to re-tighten when drift warrants
-    ranged
-      .sortWithinPartitions(cols: _*)
-      .write.mode(mode)
-      .option("parquet.block.size", groupBytes.toString)
+    // pruning but never misses — rebuild to re-tighten when drift warrants.
+    // batchId: the row set is written under a `batch_id=<id>` partition
+    // directory; with dynamicOverwrite, mode "overwrite" replaces ONLY
+    // that batch's slice (partitionOverwriteMode=dynamic rides the write,
+    // never the shared session conf), which is what makes an index append
+    // a replayable no-op — see [[minhashAppend]].
+    val sorted = ranged.sortWithinPartitions(cols: _*)
+    val writer = batchId match {
+      case Some(b) =>
+        sorted.withColumn("batch_id", lit(b)).write.mode(mode)
+          .partitionBy("batch_id")
+      case None => sorted.write.mode(mode)
+    }
+    val w = if (dynamicOverwrite) writer.option("partitionOverwriteMode", "dynamic")
+            else writer
+    w.option("parquet.block.size", groupBytes.toString)
       .option("parquet.page.row.count.limit", pageRows.toString)
       .parquet(path)
   }
@@ -220,8 +233,14 @@ object Layouts {
     // full cross product (all docs share every band bucket)
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands must divide k (got k=$k, bands=$bands)")
+    // batch_id=base partition level: every table carries the batch
+    // dimension from birth, so later [[minhashAppend]] calls can land each
+    // ingest batch in its OWN partition and a replayed batch overwrites
+    // exactly its slice (idempotent maintenance). Static overwrite here —
+    // a rebuild must truncate every stale batch, not just "base".
     sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      batchId = Some("base"))
     // cache: the tokenize+shingle+minhash pipeline is the dominant build
     // cost and feeds BOTH the banded and shingles writes (the jaccardIndex
     // pattern below) — without the barrier each write re-scans the corpus
@@ -229,10 +248,12 @@ object Layouts {
     try {
       sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
         s"$path/banded", Seq("bh"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
       sortedStats(sigs.select(col(idCol), col("shingles")),
         s"$path/shingles", Seq(idCol),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
     } finally sigs.unpersist()
     // one-row meta: the banded table only matches probes computed with the
     // SAME signature family (k), band split, and shingle width — a probe
@@ -250,12 +271,30 @@ object Layouts {
     * batch's fingerprints / banded hashes / shingle sets with the
     * parameters recorded in the index META (a mismatched k/bands/shingleN
     * would join a disjoint hash space — the exact failure the meta row
-    * exists to prevent) and APPEND them into the three tables. This is
+    * exists to prevent) and write them into the three tables. This is
     * the write half of the probe-then-admit ingest loop x115/x117 run:
     * probe a batch, keep the survivors, append the KEPT docs so the next
     * batch dedups against them — the existing corpus is never re-scanned
-    * and the index is never rebuilt. Same non-idempotence caveat as
-    * [[ivfAppend]]: feed exactly-once batches.
+    * and the index is never rebuilt.
+    *
+    * Replay safety: pass `batchId` (the upstream ingest ledger's batch
+    * identity, the same key StreamAnn's ledger pins) and the batch lands
+    * in its own `batch_id=<id>` partition of each table via a dynamic
+    * partition overwrite — a replayed batch overwrites exactly its own
+    * slice, so append(b); append(b) ≡ append(b) (DedupSpec pins probe
+    * equality). Distinct batches MUST carry distinct ids: reusing an id
+    * for different rows silently replaces the earlier batch's slice.
+    * Without `batchId` the write is a plain parquet append (legacy
+    * behavior, NOT idempotent — feed exactly-once batches or rebuild).
+    * A pre-batch_id index (flat files) only supports the plain append;
+    * asking it for replay safety throws — rebuild via [[minhashIndex]].
+    *
+    * Each batch writes ONE ranged+sorted file per table (per-file stats
+    * still prune; a session-default shuffle width here would scatter a
+    * small batch into hundreds of tiny files and erode the sorted
+    * layout's pruning). File COUNT still grows linearly with batches —
+    * that growth is one of the documented triggers for the periodic
+    * rebuild, alongside range-overlap drift.
     */
   def minhashAppend(
       docs: DataFrame,
@@ -263,22 +302,38 @@ object Layouts {
       idCol: String = "doc_id",
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
-      pageRows: Int = 20000): Unit = {
+      pageRows: Int = 20000,
+      batchId: Option[String] = None): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, shingleN) =
       (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
+    val batched = spark.read.parquet(s"$path/fp").columns.contains("batch_id")
+    require(batched || batchId.isEmpty,
+      s"index at $path predates batch_id partitioning — a replay-safe " +
+        "append is impossible on its flat layout; rebuild via minhashIndex")
+    // batched layout: a batch without an explicit id still needs SOME
+    // batch_id directory — draw a unique one (append-mode, so nothing is
+    // overwritten; uniqueness keeps two anonymous batches from colliding)
+    val (bid, mode, dyn) = batchId match {
+      case Some(b)          => (Some(b), "overwrite", true)
+      case None if batched  => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
+      case None             => (None, "append", false)
+    }
     sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
-      groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+      mode = mode, batchId = bid, dynamicOverwrite = dyn)
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
     try {
       sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
         s"$path/banded", Seq("bh"),
-        groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        mode = mode, batchId = bid, dynamicOverwrite = dyn)
       sortedStats(sigs.select(col(idCol), col("shingles")),
         s"$path/shingles", Seq(idCol),
-        groupBytes = groupBytes, pageRows = pageRows, mode = "append")
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        mode = mode, batchId = bid, dynamicOverwrite = dyn)
     } finally sigs.unpersist()
   }
 
@@ -425,7 +480,14 @@ object Layouts {
     val lists =
       if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(corpus, centsFor, idCol, vecCol)
       else SimilaritySearch.invertedLists(corpus, centsFor, idCol, vecCol)
-    lists.write.mode("overwrite").partitionBy("cent_id").parquet(s"$path/assign")
+    // batch_id as the SECOND partition level: probes prune on cent_id
+    // exactly as before (outer directory, dynamic partition pruning
+    // untouched), while [[ivfAppend]] gains an idempotent slice to
+    // overwrite per ingest batch. Static overwrite — a rebuild truncates
+    // every stale batch directory.
+    lists.withColumn("batch_id", lit("base"))
+      .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+      .parquet(s"$path/assign")
     import spark.implicits._
     Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -449,22 +511,36 @@ object Layouts {
     * skew from drift warrants it (x131's balance audit is the monitor).
     *
     * The assignment pass reuses the build's RESOLVED flat/two-level
-    * choice from the index meta, so append and build shard the same way.
-    * NOT idempotent under replay (parquet append): feed an exactly-once
-    * batch (the streaming ingest path's dedup ledger is upstream of this,
-    * StreamDedup), or rebuild.
+    * choice from the index meta, so append and build shard the same way
+    * (a pre-two_level meta — the x144-era generation — is necessarily a
+    * flat build, since the coarse pass postdates it; the guard below
+    * resolves it to flat instead of throwing on exactly the legacy
+    * indexes the schema alignment exists for).
+    *
+    * Replay safety: pass `batchId` and the batch writes `(cent_id,
+    * batch_id)` leaf partitions via a dynamic partition overwrite — a
+    * replayed batch replaces exactly its own slices (assignment is
+    * deterministic against frozen centroids, so the replacement is
+    * byte-identical), making append(b); append(b) ≡ append(b)
+    * (IvfIndexSpec pins probe equality). Distinct batches MUST carry
+    * distinct ids. Without `batchId` the write is a plain parquet append
+    * (NOT idempotent — feed exactly-once batches). A pre-batch_id index
+    * layout only supports the plain append; asking it for replay safety
+    * throws — rebuild via [[ivfIndex]].
     */
   def ivfAppend(
       batch: DataFrame,
       path: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding",
+      batchId: Option[String] = None): Unit = {
     import graft.operators.SimilaritySearch
     val spark = batch.sparkSession
     val centsFor = spark.read.parquet(s"$path/cent")
       .select(col("cent_id").as(idCol), col("centv").as(vecCol))
-    val useTwoLevel = spark.read.parquet(s"$path/meta")
-      .head().getAs[Boolean]("two_level")
+    val meta = spark.read.parquet(s"$path/meta")
+    val useTwoLevel = meta.columns.contains("two_level") &&
+      meta.head().getAs[Boolean]("two_level")
     val lists =
       if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(batch, centsFor, idCol, vecCol)
       else SimilaritySearch.invertedLists(batch, centsFor, idCol, vecCol)
@@ -477,7 +553,22 @@ object Layouts {
     val aligned =
       if (existingCols.contains("corpusn")) lists
       else lists.drop("corpusn")
-    aligned.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
+    val batched = existingCols.contains("batch_id")
+    require(batched || batchId.isEmpty,
+      s"index at $path predates batch_id partitioning — a replay-safe " +
+        "append is impossible on its layout; rebuild via ivfIndex")
+    (batchId, batched) match {
+      case (Some(b), _) =>
+        aligned.withColumn("batch_id", lit(b))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cent_id", "batch_id").parquet(s"$path/assign")
+      case (None, true) =>
+        aligned.withColumn("batch_id", lit("anon-" + java.util.UUID.randomUUID))
+          .write.mode("append").partitionBy("cent_id", "batch_id")
+          .parquet(s"$path/assign")
+      case (None, false) =>
+        aligned.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
+    }
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

@@ -243,4 +243,44 @@ class DedupSpec extends AnyFunSuite with Matchers {
     val viaGen0 = probe(gen0Only)
     viaGrown.count(_._2 != "kept") should be > viaGen0.count(_._2 != "kept")
   }
+
+  test("minhashAppend with a batch id: replayed append is a row-level no-op") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.SparkTestSession.spark
+    val docs = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val g0 = docs.where(col("doc_id") % 3 === 0)
+    val g1 = docs.where(col("doc_id") % 3 === 1)
+    val g2 = docs.where(col("doc_id") % 3 === 2).limit(80)
+    val idx = java.nio.file.Files.createTempDirectory("mh-replay").toString
+    graft.sources.Layouts.minhashIndex(g0, idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    graft.sources.Layouts.minhashAppend(g1, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b1"))
+    // row-level pin, not probe-level: the probe ABSORBS duplicated index
+    // rows (fp semi-join, candidate distinct), so only table row counts
+    // can distinguish a replaced slice from a doubled one
+    def counts() = Seq("fp", "banded", "shingles")
+      .map(tbl => tbl -> spark.read.parquet(s"$idx/$tbl").count()).toMap
+    def probe() = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (countsOnce, probeOnce) = (counts(), probe())
+    countsOnce.values.foreach(_ should be > 0L)
+    graft.sources.Layouts.minhashAppend(g1, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b1"))
+    counts() shouldBe countsOnce
+    probe() shouldBe probeOnce
+    // a replay-safe append on a pre-batch_id (flat) index must refuse: its
+    // layout has no slice to overwrite
+    val legacy = java.nio.file.Files.createTempDirectory("mh-legacyflat").toString
+    graft.sources.Layouts.minhashIndex(g0, legacy,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    // strip the batch level back off fp to simulate the old generation
+    val flatFp = spark.read.parquet(s"$legacy/fp").select("fp")
+      .localCheckpoint()
+    flatFp.write.mode("overwrite").parquet(s"$legacy/fp")
+    intercept[IllegalArgumentException] {
+      graft.sources.Layouts.minhashAppend(g1, legacy,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b1"))
+    }
+  }
 }

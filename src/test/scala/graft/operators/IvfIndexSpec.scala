@@ -50,6 +50,68 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     probe(appended) shouldBe probe(rebuilt)
   }
 
+  test("ivfAppend with a batch id: replayed append is a no-op (rows AND probe)") {
+    val corpus = e.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfreplay").toString
+    graft.sources.Layouts.ivfIndex(
+      corpus.where(col("vec_id") % 2 === 0), dir, centModulo = 50,
+      twoLevel = Some(false))
+    val odd = corpus.where(col("vec_id") % 2 === 1)
+    def cells() = spark.read.parquet(s"$dir/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    def probe() = SimilaritySearch
+      .ivfTopKStaged(e.where(col("vec_id") < 10), dir, k = 5, nprobe = 2)
+      .orderBy("query_id", "rank").collect().map(_.toSeq.toList).toList
+    graft.sources.Layouts.ivfAppend(odd, dir, batchId = Some("b1"))
+    val (cellsOnce, probeOnce) = (cells(), probe())
+    cellsOnce.length should be > 0
+    // the retry-driven replay: same batch, same id — the dynamic slice
+    // overwrite must replace (not duplicate) the batch's rows
+    graft.sources.Layouts.ivfAppend(odd, dir, batchId = Some("b1"))
+    cells() shouldBe cellsOnce
+    probe() shouldBe probeOnce
+  }
+
+  test("legacy index generation: pre-two_level meta resolves flat, replay-safety refused") {
+    // hand-built x144-era layout: no corpusn column, assign partitioned on
+    // cent_id only, meta carrying ONLY cent_modulo — the generation the
+    // schema-alignment fallbacks exist for (ADVICE r14: the meta read must
+    // not throw on it)
+    val corpus = e.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivflegacy").toString
+    corpus.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("centv"))
+      .coalesce(1).write.parquet(s"$dir/cent")
+    val centsFor = spark.read.parquet(s"$dir/cent")
+      .select(col("cent_id").as("vec_id"), col("centv").as("embedding"))
+    SimilaritySearch.invertedLists(
+        corpus.where(col("vec_id") % 2 === 0), centsFor)
+      .drop("corpusn")
+      .write.partitionBy("cent_id").parquet(s"$dir/assign")
+    import spark.implicits._
+    Seq(50L).toDF("cent_modulo").coalesce(1).write.parquet(s"$dir/meta")
+    val odd = corpus.where(col("vec_id") % 2 === 1)
+    // a replay-safe append is impossible on the flat layout — refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.sources.Layouts.ivfAppend(odd, dir, batchId = Some("b1"))
+    }
+    // the plain append must work, resolve to the FLAT assignment (the only
+    // one that generation could have been built with), and keep the legacy
+    // schema — equivalence to a flat rebuild on (cent_id, corpus_id)
+    graft.sources.Layouts.ivfAppend(odd, dir)
+    spark.read.parquet(s"$dir/assign").columns should not contain "corpusn"
+    val rebuilt = java.nio.file.Files.createTempDirectory("ivflegacyrb").toString
+    graft.sources.Layouts.ivfIndex(corpus, rebuilt, centModulo = 50,
+      twoLevel = Some(false))
+    def cells(p: String) = spark.read.parquet(s"$p/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    val lc = cells(dir)
+    lc.length should be > 0
+    lc shouldBe cells(rebuilt)
+  }
+
   test("ivfAppend honors the index's TWO-LEVEL assignment form from meta") {
     val corpus = e.where(col("vec_id") >= 10)
     val appended = java.nio.file.Files.createTempDirectory("ivfappend2l").toString
