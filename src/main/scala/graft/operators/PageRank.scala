@@ -45,55 +45,55 @@ object PageRank {
     // into the LogicalRDD — but ONLY when that plan is not an adaptive
     // wrapper: under AQE the capture reports UnknownPartitioning and
     // every iteration re-exchanged the edge side (measured 2
-    // src-exchanges/iteration vs 1). So AQE is suspended just while the
-    // invariants materialize (localCheckpoint is eager; queries built
-    // later still run adaptively), leaving the edges hash-partitioned on
-    // `src` and nodes on `node` across every unrolled iteration — per
-    // iteration only the score side shuffles onto the edges' layout,
-    // plus the groupBy(dst) aggregate that IS the PageRank step.
-    // NOTE: the AQE suspension below mutates session-shared conf for the
-    // (short) window in which the two invariant localCheckpoints
-    // materialize, and restores the prior value in `finally`. This assumes
-    // run() is not invoked concurrently with other queries on the SAME
-    // SparkSession (true for the bench/catalog, which are sequential); a
-    // multi-tenant caller should pass edges from `spark.newSession()` so
-    // the toggle is scoped to that session's conf (advice r13).
+    // src-exchanges/iteration vs 1). So the invariants materialize in a
+    // CLONED session with AQE off (spark.newSession() shares the
+    // SparkContext but isolates SQLConf — no shared-session conf
+    // mutation, safe under concurrent callers; advice r13/r14), leaving
+    // the edges hash-partitioned on `src` and nodes on `node` across
+    // every unrolled iteration — per iteration only the score side
+    // shuffles onto the edges' layout, plus the groupBy(dst) aggregate
+    // that IS the PageRank step. The checkpointed invariants re-bind to
+    // the CALLER's session afterwards, so the iteration queries run
+    // adaptively under the caller's own conf.
     val spark = edges.sparkSession
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeWas = spark.conf.get(aqeKey, "true")
     // the caller's `edges` derivation (typically a fact-table join) runs
     // and materializes under the caller's AQE first — static planning of
     // that join is measurably slower; only the cheap re-layout passes
     // over the already-materialized (far smaller) edge table run with
     // AQE suspended
     val e1 = edges.localCheckpoint()
-    val (e, nodes) =
-      try {
-        spark.conf.set(aqeKey, "false")
-        // deg folded in by a window over the src-partitioned edges: one
-        // shuffle, one checkpointed table — a separate deg aggregate
-        // would either checkpoint the edges twice or re-derive deg per
-        // iteration
-        val e = e1.repartition(col("src"))
-          .withColumn("deg", count(lit(1)).over(
-            org.apache.spark.sql.expressions.Window.partitionBy("src")))
-          .localCheckpoint()
-        val nodes = e.select(col("src").as("node"))
-          .union(e.select(col("dst").as("node"))).distinct()
-          .repartition(col("node")).localCheckpoint()
-        // e/nodes are materialized (eager checkpoints), so e1's blocks
-        // are dead weight from here: release them NOW rather than pinning
-        // a second full copy of the edge table for the whole iteration
-        // loop (the accumulated-checkpoint heap pressure ScaleSweep's
-        // between-repeat discipline exists for). The checkpointed RDD
-        // hides behind the LogicalRDD in e1's plan; unpersist is a no-op
-        // if the plan shape ever changes.
-        e1.queryExecution.optimizedPlan.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-        }
-        (e, nodes)
-      } finally spark.conf.set(aqeKey, aqeWas)
+    val cloned = spark.newSession()
+    cloned.conf.set("spark.sql.adaptive.enabled", "false")
+    // newSession starts from context defaults, not the caller's runtime
+    // conf — pin the one knob that shapes the invariant layout, so the
+    // checkpointed width matches what an in-session materialization got
+    cloned.conf.set("spark.sql.shuffle.partitions",
+      spark.conf.get("spark.sql.shuffle.partitions"))
+    val bridge = org.apache.spark.sql.graft.GraftPlans
+    val e1c = bridge.rebind(e1, cloned)
+    // deg folded in by a window over the src-partitioned edges: one
+    // shuffle, one checkpointed table — a separate deg aggregate would
+    // either checkpoint the edges twice or re-derive deg per iteration
+    val eC = e1c.repartition(col("src"))
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .localCheckpoint()
+    val nodesC = eC.select(col("src").as("node"))
+      .union(eC.select(col("dst").as("node"))).distinct()
+      .repartition(col("node")).localCheckpoint()
+    // e/nodes are materialized (eager checkpoints), so e1's blocks are
+    // dead weight from here: release them NOW rather than pinning a
+    // second full copy of the edge table for the whole iteration loop
+    // (the accumulated-checkpoint heap pressure ScaleSweep's
+    // between-repeat discipline exists for). The checkpointed RDD hides
+    // behind the LogicalRDD in e1's plan; unpersist is a no-op if the
+    // plan shape ever changes.
+    e1.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
+    val e = bridge.rebind(eC, spark)
+    val nodes = bridge.rebind(nodesC, spark)
     // 1-row invariant folded to a literal: node count collected ONCE on
     // the driver (O(1) bytes — same class as the index-meta read) instead
     // of a checkpoint job plus a broadcast cross join in init and every

@@ -62,4 +62,19 @@ object GraftPlans {
         attr(lp, leftTime), attr(rp, rightTime),
         attr(rp, rightTieBreak), carried, carriedOut))
   }
+
+  /** Re-bind a DataFrame's analyzed plan to another session sharing the
+    * same SparkContext (e.g. one from `spark.newSession()`). The plan
+    * itself carries no session reference — a checkpointed LogicalRDD in
+    * particular is just an RDD + schema + captured partitioning — so the
+    * result is the same data evaluated under the TARGET session's conf.
+    * This is what lets an operator run a conf-sensitive window (say, AQE
+    * suspended during invariant materialization, [[graft.operators
+    * .PageRank]]) inside a cloned session instead of mutating conf the
+    * caller shares.
+    */
+  def rebind(df: DataFrame, to: org.apache.spark.sql.SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
 }
