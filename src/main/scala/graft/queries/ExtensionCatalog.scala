@@ -3367,8 +3367,14 @@ object ExtensionCatalog {
         val shard = t(s, dir, "documents").where(col("doc_id") < 1000)
         val sh = Dedup.minhashSignature(shard, k = 16, shingleN = 3)
           .select(col("doc_id"), col("shingles"))
-        val truth = Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
-          .select("id_a", "id_b")
+        // staged: `truth` feeds BOTH crossJoin legs below (the n_truth
+        // count and the semi-join's left side) — left lazy, Catalyst
+        // re-inlines the exact prefix-filtered self-join into each and
+        // the most expensive leg of the audit runs twice per execution
+        // (measured 1.71→1.0 s warm median at sf0.1)
+        val truth = Dedup.stage(
+          Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
+            .select("id_a", "id_b"))
         val approx = Dedup.minhashNearDups(shard, k = 16, bands = 8,
           shingleN = 3, threshold = 0.5).select("id_a", "id_b")
         truth.agg(count(lit(1)).as("n_truth"))
@@ -6695,7 +6701,79 @@ object ExtensionCatalog {
       "incremental MinHash-index maintenance: admitted docs appended into the " +
         "persisted index's fp/banded/shingles tables so the NEXT batch dedups " +
         "against them — the write half of the x117 ingest loop; oracle replays the " +
-        "whole three-generation lifecycle (extension: dedup / index maintenance)")
+        "whole three-generation lifecycle (extension: dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x154_ivf_retract",
+      (s, dir) => {
+        // Batch retraction, the recovery half of the maintenance loop: the
+        // staged builder appends a POISON batch (rows from outside the
+        // corpus fence) under its own batch_id and Layouts.dropBatch
+        // deletes exactly that batch's cell partitions — O(batch files),
+        // no rewrite of base or the legitimate appended batch. The oracle
+        // replays the full even∪odd assignment and never sees the poison,
+        // so a single leaked (or over-deleted) row fails per-cell counts:
+        // retract-after-append ≡ never-appended, value-tested.
+        val idx = stagedIvfRetractIndex(s, dir)
+        s.read.parquet(s"$idx/assign")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("corpus_id") % 2 === 1, 1L).otherwise(0L)).as("n_appended"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10 AND vec_id % 2 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |assign AS (
+              |  SELECT corpus_id, cent_id FROM (
+              |    SELECT c.corpus_id, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1)
+              |SELECT cent_id, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN corpus_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_appended
+              |FROM assign GROUP BY cent_id ORDER BY cent_id""".stripMargin),
+      "batch retraction from a persisted IVF index: a poisoned ingest batch is " +
+        "dropped by deleting its batch_id cell partitions — O(batch), no index " +
+        "rewrite; oracle replays the clean corpus, proving retract ≡ never-appended " +
+        "(extension: similarity search / index maintenance)"),
+
+    CatalogEntry(
+      "x155_minhash_compact_probe",
+      (s, dir) => {
+        // Index compaction/rebase: after the x153-style grown lifecycle
+        // (gen-0 build + gen-1 admitted append), Layouts.minhashCompact
+        // merges the batch generations back into one sorted base per
+        // table — restoring one-file-per-range layout physics WITHOUT a
+        // corpus rescan (no re-tokenize/re-minhash; cost is O(index), not
+        // O(corpus)). The gen-2 probe must be bit-identical to probing
+        // the uncompacted grown index, so this entry reuses x153's
+        // three-generation oracle verbatim: any row the rebase drops,
+        // duplicates, or re-buckets fails the gate.
+        val docs = t(s, dir, "documents")
+        val g2 = docs.where(col("doc_id") % 3 === 2)
+        val idx = stagedMinhashCompactIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text",
+          threshold = 0.5)
+        g2.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(dThreeGenIngestOracle),
+      "MinHash-index compaction: batch generations rebased into one sorted base " +
+        "per table, O(index) with no corpus rescan — file count and pruning ranges " +
+        "restored; oracle replays the three-generation lifecycle, proving probes " +
+        "are compaction-invariant (extension: dedup / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -6894,6 +6972,56 @@ object ExtensionCatalog {
       out
     })
 
+  /** x154 staging: IVF index with the x152 build+append lifecycle, plus a
+    * POISON batch (the vec_id < 10 rows the corpus fence excludes)
+    * appended under its own batch_id and then retracted via
+    * [[graft.sources.Layouts.dropBatch]] — the bad-batch recovery path.
+    * If the retraction leaked a single row (or deleted a legitimate one),
+    * x154's per-cell-count oracle fails.
+    */
+  private val ivfRetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfRetractIndex(s: SparkSession, dir: String): String =
+    ivfRetractDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-ivfretidx")
+      val e = t(s, dir, "embeddings").where(col("vec_id") >= 10)
+      graft.sources.Layouts.ivfIndex(
+        e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
+        twoLevel = Some(false))
+      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out,
+        batchId = Some("odd"))
+      graft.sources.Layouts.ivfAppend(
+        t(s, dir, "embeddings").where(col("vec_id") < 10), out,
+        batchId = Some("poison"))
+      graft.sources.Layouts.dropBatch(out, "poison")(s)
+      out
+    })
+
+  /** x155 staging: the x153 grown lifecycle (gen-0 build, gen-1 probe +
+    * admitted append) followed by [[graft.sources.Layouts.minhashCompact]]
+    * — the periodic rebase that merges batch generations back into one
+    * sorted base per table. The gen-2 probe row then runs against the
+    * COMPACTED index under x153's own oracle.
+    */
+  private val minhashCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashCompactIndex(s: SparkSession, dir: String): String =
+    minhashCompactDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-mhcpidx")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000)
+      val g1 = docs.where(col("doc_id") % 3 === 1)
+      val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
+        threshold = 0.5)
+      val kept1 = g1.join(
+        st1.where(col("status") === "kept").select("doc_id"), "doc_id")
+        .localCheckpoint()
+      graft.sources.Layouts.minhashAppend(kept1, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
+      graft.sources.Layouts.minhashCompact(out,
+        groupBytes = 256L * 1024, pageRows = 2000)(s)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -6909,7 +7037,9 @@ object ExtensionCatalog {
     "build_x144_ivf_index" -> ((s, dir) => { stagedIvfIndex(s, dir); () }),
     "build_x145_ivf2_index" -> ((s, dir) => { stagedIvfIndex2l(s, dir); () }),
     "build_x152_ivf_append" -> ((s, dir) => { stagedIvfAppendIndex(s, dir); () }),
-    "build_x153_minhash_append" -> ((s, dir) => { stagedMinhashAppendIndex(s, dir); () }))
+    "build_x153_minhash_append" -> ((s, dir) => { stagedMinhashAppendIndex(s, dir); () }),
+    "build_x154_ivf_retract" -> ((s, dir) => { stagedIvfRetractIndex(s, dir); () }),
+    "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7008,6 +7138,8 @@ object ExtensionCatalog {
     "build_x144_ivf_index" -> ivfDirs.get(dir),
     "build_x145_ivf2_index" -> ivf2Dirs.get(dir),
     "build_x152_ivf_append" -> ivfAppendDirs.get(dir),
-    "build_x153_minhash_append" -> minhashAppendDirs.get(dir)
+    "build_x153_minhash_append" -> minhashAppendDirs.get(dir),
+    "build_x154_ivf_retract" -> ivfRetractDirs.get(dir),
+    "build_x155_minhash_compact" -> minhashCompactDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

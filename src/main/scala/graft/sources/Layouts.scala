@@ -571,6 +571,84 @@ object Layouts {
     }
   }
 
+  /** Retract one ingest batch from a batch_id-partitioned index: delete
+    * its `batch_id=<id>` partition directories under every index table
+    * (the minhash tables at depth 1, the IVF cell partitions at depth 2)
+    * — the Hive DROP PARTITION of this layout, and the recovery path when
+    * a bad batch (poisoned, mislabeled, legally retracted) must leave the
+    * corpus. O(files in the batch), no rewrite of any other generation;
+    * probes are oblivious because partition discovery simply no longer
+    * sees the rows (x154 value-tests retract-after-append ≡ never
+    * appended). Only batches written with an explicit `batchId` are
+    * addressable; the base generation is refused — retracting it would
+    * silently empty the index, rebuild instead.
+    */
+  def dropBatch(path: String, batchId: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Int = {
+    require(batchId.nonEmpty && batchId != "base",
+      "refuse to retract the base generation — rebuild the index instead")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId")
+      .map { glob =>
+        val g = new org.apache.hadoop.fs.Path(glob)
+        val fs = g.getFileSystem(conf)
+        val hits = Option(fs.globStatus(g)).getOrElse(Array.empty)
+        hits.foreach(h => fs.delete(h.getPath, true))
+        hits.length
+      }.sum
+  }
+
+  /** Compact a batch-partitioned MinHash index back to a single `base`
+    * generation: every table is re-read, de-batched, range-sorted and
+    * rewritten as one tight layout. Appends keep an index CORRECT forever
+    * but erode its physics — one file per batch per table (task-startup
+    * and footer cost grow with batch count) and overlapping sort ranges
+    * across generations (per-file pruning stays sound but prunes less).
+    * This is the periodic rebase that restores both without recomputing
+    * any signature: unlike a [[minhashIndex]] rebuild there is NO corpus
+    * scan, no tokenize/shingle/minhash pass — just an index-sized
+    * shuffle+rewrite, so it costs O(index), not O(corpus). Probe results
+    * are invariant (x155 pins that through the driver oracle); `fp` is
+    * deduplicated in passing (duplicate fingerprints across generations
+    * are probe-neutral through the semi-join but pure dead weight).
+    * Each table swaps in via rewrite-aside + rename; at 100 TB the same
+    * two-phase shape lands behind a catalog/manifest pointer swap.
+    */
+  def minhashCompact(
+      path: String,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("fp", "banded", "shingles").foreach { tbl =>
+      val tblPath = s"$path/$tbl"
+      val df = spark.read.parquet(tblPath)
+      require(df.columns.contains("batch_id"),
+        s"$tblPath predates batch_id partitioning — nothing to compact; " +
+          "rebuild via minhashIndex to migrate")
+      val flat = df.drop("batch_id")
+      // sort keys are structural per table (the build's own choices):
+      // fp on the fingerprint, banded on the bucket hash, shingles on the
+      // id column — whatever the caller named it, it is the non-payload
+      // column left over
+      val (shaped, sortCols) = tbl match {
+        case "fp"     => (flat.distinct(), Seq("fp"))
+        case "banded" => (flat, Seq("bh"))
+        case _        =>
+          (flat, flat.columns.filterNot(_ == "shingles").take(1).toSeq)
+      }
+      val tmp = s"$tblPath.__compact"
+      sortedStats(shaped, tmp, sortCols,
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
+      val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(tblPath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(tblPath))
+    }
+  }
+
   /** Hash-bucketed + sorted table: two tables bucketed the same way
     * sort-merge-join with NO exchange on either side (BucketingSpec pins
     * the plan). Bucketing requires `saveAsTable` (the bucket spec lives in

@@ -283,4 +283,43 @@ class DedupSpec extends AnyFunSuite with Matchers {
         groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b1"))
     }
   }
+
+  test("minhashCompact: probe-invariant rebase, fewer files, fp deduplicated") {
+    import org.apache.spark.sql.functions._
+    val spark = graft.SparkTestSession.spark
+    val docs = spark.read.parquet(s"${graft.SparkTestSession.sf0001}/documents.parquet")
+    val g0 = docs.where(col("doc_id") % 3 === 0)
+    val g1 = docs.where(col("doc_id") % 3 === 1)
+    val g2 = docs.where(col("doc_id") % 3 === 2).limit(80)
+    val idx = java.nio.file.Files.createTempDirectory("mh-compact").toString
+    graft.sources.Layouts.minhashIndex(g0, idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    graft.sources.Layouts.minhashAppend(g1, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b1"))
+    // duplicate fingerprints across generations: re-append g1's fps under
+    // a second batch id (legal — e.g. a batch whose docs dup an earlier
+    // one) so the compaction's fp distinct() has something to remove
+    graft.sources.Layouts.minhashAppend(g1, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("b2"))
+    def probe() = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def files(tbl: String) = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/$tbl"))
+      try w.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") &&
+          java.nio.file.Files.isRegularFile(p))
+      finally w.close()
+    }
+    val (probeBefore, fpFilesBefore) = (probe(), files("fp"))
+    val fpRowsBefore = spark.read.parquet(s"$idx/fp").count()
+    graft.sources.Layouts.minhashCompact(idx,
+      groupBytes = 256L * 1024, pageRows = 2000)(spark)
+    probeBefore.size should be > 0
+    probe() shouldBe probeBefore // the rebase is invisible to probes
+    files("fp") should be < fpFilesBefore // generations merged
+    spark.read.parquet(s"$idx/fp").count() should be < fpRowsBefore // dup fps gone
+    // compacted index keeps its batch dimension: future appends still work
+    spark.read.parquet(s"$idx/fp").columns should contain("batch_id")
+  }
 }

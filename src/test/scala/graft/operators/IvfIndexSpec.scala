@@ -112,6 +112,33 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     lc shouldBe cells(rebuilt)
   }
 
+  test("dropBatch retracts exactly one batch; base generation refused") {
+    val corpus = e.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfretract").toString
+    graft.sources.Layouts.ivfIndex(
+      corpus.where(col("vec_id") % 2 === 0), dir, centModulo = 50,
+      twoLevel = Some(false))
+    graft.sources.Layouts.ivfAppend(corpus.where(col("vec_id") % 2 === 1), dir,
+      batchId = Some("odd"))
+    def cells() = spark.read.parquet(s"$dir/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    val clean = cells()
+    // poison: rows from outside the corpus fence, their own batch
+    graft.sources.Layouts.ivfAppend(e.where(col("vec_id") < 10), dir,
+      batchId = Some("poison"))
+    cells().length should be > clean.length
+    val removed = graft.sources.Layouts.dropBatch(dir, "poison")(spark)
+    removed should be > 0
+    // retract-after-append ≡ never-appended; the odd batch is untouched
+    cells() shouldBe clean
+    // retracting a batch that does not exist is a no-op, not an error
+    graft.sources.Layouts.dropBatch(dir, "nonexistent")(spark) shouldBe 0
+    intercept[IllegalArgumentException] {
+      graft.sources.Layouts.dropBatch(dir, "base")(spark)
+    }
+  }
+
   test("ivfAppend honors the index's TWO-LEVEL assignment form from meta") {
     val corpus = e.where(col("vec_id") >= 10)
     val appended = java.nio.file.Files.createTempDirectory("ivfappend2l").toString
