@@ -116,10 +116,15 @@ object Bench {
     * newest `bench_full_r{N}.json` in the checkout — the round ledger's
     * healthy-window artifact — gives each row the wall it measures on this
     * box under sane weather. Returns (wall_sec map, stream p50 map,
-    * source tag); empty maps (no retries) when no artifact is present.
+    * source tag); empty maps (no retries) when no artifact is present, or
+    * when the artifact records a DIFFERENT fixture scale than this run
+    * (cross-scale walls would read every row as >2x and burn the whole
+    * retry budget spuriously — review r15; pre-r15 artifacts carry no
+    * `sf` field and are accepted as-is, the driver's sf0.1 convention).
     * `SPARK_GRAFT_BENCH_REF` overrides the file for testing.
     */
-  private def loadRefArtifact(): (Map[String, Double], Map[String, Double], String) = {
+  private def loadRefArtifact(sfDir: String)
+      : (Map[String, Double], Map[String, Double], String) = {
     try {
       val committed = Option(new java.io.File(".").listFiles())
         .getOrElse(Array.empty)
@@ -130,13 +135,19 @@ object Bench {
         .orElse(committed).filter(_.isFile) match {
         case Some(f) =>
           val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(f)
-          def m(key: String): Map[String, Double] = Option(root.get(key)) match {
-            case Some(n) if n.isObject =>
-              import scala.jdk.CollectionConverters._
-              n.fieldNames().asScala.map(k => k -> n.get(k).asDouble()).toMap
-            case _ => Map.empty
+          val refSf = Option(root.get("sf")).map(_.asText())
+          if (refSf.exists(s => new java.io.File(s).getName !=
+              new java.io.File(sfDir).getName))
+            (Map.empty, Map.empty, s"${f.getName} (sf mismatch: skipped)")
+          else {
+            def m(key: String): Map[String, Double] = Option(root.get(key)) match {
+              case Some(n) if n.isObject =>
+                import scala.jdk.CollectionConverters._
+                n.fieldNames().asScala.map(k => k -> n.get(k).asDouble()).toMap
+              case _ => Map.empty
+            }
+            (m("wall_sec"), m("stream_trigger_p50_sec"), f.getName)
           }
-          (m("wall_sec"), m("stream_trigger_p50_sec"), f.getName)
         case None => (Map.empty, Map.empty, "none")
       }
     } catch { case scala.util.control.NonFatal(_) => (Map.empty, Map.empty, "none") }
@@ -430,9 +441,15 @@ object Bench {
     // lacking a healthy driver-cadence sample). Total retry wall is
     // budgeted so a fully-collapsed window cannot double the run; spent
     // budget and every retried row ride the artifact for audit.
-    val (refWalls, refStreamP50, retryRefSource) = loadRefArtifact()
+    val (refWalls, refStreamP50, retryRefSource) = loadRefArtifact(sfDir)
     var retryBudgetSec = 60.0
+    // two audit maps, two units (review r15): retried QUERY rows record
+    // the discarded first-run wall (compare against wall_sec); retried
+    // STREAM legs record the discarded first-run trigger p50 (compare
+    // against stream_trigger_p50_sec) — one mixed map invited comparing
+    // either against the wrong reference
     val retriedRows = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val retriedStreams = scala.collection.mutable.LinkedHashMap[String, Double]()
     var retryOverheadSec = 0.0
     val streamRows = streamRowsFirst.map { case row @ (label, r, p50, _) =>
       val ref = refStreamP50.get(label.stripPrefix("stream_"))
@@ -443,11 +460,16 @@ object Bench {
         val again = runStream(label,
           graft.queries.ExtensionCatalog.streamingBench.toMap.apply(label))
         retryBudgetSec -= again._2.wallSec
-        // overhead = the discarded run's wall (total spent minus the row
-        // of record), so the artifact's totals remain auditable
-        retryOverheadSec += math.max(again._2.wallSec, r.wallSec)
-        retriedRows(label) = p50
-        if (again._3 < p50 && !again._2.failed) again else row
+        retriedStreams(label) = p50
+        // p50 == 0.0 means the retry's trigger events missed the drain
+        // window (median of empty) — a bogus zero-latency row must never
+        // be adopted as the graded stat (review r15)
+        val keep =
+          if (again._3 > 0 && again._3 < p50 && !again._2.failed) again else row
+        // overhead = total wall spent minus the row of record, so the
+        // artifact's totals remain auditable whichever run is kept
+        retryOverheadSec += r.wallSec + again._2.wallSec - keep._2.wallSec
+        keep
       } else row
     }
     val queryResultsFinal = queryResults.map { case row @ (name, r) =>
@@ -463,9 +485,11 @@ object Bench {
           f"committed ${refWalls(name)}%.2f s (phase spin ${r.spinMedMops}%.1f)")
         val again = run(name)
         retryBudgetSec -= again.wallSec
-        retryOverheadSec += math.max(again.wallSec, r.wallSec)
         retriedRows(name) = r.wallSec
-        if (again.wallSec < r.wallSec && !again.failed) name -> again else row
+        val keep =
+          if (again.wallSec < r.wallSec && !again.failed) name -> again else row
+        retryOverheadSec += r.wallSec + again.wallSec - keep._2.wallSec
+        keep
       } else row
     }
     val streamResults = streamRows.map { case (l, r, _, _) => l -> r }
@@ -551,16 +575,18 @@ object Bench {
     // indistinguishable
     val buildWriteMbps = buildMap((_, r) =>
       if (r.wallSec > 0) r.outputMb / r.wallSec else 0.0, 100)
-    val retriedJson = retriedRows
+    def auditJson(m: scala.collection.Map[String, Double]): String = m
       .map { case (k, v) => "\"" + k + "\":" + round(v, 100) }
       .mkString("{", ",", "}")
+    val retriedJson = auditJson(retriedRows)
+    val retriedStreamsJson = auditJson(retriedStreams)
     def streamMap(f: ((String, R, Double, Double)) => Double, p: Double): String =
       streamRows.map { t =>
         "\"" + t._1.stripPrefix("stream_") + "\":" + round(f(t), p)
       }.mkString("{", ",", "}")
     val streamP50 = streamMap(_._3, 1000)
     val streamP95 = streamMap(_._4, 1000)
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
@@ -594,7 +620,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"build_write_mb":$buildWriteMb,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"build_write_mb":$buildWriteMb,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
   */
 object Layouts {
 
+  /** Batch ids become partition directory names and, on retraction, glob
+    * components — restrict them to a charset that is inert in both (no
+    * path separators, no Hive-escape-worthy specials, no Hadoop glob
+    * metacharacters). Applied on every write so a bad id fails at append
+    * time, not when its retraction glob deletes a sibling generation.
+    */
+  private def requireBatchId(id: String): Unit =
+    require(id.nonEmpty && id.forall(c =>
+        c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"batch id '$id' must be non-empty [A-Za-z0-9._-] — it names a " +
+        "partition directory and feeds the retraction glob")
+
   /** Repartition-by-range + in-partition sort on `sortCols`, so every
     * row group AND page holds a disjoint interval of the sort key: a
     * range predicate then prunes groups via stats and pages via the
@@ -309,6 +321,7 @@ object Layouts {
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, shingleN) =
       (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
+    batchId.foreach(requireBatchId)
     val batched = spark.read.parquet(s"$path/fp").columns.contains("batch_id")
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
@@ -554,6 +567,7 @@ object Layouts {
       if (existingCols.contains("corpusn")) lists
       else lists.drop("corpusn")
     val batched = existingCols.contains("batch_id")
+    batchId.foreach(requireBatchId)
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its layout; rebuild via ivfIndex")
@@ -585,8 +599,13 @@ object Layouts {
     */
   def dropBatch(path: String, batchId: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Int = {
-    require(batchId.nonEmpty && batchId != "base",
+    require(batchId != "base",
       "refuse to retract the base generation — rebuild the index instead")
+    // the id is spliced into a Hadoop GLOB below: a metacharacter id
+    // ("*", "{a,b}", "[0-9]") would match OTHER generations — including
+    // base — and delete them, bypassing the guard above (review r15).
+    // Same charset contract as requireBatchId on the append side.
+    requireBatchId(batchId)
     val conf = spark.sparkContext.hadoopConfiguration
     Seq(s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId")
       .map { glob =>
@@ -642,10 +661,22 @@ object Layouts {
       sortedStats(shaped, tmp, sortCols,
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
         batchId = Some("base"))
+      // rename-aside swap, never delete-then-rename: a crash between the
+      // two renames leaves a readable table at every instant (old until
+      // the swap, new after); delete-first left a window where the index
+      // had NO table at this path (review r15)
       val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
-      fs.delete(new org.apache.hadoop.fs.Path(tblPath), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp),
-        new org.apache.hadoop.fs.Path(tblPath))
+      val cur = new org.apache.hadoop.fs.Path(tblPath)
+      val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
+      fs.delete(old, true) // stale debris from an earlier crashed swap
+      require(fs.rename(cur, old),
+        s"compaction swap failed moving $tblPath aside — table untouched")
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)) {
+        fs.rename(old, cur) // roll the previous generation back in
+        sys.error(s"compaction swap failed installing $tmp at $tblPath — " +
+          "previous generation restored")
+      }
+      fs.delete(old, true)
     }
   }
 
