@@ -33,10 +33,22 @@ object BuildTimer {
     def freshOut(): String = java.nio.file.Files.createTempDirectory(
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get("target/graft-scratch")), s"buildtimer-$which").toString
+    // grown-lifecycle fixtures for the maintenance-path timings: gen-0
+    // base plus a gen-1 batch, the x153/x155 staging split
+    val g0 = docs.where(col("doc_id") % 3 === 0)
+    val g1 = docs.where(col("doc_id") % 3 === 1)
     val walls = (1 to reps).map { i =>
       spark.sharedState.cacheManager.clearCache()
       System.gc()
       val out = freshOut()
+      // UNTIMED staging for the compact mode: the measurement is the
+      // rebase alone, over a grown index prepared fresh per rep
+      if (which == "compact") {
+        graft.sources.Layouts.minhashIndex(g0, out,
+          groupBytes = 256L * 1024, pageRows = 2000)
+        graft.sources.Layouts.minhashAppend(g1, out,
+          groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      }
       val t0 = System.nanoTime()
       which match {
         case "ivf" => graft.sources.Layouts.ivfIndex(emb, out,
@@ -49,6 +61,13 @@ object BuildTimer {
           groupBytes = 256L * 1024, pageRows = 2000)
         case "jaccard" => graft.sources.Layouts.jaccardIndex(evenDocs, out,
           groupBytes = 256L * 1024, pageRows = 2000)
+        // the x155 A/B pair: the rebase alone (corpus never rescanned)
+        // vs the from-scratch rebuild over the same grown corpus — the
+        // measured form of SCALING.md's O(index) vs O(corpus) claim
+        case "compact" => graft.sources.Layouts.minhashCompact(out,
+          groupBytes = 256L * 1024, pageRows = 2000)(spark)
+        case "rebuild_grown" => graft.sources.Layouts.minhashIndex(
+          g0.union(g1), out, groupBytes = 256L * 1024, pageRows = 2000)
         case other => sys.error(s"unknown build '$other'")
       }
       val w = (System.nanoTime() - t0) / 1e9
