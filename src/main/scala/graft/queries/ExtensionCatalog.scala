@@ -6775,7 +6775,44 @@ object ExtensionCatalog {
       "MinHash-index compaction: batch generations rebased into one sorted base " +
         "per table, O(index) with no corpus rescan — file count and pruning ranges " +
         "restored; oracle replays the three-generation lifecycle, proving probes " +
-        "are compaction-invariant (extension: dedup / index maintenance)")
+        "are compaction-invariant (extension: dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x156_ivf_compact",
+      (s, dir) => {
+        // minhashCompact's dual for the ANN index: after the x152
+        // build+append lifecycle, Layouts.ivfCompact merges each cell's
+        // per-batch files back into one — O(index) (a read+rewrite of
+        // the lists; no re-assignment, no corpus rescan, centroids and
+        // meta untouched). Per-cell counts under x152's full-assignment
+        // oracle prove the rebase dropped and duplicated nothing.
+        val idx = stagedIvfCompactIndex(s, dir)
+        s.read.parquet(s"$idx/assign")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("corpus_id") % 2 === 1, 1L).otherwise(0L)).as("n_appended"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10 AND vec_id % 2 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |assign AS (
+              |  SELECT corpus_id, cent_id FROM (
+              |    SELECT c.corpus_id, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1)
+              |SELECT cent_id, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN corpus_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_appended
+              |FROM assign GROUP BY cent_id ORDER BY cent_id""".stripMargin),
+      "IVF-index compaction: per-batch cell files rebased into one file per cell " +
+        "— O(index) read+rewrite, no re-assignment or corpus rescan; oracle " +
+        "replays the full assignment, proving the rebase is lossless " +
+        "(extension: similarity search / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7024,6 +7061,25 @@ object ExtensionCatalog {
       out
     })
 
+  /** x156 staging: the x152 build+append lifecycle followed by
+    * [[graft.sources.Layouts.ivfCompact]] — the rebase that merges each
+    * cell's per-batch files into one. The audit query then reads the
+    * COMPACTED lists under x152's full-assignment oracle.
+    */
+  private val ivfCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfCompactIndex(s: SparkSession, dir: String): String =
+    ivfCompactDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-ivfcpidx")
+      val e = t(s, dir, "embeddings").where(col("vec_id") >= 10)
+      graft.sources.Layouts.ivfIndex(
+        e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
+        twoLevel = Some(false))
+      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out,
+        batchId = Some("odd"))
+      graft.sources.Layouts.ivfCompact(out)(s)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -7041,7 +7097,8 @@ object ExtensionCatalog {
     "build_x152_ivf_append" -> ((s, dir) => { stagedIvfAppendIndex(s, dir); () }),
     "build_x153_minhash_append" -> ((s, dir) => { stagedMinhashAppendIndex(s, dir); () }),
     "build_x154_ivf_retract" -> ((s, dir) => { stagedIvfRetractIndex(s, dir); () }),
-    "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }))
+    "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }),
+    "build_x156_ivf_compact" -> ((s, dir) => { stagedIvfCompactIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7142,6 +7199,7 @@ object ExtensionCatalog {
     "build_x152_ivf_append" -> ivfAppendDirs.get(dir),
     "build_x153_minhash_append" -> minhashAppendDirs.get(dir),
     "build_x154_ivf_retract" -> ivfRetractDirs.get(dir),
-    "build_x155_minhash_compact" -> minhashCompactDirs.get(dir)
+    "build_x155_minhash_compact" -> minhashCompactDirs.get(dir),
+    "build_x156_ivf_compact" -> ivfCompactDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -661,23 +661,60 @@ object Layouts {
       sortedStats(shaped, tmp, sortCols,
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
         batchId = Some("base"))
-      // rename-aside swap, never delete-then-rename: a crash between the
-      // two renames leaves a readable table at every instant (old until
-      // the swap, new after); delete-first left a window where the index
-      // had NO table at this path (review r15)
-      val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
-      val cur = new org.apache.hadoop.fs.Path(tblPath)
-      val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
-      fs.delete(old, true) // stale debris from an earlier crashed swap
-      require(fs.rename(cur, old),
-        s"compaction swap failed moving $tblPath aside — table untouched")
-      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)) {
-        fs.rename(old, cur) // roll the previous generation back in
-        sys.error(s"compaction swap failed installing $tmp at $tblPath — " +
-          "previous generation restored")
-      }
-      fs.delete(old, true)
+      swapIn(tblPath, tmp, conf)
     }
+  }
+
+  /** Rename-aside table swap, never delete-then-rename: a crash between
+    * the two renames leaves a readable table at every instant (old until
+    * the swap, new after); delete-first would leave a window where the
+    * index had NO table at this path (review r15). A failed install
+    * rolls the previous generation back in.
+    */
+  private def swapIn(tblPath: String, tmp: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
+    val cur = new org.apache.hadoop.fs.Path(tblPath)
+    val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
+    fs.delete(old, true) // stale debris from an earlier crashed swap
+    require(fs.rename(cur, old),
+      s"compaction swap failed moving $tblPath aside — table untouched")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), cur)) {
+      fs.rename(old, cur) // roll the previous generation back in
+      sys.error(s"compaction swap failed installing $tmp at $tblPath — " +
+        "previous generation restored")
+    }
+    fs.delete(old, true)
+  }
+
+  /** Compact a batch-partitioned IVF index's inverted lists back to a
+    * single `base` generation per cell — [[minhashCompact]]'s dual for
+    * the ANN index. Appends add one file per touched cell per batch;
+    * the rebase merges them so each cell directory is one tight file
+    * again, at O(index) cost: no re-assignment (cent_id is already a
+    * column of every row — the one pass is a read+rewrite of the lists,
+    * the centroid table and meta are untouched) and certainly no corpus
+    * rescan. Probe results are invariant, including the dynamic
+    * partition pruning on cent_id (x156 value-tests both through x152's
+    * per-cell oracle; IvfIndexSpec pins probe equality + the pruned
+    * plan).
+    */
+  def ivfCompact(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val assignPath = s"$path/assign"
+    val df = spark.read.parquet(assignPath)
+    require(df.columns.contains("batch_id"),
+      s"$assignPath predates batch_id partitioning — nothing to compact; " +
+        "rebuild via ivfIndex to migrate")
+    val tmp = s"$assignPath.__compact"
+    df.drop("batch_id").withColumn("batch_id", lit("base"))
+      // one hash shuffle on cent_id co-locates each cell in one task, so
+      // each cell directory lands as ONE file instead of echoing the
+      // input's file-per-batch fragmentation through the write
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+      .parquet(tmp)
+    swapIn(assignPath, tmp, spark.sparkContext.hadoopConfiguration)
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

@@ -139,6 +139,42 @@ class IvfIndexSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ivfCompact: one file per cell, probe-invariant, pruning intact") {
+    val corpus = e.where(col("vec_id") >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("ivfcompact").toString
+    graft.sources.Layouts.ivfIndex(
+      corpus.where(col("vec_id") % 2 === 0), dir, centModulo = 50,
+      twoLevel = Some(false))
+    graft.sources.Layouts.ivfAppend(corpus.where(col("vec_id") % 2 === 1), dir,
+      batchId = Some("odd"))
+    def cells() = spark.read.parquet(s"$dir/assign")
+      .select(col("cent_id").cast("long"), col("corpus_id"))
+      .orderBy("cent_id", "corpus_id").collect().toSeq
+    def probe() = SimilaritySearch
+      .ivfTopKStaged(e.where(col("vec_id") < 10), dir, k = 5, nprobe = 2)
+    def files() = {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/assign"))
+      try w.iterator().asScala.count(p =>
+        p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
+      finally w.close()
+    }
+    val (cellsBefore, probeBefore, filesBefore) =
+      (cells(), probe().orderBy("query_id", "rank").collect().map(_.toSeq.toList).toList, files())
+    graft.sources.Layouts.ivfCompact(dir)(spark)
+    cells() shouldBe cellsBefore
+    files() should be < filesBefore // per-batch cell files merged
+    val after = probe()
+    after.orderBy("query_id", "rank").collect()
+      .map(_.toSeq.toList).toList shouldBe probeBefore
+    // the rebase must not cost the layout its probe-side physics
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning after compaction:\n$plan")
+    // batch dimension preserved: future appends still slice
+    spark.read.parquet(s"$dir/assign").columns should contain("batch_id")
+  }
+
   test("ivfAppend honors the index's TWO-LEVEL assignment form from meta") {
     val corpus = e.where(col("vec_id") >= 10)
     val appended = java.nio.file.Files.createTempDirectory("ivfappend2l").toString
