@@ -78,7 +78,15 @@ object BytePlanner {
 
   private def listParquet(f: java.io.File): Seq[String] =
     if (f.isDirectory)
-      f.listFiles().toSeq.filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      // recursive: partition-directory layouts (hivePartitioned tables,
+      // the batch_id-sliced index generations of round 15) keep their
+      // leaf files one or two levels down; a flat listing would plan a
+      // 0-file scan and report vacuous pruning
+      f.listFiles().toSeq.flatMap { c =>
+        if (c.isDirectory) listParquet(c)
+        else if (c.getName.endsWith(".parquet")) Seq(c.getPath)
+        else Nil
+      }.sorted
     else Seq(f.getPath)
 
   private def planFile(

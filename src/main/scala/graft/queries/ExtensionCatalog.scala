@@ -6812,7 +6812,47 @@ object ExtensionCatalog {
       "IVF-index compaction: per-batch cell files rebased into one file per cell " +
         "— O(index) read+rewrite, no re-assignment or corpus rescan; oracle " +
         "replays the full assignment, proving the rebase is lossless " +
-        "(extension: similarity search / index maintenance)")
+        "(extension: similarity search / index maintenance)"),
+
+    CatalogEntry(
+      "x157_posting_append_probe",
+      (s, dir) => {
+        // The posting index's full maintenance lifecycle: built over the
+        // EVEN corpus half, the ODD half appended (TWICE under one batch
+        // id — the ledgered replay; the probe's countDistinct absorbs
+        // duplicated postings, so the row-level no-op itself is pinned by
+        // LayoutsSpec, like x153), then rebased to one generation via
+        // sortedRebase. Probed with x101's substring search under x101's
+        // own full-corpus oracle: a missing odd-doc posting (append
+        // lost), a surviving pre-rebase artifact, or a dropped row in
+        // the rebase all change the candidate set and fail the gate.
+        val pat = "table part"
+        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+        val posting = s.read.parquet(stagedPostingAppendIndex(s, dir))
+        val cands = posting
+          .where(col("tri").isin(tris: _*))
+          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+          .where(col("nt") === tris.size)
+        cands.join(t(s, dir, "documents"), "doc_id")
+          .where(col("text").contains(pat))
+          .select("doc_id")
+          .orderBy("doc_id")
+      },
+      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
+             |    range(1, length('table part') - 1),
+             |    i -> substring('table part', i, 3))) AS tri),
+             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+             |  FROM documents WHERE length(text) >= 3),
+             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+             |  GROUP BY doc_id
+             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      "posting-index maintenance lifecycle: odd-half batch appended (replayed " +
+        "under one batch id) then rebased to one generation — per-doc-independent " +
+        "postings make append ≡ rebuild trivially provable; probed under x101's " +
+        "full-corpus oracle (extension: retrieval / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7080,6 +7120,28 @@ object ExtensionCatalog {
       out
     })
 
+  /** x157 staging: posting index over the even half, odd half appended
+    * twice under one batch id ([[graft.sources.Layouts.postingAppend]]),
+    * then rebased via [[graft.sources.Layouts.sortedRebase]] — the whole
+    * posting maintenance lifecycle in one staged artifact.
+    */
+  private val postingAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPostingAppendIndex(s: SparkSession, dir: String): String =
+    postingAppendDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-postappidx")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.postingIndex(docs.where(col("doc_id") % 2 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000)
+      val odd = docs.where(col("doc_id") % 2 === 1)
+      graft.sources.Layouts.postingAppend(odd, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+      graft.sources.Layouts.postingAppend(odd, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+      graft.sources.Layouts.sortedRebase(out, Seq("tri"),
+        groupBytes = 256L * 1024, pageRows = 2000)(s)
+      out
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -7098,7 +7160,8 @@ object ExtensionCatalog {
     "build_x153_minhash_append" -> ((s, dir) => { stagedMinhashAppendIndex(s, dir); () }),
     "build_x154_ivf_retract" -> ((s, dir) => { stagedIvfRetractIndex(s, dir); () }),
     "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }),
-    "build_x156_ivf_compact" -> ((s, dir) => { stagedIvfCompactIndex(s, dir); () }))
+    "build_x156_ivf_compact" -> ((s, dir) => { stagedIvfCompactIndex(s, dir); () }),
+    "build_x157_posting_append" -> ((s, dir) => { stagedPostingAppendIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7200,6 +7263,7 @@ object ExtensionCatalog {
     "build_x153_minhash_append" -> minhashAppendDirs.get(dir),
     "build_x154_ivf_retract" -> ivfRetractDirs.get(dir),
     "build_x155_minhash_compact" -> minhashCompactDirs.get(dir),
-    "build_x156_ivf_compact" -> ivfCompactDirs.get(dir)
+    "build_x156_ivf_compact" -> ivfCompactDirs.get(dir),
+    "build_x157_posting_append" -> postingAppendDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -213,7 +213,74 @@ object Layouts {
           s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
           .as("tri"))
     sortedStats(posting, path, Seq("tri"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      batchId = Some("base"))
+  }
+
+  /** Incremental maintenance of a persisted posting index: the batch's
+    * (doc_id, trigram) rows are exploded exactly as [[postingIndex]] does
+    * and written as their own `batch_id` slice. Posting rows are PER-DOC
+    * independent (no cross-doc state like the exact-Jaccard index's
+    * global frequency order), so append ≡ rebuild holds trivially — the
+    * easiest maintenance contract in the index family, value-tested by
+    * x157 under x101's own full-corpus oracle. Same replay semantics as
+    * [[minhashAppend]]: an explicit `batchId` replays as a dynamic-
+    * overwrite no-op; without one the write is a plain append; a
+    * pre-batch_id index refuses replay-safety (rebuild to migrate).
+    */
+  def postingAppend(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      batchId: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{array_distinct, explode, expr, length}
+    val spark = docs.sparkSession
+    batchId.foreach(requireBatchId)
+    val batched = spark.read.parquet(path).columns.contains("batch_id")
+    require(batched || batchId.isEmpty,
+      s"posting index at $path predates batch_id partitioning — a " +
+        "replay-safe append is impossible on its flat layout; rebuild via " +
+        "postingIndex")
+    val (bid, mode, dyn) = batchId match {
+      case Some(b)         => (Some(b), "overwrite", true)
+      case None if batched => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
+      case None            => (None, "append", false)
+    }
+    val posting = docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
+          .as("tri"))
+    sortedStats(posting, path, Seq("tri"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+      mode = mode, batchId = bid, dynamicOverwrite = dyn)
+  }
+
+  /** Rebase a single batch-partitioned sorted-stats TABLE (the posting
+    * index's layout — the table lives AT `path`, unlike the minhash
+    * index's three subdirectories) back to one `base` generation:
+    * re-read, de-batch, range-sort, rewrite, rename-aside swap. O(table),
+    * no corpus rescan — the generic form of [[minhashCompact]]'s
+    * per-table step for any sortedStats layout.
+    */
+  def sortedRebase(
+      path: String,
+      sortCols: Seq[String],
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val df = spark.read.parquet(path)
+    require(df.columns.contains("batch_id"),
+      s"$path predates batch_id partitioning — nothing to rebase")
+    val tmp = s"$path.__compact"
+    sortedStats(df.drop("batch_id"), tmp, sortCols,
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      batchId = Some("base"))
+    swapIn(path, tmp, spark.sparkContext.hadoopConfiguration)
   }
 
   /** Persisted MinHash ingest index: the three existing-side tables
@@ -607,7 +674,10 @@ object Layouts {
     // Same charset contract as requireBatchId on the append side.
     requireBatchId(batchId)
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId")
+    // three depths: a single sorted table AT path (posting index), the
+    // minhash tables one level down, the IVF cell partitions two down
+    Seq(s"$path/batch_id=$batchId",
+        s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId")
       .map { glob =>
         val g = new org.apache.hadoop.fs.Path(glob)
         val fs = g.getFileSystem(conf)

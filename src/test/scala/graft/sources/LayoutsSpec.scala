@@ -81,8 +81,9 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
 
     // the probe plan reads the index parquet only: no `text` column exists
     // in it to scan — the corpus is touched later, and only for candidates
+    // (batch_id is the r15 maintenance partition level, not payload)
     val posting = spark.read.parquet(dir)
-    posting.columns.toSeq should contain theSameElementsAs Seq("doc_id", "tri")
+    posting.columns.toSeq should contain theSameElementsAs Seq("doc_id", "tri", "batch_id")
 
     // probing the persisted index reproduces the inline x87 candidate set
     import org.apache.spark.sql.functions.{array_distinct, col, countDistinct, explode, expr, length => slen}
@@ -100,6 +101,45 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
       .where(col("nt") === tris.size)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     fromIndex shouldBe inline
+  }
+
+  test("postingAppend lifecycle: grown ≡ rebuilt, replay no-op, rebase invariant") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"${SparkTestSession.sf001}/documents.parquet")
+    val even = docs.where(col("doc_id") % 2 === 0)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    val grown = java.nio.file.Files.createTempDirectory("posting-grow").toString
+    Layouts.postingIndex(even, grown, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.postingAppend(odd, grown,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+    def rows(p: String) = spark.read.parquet(p).select("doc_id", "tri")
+      .orderBy("doc_id", "tri").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val rebuilt = java.nio.file.Files.createTempDirectory("posting-rebuild").toString
+    Layouts.postingIndex(docs, rebuilt, groupBytes = 256L * 1024, pageRows = 2000)
+    val grownRows = rows(grown)
+    grownRows.length should be > 0
+    grownRows shouldBe rows(rebuilt) // per-doc independence: append ≡ rebuild
+    // replay under the same id is a row-level no-op (the probe's
+    // countDistinct would absorb duplicates, so pin it here)
+    Layouts.postingAppend(odd, grown,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+    rows(grown) shouldBe grownRows
+    // rebase: one generation, same rows, tri-range pruning restored
+    Layouts.sortedRebase(grown, Seq("tri"),
+      groupBytes = 16 * 1024, pageRows = 500)(spark)
+    rows(grown) shouldBe grownRows
+    spark.read.parquet(grown).select("batch_id").distinct()
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("base")
+    val rg = BytePlanner.plan(grown, Seq("doc_id", "tri"), Some("tri == tab"))
+    rg.rowGroups should be > 2
+    rg.survivingGroups should be < rg.rowGroups
+    // legacy flat index refuses a replay-safe append
+    val legacy = java.nio.file.Files.createTempDirectory("posting-legacy").toString
+    spark.read.parquet(grown).select("doc_id", "tri")
+      .write.mode("overwrite").parquet(legacy)
+    intercept[IllegalArgumentException] {
+      Layouts.postingAppend(odd, legacy, batchId = Some("b"))
+    }
   }
 
   test("bloomKeys layout lets point probes prune what stats cannot") {
