@@ -281,6 +281,33 @@ object ExtensionCatalog {
        |${dProbeStage("g2", "idx", "2")}
        |${dLedgerSummary("st2")}""".stripMargin
 
+  /** x158's oracle: the SAME two-stage lifecycle as
+    * [[dThreeGenIngestOracle]], but emitting BOTH batches' ledgers
+    * (batch 0 = gen-1 vs gen-0, batch 1 = gen-2 vs gen-0 ∪ admitted) —
+    * the replay of what the streaming admit loop's batch_id-partitioned
+    * ledger must contain after the stream drains.
+    */
+  private val dStreamAdmitOracle: String =
+    s"""WITH g0 AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+       |g1 AS (SELECT * FROM documents WHERE doc_id % 3 = 1),
+       |g2 AS (SELECT * FROM documents WHERE doc_id % 3 = 2),
+       |${dProbeStage("g1", "g0", "1")},
+       |kept1 AS (SELECT s.* FROM surv1 s
+       |  WHERE s.doc_id NOT IN (SELECT doc_id FROM near1)),
+       |idx AS (SELECT * FROM g0 UNION ALL SELECT * FROM kept1),
+       |${dProbeStage("g2", "idx", "2")},
+       |led AS (SELECT 0 AS b, source, status FROM st1
+       |  UNION ALL SELECT 1 AS b, source, status FROM st2)
+       |SELECT CAST(b AS BIGINT) AS batch_id, source,
+       |  COUNT(*)::BIGINT AS n_incoming,
+       |  CAST(SUM(CASE WHEN status = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_exact_dropped,
+       |  CAST(SUM(CASE WHEN status = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_neardup_dropped,
+       |  CAST(SUM(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_kept
+       |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -6852,7 +6879,37 @@ object ExtensionCatalog {
       "posting-index maintenance lifecycle: odd-half batch appended (replayed " +
         "under one batch id) then rebased to one generation — per-doc-independent " +
         "postings make append ≡ rebuild trivially provable; probed under x101's " +
-        "full-corpus oracle (extension: retrieval / index maintenance)")
+        "full-corpus oracle (extension: retrieval / index maintenance)"),
+
+    CatalogEntry(
+      "x158_stream_admit_ledger",
+      (s, dir) => {
+        // The CLOSED probe-then-admit loop LIVE under Structured
+        // Streaming (StreamDedup.ingestAdmitLoop): gen-1 lands as engine
+        // batch 0 and is probed against the gen-0 index, its admitted
+        // docs are appended under the engine's own batch id, then gen-2
+        // lands as batch 1 and is probed against the GROWN index. The
+        // ledger (batch_id-partitioned, replay-overwrite) is read back
+        // and summarized per (batch, source); the oracle replays both
+        // probe stages from fixtures alone — x153's lifecycle with the
+        // ENGINE supplying the batch identity instead of the caller.
+        val led = s.read.parquet(stagedStreamAdmitLedger(s, dir))
+        led.join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+          .groupBy(col("batch_id").cast("long").as("batch_id"), col("source"))
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("batch_id", "source")
+      },
+      Some(dStreamAdmitOracle),
+      "the closed probe-then-admit ingest loop under Structured Streaming: " +
+        "per-batch probe, batch_id-partitioned ledger, admitted docs appended " +
+        "into the index under the ENGINE's batch identity (replay = self-excluded " +
+        "probe + slice overwrite = no-op); oracle replays both generations " +
+        "(extension: streaming / dedup / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7142,6 +7199,36 @@ object ExtensionCatalog {
       out
     })
 
+  /** x158 staging: gen-0 index built, then the admit loop RUNS as a real
+    * Structured Streaming query — gen-1 landed and drained (engine batch
+    * 0), THEN gen-2 landed and drained (batch 1): the landing order is
+    * forced because the loop is order-dependent by design (gen-2 must
+    * probe the index gen-1's admissions grew). Returns the ledger path.
+    */
+  private val streamAdmitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamAdmitLedger(s: SparkSession, dir: String): String =
+    streamAdmitDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sadmit")
+      val docs = t(s, dir, "documents")
+      val idx = s"$base/idx"
+      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
+        idx, groupBytes = 256L * 1024, pageRows = 2000)
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)
+      val q = graft.streaming.StreamDedup.ingestAdmitLoop(
+        s, in, idx, s"$base/ledger", s"$base/ckpt")
+      try {
+        landFeedFile(docs.where(col("doc_id") % 3 === 1).select(cols: _*),
+          s"$base/stage1", in, "g1")
+        q.processAllAvailable()
+        landFeedFile(docs.where(col("doc_id") % 3 === 2).select(cols: _*),
+          s"$base/stage2", in, "g2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
   /** The one-time index builds behind the staged probe queries, exposed so
     * [[graft.Bench]] can time each build as its OWN row: a deployment pays
     * the build once per corpus release and the probe per batch, so billing
@@ -7161,7 +7248,8 @@ object ExtensionCatalog {
     "build_x154_ivf_retract" -> ((s, dir) => { stagedIvfRetractIndex(s, dir); () }),
     "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }),
     "build_x156_ivf_compact" -> ((s, dir) => { stagedIvfCompactIndex(s, dir); () }),
-    "build_x157_posting_append" -> ((s, dir) => { stagedPostingAppendIndex(s, dir); () }))
+    "build_x157_posting_append" -> ((s, dir) => { stagedPostingAppendIndex(s, dir); () }),
+    "build_x158_stream_admit" -> ((s, dir) => { stagedStreamAdmitLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7264,6 +7352,7 @@ object ExtensionCatalog {
     "build_x154_ivf_retract" -> ivfRetractDirs.get(dir),
     "build_x155_minhash_compact" -> minhashCompactDirs.get(dir),
     "build_x156_ivf_compact" -> ivfCompactDirs.get(dir),
-    "build_x157_posting_append" -> postingAppendDirs.get(dir)
+    "build_x157_posting_append" -> postingAppendDirs.get(dir),
+    "build_x158_stream_admit" -> streamAdmitDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -113,6 +113,95 @@ object StreamDedup {
       .parquet(ledgerPath)
   }
 
+  /** The CLOSED probe-then-admit ingest loop, live under Structured
+    * Streaming: each micro-batch is probed against the persisted MinHash
+    * index ([[graft.sources.Layouts.minhashIndex]]), its per-doc statuses
+    * land in a batch_id-partitioned ledger, and the ADMITTED (kept) docs
+    * are appended into the index under the ENGINE's own batch identity —
+    * so the next batch dedups against them. This is x153's
+    * three-generation lifecycle as a continuous pipeline, with the index
+    * as the only cross-batch state (stream state is O(batch)).
+    *
+    * Replay safety is the interesting contract. foreachBatch is
+    * at-least-once, and a naive replay of batch N would probe an index
+    * that ALREADY CONTAINS batch N's admitted docs — every doc would
+    * classify as a dup of itself, the "kept" set would collapse to
+    * empty, and the slice overwrite would then ERASE batch N's
+    * contribution while the ledger recorded all of it as duplicate. The
+    * fix is structural: the probe EXCLUDES the index's own `batch_id =
+    * b<N>` slice, so a replay sees exactly the pre-batch index (later
+    * batches cannot exist yet — foreachBatch commits in order), computes
+    * byte-identical statuses, and the slice/ledger overwrites are
+    * no-ops. StreamDedupSpec pins admit(b); admit(b) ≡ admit(b) on
+    * statuses, index rows, AND a follow-up probe. Requires a
+    * batch_id-partitioned (round-15) index layout — the append refuses a
+    * legacy flat index.
+    */
+  def ingestAdmitLoop(
+      spark: SparkSession,
+      dir: String,
+      indexPath: String,
+      ledgerPath: String,
+      checkpoint: String,
+      threshold: Double = 0.5) = {
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, indexPath, ledgerPath, threshold)
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[ingestAdmitLoop]]: probe (self-excluding),
+    * admit, append, ledger. Public so the spec can drive the replay case
+    * directly, like [[auditBatch]].
+    */
+  def admitBatch(
+      batch: org.apache.spark.sql.DataFrame,
+      batchId: Long,
+      indexPath: String,
+      ledgerPath: String,
+      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val bid = s"b$batchId"
+    // in-batch re-deliveries collapse first, as in auditBatch
+    val docs = batch.dropDuplicates("doc_id").localCheckpoint()
+    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    // self-exclusion: never probe against this batch's own slice (see
+    // the replay contract above); first-run batches have no slice and
+    // the filter is a no-op
+    def tbl(name: String) = {
+      val t = spark.read.parquet(s"$indexPath/$name")
+      if (t.columns.contains("batch_id")) t.where(col("batch_id") =!= bid)
+      else t
+    }
+    // statuses MATERIALIZE before the append below mutates the very
+    // tables the probe reads — left lazy, the ledger write would
+    // re-probe the GROWN index and misclassify the batch against itself
+    val st = graft.operators.Dedup.incrementalDedupStaged(
+      docs, tbl("fp"), tbl("banded"), tbl("shingles"), "doc_id", "text",
+      k = meta.getAs[Int]("k"), bands = meta.getAs[Int]("bands"),
+      shingleN = meta.getAs[Int]("shingle_n"), threshold = threshold)
+      .localCheckpoint()
+    // admitted docs materialize once; the append's three table writes
+    // would otherwise re-run the probe-derived join per write
+    val kept = docs.join(
+      st.where(col("status") === "kept").select("doc_id"), "doc_id")
+      .localCheckpoint()
+    graft.sources.Layouts.minhashAppend(kept, indexPath, batchId = Some(bid))
+    st.withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite")
+      .parquet(ledgerPath)
+  }
+
   /** Bounded-state streaming dedup over the EVENTS feed:
     * `dropDuplicatesWithinWatermark` on the idempotency key keeps a seen-key
     * entry only until the watermark passes its event time + the lateness

@@ -218,4 +218,36 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
       (q.lastProgress != null) shouldBe true
     } finally q.stop()
   }
+
+  test("admitBatch replay: self-excluded probe makes admit(b);admit(b) ≡ admit(b)") {
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("admit-idx").toString
+    graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val ledger = java.nio.file.Files.createTempDirectory("admit-led").toString + "/led"
+    val g1 = docs.where(col("doc_id") % 3 === 1)
+    StreamDedup.admitBatch(g1, batchId = 0L, idx, ledger, threshold = 0.5)
+    def ledgerRows() = spark.read.parquet(ledger)
+      .select(col("doc_id"), col("status"), col("batch_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    def idxCounts() = Seq("fp", "banded", "shingles")
+      .map(t => t -> spark.read.parquet(s"$idx/$t").count()).toMap
+    def probeG2() = graft.operators.Dedup.incrementalDedupStaged(
+      docs.where(col("doc_id") % 3 === 2).limit(80), idx, "doc_id", "text", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (led1, idx1, g2p1) = (ledgerRows(), idxCounts(), probeG2())
+    led1.count(_._2 == "kept") should be > 0
+    // the at-least-once replay: WITHOUT self-exclusion the probe would see
+    // the batch's own fingerprints, classify everything exact_dup, and the
+    // slice overwrite would erase the admitted docs — all three observations
+    // below would change
+    StreamDedup.admitBatch(g1, batchId = 0L, idx, ledger, threshold = 0.5)
+    ledgerRows() shouldBe led1
+    idxCounts() shouldBe idx1
+    probeG2() shouldBe g2p1
+    // and the grown index actually matters downstream (not a vacuous pin)
+    g2p1.count(_._2 != "kept") should be > 0
+  }
 }
