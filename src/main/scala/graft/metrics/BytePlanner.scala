@@ -76,7 +76,11 @@ object BytePlanner {
     Plan(files.map(planFile(_, columns, expr, floatEpsilonEq, truncStringStats)))
   }
 
-  private def listParquet(f: java.io.File): Seq[String] =
+  // shared with RangedReader.run and tools.V2Runner so the planner and
+  // its executable analogs can never disagree about which files a path
+  // means (review r15: the recursion below would otherwise have left
+  // them flat-listing a batch-partitioned index to an empty file set)
+  private[graft] def listParquet(f: java.io.File): Seq[String] =
     if (f.isDirectory)
       // recursive: partition-directory layouts (hivePartitioned tables,
       // the batch_id-sliced index generations of round 15) keep their

@@ -126,11 +126,10 @@ object RangedReader {
     */
   def run(path: String, columns: Seq[String], predicate: Option[String],
       blockSize: Int = DefaultBlockSize): Report = {
-    val files =
-      if (new java.io.File(path).isDirectory)
-        new java.io.File(path).listFiles().toSeq
-          .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
-      else Seq(path)
+    // BytePlanner's own (recursive) listing: a partition-directory layout
+    // flat-listed here would read 0 files while plan() reports full bytes
+    // — a silent break of the measured == planned invariant (review r15)
+    val files = BytePlanner.listParquet(new java.io.File(path))
     val t0 = System.nanoTime()
     val reads = files.map { f =>
       val ranges = planRanges(f, columns, predicate)

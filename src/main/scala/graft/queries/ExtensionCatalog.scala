@@ -308,6 +308,38 @@ object ExtensionCatalog {
        |    AS n_kept
        |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The ONE posting-index substring-search probe, shared by x101 (the
+    * write-once index) and x157 (the append+rebase-grown index) so the
+    * search semantics cannot silently diverge between them — the same
+    * rule dProbeStage enforces for the dedup family (review r15). Both
+    * entries also share [[dPostingSearchOracle]] verbatim.
+    */
+  private def postingSearch(s: SparkSession, dir: String, indexDir: String): DataFrame = {
+    val pat = "table part"
+    val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+    val cands = s.read.parquet(indexDir)
+      .where(col("tri").isin(tris: _*))
+      .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+      .where(col("nt") === tris.size)
+    cands.join(t(s, dir, "documents"), "doc_id")
+      .where(col("text").contains(pat))
+      .select("doc_id")
+      .orderBy("doc_id")
+  }
+
+  private val dPostingSearchOracle: String =
+    """WITH p AS (SELECT DISTINCT unnest(list_transform(
+      |    range(1, length('table part') - 1),
+      |    i -> substring('table part', i, 3))) AS tri),
+      |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+      |  FROM documents WHERE length(text) >= 3),
+      |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+      |  GROUP BY doc_id
+      |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+      |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+      |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin
+
   val all: Seq[CatalogEntry] = Seq(
 
     CatalogEntry(
@@ -3863,29 +3895,10 @@ object ExtensionCatalog {
         // term ranges plus the candidate docs; the corpus text column never
         // enters the candidate scan. Same result set as x87, so the same
         // oracle gates it — what changes is WHERE the trigrams come from.
-        val pat = "table part"
-        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
-        val posting = s.read.parquet(stagedPostingIndex(s, dir))
-        val cands = posting
-          .where(col("tri").isin(tris: _*))
-          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
-          .where(col("nt") === tris.size)
-        cands.join(t(s, dir, "documents"), "doc_id")
-          .where(col("text").contains(pat))
-          .select("doc_id")
-          .orderBy("doc_id")
+        // Probe body + oracle shared verbatim with x157 (postingSearch).
+        postingSearch(s, dir, stagedPostingIndex(s, dir))
       },
-      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
-             |    range(1, length('table part') - 1),
-             |    i -> substring('table part', i, 3))) AS tri),
-             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
-             |  FROM documents WHERE length(text) >= 3),
-             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
-             |  GROUP BY doc_id
-             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
-             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
-             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      Some(dPostingSearchOracle),
       "substring search probing the persisted term-sorted posting index " +
         "(Layouts.postingIndex) instead of rebuilding it per query — the write-once, " +
         "probe-many layout the 100 TB claim rests on (extension: retrieval)"),
@@ -6853,29 +6866,10 @@ object ExtensionCatalog {
         // own full-corpus oracle: a missing odd-doc posting (append
         // lost), a surviving pre-rebase artifact, or a dropped row in
         // the rebase all change the candidate set and fail the gate.
-        val pat = "table part"
-        val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
-        val posting = s.read.parquet(stagedPostingAppendIndex(s, dir))
-        val cands = posting
-          .where(col("tri").isin(tris: _*))
-          .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
-          .where(col("nt") === tris.size)
-        cands.join(t(s, dir, "documents"), "doc_id")
-          .where(col("text").contains(pat))
-          .select("doc_id")
-          .orderBy("doc_id")
+        // Probe body + oracle shared verbatim with x101 (postingSearch).
+        postingSearch(s, dir, stagedPostingAppendIndex(s, dir))
       },
-      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
-             |    range(1, length('table part') - 1),
-             |    i -> substring('table part', i, 3))) AS tri),
-             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
-             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
-             |  FROM documents WHERE length(text) >= 3),
-             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
-             |  GROUP BY doc_id
-             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
-             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
-             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      Some(dPostingSearchOracle),
       "posting-index maintenance lifecycle: odd-half batch appended (replayed " +
         "under one batch id) then rebased to one generation — per-doc-independent " +
         "postings make append ≡ rebuild trivially provable; probed under x101's " +
@@ -7217,7 +7211,8 @@ object ExtensionCatalog {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)
       val q = graft.streaming.StreamDedup.ingestAdmitLoop(
-        s, in, idx, s"$base/ledger", s"$base/ckpt")
+        s, in, idx, s"$base/ledger", s"$base/ckpt",
+        groupBytes = 256L * 1024, pageRows = 2000)
       try {
         landFeedFile(docs.where(col("doc_id") % 3 === 1).select(cols: _*),
           s"$base/stage1", in, "g1")

@@ -198,6 +198,21 @@ object Layouts {
     * it per query would cost a full corpus scan each time — exactly the
     * scan the index exists to avoid).
     */
+  /** The ONE definition of a corpus slice's posting rows (doc_id,
+    * distinct char-trigram), shared by [[postingIndex]] and
+    * [[postingAppend]] — two copies of the shingling expression could
+    * silently desynchronize append from rebuild, the exact invariant
+    * x157/LayoutsSpec gate (review r15).
+    */
+  private def postingRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{array_distinct, explode, expr, length}
+    docs.where(length(col(textCol)) >= 3)
+      .select(col(idCol),
+        explode(array_distinct(expr(
+          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
+          .as("tri"))
+  }
+
   def postingIndex(
       docs: DataFrame,
       path: String,
@@ -205,17 +220,10 @@ object Layouts {
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.{array_distinct, explode, expr, length}
-    val posting = docs.where(length(col(textCol)) >= 3)
-      .select(col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
-          .as("tri"))
-    sortedStats(posting, path, Seq("tri"),
+      partitions: Int = 0): Unit =
+    sortedStats(postingRows(docs, idCol, textCol), path, Seq("tri"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
-  }
 
   /** Incremental maintenance of a persisted posting index: the batch's
     * (doc_id, trigram) rows are exploded exactly as [[postingIndex]] does
@@ -236,7 +244,6 @@ object Layouts {
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
       batchId: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{array_distinct, explode, expr, length}
     val spark = docs.sparkSession
     batchId.foreach(requireBatchId)
     val batched = spark.read.parquet(path).columns.contains("batch_id")
@@ -249,12 +256,7 @@ object Layouts {
       case None if batched => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
       case None            => (None, "append", false)
     }
-    val posting = docs.where(length(col(textCol)) >= 3)
-      .select(col(idCol),
-        explode(array_distinct(expr(
-          s"transform(sequence(1, length($textCol) - 2), i -> substring($textCol, i, 3))")))
-          .as("tri"))
-    sortedStats(posting, path, Seq("tri"),
+    sortedStats(postingRows(docs, idCol, textCol), path, Seq("tri"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
   }

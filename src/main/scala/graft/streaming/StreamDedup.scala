@@ -136,6 +136,18 @@ object StreamDedup {
     * statuses, index rows, AND a follow-up probe. Requires a
     * batch_id-partitioned (round-15) index layout — the append refuses a
     * legacy flat index.
+    *
+    * Slice identity: the engine's batchId is unique only WITHIN one
+    * checkpoint lineage — a reset checkpoint (or a second stream feeding
+    * the same index) restarts at batch 0 and would overwrite lineage-0's
+    * slices while the self-exclusion hid them from the probe, silently
+    * destroying earlier admissions (review r15). Slices are therefore
+    * namespaced `<streamId>-b<batchId>`; `streamId` defaults to a stable
+    * hash of the checkpoint path, so one lineage is self-consistent
+    * across restarts and a FRESH checkpoint gets a fresh namespace
+    * (old-lineage admissions stay visible to its probes, as corpus state
+    * should). Multiple writers into one index must pass distinct
+    * explicit `streamId`s.
     */
   def ingestAdmitLoop(
       spark: SparkSession,
@@ -143,7 +155,12 @@ object StreamDedup {
       indexPath: String,
       ledgerPath: String,
       checkpoint: String,
-      threshold: Double = 0.5) = {
+      threshold: Double = 0.5,
+      streamId: Option[String] = None,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000) = {
+    val sid = streamId.getOrElse(
+      f"ck${scala.util.hashing.MurmurHash3.stringHash(checkpoint) & 0x7fffffff}%08x")
     spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", "1")
@@ -152,23 +169,29 @@ object StreamDedup {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        admitBatch(batch, batchId, indexPath, ledgerPath, threshold)
+        admitBatch(batch, batchId, indexPath, ledgerPath, threshold,
+          streamId = sid, groupBytes = groupBytes, pageRows = pageRows)
       }
       .start()
   }
 
   /** One micro-batch of [[ingestAdmitLoop]]: probe (self-excluding),
     * admit, append, ledger. Public so the spec can drive the replay case
-    * directly, like [[auditBatch]].
+    * directly, like [[auditBatch]]. `groupBytes`/`pageRows` flow to the
+    * index append so stream-grown slices keep the BUILD's layout physics
+    * (a deployment that tuned the build knobs applies them here too).
     */
   def admitBatch(
       batch: org.apache.spark.sql.DataFrame,
       batchId: Long,
       indexPath: String,
       ledgerPath: String,
-      threshold: Double): Unit = {
+      threshold: Double,
+      streamId: String = "s0",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000): Unit = {
     val spark = batch.sparkSession
-    val bid = s"b$batchId"
+    val bid = s"$streamId-b$batchId"
     // in-batch re-deliveries collapse first, as in auditBatch
     val docs = batch.dropDuplicates("doc_id").localCheckpoint()
     val meta = spark.read.parquet(s"$indexPath/meta").head()
@@ -193,7 +216,8 @@ object StreamDedup {
     val kept = docs.join(
       st.where(col("status") === "kept").select("doc_id"), "doc_id")
       .localCheckpoint()
-    graft.sources.Layouts.minhashAppend(kept, indexPath, batchId = Some(bid))
+    graft.sources.Layouts.minhashAppend(kept, indexPath,
+      groupBytes = groupBytes, pageRows = pageRows, batchId = Some(bid))
     st.withColumn("batch_id", lit(batchId))
       .write
       .option("partitionOverwriteMode", "dynamic")

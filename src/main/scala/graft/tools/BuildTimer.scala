@@ -6,9 +6,15 @@ import org.apache.spark.sql.functions._
 /** Dev tool: time a staged-index BUILD repeatedly with a fresh output dir
   * per rep (the catalog's stagedBuilds memoize per fixture dir, so Bench
   * rows can't be re-run in one JVM — this calls the Layouts builders
-  * directly). args: <ivf|ivf2|posting|minhash|jaccard> <sfDir> [reps].
-  * Prints per-rep walls and the median, Bench-style (cache-clear + GC
-  * between reps).
+  * directly). args:
+  * <ivf|ivf2|posting|minhash|jaccard|compact|rebuild_grown> <sfDir>
+  * [reps]. Prints per-rep walls and the median, Bench-style
+  * (cache-clear + GC between reps). `compact` times ONLY the
+  * minhashCompact rebase over a per-rep fresh x155-shaped grown index
+  * (gen-0 build + gen-1 ADMITTED append, both untimed); `rebuild_grown`
+  * times the from-scratch build over the same grown corpus — together
+  * the measured form of SCALING.md's O(index)-vs-O(corpus) rebase
+  * claim.
   *
   * Each variant reproduces ITS bench row's exact inputs and knobs
   * (ExtensionCatalog's staged builders: posting over the full corpus,
@@ -42,12 +48,36 @@ object BuildTimer {
       System.gc()
       val out = freshOut()
       // UNTIMED staging for the compact mode: the measurement is the
-      // rebase alone, over a grown index prepared fresh per rep
+      // rebase alone, over a grown index prepared fresh per rep with
+      // x155's EXACT lifecycle — gen-1 probed and only its ADMITTED
+      // (kept) docs appended; appending all of g1 would time compaction
+      // of a different, larger artifact than the bench row's (review r15)
+      var rebuildInput: org.apache.spark.sql.DataFrame = null
       if (which == "compact") {
         graft.sources.Layouts.minhashIndex(g0, out,
           groupBytes = 256L * 1024, pageRows = 2000)
-        graft.sources.Layouts.minhashAppend(g1, out,
-          groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+        val st1 = graft.operators.Dedup.incrementalDedupStaged(
+          g1, out, "doc_id", "text", threshold = 0.5)
+        val kept1 = g1.join(
+          st1.where(col("status") === "kept").select("doc_id"), "doc_id")
+          .localCheckpoint()
+        graft.sources.Layouts.minhashAppend(kept1, out,
+          groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
+      }
+      // rebuild_grown's input is the SAME admitted corpus the compact
+      // mode's index holds (g0 ∪ kept1, derived untimed via a throwaway
+      // gen-0 probe index) — a rebuild over all of g0 ∪ g1 would time a
+      // larger build than the artifact compact rebases (review r15)
+      if (which == "rebuild_grown") {
+        val probeIdx = freshOut()
+        graft.sources.Layouts.minhashIndex(g0, probeIdx,
+          groupBytes = 256L * 1024, pageRows = 2000)
+        val st1 = graft.operators.Dedup.incrementalDedupStaged(
+          g1, probeIdx, "doc_id", "text", threshold = 0.5)
+        rebuildInput = g0.union(g1.join(
+          st1.where(col("status") === "kept").select("doc_id"), "doc_id"))
+          .localCheckpoint()
+        scala.reflect.io.Directory(new java.io.File(probeIdx)).deleteRecursively()
       }
       val t0 = System.nanoTime()
       which match {
@@ -67,7 +97,7 @@ object BuildTimer {
         case "compact" => graft.sources.Layouts.minhashCompact(out,
           groupBytes = 256L * 1024, pageRows = 2000)(spark)
         case "rebuild_grown" => graft.sources.Layouts.minhashIndex(
-          g0.union(g1), out, groupBytes = 256L * 1024, pageRows = 2000)
+          rebuildInput, out, groupBytes = 256L * 1024, pageRows = 2000)
         case other => sys.error(s"unknown build '$other'")
       }
       val w = (System.nanoTime() - t0) / 1e9

@@ -29,12 +29,9 @@ object V2Runner {
     val threads = opts.getOrElse("-t", "16").toInt
     val columns = opts.get("-cols").map(_.split(",").toSeq).getOrElse(Nil)
 
-    val files = {
-      val f = new java.io.File(path)
-      if (f.isDirectory)
-        f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
-      else Seq(path)
-    }
+    // BytePlanner's recursive listing, so the runner and the planner it
+    // reports parity against always agree on the file set (review r15)
+    val files = graft.metrics.BytePlanner.listParquet(new java.io.File(path))
     require(files.nonEmpty, s"no parquet files under $path")
 
     val w: Double = opts.getOrElse("-w", "0") match {
