@@ -704,6 +704,17 @@ object Layouts {
     * are probe-neutral through the semi-join but pure dead weight).
     * Each table swaps in via rewrite-aside + rename; at 100 TB the same
     * two-phase shape lands behind a catalog/manifest pointer swap.
+    *
+    * Operational constraint with the streaming admit loop
+    * ([[graft.streaming.StreamDedup.ingestAdmitLoop]]): compact only a
+    * QUIESCED index — rebasing folds every slice into `base`, so a
+    * pending at-least-once replay of the last batch would no longer find
+    * its own slice to self-exclude, classify its docs against their own
+    * rebased rows (all self-dups), and write a wrong ledger slice for
+    * that batch. No index rows are lost either way (the rebased rows
+    * stay in `base`; the replay's overwrite only touches its own empty
+    * slice), but the batch's LEDGER statuses would flip — run compaction
+    * between checkpointed batches, exactly like the rebuild it replaces.
     */
   def minhashCompact(
       path: String,
