@@ -575,18 +575,27 @@ object Bench {
     // indistinguishable
     val buildWriteMbps = buildMap((_, r) =>
       if (r.wallSec > 0) r.outputMb / r.wallSec else 0.0, 100)
-    def auditJson(m: scala.collection.Map[String, Double]): String = m
+    def auditJson(m: scala.collection.Map[String, Double], cap: Int = Int.MaxValue): String = m
+      .take(cap)
       .map { case (k, v) => "\"" + k + "\":" + round(v, 100) }
       .mkString("{", ",", "}")
+    // FULL maps in the artifact; the stdout line carries at most 4 of
+    // each plus the total count — the retry budget admits ~50 sub-second
+    // retries, and an unbounded map would push the final line past the
+    // driver's ~2000-char tail capture (the BENCH_r06/r07 failure mode,
+    // re-measured this round at 2058 chars with just 4 retries)
     val retriedJson = auditJson(retriedRows)
     val retriedStreamsJson = auditJson(retriedStreams)
+    val retriedJsonLine = auditJson(retriedRows, 4)
+    val retriedStreamsJsonLine = auditJson(retriedStreams, 4)
+    val retriedCount = retriedRows.size + retriedStreams.size
     def streamMap(f: ((String, R, Double, Double)) => Double, p: Double): String =
       streamRows.map { t =>
         "\"" + t._1.stripPrefix("stream_") + "\":" + round(f(t), p)
       }.mkString("{", ",", "}")
     val streamP50 = streamMap(_._3, 1000)
     val streamP95 = streamMap(_._4, 1000)
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","scratch_dir":"$scratchDir","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/
@@ -616,11 +625,11 @@ object Bench {
     // `slowest` trimmed 12→10: the trigger-latency/build-write/host-gate
     // fields below must fit with the rest inside the driver's 2000-char
     // stdout tail window
-    val slowest = results.sortBy(-_._2.wallSec).take(10)
+    val slowest = results.sortBy(-_._2.wallSec).take(6)
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"build_write_mb":$buildWriteMb,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"scratch_dir":"$scratchDir","full_artifact":"target/bench_full.json","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJsonLine,"retried_streams":$retriedStreamsJsonLine,"retried_count":$retriedCount,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }
