@@ -6883,13 +6883,16 @@ object ExtensionCatalog {
         // batch 0 and is probed against the gen-0 index, its admitted
         // docs are appended under the engine's own batch id, then gen-2
         // lands as batch 1 and is probed against the GROWN index. The
-        // ledger (batch_id-partitioned, replay-overwrite) is read back
-        // and summarized per (batch, source); the oracle replays both
-        // probe stages from fixtures alone — x153's lifecycle with the
-        // ENGINE supplying the batch identity instead of the caller.
+        // ledger (partitioned on the stream-scoped batch id, replay-
+        // overwrite; the engine's numeric id rides as engine_batch_id —
+        // ADVICE r15: raw-engine-id partitions collide across checkpoint
+        // lineages) is read back and summarized per (batch, source); the
+        // oracle replays both probe stages from fixtures alone — x153's
+        // lifecycle with the ENGINE supplying the batch identity instead
+        // of the caller.
         val led = s.read.parquet(stagedStreamAdmitLedger(s, dir))
         led.join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
-          .groupBy(col("batch_id").cast("long").as("batch_id"), col("source"))
+          .groupBy(col("engine_batch_id").as("batch_id"), col("source"))
           .agg(count(lit(1)).as("n_incoming"),
             sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
               .as("n_exact_dropped"),

@@ -82,6 +82,14 @@ object StreamDedup {
     * ledger rows carry `batch_id` and each write uses dynamic partition
     * overwrite (a replay rewrites exactly the `batch_id=N` partition).
     * StreamDedupSpec pins this by running the same batch twice.
+    *
+    * The partition key is the RAW engine batchId, unique only within one
+    * checkpoint lineage — `ledgerPath` must therefore be unique per
+    * lineage (a reset checkpoint restarts at batch 0 and would overwrite
+    * the old lineage's slices). The audit ledger is a per-run report, so
+    * one-path-per-lineage is its natural deployment; the ADMIT loop's
+    * ledger below, which feeds a long-lived index, namespaces its
+    * partitions by stream lineage instead (see [[admitBatch]]).
     */
   def auditBatch(
       batch: org.apache.spark.sql.DataFrame,
@@ -218,7 +226,16 @@ object StreamDedup {
       .localCheckpoint()
     graft.sources.Layouts.minhashAppend(kept, indexPath,
       groupBytes = groupBytes, pageRows = pageRows, batchId = Some(bid))
-    st.withColumn("batch_id", lit(batchId))
+    // the ledger partitions on the STREAM-SCOPED id, exactly like the
+    // index slices above (ADVICE r15): partitioned on the raw engine
+    // batchId, a reset checkpoint (new lineage restarting at batch 0) or
+    // a second stream sharing ledgerPath would dynamically overwrite the
+    // earlier lineage's `batch_id=N` slices and silently destroy its
+    // audit records. The engine's numeric id stays decodable as the
+    // `engine_batch_id` row column (within one lineage it orders the
+    // batches; across lineages only `batch_id` is unique).
+    st.withColumn("engine_batch_id", lit(batchId))
+      .withColumn("batch_id", lit(bid))
       .write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")

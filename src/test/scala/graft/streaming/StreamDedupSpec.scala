@@ -230,8 +230,11 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     val g1 = docs.where(col("doc_id") % 3 === 1)
     StreamDedup.admitBatch(g1, batchId = 0L, idx, ledger, threshold = 0.5)
     def ledgerRows() = spark.read.parquet(ledger)
-      .select(col("doc_id"), col("status"), col("batch_id").cast("long"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      .select(col("doc_id"), col("status"), col("engine_batch_id"),
+        col("batch_id").cast("string"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .sorted.toSeq
     def idxCounts() = Seq("fp", "banded", "shingles")
       .map(t => t -> spark.read.parquet(s"$idx/$t").count()).toMap
     def probeG2() = graft.operators.Dedup.incrementalDedupStaged(
@@ -249,5 +252,38 @@ class StreamDedupSpec extends AnyFunSuite with Matchers {
     probeG2() shouldBe g2p1
     // and the grown index actually matters downstream (not a vacuous pin)
     g2p1.count(_._2 != "kept") should be > 0
+  }
+
+  test("admitBatch: two checkpoint lineages sharing one ledgerPath both survive") {
+    // ADVICE r15: the ledger used to partition on the RAW engine batchId,
+    // so a second lineage's batch 0 dynamically overwrote the first
+    // lineage's batch_id=0 ledger slice (the index slices were already
+    // lineage-namespaced). Both lineages' audit records must coexist, and
+    // a replay of one lineage's batch must not touch the other's.
+    val spark = graft.SparkTestSession.spark
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("admit2-idx").toString
+    graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val ledger = java.nio.file.Files.createTempDirectory("admit2-led").toString + "/led"
+    StreamDedup.admitBatch(docs.where(col("doc_id") % 3 === 1),
+      batchId = 0L, idx, ledger, threshold = 0.5, streamId = "lineA")
+    def byLineage() = spark.read.parquet(ledger)
+      .groupBy(col("batch_id").cast("string"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val afterA = byLineage()
+    afterA.keySet shouldBe Set("lineA-b0")
+    // lineage B restarts at engine batch 0 on the SAME ledger path
+    StreamDedup.admitBatch(docs.where(col("doc_id") % 3 === 2),
+      batchId = 0L, idx, ledger, threshold = 0.5, streamId = "lineB")
+    val afterB = byLineage()
+    afterB.keySet shouldBe Set("lineA-b0", "lineB-b0")
+    afterB("lineA-b0") shouldBe afterA("lineA-b0") // A's audit intact
+    // and a replay of B's batch leaves A untouched too
+    StreamDedup.admitBatch(docs.where(col("doc_id") % 3 === 2),
+      batchId = 0L, idx, ledger, threshold = 0.5, streamId = "lineB")
+    byLineage() shouldBe afterB
   }
 }
