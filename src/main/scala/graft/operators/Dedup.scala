@@ -199,12 +199,17 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
-    val spark = incoming.sparkSession
+    implicit val spark: org.apache.spark.sql.SparkSession = incoming.sparkSession
     val meta = spark.read.parquet(s"$indexPath/meta").head()
+    // manifest-managed indexes resolve to the current immutable
+    // generation ONCE, so all three table reads see one consistent root
+    // even while a compact publishes (legacy flat indexes resolve to the
+    // path itself); meta stays at the index path in both layouts
+    val root = graft.sources.Layouts.indexRoot(indexPath)
     incrementalDedupStaged(incoming,
-      spark.read.parquet(s"$indexPath/fp"),
-      spark.read.parquet(s"$indexPath/banded"),
-      spark.read.parquet(s"$indexPath/shingles"),
+      spark.read.parquet(s"$root/fp"),
+      spark.read.parquet(s"$root/banded"),
+      spark.read.parquet(s"$root/shingles"),
       idCol, textCol,
       k = meta.getAs[Int]("k"),
       bands = meta.getAs[Int]("bands"),

@@ -387,11 +387,16 @@ object Layouts {
       batchId: Option[String] = None): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val m = spark.read.parquet(s"$path/meta").head()
     val (k, bands, shingleN) =
       (m.getAs[Int]("k"), m.getAs[Int]("bands"), m.getAs[Int]("shingle_n"))
     batchId.foreach(requireBatchId)
-    val batched = spark.read.parquet(s"$path/fp").columns.contains("batch_id")
+    // managed layout: slices land in the CURRENT generation; the fix-up
+    // loop after the writes handles a compact publishing concurrently
+    val gen0 = currentGeneration(path, conf)
+    val root = gen0.map(_._2).getOrElse(path)
+    val batched = spark.read.parquet(s"$root/fp").columns.contains("batch_id")
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its flat layout; rebuild via minhashIndex")
@@ -403,20 +408,36 @@ object Layouts {
       case None if batched  => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
       case None             => (None, "append", false)
     }
-    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
+    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$root/fp", Seq("fp"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
     try {
       sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
-        s"$path/banded", Seq("bh"),
+        s"$root/banded", Seq("bh"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
         mode = mode, batchId = bid, dynamicOverwrite = dyn)
       sortedStats(sigs.select(col(idCol), col("shingles")),
-        s"$path/shingles", Seq(idCol),
+        s"$root/shingles", Seq(idCol),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
         mode = mode, batchId = bid, dynamicOverwrite = dyn)
     } finally sigs.unpersist()
+    // managed layout: seal the slices (the fold skips unsealed = in-flight
+    // appends), then chase the manifest — if a compact published a new
+    // generation while this append was writing, copy the slices forward
+    // and re-check until the version holds still (see the protocol note
+    // above currentGeneration)
+    for ((v0, _) <- gen0; b <- bid) {
+      sealMinhashSlices(root, b, conf)
+      var prev = (v0, root)
+      var cur = currentGeneration(path, conf).getOrElse(prev)
+      while (cur._1 != prev._1) {
+        Seq("fp", "banded", "shingles").foreach(tbl =>
+          copySlice(s"${prev._2}/$tbl", s"${cur._2}/$tbl", b, conf))
+        prev = cur
+        cur = currentGeneration(path, conf).getOrElse(prev)
+      }
+    }
   }
 
   /** Persisted EXACT-Jaccard corpus index — the no-miss dual of
@@ -706,15 +727,20 @@ object Layouts {
     * two-phase shape lands behind a catalog/manifest pointer swap.
     *
     * Operational constraint with the streaming admit loop
-    * ([[graft.streaming.StreamDedup.ingestAdmitLoop]]): compact only a
-    * QUIESCED index — rebasing folds every slice into `base`, so a
-    * pending at-least-once replay of the last batch would no longer find
-    * its own slice to self-exclude, classify its docs against their own
-    * rebased rows (all self-dups), and write a wrong ledger slice for
-    * that batch. No index rows are lost either way (the rebased rows
-    * stay in `base`; the replay's overwrite only touches its own empty
-    * slice), but the batch's LEDGER statuses would flip — run compaction
-    * between checkpointed batches, exactly like the rebuild it replaces.
+    * ([[graft.streaming.StreamDedup.ingestAdmitLoop]]): on the LEGACY
+    * flat layout, compact only a QUIESCED index — the rename-aside swap
+    * can race a live probe's root, and rebasing folds every slice into
+    * `base`, so a pending at-least-once replay of the last batch would
+    * no longer find its own slice to self-exclude, classify its docs
+    * against their own rebased rows (all self-dups), and write a wrong
+    * ledger slice for that batch. A MANIFEST-MANAGED index
+    * ([[manageMinhash]]) removes the constraint: generations are
+    * immutable, the swap is a pointer publish, each stream's newest
+    * slice stays live through the fold (replay self-exclusion intact),
+    * and slices landing mid-compact reach the new generation via the
+    * compactor's post-publish re-list or the writer's own fix-up —
+    * ManagedCompactionSpec runs admit batches across a concurrent
+    * compact and pins probe/ledger invariance.
     */
   def minhashCompact(
       path: String,
@@ -723,42 +749,100 @@ object Layouts {
       partitions: Int = 0)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq("fp", "banded", "shingles").foreach { tbl =>
-      val tblPath = s"$path/$tbl"
-      val df = spark.read.parquet(tblPath)
-      require(df.columns.contains("batch_id"),
-        s"$tblPath predates batch_id partitioning — nothing to compact; " +
-          "rebuild via minhashIndex to migrate")
-      val flat = df.drop("batch_id")
-      // sort keys are structural per table (the build's own choices):
-      // fp on the fingerprint, banded on the bucket hash, shingles on the
-      // id column — whatever the caller named it, it is the non-payload
-      // column left over
-      val (shaped, sortCols) = tbl match {
+    // sort keys are structural per table (the build's own choices):
+    // fp on the fingerprint, banded on the bucket hash, shingles on the
+    // id column — whatever the caller named it, it is the non-payload
+    // column left over
+    def shape(tbl: String, flat: DataFrame): (DataFrame, Seq[String]) =
+      tbl match {
         case "fp"     => (flat.distinct(), Seq("fp"))
         case "banded" => (flat, Seq("bh"))
         case _        =>
           (flat, flat.columns.filterNot(_ == "shingles").take(1).toSeq)
       }
-      val tmp = s"$tblPath.__compact"
-      sortedStats(shaped, tmp, sortCols,
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-      swapIn(tblPath, tmp, conf)
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        // ---- managed: fold into a NEW generation, publish the pointer.
+        // Snapshot the sealed slices ONCE across all three tables so the
+        // fold/live split is consistent per batch (a batch folded in fp
+        // but live in banded would half-break its replay self-exclusion).
+        val tables = Seq("fp", "banded", "shingles")
+        val states = tables.map(t => t -> sliceStates(s"$rootG/$t", conf)).toMap
+        val sealedIds = states.values.flatten
+          .collect { case (id, true) => id }.toSet - "base"
+        val live = liveTail(sealedIds)
+        val fold = sealedIds -- live + "base"
+        val newGen = genName(v + 1)
+        val newRoot = s"$path/$newGen"
+        tables.foreach { tbl =>
+          val df = spark.read.parquet(s"$rootG/$tbl")
+          val (shaped, sortCols) =
+            shape(tbl, df.where(col("batch_id").isin(fold.toSeq: _*))
+              .drop("batch_id"))
+          sortedStats(shaped, s"$newRoot/$tbl", sortCols,
+            groupBytes = groupBytes, pageRows = pageRows,
+            partitions = partitions, batchId = Some("base"))
+          live.foreach(b => copySlice(s"$rootG/$tbl", s"$newRoot/$tbl", b, conf))
+        }
+        publishGeneration(path, v + 1, newGen, conf)
+        // post-publish re-list: slices sealed AFTER the snapshot whose
+        // writer checked the manifest BEFORE the publish (see protocol)
+        tables.foreach { tbl =>
+          sliceStates(s"$rootG/$tbl", conf)
+            .collect { case (id, true) if !fold(id) && !live(id) => id }
+            .foreach(b => copySlice(s"$rootG/$tbl", s"$newRoot/$tbl", b, conf))
+        }
+        // grace cleanup: keep rootG for readers that resolved it before
+        // the publish; delete everything OLDER (two compacts retire a
+        // generation)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+        fs.listStatus(new org.apache.hadoop.fs.Path(path))
+          .filter(s => s.isDirectory && s.getPath.getName.matches("g=\\d{9}"))
+          .filter(_.getPath.getName.stripPrefix("g=").toLong < v)
+          .foreach(s => fs.delete(s.getPath, true))
+      case None =>
+        // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
+        Seq("fp", "banded", "shingles").foreach { tbl =>
+          val tblPath = s"$path/$tbl"
+          val df = spark.read.parquet(tblPath)
+          require(df.columns.contains("batch_id"),
+            s"$tblPath predates batch_id partitioning — nothing to compact; " +
+              "rebuild via minhashIndex to migrate")
+          val (shaped, sortCols) = shape(tbl, df.drop("batch_id"))
+          val tmp = s"$tblPath.__compact"
+          sortedStats(shaped, tmp, sortCols,
+            groupBytes = groupBytes, pageRows = pageRows,
+            partitions = partitions, batchId = Some("base"))
+          swapIn(tblPath, tmp, conf)
+        }
     }
   }
 
-  /** Rename-aside table swap, never delete-then-rename: a crash between
-    * the two renames leaves a readable table at every instant (old until
-    * the swap, new after); delete-first would leave a window where the
-    * index had NO table at this path (review r15). A failed install
-    * rolls the previous generation back in.
+  /** Rename-aside table swap, never delete-then-rename: while the process
+    * lives, a failure leaves a readable table (a failed FIRST rename
+    * leaves the old table untouched; a failed SECOND rolls the old one
+    * back in). A hard CRASH between the two renames, however, leaves NO
+    * table at the canonical path — the previous generation is stranded at
+    * `<tblPath>.__old` (ADVICE r15: the old comment overclaimed
+    * "readable at every instant"). Recovery is the rename back, and this
+    * method performs it automatically on entry, so the next compaction
+    * self-heals a crashed predecessor; a READER hitting the window sees
+    * a missing-path error and the operator restores `.__old` by hand (or
+    * reruns the compact). The manifest-generation layout below exists
+    * precisely to close this window — its pointer swap is a single
+    * atomic file create and readers never lose a root.
     */
   private def swapIn(tblPath: String, tmp: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
     val cur = new org.apache.hadoop.fs.Path(tblPath)
     val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
+    // crash recovery: a predecessor that died between its two renames
+    // left the table stranded aside — restore it before doing anything
+    if (!fs.exists(cur) && fs.exists(old)) {
+      require(fs.rename(old, cur),
+        s"found crashed-swap debris at $old but could not restore it")
+    }
     fs.delete(old, true) // stale debris from an earlier crashed swap
     require(fs.rename(cur, old),
       s"compaction swap failed moving $tblPath aside — table untouched")
@@ -768,6 +852,184 @@ object Layouts {
         "previous generation restored")
     }
     fs.delete(old, true)
+  }
+
+  // ---- manifest-generation index layout (VERDICT r15 #5) --------------
+  //
+  // The rename-aside swap above requires a QUIESCED index: the canonical
+  // table path is briefly absent mid-swap, and a compaction that folds
+  // batch slices into `base` races a live admit loop two ways — a probe
+  // can lose its root mid-read, and a slice that lands while the fold
+  // runs is either half-folded or stranded in a directory the fold
+  // already read past. The manifest layout removes the shared mutable
+  // path: table generations are IMMUTABLE sibling directories
+  // (`<path>/g=NNNNNNNNN/{fp,banded,shingles}`) and the only mutation is
+  // publishing a new pointer file (`<path>/_manifest/vNNNNNNNNN`,
+  // create-once; highest version wins). Readers resolve the pointer once
+  // per probe and read an immutable root; the previous generation is
+  // retained as grace for one compaction cycle, so in-flight readers
+  // finish on the root they resolved. At 100 TB this is the catalog/
+  // manifest pattern (Iceberg-style) the directory rename was standing
+  // in for.
+  //
+  // Writer/compactor protocol (no locks, single compactor assumed):
+  //   - an APPEND resolves the current generation, writes its slices
+  //     there, SEALS each slice (a `_SEALED` marker file — the fold
+  //     never touches unsealed, i.e. in-flight, slices), then re-reads
+  //     the manifest: if a compact published meanwhile, it copies its
+  //     own sealed slices into the new generation and re-checks, until
+  //     the version is stable.
+  //   - a COMPACT snapshots the sealed slices, folds them into the new
+  //     generation's `base` EXCEPT each stream's newest slice (kept as a
+  //     live slice so a pending at-least-once replay of that batch still
+  //     finds its own partition to self-exclude — fold it and the replay
+  //     would classify its docs against their own rebased rows), copies
+  //     the live slices over, publishes the pointer, then re-lists the
+  //     old generation once: any sealed slice that appeared after the
+  //     snapshot is copied too. Every completed slice thus reaches the
+  //     new generation — by the compactor's re-list if it sealed before
+  //     that, by the writer's own fix-up otherwise (the writer's check
+  //     happens after its seal, so one of the two always observes the
+  //     other's progress).
+  //   - an UNSEALED slice at fold time belongs to an append that has not
+  //     returned; if that append crashed mid-write its batch was never
+  //     checkpointed upstream, the engine replays it, and the replay's
+  //     dynamic overwrite rewrites the slice wherever the CURRENT
+  //     generation is — the stale partial stays in the old generation
+  //     and is deleted with it.
+
+  private val ManifestDirName = "_manifest"
+  private val SealName = "_SEALED"
+  private def genName(v: Long): String = f"g=$v%09d"
+
+  /** Current (version, generation root) of a manifest-managed index, or
+    * None for the legacy flat layout (every API below falls back to the
+    * flat path in that case, so unmanaged indexes keep working unchanged).
+    */
+  def currentGeneration(path: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, String)] = {
+    val md = new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName")
+    val fs = md.getFileSystem(conf)
+    if (!fs.exists(md)) None
+    else {
+      val vs = fs.listStatus(md).map(_.getPath.getName)
+        .filter(_.matches("v\\d{9}")).map(_.drop(1).toLong)
+      if (vs.isEmpty) None
+      else {
+        val v = vs.max
+        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName/v${"%09d".format(v)}"))
+        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                  finally in.close()
+        Some((v, s"$path/$gen"))
+      }
+    }
+  }
+
+  /** Resolve the directory the index's TABLES live under: the current
+    * generation for a managed index, the path itself for a legacy flat
+    * one. Probes resolve ONCE and read all tables from the same immutable
+    * root — `meta` stays at the index path (it is parameter identity, not
+    * generation state).
+    */
+  def indexRoot(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): String =
+    currentGeneration(path, spark.sparkContext.hadoopConfiguration)
+      .map(_._2).getOrElse(path)
+
+  /** Publish manifest version `v` pointing at generation dir `gen`
+    * (name relative to the index path). Create-once: two racing
+    * compactors cannot both win a version.
+    */
+  private def publishGeneration(path: String, v: Long, gen: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val target = new org.apache.hadoop.fs.Path(
+      s"$path/$ManifestDirName/v${"%09d".format(v)}")
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target.getParent)
+    val out = fs.create(target, /*overwrite=*/ false)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Migrate a flat MinHash index (as [[minhashIndex]] writes it) into
+    * the manifest-generation layout: the three tables MOVE into
+    * `g=000000000` and manifest v0 is published. Run this once, quiesced
+    * (it is a setup-time migration — the whole point is that everything
+    * AFTER it never needs quiescence again); `meta` stays at the index
+    * path. Idempotent: a second call on a managed index is a no-op.
+    */
+  def manageMinhash(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (currentGeneration(path, conf).isDefined) return
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val gen = genName(0L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
+    Seq("fp", "banded", "shingles").foreach { tbl =>
+      val src = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+      require(fs.exists(src), s"no $tbl table at $path — build minhashIndex first")
+      require(fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/$gen/$tbl")),
+        s"could not move $src into $gen")
+    }
+    publishGeneration(path, 0L, gen, conf)
+  }
+
+  /** Batch slice directories (`batch_id=X`) of one table; (id, sealed). */
+  private def sliceStates(tblPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(tblPath)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map { s =>
+        val id = s.getPath.getName.stripPrefix("batch_id=")
+        id -> fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SealName))
+      }
+  }
+
+  /** Mark a just-written slice complete in all three MinHash tables (the
+    * fold skips unsealed slices — they are in-flight appends).
+    */
+  private def sealMinhashSlices(root: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    Seq("fp", "banded", "shingles").foreach { tbl =>
+      val dir = new org.apache.hadoop.fs.Path(s"$root/$tbl/batch_id=$bid")
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir)) fs.createNewFile(new org.apache.hadoop.fs.Path(dir, SealName))
+    }
+
+  /** Copy one sealed slice dir to another generation if not already
+    * there — copy, never move: the source generation stays complete for
+    * its grace-period readers. Concurrent copiers (writer fix-up racing
+    * the compactor's re-list) are safe: each copies to a private temp
+    * and only one rename into the final name wins.
+    */
+  private def copySlice(fromTbl: String, toTbl: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$fromTbl/batch_id=$bid")
+    val dst = new org.apache.hadoop.fs.Path(s"$toTbl/batch_id=$bid")
+    val fs = src.getFileSystem(conf)
+    if (!fs.exists(src) || fs.exists(dst)) return
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race: done
+  }
+
+  /** The slices a compact must NOT fold: per stream lineage (ids shaped
+    * `<prefix>-b<N>`, the admit loop's namespace), the newest slice — a
+    * pending at-least-once replay can only be of a stream's LAST batch
+    * (foreachBatch commits in order), and folding it would strip the
+    * self-exclusion slice that makes the replay a no-op. Explicit batch
+    * ids outside that shape (the batch-API's caller-named generations)
+    * have no engine replaying them and fold normally.
+    */
+  private def liveTail(ids: Set[String]): Set[String] = {
+    val P = "^(.*)-b(\\d+)$".r
+    ids.toSeq.collect { case id @ P(pre, n) => (pre, n.toLong, id) }
+      .groupBy(_._1).values.map(_.maxBy(_._2)._3).toSet
   }
 
   /** Compact a batch-partitioned IVF index's inverted lists back to a

@@ -198,16 +198,21 @@ object StreamDedup {
       streamId: String = "s0",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000): Unit = {
-    val spark = batch.sparkSession
+    implicit val spark: SparkSession = batch.sparkSession
     val bid = s"$streamId-b$batchId"
     // in-batch re-deliveries collapse first, as in auditBatch
     val docs = batch.dropDuplicates("doc_id").localCheckpoint()
     val meta = spark.read.parquet(s"$indexPath/meta").head()
+    // manifest-managed index: resolve the current immutable generation
+    // ONCE for all three probe reads — a compact publishing mid-probe
+    // cannot move this batch's root out from under it (the previous
+    // generation survives as grace until the next compact)
+    val root = graft.sources.Layouts.indexRoot(indexPath)
     // self-exclusion: never probe against this batch's own slice (see
     // the replay contract above); first-run batches have no slice and
     // the filter is a no-op
     def tbl(name: String) = {
-      val t = spark.read.parquet(s"$indexPath/$name")
+      val t = spark.read.parquet(s"$root/$name")
       if (t.columns.contains("batch_id")) t.where(col("batch_id") =!= bid)
       else t
     }

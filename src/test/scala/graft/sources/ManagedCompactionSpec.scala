@@ -1,0 +1,171 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+import graft.SparkTestSession
+
+/** The manifest-generation MinHash layout (VERDICT r15 #5): compaction as
+  * an immutable-generation publish instead of a directory-rename swap, so
+  * a LIVE admit loop and a compact can run concurrently — the quiesced-
+  * index constraint the rename swap carried (ddcc9ae) is closed for
+  * managed indexes.
+  */
+class ManagedCompactionSpec extends AnyFunSuite with Matchers {
+  private def spark = SparkTestSession.spark
+  private def docs = spark.read
+    .parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+
+  private def freshManagedIndex(): String = {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idx = java.nio.file.Files.createTempDirectory("mgd-idx").toString
+    Layouts.minhashIndex(docs.where(col("doc_id") % 4 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.manageMinhash(idx)
+    idx
+  }
+
+  private def probe(idx: String, mod: Int) = graft.operators.Dedup
+    .incrementalDedupStaged(docs.where(col("doc_id") % 4 === mod),
+      idx, "doc_id", "text", 0.5)
+    .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("manageMinhash migration is probe-invariant and idempotent") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idx = java.nio.file.Files.createTempDirectory("mig-idx").toString
+    Layouts.minhashIndex(docs.where(col("doc_id") % 4 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val before = probe(idx, 1)
+    Layouts.manageMinhash(idx)
+    val (v, root) = Layouts.currentGeneration(
+      idx, spark.sparkContext.hadoopConfiguration).get
+    v shouldBe 0L
+    root should endWith("g=000000000")
+    probe(idx, 1) shouldBe before
+    Layouts.manageMinhash(idx) // second call: no-op, still v0
+    Layouts.currentGeneration(
+      idx, spark.sparkContext.hadoopConfiguration).get._1 shouldBe 0L
+  }
+
+  test("managed compact folds committed slices, keeps the stream tail live, " +
+      "and is probe-invariant") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = freshManagedIndex()
+    // a caller-named batch (folds) and two stream-lineage slices (tail
+    // s1-b1 must stay live for its potential replay)
+    Layouts.minhashAppend(docs.where(col("doc_id") % 4 === 1), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("rel2"))
+    Layouts.minhashAppend(docs.where(col("doc_id") % 8 === 2), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("s1-b0"))
+    Layouts.minhashAppend(docs.where(col("doc_id") % 8 === 6), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("s1-b1"))
+    val before = probe(idx, 3)
+    val rowsBefore = Seq("fp", "banded", "shingles").map(t =>
+      t -> spark.read.parquet(s"${Layouts.indexRoot(idx)}/$t")
+        .drop("batch_id").distinct().count()).toMap
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    val (v, root) = Layouts.currentGeneration(idx, conf).get
+    v shouldBe 1L
+    // base + the live stream tail only; rel2 and s1-b0 folded into base
+    val slices = spark.read.parquet(s"$root/banded")
+      .select("batch_id").distinct().collect().map(_.getString(0)).toSet
+    slices shouldBe Set("base", "s1-b1")
+    probe(idx, 3) shouldBe before
+    Seq("fp", "banded", "shingles").foreach { t =>
+      spark.read.parquet(s"$root/$t").drop("batch_id").distinct()
+        .count() shouldBe rowsBefore(t)
+    }
+    // previous generation retained as grace for in-flight readers
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000000")) shouldBe true
+    // ... and retired by the NEXT compact
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 2L
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000000")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000001")) shouldBe true
+  }
+
+  test("replay of the last admitted batch AFTER a compact is still a no-op") {
+    // the exact case the quiesced-index constraint existed for: batch
+    // admitted, compact runs, then the at-least-once engine replays the
+    // batch. The live-tail exemption keeps the batch's slice (and so its
+    // self-exclusion) across the generation fold.
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idx = freshManagedIndex()
+    val ledger = java.nio.file.Files.createTempDirectory("mgd-led").toString + "/led"
+    val g1 = docs.where(col("doc_id") % 4 === 1)
+    graft.streaming.StreamDedup.admitBatch(g1, batchId = 0L, idx, ledger,
+      threshold = 0.5, streamId = "lineA",
+      groupBytes = 256L * 1024, pageRows = 2000)
+    def ledgerRows() = spark.read.parquet(ledger)
+      .select("doc_id", "status", "engine_batch_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    def probeNext() = probe(idx, 2)
+    val (led1, p1) = (ledgerRows(), probeNext())
+    led1.count(_._2 == "kept") should be > 0
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    probeNext() shouldBe p1 // the fold itself is probe-invariant
+    // the at-least-once replay against the COMPACTED index
+    graft.streaming.StreamDedup.admitBatch(g1, batchId = 0L, idx, ledger,
+      threshold = 0.5, streamId = "lineA",
+      groupBytes = 256L * 1024, pageRows = 2000)
+    ledgerRows() shouldBe led1
+    probeNext() shouldBe p1
+  }
+
+  test("admit loop runs LIVE across a concurrent compact with ledger and " +
+      "final probe unchanged vs an uncompacted control") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    def runLoop(compactDuring: Boolean): (Seq[(Long, String)], Map[Long, String]) = {
+      val idx = freshManagedIndex()
+      val base = java.nio.file.Files.createTempDirectory("mgd-loop").toString
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)
+      def land(mod8a: Int, name: String): Unit = {
+        val stage = s"$base/stage-$name"
+        docs.where(col("doc_id") % 8 === mod8a).select(cols: _*)
+          .coalesce(1).write.mode("overwrite").parquet(stage)
+        val src = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(src.toPath,
+          java.nio.file.Paths.get(s"$in/$name.parquet"))
+      }
+      val q = graft.streaming.StreamDedup.ingestAdmitLoop(
+        spark, in, idx, s"$base/led", s"$base/ckpt", streamId = Some("L"),
+        groupBytes = 256L * 1024, pageRows = 2000)
+      try {
+        land(1, "g1")
+        q.processAllAvailable()
+        // compact concurrently with the NEXT batches landing and being
+        // admitted — the race the manifest layout exists to survive
+        val compact = if (compactDuring) Some(Future {
+          Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+        }) else None
+        // one landing per drain so the batch order (and hence the probe
+        // lineage) is identical in both runs — the compact races the
+        // admits in the background either way
+        land(5, "g2")
+        q.processAllAvailable()
+        land(2, "g3")
+        q.processAllAvailable()
+        compact.foreach(Await.result(_, 120.seconds))
+        land(6, "g4")
+        q.processAllAvailable()
+      } finally q.stop()
+      val led = spark.read.parquet(s"$base/led")
+        .select("doc_id", "status").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      (led, probe(idx, 3))
+    }
+    val (ledCtl, probeCtl) = runLoop(compactDuring = false)
+    val (ledCmp, probeCmp) = runLoop(compactDuring = true)
+    ledCmp shouldBe ledCtl
+    probeCmp shouldBe probeCtl
+    ledCtl.count(_._2 == "kept") should be > 0
+  }
+}
