@@ -7066,21 +7066,56 @@ object ExtensionCatalog {
       out
     })
 
-  /** x153 staging: the three-generation ingest index — gen-0 built, gen-1
-    * probed against it and its ADMITTED (kept) docs appended via
-    * [[graft.sources.Layouts.minhashAppend]]. Memoized per fixture dir so
-    * the query row measures the gen-2 probe only; build+probe+append bill
-    * to the build_x153 bench row.
+  /** Shared gen-0 MinHash index TEMPLATE over the `doc_id % 3 == 0`
+    * corpus slice, built ONCE per fixture dir. The three maintenance-
+    * lifecycle stagings (x153 append, x155 compact via x153, x158 stream
+    * admit) all start from this exact index; before this they each ran
+    * the identical corpus-side tokenize/shingle/minhash build — the
+    * dominant cost of every one of them — tripling the driver's builds
+    * wall for zero information (VERDICT r15 #3). The template is never
+    * mutated: lifecycles copy it (the index is ~MBs — the copy is noise
+    * next to the build it replaces) and mutate their copy.
+    */
+  private val minhashGen0Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashGen0(s: SparkSession, dir: String): String =
+    minhashGen0Dirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-mhgen0")
+      // fixture-scale layout knobs, like every sibling staging: multiple
+      // row groups/pages so the probes' pruning actually engages
+      graft.sources.Layouts.minhashIndex(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 0), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** Copy a staged index directory's contents into `to` (an existing
+    * empty scratch dir) — the cheap fork that lets lifecycle stagings
+    * share one template build and still mutate independently.
+    */
+  private def copyIndex(from: String, to: String, s: SparkSession): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(from)
+    val fs = src.getFileSystem(conf)
+    fs.listStatus(src).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(s"$to/${st.getPath.getName}"),
+        false, conf)
+    }
+  }
+
+  /** x153 staging: the three-generation ingest index — gen-0 (the shared
+    * template, copied), gen-1 probed against it and its ADMITTED (kept)
+    * docs appended via [[graft.sources.Layouts.minhashAppend]]. Memoized
+    * per fixture dir so the query row measures the gen-2 probe only;
+    * probe+append bill to the build_x153 bench row (the gen-0 build
+    * bills once, wherever the template is first forced).
     */
   private val minhashAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedMinhashAppendIndex(s: SparkSession, dir: String): String =
     minhashAppendDirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-mhappidx")
       val docs = t(s, dir, "documents")
-      // fixture-scale layout knobs, like every sibling staging: multiple
-      // row groups/pages so the probe's pruning actually engages
-      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
-        out, groupBytes = 256L * 1024, pageRows = 2000)
+      copyIndex(stagedMinhashGen0(s, dir), out, s)
       val g1 = docs.where(col("doc_id") % 3 === 1)
       val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
         threshold = 0.5)
@@ -7129,27 +7164,21 @@ object ExtensionCatalog {
       out
     })
 
-  /** x155 staging: the x153 grown lifecycle (gen-0 build, gen-1 probe +
-    * admitted append) followed by [[graft.sources.Layouts.minhashCompact]]
-    * — the periodic rebase that merges batch generations back into one
-    * sorted base per table. The gen-2 probe row then runs against the
-    * COMPACTED index under x153's own oracle.
+  /** x155 staging: x153's finished grown artifact (gen-0 + admitted
+    * gen-1), copied, then [[graft.sources.Layouts.minhashCompact]] — the
+    * periodic rebase that merges batch generations back into one sorted
+    * base per table. Forking x153's artifact instead of re-running its
+    * whole lifecycle (VERDICT r15 #3) also makes the build_x155 bench
+    * row what it was always meant to be: the COMPACT's cost, not a
+    * third copy of the gen-0 build's. The gen-2 probe row then runs
+    * against the compacted index under x153's own oracle — which is
+    * exactly the probe-invariance claim compaction makes.
     */
   private val minhashCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedMinhashCompactIndex(s: SparkSession, dir: String): String =
     minhashCompactDirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-mhcpidx")
-      val docs = t(s, dir, "documents")
-      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
-        out, groupBytes = 256L * 1024, pageRows = 2000)
-      val g1 = docs.where(col("doc_id") % 3 === 1)
-      val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
-        threshold = 0.5)
-      val kept1 = g1.join(
-        st1.where(col("status") === "kept").select("doc_id"), "doc_id")
-        .localCheckpoint()
-      graft.sources.Layouts.minhashAppend(kept1, out,
-        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
+      copyIndex(stagedMinhashAppendIndex(s, dir), out, s)
       graft.sources.Layouts.minhashCompact(out,
         groupBytes = 256L * 1024, pageRows = 2000)(s)
       out
@@ -7196,7 +7225,8 @@ object ExtensionCatalog {
       out
     })
 
-  /** x158 staging: gen-0 index built, then the admit loop RUNS as a real
+  /** x158 staging: gen-0 index forked from the shared template, then the
+    * admit loop RUNS as a real
     * Structured Streaming query — gen-1 landed and drained (engine batch
     * 0), THEN gen-2 landed and drained (batch 1): the landing order is
     * forced because the loop is order-dependent by design (gen-2 must
@@ -7208,8 +7238,10 @@ object ExtensionCatalog {
       val base = stagedScratch("graft-sadmit")
       val docs = t(s, dir, "documents")
       val idx = s"$base/idx"
-      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
-        idx, groupBytes = 256L * 1024, pageRows = 2000)
+      // gen-0 = the shared template (VERDICT r15 #3), copied — this
+      // build row then measures the streaming admit loop itself
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      copyIndex(stagedMinhashGen0(s, dir), idx, s)
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)

@@ -53,6 +53,11 @@ object BuildTimer {
       // (kept) docs appended; appending all of g1 would time compaction
       // of a different, larger artifact than the bench row's (review r15)
       var rebuildInput: org.apache.spark.sql.DataFrame = null
+      // checkpointed blocks accumulate across reps unless released (the
+      // heap pressure the between-rep cache-clear exists to avoid —
+      // ADVICE r15); collected at rep end, PageRank's LogicalRDD pattern
+      val repCheckpoints = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.DataFrame]
       if (which == "compact") {
         graft.sources.Layouts.minhashIndex(g0, out,
           groupBytes = 256L * 1024, pageRows = 2000)
@@ -61,6 +66,7 @@ object BuildTimer {
         val kept1 = g1.join(
           st1.where(col("status") === "kept").select("doc_id"), "doc_id")
           .localCheckpoint()
+        repCheckpoints += kept1
         graft.sources.Layouts.minhashAppend(kept1, out,
           groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
       }
@@ -77,6 +83,7 @@ object BuildTimer {
         rebuildInput = g0.union(g1.join(
           st1.where(col("status") === "kept").select("doc_id"), "doc_id"))
           .localCheckpoint()
+        repCheckpoints += rebuildInput
         scala.reflect.io.Directory(new java.io.File(probeIdx)).deleteRecursively()
       }
       val t0 = System.nanoTime()
@@ -103,6 +110,10 @@ object BuildTimer {
       val w = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[buildtimer] rep $i: $w%.2f s")
       scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+      repCheckpoints.foreach(_.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+      })
       w
     }
     val med = graft.metrics.Telemetry.median(walls)
