@@ -265,12 +265,29 @@ object Dedup {
       k: Int = 16,
       bands: Int = 8,
       shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
     // stage(): sigs feeds THREE legs (banding + both verify-join sides) —
     // without the barrier Catalyst re-inlines tokenize+shingle+minhash
     // into each, re-hashing the corpus ~3x (the simhash round-1 lesson)
-    val sigs = stage(minhashSignature(docs, idCol, textCol, k, shingleN))
-    val cands = lshCandidates(sigs, idCol, bands, k / bands)
+    minhashNearDupsFromSigs(
+      stage(minhashSignature(docs, idCol, textCol, k, shingleN)),
+      idCol, bands, k / bands, threshold)
+
+  /** [[minhashNearDups]] from PRE-STAGED signatures (a materialized
+    * [[minhashSignature]] output): callers that already computed the
+    * signatures for another leg of the same query — x92's recall audit
+    * runs the exact-truth pipeline over the same shingle sets — share
+    * one tokenize+shingle+minhash pass instead of re-hashing the corpus
+    * per leg. The caller materializes (stage/localCheckpoint); passing a
+    * lazy frame here re-inlines the hash pipeline into all three legs.
+    */
+  def minhashNearDupsFromSigs(
+      sigs: DataFrame,
+      idCol: String = "doc_id",
+      bands: Int = 8,
+      rowsPerBand: Int = 2,
+      threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidates(sigs, idCol, bands, rowsPerBand)
     val sets = sigs.select(col(idCol), col("shingles"))
     verifyJaccard(cands, "id_a", "id_b",
       sets.withColumnRenamed(idCol, "id_a").withColumnRenamed("shingles", "sh_a"),
