@@ -529,8 +529,13 @@ object Bench {
     val firstPassPerQuery =
       if (names.nonEmpty) steadyFirstPassSec / names.size else 0.0
     var steadyRepassOverheadSec = 0.0
-    val repassTriggered = repassEnabled && runWeatherDegraded() &&
-      refSecPerQuery > 0 && firstPassPerQuery > 1.25 * refSecPerQuery
+    // FORCE=1 fires the re-pass unconditionally — the test hook that lets
+    // the path be exercised at sf0.001 without doctoring the ledger, and
+    // an operator's escape hatch for a window the double gate misjudges
+    val repassTriggered = repassEnabled &&
+      (sys.env.get("SPARK_GRAFT_REPASS_FORCE").contains("1") ||
+        (runWeatherDegraded() &&
+          refSecPerQuery > 0 && firstPassPerQuery > 1.25 * refSecPerQuery))
     val queryResultsRecord = if (repassTriggered) {
       System.err.println(f"[bench] steady re-pass: first pass " +
         f"$firstPassPerQuery%.3f s/q vs baseline $refSecPerQuery%.2f on a " +
@@ -616,15 +621,20 @@ object Bench {
     // (r15 window: spin p10 at 59% of median, disk probe healthy,
     // host_norm 1.61→1.57). The CPU factor is the run's representative
     // spin throughput over the BASELINE.md spin marker. Representative
-    // rate: on a SUSTAINED-collapse window (p10 < 70% of median, or
-    // steal > 10%) the steady wall-sum is dominated by the rows that ran
-    // during collapsed ticks — by construction the slow rows are the
-    // collapsed-tick rows — so the collapsed-mode throughput (p10) is the
-    // honest denominator; on a healthy window the median is (and reads
-    // ~1.0 against the marker). Capped at 1.0: a host running FASTER
-    // than the baseline marker must not hide a plan regression.
+    // rate: on a SUSTAINED-collapse window (p10 < 70% of median) the
+    // steady wall-sum is dominated by the rows that ran during collapsed
+    // ticks — by construction the slow rows are the collapsed-tick rows —
+    // so the collapsed-mode throughput (p10) is the honest denominator;
+    // on a healthy window the median is (and reads ~1.0 against the
+    // marker). Deliberately NOT keyed on steal_max here (unlike the
+    // retry/repass triggers, where over-firing is cheap): this box reads
+    // steal >10% on windows whose steady number is fine (r15 ledger:
+    // 0.988 s/q through 28% steal), and normalizing those by p10 would
+    // FLATTER the result — smoke-measured 1.02 raw reading 0.63. Capped
+    // at 1.0: a host running FASTER than the baseline marker must not
+    // hide a plan regression.
     val cpuDegradedRun =
-      (spinMedMops > 0 && spinP10Mops < 0.7 * spinMedMops) || stealMaxPct > 10.0
+      spinMedMops > 0 && spinP10Mops < 0.7 * spinMedMops
     val hostNormCpuFactor =
       if (refSpinMops <= 0 || spinMedMops <= 0) 1.0
       else if (cpuDegradedRun) math.min(1.0, spinP10Mops / refSpinMops)
