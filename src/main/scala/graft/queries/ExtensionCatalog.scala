@@ -6913,7 +6913,71 @@ object ExtensionCatalog {
         "per-batch probe, batch_id-partitioned ledger, admitted docs appended " +
         "into the index under the ENGINE's batch identity (replay = self-excluded " +
         "probe + slice overwrite = no-op); oracle replays both generations " +
-        "(extension: streaming / dedup / index maintenance)")
+        "(extension: streaming / dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x159_managed_compact_probe",
+      (s, dir) => {
+        // x155's compaction re-run on the MANIFEST-GENERATION layout
+        // (Layouts.manageMinhash): the rebase writes a NEW immutable
+        // generation directory and publishes a create-once pointer
+        // instead of swapping the table path by rename — the layout that
+        // drops the quiesced-index requirement (readers resolve the
+        // pointer once; the previous generation survives as grace). The
+        // gen-2 probe resolves the manifest and must match x153's
+        // three-generation oracle exactly: a row the generational fold
+        // drops/duplicates, a probe reading a half-published root, or a
+        // stale pointer all fail the gate.
+        val docs = t(s, dir, "documents")
+        val g2 = docs.where(col("doc_id") % 3 === 2)
+        val idx = stagedManagedCompactIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text",
+          threshold = 0.5)
+        g2.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(dThreeGenIngestOracle),
+      "manifest-generation index compaction: the rebase publishes an immutable " +
+        "new generation behind a create-once pointer (no directory-rename swap, " +
+        "no quiesce); probe resolves the manifest and matches the three-generation " +
+        "oracle (extension: dedup / index maintenance / catalog layout)"),
+
+    CatalogEntry(
+      "x160_stream_admit_compact",
+      (s, dir) => {
+        // x158's closed streaming admit loop with a compaction fired
+        // MID-STREAM on the manifest-managed index: gen-1 drains (engine
+        // batch 0), the index compacts while the streaming query stays
+        // live (checkpoint open, no quiesce — the stream's own batch-0
+        // slice rides through the fold as the live tail), then gen-2
+        // drains (batch 1) probing the POST-COMPACT generation. The
+        // ledger must be byte-identical to x158's no-compact oracle:
+        // compaction that loses an admission, double-folds a slice, or
+        // breaks the batch-1 probe's root resolution changes a status
+        // and fails the gate.
+        val led = s.read.parquet(stagedStreamAdmitCompactLedger(s, dir))
+        led.join(t(s, dir, "documents").select("doc_id", "source"), "doc_id")
+          .groupBy(col("engine_batch_id").as("batch_id"), col("source"))
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("batch_id", "source")
+      },
+      Some(dStreamAdmitOracle),
+      "streaming admit loop with a LIVE mid-stream compaction of its own index " +
+        "(manifest-generation layout, stream never quiesced); the ledger equals " +
+        "the no-compact oracle — compaction is invariant to the closed ingest " +
+        "loop (extension: streaming / dedup / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7232,6 +7296,72 @@ object ExtensionCatalog {
       out
     })
 
+  /** x159 staging: x153's grown lifecycle on the MANIFEST-GENERATION
+    * layout — gen-0 forked from the shared template and migrated via
+    * [[graft.sources.Layouts.manageMinhash]], gen-1 probed + admitted
+    * append, then [[graft.sources.Layouts.minhashCompact]], which on a
+    * managed index folds into a NEW generation dir and publishes the
+    * pointer (v0 → v1) instead of renaming tables in place.
+    */
+  private val managedCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedManagedCompactIndex(s: SparkSession, dir: String): String =
+    managedCompactDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-mhmgidx")
+      copyIndex(stagedMinhashGen0(s, dir), out, s)
+      graft.sources.Layouts.manageMinhash(out)(s)
+      val docs = t(s, dir, "documents")
+      val g1 = docs.where(col("doc_id") % 3 === 1)
+      val st1 = Dedup.incrementalDedupStaged(g1, out, "doc_id", "text",
+        threshold = 0.5)
+      val kept1 = g1.join(
+        st1.where(col("status") === "kept").select("doc_id"), "doc_id")
+        .localCheckpoint()
+      // caller-named batch id (not stream-shaped), so the compact FOLDS
+      // it — the probe then exercises the fully generational fold, not
+      // just a slice carry-over
+      graft.sources.Layouts.minhashAppend(kept1, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gen1"))
+      graft.sources.Layouts.minhashCompact(out,
+        groupBytes = 256L * 1024, pageRows = 2000)(s)
+      out
+    })
+
+  /** x160 staging: the x158 streaming admit loop over a manifest-managed
+    * gen-0, with [[graft.sources.Layouts.minhashCompact]] fired BETWEEN
+    * the two micro-batches while the streaming query stays live — the
+    * no-quiesce maintenance story end to end. Returns the ledger path.
+    */
+  private val streamAdmitCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamAdmitCompactLedger(s: SparkSession, dir: String): String =
+    streamAdmitCompactDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sadmcp")
+      val docs = t(s, dir, "documents")
+      val idx = s"$base/idx"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      copyIndex(stagedMinhashGen0(s, dir), idx, s)
+      graft.sources.Layouts.manageMinhash(idx)(s)
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)
+      val q = graft.streaming.StreamDedup.ingestAdmitLoop(
+        s, in, idx, s"$base/ledger", s"$base/ckpt",
+        groupBytes = 256L * 1024, pageRows = 2000)
+      try {
+        landFeedFile(docs.where(col("doc_id") % 3 === 1).select(cols: _*),
+          s"$base/stage1", in, "g1")
+        q.processAllAvailable()
+        // compact the LIVE stream's index between batches: the query is
+        // started, its checkpoint open — the quiesce the rename layout
+        // required and the manifest layout exists to remove
+        graft.sources.Layouts.minhashCompact(idx,
+          groupBytes = 256L * 1024, pageRows = 2000)(s)
+        landFeedFile(docs.where(col("doc_id") % 3 === 2).select(cols: _*),
+          s"$base/stage2", in, "g2")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
   /** x158 staging: gen-0 index forked from the shared template, then the
     * admit loop RUNS as a real
     * Structured Streaming query — gen-1 landed and drained (engine batch
@@ -7286,7 +7416,9 @@ object ExtensionCatalog {
     "build_x155_minhash_compact" -> ((s, dir) => { stagedMinhashCompactIndex(s, dir); () }),
     "build_x156_ivf_compact" -> ((s, dir) => { stagedIvfCompactIndex(s, dir); () }),
     "build_x157_posting_append" -> ((s, dir) => { stagedPostingAppendIndex(s, dir); () }),
-    "build_x158_stream_admit" -> ((s, dir) => { stagedStreamAdmitLedger(s, dir); () }))
+    "build_x158_stream_admit" -> ((s, dir) => { stagedStreamAdmitLedger(s, dir); () }),
+    "build_x159_managed_compact" -> ((s, dir) => { stagedManagedCompactIndex(s, dir); () }),
+    "build_x160_stream_admit_compact" -> ((s, dir) => { stagedStreamAdmitCompactLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7390,6 +7522,8 @@ object ExtensionCatalog {
     "build_x155_minhash_compact" -> minhashCompactDirs.get(dir),
     "build_x156_ivf_compact" -> ivfCompactDirs.get(dir),
     "build_x157_posting_append" -> postingAppendDirs.get(dir),
-    "build_x158_stream_admit" -> streamAdmitDirs.get(dir)
+    "build_x158_stream_admit" -> streamAdmitDirs.get(dir),
+    "build_x159_managed_compact" -> managedCompactDirs.get(dir),
+    "build_x160_stream_admit_compact" -> streamAdmitCompactDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }
