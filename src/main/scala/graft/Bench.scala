@@ -179,9 +179,8 @@ object Bench {
       .filter(_.getName.endsWith(".parquet"))
     if (files.isEmpty) return 0.0
     val buf = new Array[Byte](1 << 20)
-    var bytes = 0L
-    val t0 = System.nanoTime()
-    while (System.nanoTime() - t0 < 1e9) {
+    def pass(): Long = {
+      var bytes = 0L
       files.foreach { f =>
         val in = new java.io.FileInputStream(f)
         try {
@@ -189,7 +188,17 @@ object Bench {
           while (n >= 0) { bytes += n; n = in.read(buf) }
         } finally in.close()
       }
+      bytes
     }
+    // untimed priming pass: this probe CLAIMS warm page-cache bandwidth,
+    // but when a previous heavy run evicted the fixture the first loop
+    // reads from the device and the "warm" number collapses (measured
+    // 2.18 vs 6.8 GB/s back-to-back), poisoning the host-norm disk
+    // factor. Prime, then time.
+    pass()
+    var bytes = 0L
+    val t0 = System.nanoTime()
+    while (System.nanoTime() - t0 < 1e9) bytes += pass()
     bytes / ((System.nanoTime() - t0) / 1e9) / 1e9
   }
 
@@ -639,10 +648,23 @@ object Bench {
       if (refSpinMops <= 0 || spinMedMops <= 0) 1.0
       else if (cpuDegradedRun) math.min(1.0, spinP10Mops / refSpinMops)
       else math.min(1.0, spinMedMops / refSpinMops)
+    // host_norm corrects the PRE-RETRY first pass, not the recovered
+    // number: the retry/re-pass machinery already strips weather from
+    // `raw`, so normalizing raw again would double-correct (measured:
+    // a 21%-steal window recovered to raw 1.02, and raw×factors read
+    // 0.60 — flattery, not attribution). Correcting the weather-exposed
+    // first pass instead makes the two numbers INDEPENDENT estimates of
+    // the same engine truth — agreement between them is the cross-check
+    // a graded window can be audited by (on a healthy window both
+    // factors are ~1 and first ≈ recovered, so host_norm ≈ raw as
+    // before).
     val vsBaselineHostNorm = {
       val diskFactor =
         if (refWarmGbps > 0 && gbps > 0) gbps / refWarmGbps else 1.0
-      vsBaselineRaw * diskFactor * hostNormCpuFactor
+      val firstPerQuery =
+        if (names.nonEmpty) queryResults.map(_._2.wallSec).sum / names.size
+        else 0.0
+      (firstPerQuery / refSecPerQuery) * diskFactor * hostNormCpuFactor
     }
     // build rows billed with their write volume (VERDICT r13 #5): MB
     // written through the committers plus the effective write rate — a
