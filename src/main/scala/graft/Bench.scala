@@ -534,9 +534,16 @@ object Bench {
     // windows (r15 builder ledger), and a first pass already inside
     // 1.25x has nothing to buy.
     val repassEnabled = sys.env.getOrElse("SPARK_GRAFT_STEADY_REPASS", "1") != "0"
-    val steadyFirstPassSec = queryResultsFinal.map(_._2.wallSec).sum
+    // the emitted first-pass field is the PRE-retry sum — the same walls
+    // vs_baseline_host_norm weather-corrects, so an auditor can reproduce
+    // host_norm from the artifact (review r16); the repass TRIGGER uses
+    // the post-retry sum (retries that already fixed the window must not
+    // fire a whole second pass)
+    val steadyFirstPassSec = queryResults.map(_._2.wallSec).sum
     val firstPassPerQuery =
-      if (names.nonEmpty) steadyFirstPassSec / names.size else 0.0
+      if (names.nonEmpty)
+        queryResultsFinal.map(_._2.wallSec).sum / names.size
+      else 0.0
     var steadyRepassOverheadSec = 0.0
     // FORCE=1 fires the re-pass unconditionally — the test hook that lets
     // the path be exercised at sf0.001 without doctoring the ledger, and
@@ -551,8 +558,13 @@ object Bench {
         "degraded window — re-running the steady corpus once")
       queryResultsFinal.map { case row @ (name, r) =>
         val again = run(name)
+        // a successful re-run beats a FAILED first pass even when slower
+        // (review r16: a fast failure would otherwise out-rank the clean
+        // run the re-pass just paid for and fail the whole bench)
         val keep =
-          if (again.wallSec < r.wallSec && !again.failed) name -> again else row
+          if (!again.failed && (r.failed || again.wallSec < r.wallSec))
+            name -> again
+          else row
         steadyRepassOverheadSec += r.wallSec + again.wallSec - keep._2.wallSec
         keep
       }
@@ -662,8 +674,7 @@ object Bench {
       val diskFactor =
         if (refWarmGbps > 0 && gbps > 0) gbps / refWarmGbps else 1.0
       val firstPerQuery =
-        if (names.nonEmpty) queryResults.map(_._2.wallSec).sum / names.size
-        else 0.0
+        if (names.nonEmpty) steadyFirstPassSec / names.size else 0.0
       (firstPerQuery / refSecPerQuery) * diskFactor * hostNormCpuFactor
     }
     // build rows billed with their write volume (VERDICT r13 #5): MB

@@ -275,6 +275,7 @@ object Layouts {
       pageRows: Int = 20000,
       partitions: Int = 0)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    recoverCrashedSwap(path, spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(path)
     require(df.columns.contains("batch_id"),
       s"$path predates batch_id partitioning — nothing to rebase")
@@ -432,8 +433,14 @@ object Layouts {
       var prev = (v0, root)
       var cur = currentGeneration(path, conf).getOrElse(prev)
       while (cur._1 != prev._1) {
-        Seq("fp", "banded", "shingles").foreach(tbl =>
-          copySlice(s"${prev._2}/$tbl", s"${cur._2}/$tbl", b, conf))
+        // skip if the new generation's fold already absorbed this slice
+        // into base (a delayed check re-copying it would duplicate its
+        // rows); otherwise the writer's copy is authoritative — it
+        // replaces any torn pre-publish copy the compactor took while
+        // this write was in flight
+        if (!readFolded(cur._2, conf).contains(b))
+          Seq("fp", "banded", "shingles").foreach(tbl =>
+            copySliceForce(s"${prev._2}/$tbl", s"${cur._2}/$tbl", b, conf))
         prev = cur
         cur = currentGeneration(path, conf).getOrElse(prev)
       }
@@ -746,7 +753,8 @@ object Layouts {
       path: String,
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0)(
+      partitions: Int = 0,
+      graceGenerations: Int = 1)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     // sort keys are structural per table (the build's own choices):
@@ -782,28 +790,49 @@ object Layouts {
           sortedStats(shaped, s"$newRoot/$tbl", sortCols,
             groupBytes = groupBytes, pageRows = pageRows,
             partitions = partitions, batchId = Some("base"))
-          live.foreach(b => copySlice(s"$rootG/$tbl", s"$newRoot/$tbl", b, conf))
+          // live-tail slices MUST be in the new generation before the
+          // publish (required), and the copy verifies fingerprint
+          // stability against a racing replay rewrite
+          live.foreach(b => copySliceConsistent(
+            s"$rootG/$tbl", s"$newRoot/$tbl", b, conf, required = true))
         }
+        // record the fold set BEFORE publishing: a writer whose manifest
+        // check lands late must not re-copy a slice base already carries
+        writeFolded(newRoot, fold, conf)
         publishGeneration(path, v + 1, newGen, conf)
         // post-publish re-list: slices sealed AFTER the snapshot whose
-        // writer checked the manifest BEFORE the publish (see protocol)
+        // writer checked the manifest BEFORE the publish (see protocol).
+        // Not `required`: a slice unstable here is mid-rewrite by a
+        // writer who finishes after this publish and fix-ups itself.
         tables.foreach { tbl =>
           sliceStates(s"$rootG/$tbl", conf)
             .collect { case (id, true) if !fold(id) && !live(id) => id }
-            .foreach(b => copySlice(s"$rootG/$tbl", s"$newRoot/$tbl", b, conf))
+            .foreach(b => copySliceConsistent(
+              s"$rootG/$tbl", s"$newRoot/$tbl", b, conf, required = false))
         }
-        // grace cleanup: keep rootG for readers that resolved it before
-        // the publish; delete everything OLDER (two compacts retire a
-        // generation)
+        // grace cleanup: retain `graceGenerations` previous generations
+        // for readers/writers that resolved them before the publish, and
+        // the same horizon of manifest files (they otherwise accrue one
+        // per compact forever and every pointer resolution lists them
+        // all). CONTRACT: an in-flight probe or append must not span
+        // more than `graceGenerations` compaction cycles — the standard
+        // snapshot-expiry rule; size the grace to the longest-running
+        // operation, not the other way around.
+        val keepFrom = v + 1 - math.max(1, graceGenerations)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
         fs.listStatus(new org.apache.hadoop.fs.Path(path))
           .filter(s => s.isDirectory && s.getPath.getName.matches("g=\\d{9}"))
-          .filter(_.getPath.getName.stripPrefix("g=").toLong < v)
+          .filter(_.getPath.getName.stripPrefix("g=").toLong < keepFrom)
           .foreach(s => fs.delete(s.getPath, true))
+        val md = new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName")
+        fs.listStatus(md).filter(_.getPath.getName.matches("v\\d{9}"))
+          .filter(_.getPath.getName.drop(1).toLong < keepFrom)
+          .foreach(s => fs.delete(s.getPath, false))
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
         Seq("fp", "banded", "shingles").foreach { tbl =>
           val tblPath = s"$path/$tbl"
+          recoverCrashedSwap(tblPath, conf)
           val df = spark.read.parquet(tblPath)
           require(df.columns.contains("batch_id"),
             s"$tblPath predates batch_id partitioning — nothing to compact; " +
@@ -826,23 +855,23 @@ object Layouts {
     * `<tblPath>.__old` (ADVICE r15: the old comment overclaimed
     * "readable at every instant"). Recovery is the rename back, and this
     * method performs it automatically on entry, so the next compaction
-    * self-heals a crashed predecessor; a READER hitting the window sees
-    * a missing-path error and the operator restores `.__old` by hand (or
-    * reruns the compact). The manifest-generation layout below exists
-    * precisely to close this window — its pointer swap is a single
-    * atomic file create and readers never lose a root.
+    * self-heals a crashed predecessor — and because every rename-swap
+    * CALLER reads the table before swapping, each calls
+    * [[recoverCrashedSwap]] first, before that read can throw on the
+    * missing path (review r16: recovery placed only inside swapIn was
+    * unreachable behind the callers' own reads). A READER hitting the
+    * window still sees a missing-path error until any compaction runs
+    * (or the operator restores `.__old` by hand). The
+    * manifest-generation layout below exists precisely to close this
+    * window — its pointer swap is a single atomic file create and
+    * readers never lose a root.
     */
   private def swapIn(tblPath: String, tmp: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
     val cur = new org.apache.hadoop.fs.Path(tblPath)
     val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
-    // crash recovery: a predecessor that died between its two renames
-    // left the table stranded aside — restore it before doing anything
-    if (!fs.exists(cur) && fs.exists(old)) {
-      require(fs.rename(old, cur),
-        s"found crashed-swap debris at $old but could not restore it")
-    }
+    recoverCrashedSwap(tblPath, conf)
     fs.delete(old, true) // stale debris from an earlier crashed swap
     require(fs.rename(cur, old),
       s"compaction swap failed moving $tblPath aside — table untouched")
@@ -852,6 +881,23 @@ object Layouts {
         "previous generation restored")
     }
     fs.delete(old, true)
+  }
+
+  /** Restore a table stranded at `<tblPath>.__old` by a process that
+    * crashed between [[swapIn]]'s two renames. Called by every
+    * rename-swap compaction BEFORE it first reads the table (the read
+    * would otherwise throw on the missing canonical path and the
+    * recovery inside swapIn could never run).
+    */
+  private def recoverCrashedSwap(tblPath: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(tblPath).getFileSystem(conf)
+    val cur = new org.apache.hadoop.fs.Path(tblPath)
+    val old = new org.apache.hadoop.fs.Path(s"$tblPath.__old")
+    if (!fs.exists(cur) && fs.exists(old)) {
+      require(fs.rename(old, cur),
+        s"found crashed-swap debris at $old but could not restore it")
+    }
   }
 
   // ---- manifest-generation index layout (VERDICT r15 #5) --------------
@@ -999,23 +1045,110 @@ object Layouts {
       if (fs.exists(dir)) fs.createNewFile(new org.apache.hadoop.fs.Path(dir, SealName))
     }
 
-  /** Copy one sealed slice dir to another generation if not already
-    * there — copy, never move: the source generation stays complete for
-    * its grace-period readers. Concurrent copiers (writer fix-up racing
-    * the compactor's re-list) are safe: each copies to a private temp
-    * and only one rename into the final name wins.
+  /** (file name, length) fingerprint of a slice dir — file contents are
+    * write-once (Spark emits uniquely-named part files and a dynamic
+    * overwrite replaces whole files), so an unchanged fingerprint across
+    * a copy proves no rewrite intervened and the copy is consistent.
     */
-  private def copySlice(fromTbl: String, toTbl: String, bid: String,
+  private def sliceFingerprint(dir: org.apache.hadoop.fs.Path,
+      fs: org.apache.hadoop.fs.FileSystem): Seq[(String, Long)] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(s => s.getPath.getName -> s.getLen)
+      .sortBy(_._1)
+
+  /** COMPACTOR-side slice copy into a new generation: copies only a
+    * SEALED slice, and verifies the source's fingerprint is unchanged
+    * across the copy — a live replay's dynamic overwrite mid-copy would
+    * otherwise install a torn copy that the slower checks never repair
+    * (review r16). Unstable or unsealed sources are retried briefly and
+    * then either skipped (`required = false`: a slice being rewritten
+    * right now belongs to a writer whose own post-publish fix-up will
+    * place it) or fatal (`required = true`: the pre-publish live-tail
+    * copy, where the new generation MUST carry the slice before readers
+    * can resolve it). Copy, never move: the source generation stays
+    * complete for its grace-period readers.
+    */
+  private def copySliceConsistent(fromTbl: String, toTbl: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration, required: Boolean): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$fromTbl/batch_id=$bid")
+    val dst = new org.apache.hadoop.fs.Path(s"$toTbl/batch_id=$bid")
+    val fs = src.getFileSystem(conf)
+    if (fs.exists(dst)) return
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val before = sliceFingerprint(src, fs)
+      val isSealed = before.exists(_._1 == SealName)
+      if (isSealed) {
+        val tmp = new org.apache.hadoop.fs.Path(
+          s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
+        fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+        if (sliceFingerprint(src, fs) == before) {
+          if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost a race: done
+          return
+        }
+        fs.delete(tmp, true) // source changed mid-copy: torn — retry
+      }
+      try Thread.sleep(200L * attempt) catch { case _: InterruptedException => }
+    }
+    if (required) sys.error(
+      s"compact could not take a consistent copy of live slice $bid from " +
+        s"$fromTbl — a replay kept rewriting it; re-run the compact")
+  }
+
+  /** WRITER-side slice copy (the manifest-chase fix-up): the writer OWNS
+    * its slice and its copy is authoritative — any existing destination
+    * (e.g. the compactor's pre-publish copy of a slice this writer has
+    * since rewritten) is replaced, retrying past a racing rename.
+    */
+  private def copySliceForce(fromTbl: String, toTbl: String, bid: String,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val src = new org.apache.hadoop.fs.Path(s"$fromTbl/batch_id=$bid")
     val dst = new org.apache.hadoop.fs.Path(s"$toTbl/batch_id=$bid")
     val fs = src.getFileSystem(conf)
-    if (!fs.exists(src) || fs.exists(dst)) return
-    val tmp = new org.apache.hadoop.fs.Path(
-      s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
-    if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost the race: done
+    if (!fs.exists(src)) return
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      fs.delete(dst, true)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
+      fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+      if (fs.rename(tmp, dst)) return
+      fs.delete(tmp, true)
+    }
+    sys.error(s"writer fix-up could not install slice $bid into $toTbl")
+  }
+
+  /** The batch ids a generation's fold absorbed into `base`, recorded at
+    * `<genRoot>/_FOLDED` BEFORE the generation publishes — the writer's
+    * fix-up consults it so a delayed manifest check can never re-copy a
+    * slice whose rows the fold already carries (duplicate rows in
+    * banded/shingles would inflate candidate pairs — review r16).
+    */
+  private def writeFolded(genRoot: String, ids: Set[String],
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$genRoot/_FOLDED")
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(ids.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFolded(genRoot: String,
+      conf: org.apache.hadoop.conf.Configuration): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$genRoot/_FOLDED")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
   }
 
   /** The slices a compact must NOT fold: per stream lineage (ids shaped
@@ -1047,6 +1180,7 @@ object Layouts {
   def ivfCompact(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val assignPath = s"$path/assign"
+    recoverCrashedSwap(assignPath, spark.sparkContext.hadoopConfiguration)
     val df = spark.read.parquet(assignPath)
     require(df.columns.contains("batch_id"),
       s"$assignPath predates batch_id partitioning — nothing to compact; " +

@@ -114,6 +114,38 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
     probeNext() shouldBe p1
   }
 
+  test("legacy crashed swap self-heals on the next compact") {
+    // simulate a process death between swapIn's two renames: the table
+    // is stranded at .__old and the canonical path is missing. The next
+    // compact must restore it BEFORE its own read (review r16: recovery
+    // placed only inside swapIn sat behind the caller's read and was
+    // unreachable).
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idx = java.nio.file.Files.createTempDirectory("crash-idx").toString
+    Layouts.minhashIndex(docs.where(col("doc_id") % 4 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val before = probe(idx, 1)
+    val fp = java.nio.file.Paths.get(s"$idx/fp")
+    java.nio.file.Files.move(fp, java.nio.file.Paths.get(s"$idx/fp.__old"))
+    java.nio.file.Files.exists(fp) shouldBe false
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    java.nio.file.Files.exists(fp) shouldBe true
+    probe(idx, 1) shouldBe before
+  }
+
+  test("managed compact records its fold set for the writer fix-up") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val idx = freshManagedIndex()
+    Layouts.minhashAppend(docs.where(col("doc_id") % 4 === 1), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("rel2"))
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    val root = Layouts.indexRoot(idx)
+    val folded = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/_FOLDED")), "UTF-8")
+    folded should include("rel2") // a delayed writer check must skip it
+    folded should include("base")
+  }
+
   test("admit loop runs LIVE across a concurrent compact with ledger and " +
       "final probe unchanged vs an uncompacted control") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
