@@ -545,6 +545,10 @@ object Bench {
         queryResultsFinal.map(_._2.wallSec).sum / names.size
       else 0.0
     var steadyRepassOverheadSec = 0.0
+    // per-row [first, kept] audit for rows the re-pass actually changed —
+    // artifact only (can be the whole corpus; the stdout line carries just
+    // the aggregate overhead)
+    val repassRows = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     // FORCE=1 fires the re-pass unconditionally — the test hook that lets
     // the path be exercised at sf0.001 without doctoring the ledger, and
     // an operator's escape hatch for a window the double gate misjudges
@@ -565,6 +569,8 @@ object Bench {
           if (!again.failed && (r.failed || again.wallSec < r.wallSec))
             name -> again
           else row
+        if (keep._2.wallSec != r.wallSec)
+          repassRows(name) = (r.wallSec, keep._2.wallSec)
         steadyRepassOverheadSec += r.wallSec + again.wallSec - keep._2.wallSec
         keep
       }
@@ -714,7 +720,7 @@ object Bench {
       }.mkString("{", ",", "}")
     val streamP50 = streamMap(_._3, 1000)
     val streamP95 = streamMap(_._4, 1000)
-    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu_factor":${round(hostNormCpuFactor, 1000)},"steady_repass":$repassTriggered,"steady_first_pass_sec":${round(steadyFirstPassSec, 100)},"steady_repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"scratch_dir":"$scratchDir","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
+    val telemetry = s"""{"cpu_sec":${col(_.cpuSec, 1000)},"rss_max_mb":${col(_.rssMaxMb, 10)},"wall_sec":${col(_.wallSec, 1000)},"input_mb":${col(_.inputMb, 10)},"output_mb":${col(_.outputMb, 10)},"shuffle_mb":${col(_.shuffleMb, 10)},"gc_sec":${col(_.gcSec, 1000)},"staged_index_mb":$indexMb,"stream_trigger_p50_sec":$streamP50,"stream_trigger_p95_sec":$streamP95,"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":$gbps,"seq_read_cold_gbps":$coldGbps,"net_gbps":$netGbps,"http_gbps":$httpGbps,"write_gbps":$writeGbps,"netdisk_gbps":$netDiskGbps,"retried_rows":$retriedJson,"retried_streams":$retriedStreamsJson,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu_factor":${round(hostNormCpuFactor, 1000)},"steady_repass":$repassTriggered,"steady_first_pass_sec":${round(steadyFirstPassSec, 100)},"steady_repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"steady_repass_rows":${auditJson(repassRows)},"scratch_dir":"$scratchDir","sf":"$sfDir","timeline_csv":"target/bench-timeline.csv"}"""
     // A telemetry failure (read-only cwd under spark-submit, missing target/)
     // must never suppress the stdout result line below. bench_full.json is
     // the per-round full artifact (VERDICT r11 #6): every query's wall/cpu/

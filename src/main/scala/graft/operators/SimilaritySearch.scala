@@ -343,10 +343,13 @@ object SimilaritySearch {
       nprobe: Int = 2,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val s = queries.sparkSession
+    implicit val s: org.apache.spark.sql.SparkSession = queries.sparkSession
     val cent = broadcast(s.read.parquet(s"$indexPath/cent")
       .select(col("cent_id"), col("centv"), norm(col("centv")).as("centn")))
-    val lists = s.read.parquet(s"$indexPath/assign")
+    // manifest-managed index (Layouts.manageIvf): resolve the current
+    // immutable generation once; legacy flat indexes resolve to the path
+    val lists = s.read.parquet(
+      s"${graft.sources.Layouts.indexRoot(indexPath)}/assign")
     val probes = nearestCells(queries, cent, "query", nprobe, idCol, vecCol)
       // partition-column type inference narrows cent_id on read (e.g. to
       // int); cast the probe side to ITS type so the join key is the bare

@@ -6977,7 +6977,81 @@ object ExtensionCatalog {
       "streaming admit loop with a LIVE mid-stream compaction of its own index " +
         "(manifest-generation layout, stream never quiesced); the ledger equals " +
         "the no-compact oracle — compaction is invariant to the closed ingest " +
-        "loop (extension: streaming / dedup / index maintenance)")
+        "loop (extension: streaming / dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x161_minhash_retract",
+      (s, dir) => {
+        // MinHash batch retraction — x154's recovery path on the dedup
+        // index: a poison batch (the gen-2 probe docs themselves,
+        // appended under batch_id=poison in build_x161) is dropped via
+        // Layouts.dropBatch, O(batch files), no rewrite of base or the
+        // legitimate gen-1 slice. The gen-2 probe then runs against the
+        // recovered index under x153's oracle, which never saw the
+        // poison: ONE leaked poison row and its doc classifies as an
+        // exact dup of itself; one over-deleted gen-1 row and a true
+        // dup classifies kept. retract ≡ never-appended, value-tested.
+        val docs = t(s, dir, "documents")
+        val g2 = docs.where(col("doc_id") % 3 === 2)
+        val idx = stagedMinhashRetractIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text",
+          threshold = 0.5)
+        g2.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(dThreeGenIngestOracle),
+      "batch retraction from the persisted MinHash index: a poisoned batch's " +
+        "slices deleted across all three tables — O(batch), no index rewrite; " +
+        "probing with the poison docs themselves makes one leaked row fail the " +
+        "gate as a self-dup (extension: dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x162_ivf_managed_compact",
+      (s, dir) => {
+        // x156's IVF compaction on the MANIFEST-GENERATION layout
+        // (Layouts.manageIvf): the rebase folds the cell partitions into
+        // a NEW immutable generation and publishes a create-once pointer
+        // — no directory-rename swap, no quiesce, so the ANN serving
+        // stream (stream_x144) can keep probing while its index
+        // compacts. The audit reads the assign table through the
+        // manifest and replays x152's full-assignment oracle: a row the
+        // fold drops/duplicates, a stale pointer, or a half-published
+        // generation all change a per-cell count.
+        val idx = stagedIvfManagedCompactIndex(s, dir)
+        s.read.parquet(s"${graft.sources.Layouts.indexRoot(idx)(s)}/assign")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("corpus_id") % 2 === 1, 1L).otherwise(0L)).as("n_appended"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10 AND vec_id % 2 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |assign AS (
+              |  SELECT corpus_id, cent_id FROM (
+              |    SELECT c.corpus_id, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1)
+              |SELECT cent_id, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN corpus_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_appended
+              |FROM assign GROUP BY cent_id ORDER BY cent_id""".stripMargin),
+      "manifest-generation IVF compaction: the cell-partition rebase publishes " +
+        "an immutable new generation behind a create-once pointer (no rename " +
+        "swap, no quiesce — the serving stream keeps probing); audit resolves " +
+        "the manifest and matches the full-assignment oracle " +
+        "(extension: similarity search / index maintenance / catalog layout)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7362,6 +7436,47 @@ object ExtensionCatalog {
       s"$base/ledger"
     })
 
+  /** x161 staging: x153's grown artifact forked, then a POISON batch —
+    * the gen-2 probe docs themselves — appended under its own batch id
+    * and retracted via [[graft.sources.Layouts.dropBatch]]: the MinHash
+    * side of x154's recovery path. Using the probe docs as the poison
+    * makes a leak maximally visible: one surviving poison row and the
+    * gen-2 probe classifies that doc as an exact dup of itself.
+    */
+  private val minhashRetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashRetractIndex(s: SparkSession, dir: String): String =
+    minhashRetractDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-mhretidx")
+      copyIndex(stagedMinhashAppendIndex(s, dir), out, s)
+      val g2 = t(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      graft.sources.Layouts.minhashAppend(g2, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("poison"))
+      graft.sources.Layouts.dropBatch(out, "poison")(s)
+      out
+    })
+
+  /** x162 staging: the x152 build+append lifecycle on the MANIFEST-
+    * GENERATION layout — flat build over the even half, migrated via
+    * [[graft.sources.Layouts.manageIvf]], odd half appended, then
+    * [[graft.sources.Layouts.ivfCompact]], which on a managed index
+    * folds into a new generation and publishes the pointer (the no-
+    * quiesce maintenance path the serving stream needs).
+    */
+  private val ivfManagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfManagedCompactIndex(s: SparkSession, dir: String): String =
+    ivfManagedDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-ivfmgidx")
+      val e = t(s, dir, "embeddings").where(col("vec_id") >= 10)
+      graft.sources.Layouts.ivfIndex(
+        e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
+        twoLevel = Some(false))
+      graft.sources.Layouts.manageIvf(out)(s)
+      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out,
+        batchId = Some("odd"))
+      graft.sources.Layouts.ivfCompact(out)(s)
+      out
+    })
+
   /** x158 staging: gen-0 index forked from the shared template, then the
     * admit loop RUNS as a real
     * Structured Streaming query — gen-1 landed and drained (engine batch
@@ -7418,7 +7533,9 @@ object ExtensionCatalog {
     "build_x157_posting_append" -> ((s, dir) => { stagedPostingAppendIndex(s, dir); () }),
     "build_x158_stream_admit" -> ((s, dir) => { stagedStreamAdmitLedger(s, dir); () }),
     "build_x159_managed_compact" -> ((s, dir) => { stagedManagedCompactIndex(s, dir); () }),
-    "build_x160_stream_admit_compact" -> ((s, dir) => { stagedStreamAdmitCompactLedger(s, dir); () }))
+    "build_x160_stream_admit_compact" -> ((s, dir) => { stagedStreamAdmitCompactLedger(s, dir); () }),
+    "build_x161_minhash_retract" -> ((s, dir) => { stagedMinhashRetractIndex(s, dir); () }),
+    "build_x162_ivf_managed_compact" -> ((s, dir) => { stagedIvfManagedCompactIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7524,6 +7641,8 @@ object ExtensionCatalog {
     "build_x157_posting_append" -> postingAppendDirs.get(dir),
     "build_x158_stream_admit" -> streamAdmitDirs.get(dir),
     "build_x159_managed_compact" -> managedCompactDirs.get(dir),
-    "build_x160_stream_admit_compact" -> streamAdmitCompactDirs.get(dir)
+    "build_x160_stream_admit_compact" -> streamAdmitCompactDirs.get(dir),
+    "build_x161_minhash_retract" -> minhashRetractDirs.get(dir),
+    "build_x162_ivf_managed_compact" -> ivfManagedDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -646,11 +646,17 @@ object Layouts {
       batchId: Option[String] = None): Unit = {
     import graft.operators.SimilaritySearch
     val spark = batch.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val centsFor = spark.read.parquet(s"$path/cent")
       .select(col("cent_id").as(idCol), col("centv").as(vecCol))
     val meta = spark.read.parquet(s"$path/meta")
     val useTwoLevel = meta.columns.contains("two_level") &&
       meta.head().getAs[Boolean]("two_level")
+    // managed layout ([[manageIvf]]): slices land in the CURRENT
+    // generation's assign table; the post-write manifest chase below
+    // handles a compact publishing concurrently (MinHash protocol)
+    val gen0 = currentGeneration(path, conf)
+    val assign = s"${gen0.map(_._2).getOrElse(path)}/assign"
     val lists =
       if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(batch, centsFor, idCol, vecCol)
       else SimilaritySearch.invertedLists(batch, centsFor, idCol, vecCol)
@@ -659,7 +665,7 @@ object Layouts {
     // — parquet's non-merged read would take one file's schema and either
     // null out corpusn for every base row (base corpus silently vanishes
     // from top-k under desc-nulls-last) or drop it for the new rows
-    val existingCols = spark.read.parquet(s"$path/assign").columns.toSet
+    val existingCols = spark.read.parquet(assign).columns.toSet
     val aligned =
       if (existingCols.contains("corpusn")) lists
       else lists.drop("corpusn")
@@ -668,17 +674,37 @@ object Layouts {
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its layout; rebuild via ivfIndex")
-    (batchId, batched) match {
+    val bid = (batchId, batched) match {
       case (Some(b), _) =>
         aligned.withColumn("batch_id", lit(b))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cent_id", "batch_id").parquet(s"$path/assign")
+          .partitionBy("cent_id", "batch_id").parquet(assign)
+        Some(b)
       case (None, true) =>
-        aligned.withColumn("batch_id", lit("anon-" + java.util.UUID.randomUUID))
+        val anon = "anon-" + java.util.UUID.randomUUID
+        aligned.withColumn("batch_id", lit(anon))
           .write.mode("append").partitionBy("cent_id", "batch_id")
-          .parquet(s"$path/assign")
+          .parquet(assign)
+        Some(anon)
       case (None, false) =>
-        aligned.write.mode("append").partitionBy("cent_id").parquet(s"$path/assign")
+        aligned.write.mode("append").partitionBy("cent_id").parquet(assign)
+        None
+    }
+    // managed layout: seal, then chase the manifest — the MinHash
+    // append's fix-up protocol with the cell-level slice dirs
+    for ((v0, r0) <- gen0; b <- bid) {
+      sealIvfSlices(s"$r0/assign", b, conf)
+      var prev = (v0, r0)
+      var cur = currentGeneration(path, conf).getOrElse(prev)
+      while (cur._1 != prev._1) {
+        if (!readFolded(cur._2, conf).contains(b))
+          ivfCellDirs(s"${prev._2}/assign", b, conf).foreach { cell =>
+            copySliceForce(cell.toString,
+              s"${cur._2}/assign/${cell.getName}", b, conf)
+          }
+        prev = cur
+        cur = currentGeneration(path, conf).getOrElse(prev)
+      }
     }
   }
 
@@ -704,10 +730,15 @@ object Layouts {
     // Same charset contract as requireBatchId on the append side.
     requireBatchId(batchId)
     val conf = spark.sparkContext.hadoopConfiguration
-    // three depths: a single sorted table AT path (posting index), the
-    // minhash tables one level down, the IVF cell partitions two down
+    // four depths: a single sorted table AT path (posting index), the
+    // minhash tables one level down, the IVF cell partitions two down,
+    // and the same two shapes one generation-dir deeper under a managed
+    // layout (g=N/tbl/... — retraction hits every retained generation,
+    // which is correct: a retracted batch must vanish from the grace
+    // generation's readers too)
     Seq(s"$path/batch_id=$batchId",
-        s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId")
+        s"$path/*/batch_id=$batchId", s"$path/*/*/batch_id=$batchId",
+        s"$path/*/*/*/batch_id=$batchId")
       .map { glob =>
         val g = new org.apache.hadoop.fs.Path(glob)
         val fs = g.getFileSystem(conf)
@@ -812,22 +843,9 @@ object Layouts {
         }
         // grace cleanup: retain `graceGenerations` previous generations
         // for readers/writers that resolved them before the publish, and
-        // the same horizon of manifest files (they otherwise accrue one
-        // per compact forever and every pointer resolution lists them
-        // all). CONTRACT: an in-flight probe or append must not span
-        // more than `graceGenerations` compaction cycles — the standard
-        // snapshot-expiry rule; size the grace to the longest-running
-        // operation, not the other way around.
-        val keepFrom = v + 1 - math.max(1, graceGenerations)
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-        fs.listStatus(new org.apache.hadoop.fs.Path(path))
-          .filter(s => s.isDirectory && s.getPath.getName.matches("g=\\d{9}"))
-          .filter(_.getPath.getName.stripPrefix("g=").toLong < keepFrom)
-          .foreach(s => fs.delete(s.getPath, true))
-        val md = new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName")
-        fs.listStatus(md).filter(_.getPath.getName.matches("v\\d{9}"))
-          .filter(_.getPath.getName.drop(1).toLong < keepFrom)
-          .foreach(s => fs.delete(s.getPath, false))
+        // the same horizon of manifest files (see [[pruneGenerations]]
+        // for the expiry contract)
+        pruneGenerations(path, v, graceGenerations, conf)
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
         Seq("fp", "banded", "shingles").foreach { tbl =>
@@ -1177,23 +1195,137 @@ object Layouts {
     * per-cell oracle; IvfIndexSpec pins probe equality + the pruned
     * plan).
     */
-  def ivfCompact(path: String)(
+  def ivfCompact(path: String, graceGenerations: Int = 1)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    val assignPath = s"$path/assign"
-    recoverCrashedSwap(assignPath, spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.parquet(assignPath)
-    require(df.columns.contains("batch_id"),
-      s"$assignPath predates batch_id partitioning — nothing to compact; " +
-        "rebuild via ivfIndex to migrate")
-    val tmp = s"$assignPath.__compact"
-    df.drop("batch_id").withColumn("batch_id", lit("base"))
-      // one hash shuffle on cent_id co-locates each cell in one task, so
-      // each cell directory lands as ONE file instead of echoing the
-      // input's file-per-batch fragmentation through the write
-      .repartition(col("cent_id"))
-      .write.mode("overwrite").partitionBy("cent_id", "batch_id")
-      .parquet(tmp)
-    swapIn(assignPath, tmp, spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    // fold shape shared by both layouts: one hash shuffle on cent_id
+    // co-locates each cell in one task, so each cell directory lands as
+    // ONE file instead of echoing the input's file-per-batch
+    // fragmentation through the write
+    def fold(df: DataFrame, out: String): Unit =
+      df.drop("batch_id").withColumn("batch_id", lit("base"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+        .parquet(out)
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        // ---- managed (see [[manageIvf]]): fold into a NEW generation's
+        // assign table and publish the pointer — same protocol as the
+        // MinHash compact, with slices living one level deeper
+        // (cent_id=X/batch_id=b leaf dirs, one per touched cell)
+        val assignG = s"$rootG/assign"
+        val states = ivfSliceStates(assignG, conf)
+        val sealedIds = states.collect { case (id, true) => id }.toSet - "base"
+        val live = liveTail(sealedIds)
+        val foldIds = sealedIds -- live + "base"
+        val newGen = genName(v + 1)
+        val newRoot = s"$path/$newGen"
+        fold(spark.read.parquet(assignG)
+          .where(col("batch_id").isin(foldIds.toSeq: _*)), s"$newRoot/assign")
+        live.foreach(b => ivfCellDirs(assignG, b, conf).foreach { cell =>
+          copySliceConsistent(cell.toString,
+            s"$newRoot/assign/${cell.getName}", b, conf, required = true)
+        })
+        writeFolded(newRoot, foldIds, conf)
+        publishGeneration(path, v + 1, newGen, conf)
+        ivfSliceStates(assignG, conf)
+          .collect { case (id, true) if !foldIds(id) && !live(id) => id }
+          .foreach(b => ivfCellDirs(assignG, b, conf).foreach { cell =>
+            copySliceConsistent(cell.toString,
+              s"$newRoot/assign/${cell.getName}", b, conf, required = false)
+          })
+        pruneGenerations(path, v, graceGenerations, conf)
+      case None =>
+        // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
+        val assignPath = s"$path/assign"
+        recoverCrashedSwap(assignPath, conf)
+        val df = spark.read.parquet(assignPath)
+        require(df.columns.contains("batch_id"),
+          s"$assignPath predates batch_id partitioning — nothing to compact; " +
+            "rebuild via ivfIndex to migrate")
+        val tmp = s"$assignPath.__compact"
+        fold(df, tmp)
+        swapIn(assignPath, tmp, conf)
+    }
+  }
+
+  /** Migrate a flat IVF index into the manifest-generation layout: the
+    * `assign` table MOVES into `g=000000000` and manifest v0 publishes;
+    * `cent` and `meta` stay at the index path (centroids are frozen by
+    * the append contract — they are parameter identity, like the MinHash
+    * meta). Run once, quiesced, like [[manageMinhash]]; everything after
+    * it — probes, [[ivfAppend]], [[ivfCompact]] — runs without quiescing
+    * again. Idempotent on a managed index.
+    */
+  def manageIvf(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (currentGeneration(path, conf).isDefined) return
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val gen = genName(0L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
+    val src = new org.apache.hadoop.fs.Path(s"$path/assign")
+    require(fs.exists(src), s"no assign table at $path — build ivfIndex first")
+    require(fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/$gen/assign")),
+      s"could not move $src into $gen")
+    publishGeneration(path, 0L, gen, conf)
+  }
+
+  /** The `cent_id=X` cell directories that hold a slice of batch `bid`
+    * (IVF slices live one level deeper than the MinHash tables').
+    */
+  private def ivfCellDirs(assignRoot: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[org.apache.hadoop.fs.Path] = {
+    val g = new org.apache.hadoop.fs.Path(s"$assignRoot/cent_id=*/batch_id=$bid")
+    val fs = g.getFileSystem(conf)
+    Option(fs.globStatus(g)).getOrElse(Array.empty).toSeq
+      .map(_.getPath.getParent)
+  }
+
+  /** (batch id, sealed) across an IVF assign table's leaf slices: a batch
+    * is complete (any-sealed ⇒ all writes finished — sealing starts only
+    * after the write returns, exactly the MinHash argument) when any of
+    * its cell dirs carries the marker.
+    */
+  private def ivfSliceStates(assignRoot: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[(String, Boolean)] = {
+    val g = new org.apache.hadoop.fs.Path(s"$assignRoot/cent_id=*/batch_id=*")
+    val fs = g.getFileSystem(conf)
+    Option(fs.globStatus(g)).getOrElse(Array.empty).toSeq
+      .filter(_.isDirectory)
+      .map { s =>
+        val id = s.getPath.getName.stripPrefix("batch_id=")
+        id -> fs.exists(new org.apache.hadoop.fs.Path(s.getPath, SealName))
+      }
+      .groupBy(_._1).view.mapValues(_.exists(_._2)).toSeq
+  }
+
+  private def sealIvfSlices(assignRoot: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit =
+    ivfCellDirs(assignRoot, bid, conf).foreach { cell =>
+      val dir = new org.apache.hadoop.fs.Path(s"$cell/batch_id=$bid")
+      dir.getFileSystem(conf)
+        .createNewFile(new org.apache.hadoop.fs.Path(dir, SealName))
+    }
+
+  /** Retire generations (and their manifest pointer files) older than the
+    * grace horizon — shared by both managed compacts. CONTRACT: an
+    * in-flight probe or append must not span more than `graceGenerations`
+    * compaction cycles (the snapshot-expiry rule; size the grace to the
+    * longest-running operation).
+    */
+  private def pruneGenerations(path: String, v: Long, graceGenerations: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val keepFrom = v + 1 - math.max(1, graceGenerations)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.matches("g=\\d{9}"))
+      .filter(_.getPath.getName.stripPrefix("g=").toLong < keepFrom)
+      .foreach(s => fs.delete(s.getPath, true))
+    val md = new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName")
+    fs.listStatus(md).filter(_.getPath.getName.matches("v\\d{9}"))
+      .filter(_.getPath.getName.drop(1).toLong < keepFrom)
+      .foreach(s => fs.delete(s.getPath, false))
   }
 
   /** Hash-bucketed + sorted table: two tables bucketed the same way

@@ -114,6 +114,48 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
     probeNext() shouldBe p1
   }
 
+  test("managed IVF: generation publish, live tail, probe invariance, " +
+      "replay-after-compact") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import org.apache.spark.sql.functions.col
+    val conf = spark.sparkContext.hadoopConfiguration
+    val emb = spark.read
+      .parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .where(col("vec_id") >= 10)
+    val idx = java.nio.file.Files.createTempDirectory("mgd-ivf").toString
+    Layouts.ivfIndex(emb.where(col("vec_id") % 2 === 0), idx,
+      centModulo = 50, twoLevel = Some(false))
+    Layouts.manageIvf(idx)
+    val odd = emb.where(col("vec_id") % 2 === 1)
+    Layouts.ivfAppend(odd, idx, batchId = Some("s1-b0"))
+    val queries = spark.read
+      .parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .where(col("vec_id") < 10)
+    def topk() = graft.operators.SimilaritySearch
+      .ivfTopKStaged(queries, idx, k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def assignRows() = spark.read
+      .parquet(s"${Layouts.indexRoot(idx)}/assign")
+      .select("corpus_id").collect().map(_.getLong(0)).sorted.toSeq
+    val (p1, rows1) = (topk(), assignRows())
+    p1 should not be empty
+    Layouts.ivfCompact(idx)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 1L
+    // stream-shaped batch stays live through the fold; "base" absorbed
+    // the build generation
+    spark.read.parquet(s"${Layouts.indexRoot(idx)}/assign")
+      .select("batch_id").distinct().collect()
+      .map(_.getString(0)).toSet shouldBe Set("base", "s1-b0")
+    topk() shouldBe p1
+    assignRows() shouldBe rows1
+    // at-least-once replay AFTER the compact: dynamic overwrite of the
+    // live slice in the new generation, content unchanged
+    Layouts.ivfAppend(odd, idx, batchId = Some("s1-b0"))
+    topk() shouldBe p1
+    assignRows() shouldBe rows1
+  }
+
   test("legacy crashed swap self-heals on the next compact") {
     // simulate a process death between swapIn's two renames: the table
     // is stranded at .__old and the canonical path is missing. The next
