@@ -7051,7 +7051,181 @@ object ExtensionCatalog {
         "an immutable new generation behind a create-once pointer (no rename " +
         "swap, no quiesce — the serving stream keeps probing); audit resolves " +
         "the manifest and matches the full-assignment oracle " +
-        "(extension: similarity search / index maintenance / catalog layout)")
+        "(extension: similarity search / index maintenance / catalog layout)"),
+
+    CatalogEntry(
+      "x163_zorder_cells",
+      (s, dir) => {
+        // Z-order (Morton) layout audit: the staged rewrite
+        // (Layouts.zordered over lineitem's price × quantity plane) is
+        // read back and every row re-bucketed through the SAME uniform
+        // 8-bit quantization + bit interleave, grouped into 1024 Z-cells.
+        // Per-cell counts + per-column min/max pin (a) exact row
+        // preservation through the layout rewrite (any dropped or
+        // duplicated row shifts a cell count) and (b) the Morton
+        // arithmetic itself against an independent SQL replay — while
+        // showing the property the layout exists for: each Z-cell is a
+        // small RECTANGLE of the plane, so row-group/page min-max stats
+        // stay narrow on BOTH columns (LayoutsSpec pins the actual page
+        // pruning; at 100 TB this is how a scan prunes on either
+        // predicate column without two sort orders).
+        val zt = s.read.parquet(stagedZorderLayout(s, dir))
+        val st = zt.agg(
+          min("l_extendedprice").as("alo"), max("l_extendedprice").as("ahi"),
+          min("l_quantity").as("blo"), max("l_quantity").as("bhi"))
+        def bucket(c: String, lo: String, hi: String) =
+          s"CAST(floor(least(greatest(($c - $lo) / ($hi - $lo), 0), 1) * 255) AS BIGINT)"
+        val inter = (0 until 8).map { k =>
+          s"(shiftleft(shiftright(ba, $k) & 1, ${2 * k + 1}) | " +
+            s"shiftleft(shiftright(bb, $k) & 1, ${2 * k}))"
+        }.mkString(" | ")
+        zt.crossJoin(broadcast(st))
+          .withColumn("ba", expr(bucket("l_extendedprice", "alo", "ahi")))
+          .withColumn("bb", expr(bucket("l_quantity", "blo", "bhi")))
+          .withColumn("zcell", expr(s"($inter) div 64"))
+          .groupBy("zcell")
+          .agg(count(lit(1)).as("n"),
+            min("l_extendedprice").as("a_min"), max("l_extendedprice").as("a_max"),
+            min("l_quantity").as("b_min"), max("l_quantity").as("b_max"))
+          .orderBy("zcell")
+      },
+      Some("""WITH st AS (SELECT min(l_extendedprice) AS alo, max(l_extendedprice) AS ahi,
+             |    min(l_quantity) AS blo, max(l_quantity) AS bhi FROM lineitem),
+             |b AS (SELECT l_extendedprice, l_quantity,
+             |    CAST(floor(least(greatest((l_extendedprice - alo) / (ahi - alo), 0), 1) * 255) AS BIGINT) AS ba,
+             |    CAST(floor(least(greatest((l_quantity - blo) / (bhi - blo), 0), 1) * 255) AS BIGINT) AS bb
+             |  FROM lineitem, st),
+             |z AS (SELECT l_extendedprice, l_quantity,
+             |    ((((ba >> 0) & 1) << 1) | (((bb >> 0) & 1) << 0) |
+             |     (((ba >> 1) & 1) << 3) | (((bb >> 1) & 1) << 2) |
+             |     (((ba >> 2) & 1) << 5) | (((bb >> 2) & 1) << 4) |
+             |     (((ba >> 3) & 1) << 7) | (((bb >> 3) & 1) << 6) |
+             |     (((ba >> 4) & 1) << 9) | (((bb >> 4) & 1) << 8) |
+             |     (((ba >> 5) & 1) << 11) | (((bb >> 5) & 1) << 10) |
+             |     (((ba >> 6) & 1) << 13) | (((bb >> 6) & 1) << 12) |
+             |     (((ba >> 7) & 1) << 15) | (((bb >> 7) & 1) << 14)) // 64 AS zcell
+             |  FROM b)
+             |SELECT zcell, COUNT(*) AS n,
+             |  min(l_extendedprice) AS a_min, max(l_extendedprice) AS a_max,
+             |  min(l_quantity) AS b_min, max(l_quantity) AS b_max
+             |FROM z GROUP BY zcell ORDER BY zcell""".stripMargin),
+      "Z-order layout audit: the staged Morton rewrite re-bucketed into 1024 " +
+        "Z-cells — per-cell counts pin exact row preservation through the " +
+        "layout, per-cell min/max show each cell is a small rectangle of the " +
+        "value plane (the both-column pruning property; LayoutsSpec pins the " +
+        "page pruning itself) (extension: catalog layout / pruning)"),
+
+    CatalogEntry(
+      "x164_posting_retract",
+      (s, dir) => {
+        // The posting index's retraction path probed under the shared
+        // substring search: even half built, odd half appended as its own
+        // batch slice, the slice retracted via Layouts.dropBatch — the
+        // probe must return EXACTLY the even-half hits (17 odd matches
+        // vanish at sf0.01): a leaked odd posting adds candidates, an
+        // over-deleted base loses them. Completes the retract story
+        // across all three index families (x154 IVF, x161 MinHash).
+        postingSearch(s, dir, stagedPostingRetractIndex(s, dir))
+      },
+      Some("""WITH p AS (SELECT DISTINCT unnest(list_transform(
+             |    range(1, length('table part') - 1),
+             |    i -> substring('table part', i, 3))) AS tri),
+             |posting AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, length(text) - 1), i -> substring(text, i, 3)))) AS tri
+             |  FROM documents WHERE length(text) >= 3 AND doc_id % 2 = 0),
+             |cand AS (SELECT doc_id FROM posting WHERE tri IN (SELECT tri FROM p)
+             |  GROUP BY doc_id
+             |  HAVING COUNT(DISTINCT tri) = (SELECT COUNT(*) FROM p))
+             |SELECT d.doc_id FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+             |WHERE contains(text, 'table part') ORDER BY 1""".stripMargin),
+      "posting-index retraction: the odd-half batch slice dropped via the " +
+        "O(batch-files) directory delete, probed under the shared substring " +
+        "search — result must equal the even-half index exactly " +
+        "(extension: retrieval / index maintenance)"),
+
+    CatalogEntry(
+      "x165_kneser_ney",
+      (s, dir) => {
+        // Interpolated Kneser-Ney bigram smoothing (d = 0.75), the KenLM
+        // default, over x43's count table: discounted bigram mass backs
+        // off to the CONTINUATION probability (how many distinct left
+        // contexts a word follows), not the raw unigram — the classic fix
+        // for high-count-but-single-context words. All inputs are exact
+        // integer counts; the float expression tree is written identically
+        // on both sides so partial-agg order can never flip a bit.
+        val docs = t(s, dir, "documents")
+        val tok = docs.select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val big = tok.withColumn("w2", lead("w1", 1).over(w))
+          .where(col("w2").isNotNull)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("n2"))
+        val uni = big.groupBy("w1")
+          .agg(sum("n2").as("n1"), count(lit(1)).as("nfw"))
+        val bw = big.groupBy("w2").agg(count(lit(1)).as("nbw"))
+        val tot = big.agg(count(lit(1)).as("ntot"))
+        big.join(uni, "w1").join(bw, "w2").crossJoin(broadcast(tot))
+          .select(col("w1"), col("w2"), col("n2"),
+            (greatest(col("n2").cast("double") - 0.75, lit(0.0)) /
+              col("n1").cast("double") +
+              (lit(0.75) * col("nfw").cast("double") / col("n1").cast("double")) *
+                (col("nbw").cast("double") / col("ntot").cast("double")))
+              .as("p_kn"))
+          .orderBy(desc("n2"), asc("w1"), asc("w2"))
+          .limit(100)
+      },
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS lst FROM documents),
+             |bg AS (SELECT unnest(list_transform(range(1, len(lst)),
+             |  i -> {'w1': lst[i], 'w2': lst[i + 1]})) AS b FROM toks),
+             |big AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n2 FROM bg GROUP BY 1, 2),
+             |uni AS (SELECT w1, SUM(n2) AS n1, COUNT(*) AS nfw FROM big GROUP BY 1),
+             |bw AS (SELECT w2, COUNT(*) AS nbw FROM big GROUP BY 1),
+             |tot AS (SELECT COUNT(*) AS ntot FROM big)
+             |SELECT big.w1, big.w2, big.n2,
+             |  GREATEST(CAST(big.n2 AS DOUBLE) - 0.75, 0.0) / CAST(uni.n1 AS DOUBLE)
+             |    + (0.75 * CAST(uni.nfw AS DOUBLE) / CAST(uni.n1 AS DOUBLE))
+             |      * (CAST(bw.nbw AS DOUBLE) / CAST(tot.ntot AS DOUBLE)) AS p_kn
+             |FROM big JOIN uni ON big.w1 = uni.w1 JOIN bw ON big.w2 = bw.w2
+             |CROSS JOIN tot
+             |ORDER BY big.n2 DESC, big.w1, big.w2 LIMIT 100""".stripMargin),
+      "interpolated Kneser-Ney bigram smoothing (d=0.75): discounted bigram " +
+        "mass backs off to continuation counts N1+(·,w2)/N1+(·,·) — one " +
+        "windowed lead + three re-aggregations of the SAME count table, no " +
+        "second corpus pass (extension: text analysis)"),
+
+    CatalogEntry(
+      "x166_stream_attribution",
+      (s, dir) => {
+        // The watermarked STREAM-STREAM interval join (EventsStream
+        // .attribution: purchases attributed to same-user signups within
+        // 6 h) run as a real two-micro-batch Structured Streaming query in
+        // staging; the probe reads its append-mode parquet ledger back.
+        // The time-split feed keeps every pair inside the watermark (see
+        // stagedAttributionLedger), so the stream's output must equal the
+        // batch interval join DuckDB replays — a dropped boundary pair, a
+        // duplicate from a sink replay, or watermark state evicted early
+        // all change the row set.
+        val led = s.read.parquet(stagedAttributionLedger(s, dir))
+        led.select(col("user_id"), col("signup_id"), col("purchase_id"),
+          (unix_micros(col("purchase_t")) - unix_micros(col("signup_t")))
+            .as("lag_us"))
+          .orderBy("user_id", "signup_id", "purchase_id")
+      },
+      Some("""WITH s AS (SELECT event_id AS signup_id, ts AS st, user_id
+             |    FROM events WHERE event_type = 'signup'),
+             |p AS (SELECT event_id AS purchase_id, ts AS pt, user_id
+             |    FROM events WHERE event_type = 'purchase')
+             |SELECT s.user_id, s.signup_id, p.purchase_id,
+             |  epoch_us(p.pt) - epoch_us(s.st) AS lag_us
+             |FROM s JOIN p ON s.user_id = p.user_id
+             |  AND p.pt >= s.st AND p.pt <= s.st + INTERVAL 21600 SECOND
+             |ORDER BY 1, 2, 3""".stripMargin),
+      "watermarked stream-stream interval join under the driver oracle: the " +
+        "6 h signup→purchase attribution ledger from a real two-batch " +
+        "Structured Streaming run must equal the batch interval join — " +
+        "watermarks on both sides bound the join state at 100 TB/day ingest " +
+        "(extension: streaming / events)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7477,6 +7651,87 @@ object ExtensionCatalog {
       out
     })
 
+  /** x163 staging: the Z-order (Morton) layout over lineitem's price ×
+    * quantity plane, written ONCE per fixture dir via
+    * [[graft.sources.Layouts.zordered]]. Fine row-group/page granularity
+    * at fixture scale so a rectangle predicate has files and pages to
+    * prune on BOTH columns (LayoutsSpec pins the actual pruning; the x163
+    * catalog probe pins row preservation + the Morton arithmetic under
+    * the driver's DuckDB oracle).
+    */
+  private val zorderDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedZorderLayout(s: SparkSession, dir: String): String =
+    zorderDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-zorder")
+      graft.sources.Layouts.zordered(t(s, dir, "lineitem"), out,
+        "l_extendedprice", "l_quantity",
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x164 staging: the posting index's RETRACTION path — built over the
+    * even corpus half, the odd half appended as its own batch slice, then
+    * the whole slice retracted via [[graft.sources.Layouts.dropBatch]]
+    * (x154/x161's recovery story on the third index family). The probe
+    * then expects EXACTLY the even-half search results: a surviving odd
+    * posting (retraction leaked) adds candidates, a damaged base slice
+    * (retraction over-deleted) loses them — either fails the gate.
+    */
+  private val postingRetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPostingRetractIndex(s: SparkSession, dir: String): String =
+    postingRetractDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-postretr")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.postingIndex(docs.where(col("doc_id") % 2 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.postingAppend(docs.where(col("doc_id") % 2 === 1),
+        out, groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+      val n = graft.sources.Layouts.dropBatch(out, "odd")(s)
+      require(n == 1, s"posting retract expected to drop 1 slice, dropped $n")
+      out
+    })
+
+  /** x166 staging: [[graft.streaming.EventsStream.attribution]] — the
+    * watermarked stream-stream interval join — run as a REAL Structured
+    * Streaming query over a two-micro-batch file feed, its append-mode
+    * parquet sink kept as the ledger the probe reads. The feed is split
+    * by TIME (first half of the span, then the rest) so the 1-hour
+    * watermark never classifies a feed file as late: boundary pairs stay
+    * joinable because a signup is evicted only once the watermark passes
+    * signup_t + the 6 h attribution window, by which point every purchase
+    * it could match has already arrived (batch 1 is strictly newer).
+    * That makes the streaming output EQUAL to the batch join, which is
+    * what lets DuckDB replay it as the oracle.
+    */
+  private val attributionDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedAttributionLedger(s: SparkSession, dir: String): String =
+    attributionDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sattrib")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      // split point on the loader-contract epoch-nano ts (one 1-row
+      // driver read, like the zordered stats pair)
+      val raw = t(s, dir, "events")
+      val mm = raw.agg(min("ts"), max("ts")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val q = graft.streaming.EventsStream.attribution(
+        graft.streaming.EventsStream.readEvents(s, in), windowSec = 21600L)
+        .writeStream.format("parquet")
+        .option("path", s"$base/ledger")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try {
+        landFeedFile(eventsFeedOf(raw.where(col("ts") < mid)),
+          s"$base/stage0", in, "b0")
+        q.processAllAvailable()
+        landFeedFile(eventsFeedOf(raw.where(col("ts") >= mid)),
+          s"$base/stage1", in, "b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
   /** x158 staging: gen-0 index forked from the shared template, then the
     * admit loop RUNS as a real
     * Structured Streaming query — gen-1 landed and drained (engine batch
@@ -7535,7 +7790,10 @@ object ExtensionCatalog {
     "build_x159_managed_compact" -> ((s, dir) => { stagedManagedCompactIndex(s, dir); () }),
     "build_x160_stream_admit_compact" -> ((s, dir) => { stagedStreamAdmitCompactLedger(s, dir); () }),
     "build_x161_minhash_retract" -> ((s, dir) => { stagedMinhashRetractIndex(s, dir); () }),
-    "build_x162_ivf_managed_compact" -> ((s, dir) => { stagedIvfManagedCompactIndex(s, dir); () }))
+    "build_x162_ivf_managed_compact" -> ((s, dir) => { stagedIvfManagedCompactIndex(s, dir); () }),
+    "build_x163_zorder" -> ((s, dir) => { stagedZorderLayout(s, dir); () }),
+    "build_x164_posting_retract" -> ((s, dir) => { stagedPostingRetractIndex(s, dir); () }),
+    "build_x166_stream_attrib" -> ((s, dir) => { stagedAttributionLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7556,7 +7814,14 @@ object ExtensionCatalog {
     * (EventsStream.schema: ts TIMESTAMP_NTZ) — the feed the monitors read.
     */
   private def eventsFeed(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").select(col("event_id"),
+    eventsFeedOf(t(s, dir, "events"))
+
+  /** The same projection over an already-filtered slice of the raw events
+    * table (the x166 staging splits the feed by TIME on the epoch-nano ts
+    * before projecting).
+    */
+  private def eventsFeedOf(raw: DataFrame): DataFrame =
+    raw.select(col("event_id"),
       expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)").as("ts"),
       col("user_id"), col("event_type"), col("value"), col("props"))
 
@@ -7643,6 +7908,9 @@ object ExtensionCatalog {
     "build_x159_managed_compact" -> managedCompactDirs.get(dir),
     "build_x160_stream_admit_compact" -> streamAdmitCompactDirs.get(dir),
     "build_x161_minhash_retract" -> minhashRetractDirs.get(dir),
-    "build_x162_ivf_managed_compact" -> ivfManagedDirs.get(dir)
+    "build_x162_ivf_managed_compact" -> ivfManagedDirs.get(dir),
+    "build_x163_zorder" -> zorderDirs.get(dir),
+    "build_x164_posting_retract" -> postingRetractDirs.get(dir),
+    "build_x166_stream_attrib" -> attributionDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -158,7 +158,11 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // x151 crosses the 1-row modal-anchor aggregate into the hours-sized
       // ledger (StreamDrift.hoursWithAnchor — the x63 pattern, twice: once
       // building the poison ledger, once inside cusumQuarantine)
-      "x151_cusum_quarantine")
+      "x151_cusum_quarantine",
+      // x163 crosses the 1-row global min/max stats pair into the staged
+      // layout (the x71 bounds pattern); x165 crosses the 1-row
+      // distinct-bigram grand total (the x108 pattern)
+      "x163_zorder_cells", "x165_kneser_ney")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
