@@ -317,7 +317,9 @@ object ExtensionCatalog {
   private def postingSearch(s: SparkSession, dir: String, indexDir: String): DataFrame = {
     val pat = "table part"
     val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
-    val cands = s.read.parquet(indexDir)
+    // resolve the manifest pointer once per read (a no-op on the legacy
+    // flat layouts x101/x157/x164 stage; the current generation on x167's)
+    val cands = s.read.parquet(graft.sources.Layouts.indexRoot(indexDir)(s))
       .where(col("tri").isin(tris: _*))
       .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
       .where(col("nt") === tris.size)
@@ -7225,7 +7227,29 @@ object ExtensionCatalog {
         "6 h signup→purchase attribution ledger from a real two-batch " +
         "Structured Streaming run must equal the batch interval join — " +
         "watermarks on both sides bound the join state at 100 TB/day ingest " +
-        "(extension: streaming / events)")
+        "(extension: streaming / events)"),
+
+    CatalogEntry(
+      "x167_posting_managed_rebase",
+      (s, dir) => {
+        // x157's append+rebase lifecycle on the MANIFEST-GENERATION
+        // layout (Layouts.managePosting) — the third and last index
+        // family gains the no-quiesce maintenance path: the rebase folds
+        // the sealed slices into a NEW immutable generation's single
+        // `base` slice and publishes the create-once pointer instead of
+        // the rename-aside swap, so a live substring-search workload
+        // never loses its table root mid-rebase. Probed under x101's
+        // full-corpus oracle through the manifest: a dropped/duplicated
+        // row in the fold, a stale pointer, or a half-published
+        // generation all change the candidate set.
+        postingSearch(s, dir, stagedPostingManagedIndex(s, dir))
+      },
+      Some(dPostingSearchOracle),
+      "manifest-generation posting index: append + rebase fold into an " +
+        "immutable new generation behind a create-once pointer (no rename " +
+        "swap, no quiesce — the third index family completes the managed " +
+        "layout); probed under x101's full-corpus oracle " +
+        "(extension: retrieval / index maintenance / catalog layout)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7691,6 +7715,29 @@ object ExtensionCatalog {
       out
     })
 
+  /** x167 staging: x157's posting lifecycle on the MANIFEST-GENERATION
+    * layout — even half built flat, migrated via
+    * [[graft.sources.Layouts.managePosting]], odd half appended (lands
+    * sealed in the current generation), then
+    * [[graft.sources.Layouts.sortedRebase]], which on a managed index
+    * folds into a new generation and publishes the pointer (v0 → v1)
+    * instead of renaming the table aside.
+    */
+  private val postingManagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPostingManagedIndex(s: SparkSession, dir: String): String =
+    postingManagedDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-postmgidx")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.postingIndex(docs.where(col("doc_id") % 2 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.managePosting(out)(s)
+      graft.sources.Layouts.postingAppend(docs.where(col("doc_id") % 2 === 1),
+        out, groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+      graft.sources.Layouts.sortedRebase(out, Seq("tri"),
+        groupBytes = 256L * 1024, pageRows = 2000)(s)
+      out
+    })
+
   /** x166 staging: [[graft.streaming.EventsStream.attribution]] — the
     * watermarked stream-stream interval join — run as a REAL Structured
     * Streaming query over a two-micro-batch file feed, its append-mode
@@ -7793,7 +7840,8 @@ object ExtensionCatalog {
     "build_x162_ivf_managed_compact" -> ((s, dir) => { stagedIvfManagedCompactIndex(s, dir); () }),
     "build_x163_zorder" -> ((s, dir) => { stagedZorderLayout(s, dir); () }),
     "build_x164_posting_retract" -> ((s, dir) => { stagedPostingRetractIndex(s, dir); () }),
-    "build_x166_stream_attrib" -> ((s, dir) => { stagedAttributionLedger(s, dir); () }))
+    "build_x166_stream_attrib" -> ((s, dir) => { stagedAttributionLedger(s, dir); () }),
+    "build_x167_posting_managed" -> ((s, dir) => { stagedPostingManagedIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7911,6 +7959,7 @@ object ExtensionCatalog {
     "build_x162_ivf_managed_compact" -> ivfManagedDirs.get(dir),
     "build_x163_zorder" -> zorderDirs.get(dir),
     "build_x164_posting_retract" -> postingRetractDirs.get(dir),
-    "build_x166_stream_attrib" -> attributionDirs.get(dir)
+    "build_x166_stream_attrib" -> attributionDirs.get(dir),
+    "build_x167_posting_managed" -> postingManagedDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

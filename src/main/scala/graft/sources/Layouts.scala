@@ -245,8 +245,14 @@ object Layouts {
       pageRows: Int = 20000,
       batchId: Option[String] = None): Unit = {
     val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     batchId.foreach(requireBatchId)
-    val batched = spark.read.parquet(path).columns.contains("batch_id")
+    // managed layout ([[managePosting]]): the slice lands in the CURRENT
+    // generation; the seal + manifest-chase after the write handles a
+    // rebase publishing concurrently (same protocol as [[minhashAppend]])
+    val gen0 = currentGeneration(path, conf)
+    val root = gen0.map(_._2).getOrElse(path)
+    val batched = spark.read.parquet(root).columns.contains("batch_id")
     require(batched || batchId.isEmpty,
       s"posting index at $path predates batch_id partitioning — a " +
         "replay-safe append is impossible on its flat layout; rebuild via " +
@@ -256,9 +262,20 @@ object Layouts {
       case None if batched => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
       case None            => (None, "append", false)
     }
-    sortedStats(postingRows(docs, idCol, textCol), path, Seq("tri"),
+    sortedStats(postingRows(docs, idCol, textCol), root, Seq("tri"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
+    for ((v0, _) <- gen0; b <- bid) {
+      sealSlice(root, b, conf)
+      var prev = (v0, root)
+      var cur = currentGeneration(path, conf).getOrElse(prev)
+      while (cur._1 != prev._1) {
+        if (!readFolded(cur._2, conf).contains(b))
+          copySliceForce(prev._2, cur._2, b, conf)
+        prev = cur
+        cur = currentGeneration(path, conf).getOrElse(prev)
+      }
+    }
   }
 
   /** Rebase a single batch-partitioned sorted-stats TABLE (the posting
@@ -273,17 +290,49 @@ object Layouts {
       sortCols: Seq[String],
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0)(
+      partitions: Int = 0,
+      graceGenerations: Int = 1)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    recoverCrashedSwap(path, spark.sparkContext.hadoopConfiguration)
-    val df = spark.read.parquet(path)
-    require(df.columns.contains("batch_id"),
-      s"$path predates batch_id partitioning — nothing to rebase")
-    val tmp = s"$path.__compact"
-    sortedStats(df.drop("batch_id"), tmp, sortCols,
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-      batchId = Some("base"))
-    swapIn(path, tmp, spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        // ---- managed ([[managePosting]]): fold the sealed slices into a
+        // NEW generation's single `base` slice and publish the pointer —
+        // [[minhashCompact]]'s protocol with ONE table living AT the
+        // generation root (seal snapshot → fold → live-tail copy →
+        // _FOLDED → publish → post-publish re-list → grace prune)
+        val sealedIds = sliceStates(rootG, conf)
+          .collect { case (id, true) => id }.toSet - "base"
+        val live = liveTail(sealedIds)
+        val fold = sealedIds -- live + "base"
+        val newGen = genName(v + 1)
+        val newRoot = s"$path/$newGen"
+        val df = spark.read.parquet(rootG)
+        sortedStats(df.where(col("batch_id").isin(fold.toSeq: _*))
+          .drop("batch_id"), newRoot, sortCols,
+          groupBytes = groupBytes, pageRows = pageRows,
+          partitions = partitions, batchId = Some("base"))
+        live.foreach(b =>
+          copySliceConsistent(rootG, newRoot, b, conf, required = true))
+        writeFolded(newRoot, fold, conf)
+        publishGeneration(path, v + 1, newGen, conf)
+        sliceStates(rootG, conf)
+          .collect { case (id, true) if !fold(id) && !live(id) => id }
+          .foreach(b =>
+            copySliceConsistent(rootG, newRoot, b, conf, required = false))
+        pruneGenerations(path, v, graceGenerations, conf)
+      case None =>
+        // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
+        recoverCrashedSwap(path, conf)
+        val df = spark.read.parquet(path)
+        require(df.columns.contains("batch_id"),
+          s"$path predates batch_id partitioning — nothing to rebase")
+        val tmp = s"$path.__compact"
+        sortedStats(df.drop("batch_id"), tmp, sortCols,
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base"))
+        swapIn(path, tmp, conf)
+    }
   }
 
   /** Persisted MinHash ingest index: the three existing-side tables
@@ -1052,16 +1101,21 @@ object Layouts {
       }
   }
 
-  /** Mark a just-written slice complete in all three MinHash tables (the
+  /** Mark a just-written slice of ONE sorted-stats table complete (the
     * fold skips unsealed slices — they are in-flight appends).
     */
+  private def sealSlice(tblRoot: String, bid: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$tblRoot/batch_id=$bid")
+    val fs = dir.getFileSystem(conf)
+    if (fs.exists(dir)) fs.createNewFile(new org.apache.hadoop.fs.Path(dir, SealName))
+  }
+
+  /** Mark a just-written slice complete in all three MinHash tables. */
   private def sealMinhashSlices(root: String, bid: String,
       conf: org.apache.hadoop.conf.Configuration): Unit =
-    Seq("fp", "banded", "shingles").foreach { tbl =>
-      val dir = new org.apache.hadoop.fs.Path(s"$root/$tbl/batch_id=$bid")
-      val fs = dir.getFileSystem(conf)
-      if (fs.exists(dir)) fs.createNewFile(new org.apache.hadoop.fs.Path(dir, SealName))
-    }
+    Seq("fp", "banded", "shingles").foreach(tbl =>
+      sealSlice(s"$root/$tbl", bid, conf))
 
   /** (file name, length) fingerprint of a slice dir — file contents are
     * write-once (Spark emits uniquely-named part files and a dynamic
@@ -1268,6 +1322,32 @@ object Layouts {
     require(fs.exists(src), s"no assign table at $path — build ivfIndex first")
     require(fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/$gen/assign")),
       s"could not move $src into $gen")
+    publishGeneration(path, 0L, gen, conf)
+  }
+
+  /** Migrate a flat posting index into the manifest-generation layout:
+    * its batch slices MOVE into `g=000000000` and manifest v0 publishes —
+    * the table lives AT the generation root (the posting index is one
+    * sorted-stats table, unlike the MinHash trio / IVF assign tree). Run
+    * once, quiesced, like [[manageMinhash]]; everything after it —
+    * probes through [[indexRoot]], [[postingAppend]], [[sortedRebase]] —
+    * runs without quiescing again. Idempotent on a managed index.
+    */
+  def managePosting(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    if (currentGeneration(path, conf).isDefined) return
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val slices = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    require(slices.nonEmpty,
+      s"no batch_id slices at $path — build postingIndex first")
+    val gen = genName(0L)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
+    slices.foreach(s =>
+      require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
+        s"$path/$gen/${s.getPath.getName}")),
+        s"could not move ${s.getPath} into $gen"))
     publishGeneration(path, 0L, gen, conf)
   }
 

@@ -242,4 +242,65 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
     probeCmp shouldBe probeCtl
     ledCtl.count(_._2 == "kept") should be > 0
   }
+
+  test("managed posting: publish, sealed append, replay no-op, fold, grace retirement") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = java.nio.file.Files.createTempDirectory("mgd-post").toString
+    def hits(): Set[Long] = {
+      val pat = "table part"
+      val tris = (0 to pat.length - 3).map(i => pat.substring(i, i + 3)).distinct
+      spark.read.parquet(Layouts.indexRoot(idx))
+        .where(col("tri").isin(tris: _*))
+        .groupBy("doc_id").agg(countDistinct("tri").as("nt"))
+        .where(col("nt") === tris.size)
+        .join(docs, "doc_id").where(col("text").contains(pat))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    Layouts.postingIndex(docs.where(col("doc_id") % 2 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val flat = hits()
+    flat should not be empty
+    // migration: probe-invariant, idempotent
+    Layouts.managePosting(idx)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 0L
+    hits() shouldBe flat
+    Layouts.managePosting(idx)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 0L
+    // append lands SEALED in the current generation and changes the hits
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    Layouts.postingAppend(odd, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+    val grown = hits()
+    grown should not equal flat
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"${Layouts.indexRoot(idx)}/batch_id=odd/_SEALED")) shouldBe true
+    // replayed append of the same batch id: a no-op at the row level too
+    Layouts.postingAppend(odd, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("odd"))
+    val root0 = Layouts.indexRoot(idx)
+    val rowsPerDoc = spark.read.parquet(root0)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hits() shouldBe grown
+    // rebase: folds everything into one base slice of a NEW generation
+    Layouts.sortedRebase(idx, Seq("tri"),
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val (v1, root1) = Layouts.currentGeneration(idx, conf).get
+    v1 shouldBe 1L
+    spark.read.parquet(root1).select("batch_id").distinct()
+      .collect().map(_.getString(0)).toSet shouldBe Set("base")
+    hits() shouldBe grown
+    spark.read.parquet(root1).groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe rowsPerDoc
+    // grace: previous generation retained one cycle, retired by the next
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000000")) shouldBe true
+    Layouts.sortedRebase(idx, Seq("tri"),
+      groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 2L
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000000")) shouldBe false
+    fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000001")) shouldBe true
+    hits() shouldBe grown
+  }
 }
