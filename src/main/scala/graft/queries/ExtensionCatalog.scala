@@ -7249,7 +7249,93 @@ object ExtensionCatalog {
         "immutable new generation behind a create-once pointer (no rename " +
         "swap, no quiesce — the third index family completes the managed " +
         "layout); probed under x101's full-corpus oracle " +
-        "(extension: retrieval / index maintenance / catalog layout)")
+        "(extension: retrieval / index maintenance / catalog layout)"),
+
+    CatalogEntry(
+      "x168_stream_ann_compact",
+      (s, dir) => {
+        // ANN SERVING across index maintenance, live: the StreamAnn
+        // query serves micro-batch 0 against the even-built managed IVF
+        // index, then — with the stream still up — the odd half is
+        // appended and ivfCompact folds the index into a new generation
+        // behind the manifest pointer, and micro-batch 1 is served
+        // against the GROWN index (ivfTopKStaged resolves the pointer
+        // per probe). The ledger therefore pins both halves of the
+        // no-quiesce serving story: batch 0's top-k must match the
+        // even-only corpus, batch 1's the full corpus through the
+        // freshly-published generation — a stale pointer, a fold
+        // drop/duplicate, or an append the serve can't see all change a
+        // ranked row. The x160 dual for the index family a serving
+        // stream probes continuously.
+        val led = s.read.parquet(stagedStreamAnnCompactLedger(s, dir))
+        led.select(col("batch_id").cast("long").as("batch_id"),
+          col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+          .orderBy("batch_id", "query_id", "rank")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 20 AND vec_id % 2 = 0),
+              |corp0 AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 20 AND vec_id % 2 = 0),
+              |corp1 AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 20),
+              |q0 AS (SELECT vec_id AS query_id, embedding AS queryv
+              |  FROM embeddings WHERE vec_id < 10),
+              |q1 AS (SELECT vec_id AS query_id, embedding AS queryv
+              |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 20),
+              |probes0 AS (
+              |  SELECT query_id, queryv, cent_id FROM (
+              |    SELECT q.query_id, q.queryv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM q0 q, cent ct)
+              |  WHERE r <= 2),
+              |probes1 AS (
+              |  SELECT query_id, queryv, cent_id FROM (
+              |    SELECT q.query_id, q.queryv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM q1 q, cent ct)
+              |  WHERE r <= 2),
+              |lists0 AS (
+              |  SELECT corpus_id, corpusv, cent_id FROM (
+              |    SELECT c.corpus_id, c.corpusv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp0 c, cent ct)
+              |  WHERE r = 1),
+              |lists1 AS (
+              |  SELECT corpus_id, corpusv, cent_id FROM (
+              |    SELECT c.corpus_id, c.corpusv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp1 c, cent ct)
+              |  WHERE r = 1),
+              |tk0 AS (SELECT * FROM (
+              |  SELECT p.query_id, l.corpus_id, ${dCos("p.queryv", "l.corpusv")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |  FROM probes0 p JOIN lists0 l ON p.cent_id = l.cent_id)
+              |  WHERE rank <= 5),
+              |tk1 AS (SELECT * FROM (
+              |  SELECT p.query_id, l.corpus_id, ${dCos("p.queryv", "l.corpusv")} AS cos,
+              |    ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |      ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |  FROM probes1 p JOIN lists1 l ON p.cent_id = l.cent_id)
+              |  WHERE rank <= 5)
+              |SELECT * FROM (
+              |  SELECT CAST(0 AS BIGINT) AS batch_id, query_id, corpus_id,
+              |    cos, CAST(rank AS INTEGER) AS rank FROM tk0
+              |  UNION ALL
+              |  SELECT CAST(1 AS BIGINT) AS batch_id, query_id, corpus_id,
+              |    cos, CAST(rank AS INTEGER) AS rank FROM tk1)
+              |ORDER BY batch_id, query_id, rank""".stripMargin),
+      "ANN serving LIVE across index maintenance: micro-batch 0 served " +
+        "against the even-built managed IVF index, append + generational " +
+        "compact fired mid-stream, micro-batch 1 served against the grown " +
+        "index through the freshly-published manifest pointer — both " +
+        "ranked ledgers replayed by the oracle " +
+        "(extension: streaming / similarity search / index maintenance)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7738,6 +7824,43 @@ object ExtensionCatalog {
       out
     })
 
+  /** x168 staging: the ANN serving stream ([[graft.streaming.StreamAnn]])
+    * kept LIVE across the index's own maintenance — batch 0 served
+    * against the even-built managed IVF index, then `ivfAppend` (odd
+    * half) + `ivfCompact` (generational fold + pointer publish) fire
+    * while the streaming query stays up, then batch 1 is served against
+    * the grown index through the new generation. Returns the ledger path.
+    */
+  private val streamAnnCompactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamAnnCompactLedger(s: SparkSession, dir: String): String =
+    streamAnnCompactDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sanncp")
+      val em = t(s, dir, "embeddings")
+      val e = em.where(col("vec_id") >= 20)
+      val idx = s"$base/idx"
+      graft.sources.Layouts.ivfIndex(e.where(col("vec_id") % 2 === 0), idx,
+        centModulo = 50, twoLevel = Some(false))
+      graft.sources.Layouts.manageIvf(idx)(s)
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val q = graft.streaming.StreamAnn.serve(
+        s, in, idx, s"$base/ledger", s"$base/ckpt")
+      try {
+        landFeedFile(em.where(col("vec_id") < 10), s"$base/stage0", in, "q0")
+        q.processAllAvailable()
+        // maintenance fires with the serving stream LIVE: the append
+        // lands a sealed slice, the compact folds into a new generation
+        // and publishes the pointer batch 1's probe then resolves
+        graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1),
+          idx, batchId = Some("odd"))
+        graft.sources.Layouts.ivfCompact(idx)(s)
+        landFeedFile(em.where(col("vec_id") >= 10 && col("vec_id") < 20),
+          s"$base/stage1", in, "q1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
   /** x166 staging: [[graft.streaming.EventsStream.attribution]] — the
     * watermarked stream-stream interval join — run as a REAL Structured
     * Streaming query over a two-micro-batch file feed, its append-mode
@@ -7841,7 +7964,8 @@ object ExtensionCatalog {
     "build_x163_zorder" -> ((s, dir) => { stagedZorderLayout(s, dir); () }),
     "build_x164_posting_retract" -> ((s, dir) => { stagedPostingRetractIndex(s, dir); () }),
     "build_x166_stream_attrib" -> ((s, dir) => { stagedAttributionLedger(s, dir); () }),
-    "build_x167_posting_managed" -> ((s, dir) => { stagedPostingManagedIndex(s, dir); () }))
+    "build_x167_posting_managed" -> ((s, dir) => { stagedPostingManagedIndex(s, dir); () }),
+    "build_x168_stream_ann_compact" -> ((s, dir) => { stagedStreamAnnCompactLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -7960,6 +8084,7 @@ object ExtensionCatalog {
     "build_x163_zorder" -> zorderDirs.get(dir),
     "build_x164_posting_retract" -> postingRetractDirs.get(dir),
     "build_x166_stream_attrib" -> attributionDirs.get(dir),
-    "build_x167_posting_managed" -> postingManagedDirs.get(dir)
+    "build_x167_posting_managed" -> postingManagedDirs.get(dir),
+    "build_x168_stream_ann_compact" -> streamAnnCompactDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }
