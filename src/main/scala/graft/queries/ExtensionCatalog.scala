@@ -7335,7 +7335,72 @@ object ExtensionCatalog {
         "compact fired mid-stream, micro-batch 1 served against the grown " +
         "index through the freshly-published manifest pointer — both " +
         "ranked ledgers replayed by the oracle " +
-        "(extension: streaming / similarity search / index maintenance)")
+        "(extension: streaming / similarity search / index maintenance)"),
+
+    CatalogEntry(
+      "x169_stream_late_drop",
+      (s, dir) => {
+        // Watermark EVICTION under the oracle gate — the complement of
+        // x166 (which arranged its feed so nothing drops): the hourly
+        // aggregation streams in append mode, the feed is split by USER
+        // PARITY so batch 1 re-spans the whole month and arrives almost
+        // entirely LATE, and the ledger must therefore hold batch 0's
+        // events plus ONLY the batch-1 rows whose hour window was still
+        // open against the batch-0 watermark (max event time − 2 h). The
+        // oracle replays the eviction rule arithmetically; a row the
+        // engine wrongly absorbs (eviction too lazy) or wrongly drops
+        // (too eager) changes an hourly count. A synthetic event 10 h
+        // past the horizon closes every real window so append mode
+        // flushes them all deterministically.
+        val led = s.read.parquet(stagedLateDropLedger(s, dir))
+        led.orderBy("hour", "event_type")
+      },
+      Some("""WITH a AS (SELECT ts, event_type, value FROM events WHERE user_id % 2 = 0),
+             |wm AS (SELECT date_trunc('second', max(ts)) - INTERVAL 2 HOUR AS wma FROM a),
+             |b AS (SELECT e.ts, e.event_type, e.value FROM events e, wm
+             |  WHERE e.user_id % 2 = 1
+             |    AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.wma),
+             |kept AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS value_milli_sum
+             |FROM kept GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "watermark eviction gated exactly: append-mode hourly aggregation fed " +
+        "a deliberately-late second batch keeps only the rows whose window " +
+        "was still open at the prior watermark — the oracle replays the " +
+        "eviction arithmetic (extension: streaming / events)"),
+
+    CatalogEntry(
+      "x170_stream_engine_dedup",
+      (s, dir) => {
+        // The ENGINE's streaming dedup state under the oracle gate:
+        // dropDuplicates keyed on doc_id, two overlapping feed batches
+        // (residues {0,1} then {1,2} mod 3) — batch 1's residue-1 docs
+        // must be swallowed by the checkpointed seen-key store. The
+        // contrast row to x158: there the persisted INDEX is the
+        // cross-batch state (queryable, compactable, retractable — the
+        // 100 TB path); here the state lives inside the engine
+        // checkpoint, the simplest correct form at keyed-state scale.
+        val led = s.read.parquet(stagedEngineDedupLedger(s, dir))
+        led.join(t(s, dir, "documents").select(col("doc_id"),
+          col("source").as("doc_source")), "doc_id")
+          .groupBy(col("batch_id").cast("long").as("batch_id"),
+            col("doc_source").as("source"))
+          .agg(count(lit(1)).as("n_kept"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+          .orderBy("batch_id", "source")
+      },
+      Some("""WITH b0 AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 <= 1),
+             |b1 AS (SELECT doc_id, source FROM documents
+             |  WHERE doc_id % 3 >= 1 AND doc_id NOT IN (SELECT doc_id FROM b0)),
+             |led AS (SELECT 0 AS b, * FROM b0 UNION ALL SELECT 1 AS b, * FROM b1)
+             |SELECT CAST(b AS BIGINT) AS batch_id, source,
+             |  COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+             |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "the engine's checkpointed dropDuplicates state gated exactly: " +
+        "overlapping micro-batches, first-seen rows only per the seen-key " +
+        "store — the engine-state contrast to x158's index-backed admit " +
+        "loop (extension: streaming / dedup)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -7861,6 +7926,71 @@ object ExtensionCatalog {
       s"$base/ledger"
     })
 
+  /** x169 staging: the hourly aggregation run in APPEND mode against a
+    * parity-split feed — batch 1 re-spans the whole month, so all but its
+    * last ~2 h of events arrive behind batch 0's watermark and must be
+    * evicted. The third landing is one synthetic event 10 h past the
+    * corpus horizon: it pushes the final watermark over every REAL hour
+    * window so the append sink flushes them all (its own window stays
+    * open and never emits); the extra drain lets the no-data
+    * watermark-advance batch run (the EventsStreamSpec timeout pattern).
+    */
+  private val lateDropDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedLateDropLedger(s: SparkSession, dir: String): String =
+    lateDropDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-slate")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val raw = t(s, dir, "events")
+      val q = graft.streaming.EventsStream.hourly(
+        graft.streaming.EventsStream.readEvents(s, in))
+        .writeStream.format("parquet")
+        .option("path", s"$base/ledger")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try {
+        landFeedFile(eventsFeedOf(raw.where(col("user_id") % 2 === 0)),
+          s"$base/st0", in, "a")
+        q.processAllAvailable()
+        landFeedFile(eventsFeedOf(raw.where(col("user_id") % 2 === 1)),
+          s"$base/st1", in, "b")
+        q.processAllAvailable()
+        landFeedFile(eventsFeedOf(raw.orderBy(col("ts").desc).limit(1)
+          .withColumn("ts", col("ts") + lit(36000000000000L))),
+          s"$base/st2", in, "c")
+        q.processAllAvailable()
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
+  /** x170 staging: [[graft.streaming.StreamDedup.engineDedup]] over two
+    * overlapping micro-batches (doc residues {0,1} mod 3, then {1,2}) —
+    * the engine's checkpointed seen-key store must swallow batch 1's
+    * residue-1 re-deliveries. Returns the ledger path.
+    */
+  private val engineDedupDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedEngineDedupLedger(s: SparkSession, dir: String): String =
+    engineDedupDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sedup")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = t(s, dir, "documents")
+      val cols = graft.streaming.StreamDedup.docSchema.fieldNames.map(col)
+      val q = graft.streaming.StreamDedup.engineDedup(
+        s, in, s"$base/ledger", s"$base/ckpt")
+      try {
+        landFeedFile(docs.where(col("doc_id") % 3 <= 1).select(cols: _*),
+          s"$base/st0", in, "b0")
+        q.processAllAvailable()
+        landFeedFile(docs.where(col("doc_id") % 3 >= 1).select(cols: _*),
+          s"$base/st1", in, "b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
+    })
+
   /** x166 staging: [[graft.streaming.EventsStream.attribution]] — the
     * watermarked stream-stream interval join — run as a REAL Structured
     * Streaming query over a two-micro-batch file feed, its append-mode
@@ -7965,7 +8095,9 @@ object ExtensionCatalog {
     "build_x164_posting_retract" -> ((s, dir) => { stagedPostingRetractIndex(s, dir); () }),
     "build_x166_stream_attrib" -> ((s, dir) => { stagedAttributionLedger(s, dir); () }),
     "build_x167_posting_managed" -> ((s, dir) => { stagedPostingManagedIndex(s, dir); () }),
-    "build_x168_stream_ann_compact" -> ((s, dir) => { stagedStreamAnnCompactLedger(s, dir); () }))
+    "build_x168_stream_ann_compact" -> ((s, dir) => { stagedStreamAnnCompactLedger(s, dir); () }),
+    "build_x169_stream_late_drop" -> ((s, dir) => { stagedLateDropLedger(s, dir); () }),
+    "build_x170_engine_dedup" -> ((s, dir) => { stagedEngineDedupLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8085,6 +8217,8 @@ object ExtensionCatalog {
     "build_x164_posting_retract" -> postingRetractDirs.get(dir),
     "build_x166_stream_attrib" -> attributionDirs.get(dir),
     "build_x167_posting_managed" -> postingManagedDirs.get(dir),
-    "build_x168_stream_ann_compact" -> streamAnnCompactDirs.get(dir)
+    "build_x168_stream_ann_compact" -> streamAnnCompactDirs.get(dir),
+    "build_x169_stream_late_drop" -> lateDropDirs.get(dir),
+    "build_x170_engine_dedup" -> engineDedupDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

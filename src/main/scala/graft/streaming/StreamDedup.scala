@@ -39,6 +39,45 @@ object StreamDedup {
       .start()
   }
 
+  /** [[dedupByFingerprint]]'s ENGINE-STATE mechanics with a batch-
+    * attributed parquet ledger, keyed on the id column so the output is
+    * fully deterministic (an id is unique per batch, so `dropDuplicates`
+    * never has to pick an arbitrary representative the way a content-
+    * fingerprint key would when one batch carries two copies): each
+    * micro-batch's FIRST-SEEN docs land under the engine's batch id via
+    * idempotent dynamic overwrite. The state here is the ENGINE's
+    * seen-key store (one entry per distinct id, checkpointed), which is
+    * the contrast with x158's admit loop where the persisted INDEX is the
+    * cross-batch state: engine state is simpler but grows with distinct
+    * keys and lives inside the checkpoint; the index-backed loop is the
+    * 100 TB path (queryable, compactable, retractable, shared across
+    * queries). Time-bounded retention would swap in
+    * `dropDuplicatesWithinWatermark`.
+    */
+  def engineDedup(
+      spark: SparkSession,
+      inDir: String,
+      ledgerPath: String,
+      checkpoint: String) =
+    spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(inDir)
+      .dropDuplicates("doc_id")
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+        batch.select(col("doc_id"), col("source"))
+          .withColumn("batch_id", lit(bid))
+          .write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode("overwrite")
+          .parquet(ledgerPath)
+      }
+      .start()
+
   /** Continuous-ingest EXACT-dedup audit against a PERSISTED corpus index
     * ([[graft.sources.Layouts.jaccardIndex]]) — the streaming form of
     * x139's batch probe, completing the continual-ingestion story: corpus

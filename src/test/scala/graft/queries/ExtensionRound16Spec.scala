@@ -79,6 +79,45 @@ class ExtensionRound16Spec extends AnyFunSuite with Matchers {
       (9L, 4L, 5L, 2L * 3600L * 1000000))
   }
 
+  test("x169: watermark eviction drops only the windows closed at the prior watermark") {
+    val h = 3600L * 1000 * 1000 * 1000
+    val t0 = 1700000000L * 1000000000L
+    // batch A (even user): events in hour 0 and hour 10 (max = t0+10.5h →
+    // watermark after A = t0+8.5h, so hour windows 0..7 are closed).
+    // batch B (odd user): hour-0 row must be EVICTED, hour-9 and hour-10
+    // rows absorbed (their windows were still open at t0+8.5h).
+    val tmp = writeEvents(Seq(
+      (1L, t0 + h / 2, 2L, "view", 1.0, "{}"),
+      (2L, t0 + 10 * h + h / 2, 2L, "view", 2.0, "{}"),
+      (3L, t0 + 5 * 60 * 1000000000L, 3L, "view", 4.0, "{}"),
+      (4L, t0 + 9 * h + h / 4, 3L, "view", 8.0, "{}"),
+      (5L, t0 + 10 * h + 2 * h / 3, 3L, "view", 16.0, "{}")))
+    val got = entry("x169_stream_late_drop").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // t0 = 2023-11-14 22:13:20 UTC → the three surviving hour buckets are
+    // Nov 14 22:00 (A only — B's copy evicted), Nov 15 07:00 (absorbed
+    // late row), Nov 15 08:00 (A row + absorbed late row)
+    got.map(t => (t._1.substring(11, 13), t._2, t._3, t._4)) shouldBe Array(
+      ("22", "view", 1L, 1000L),
+      ("07", "view", 1L, 8000L),
+      ("08", "view", 2L, 18000L))
+  }
+
+  test("x170: the engine's seen-key store swallows re-delivered ids across batches") {
+    val tmp = writeDocs(Seq(
+      (0L, "t0", "en", "s0", 2L), (1L, "t1", "en", "s1", 2L),
+      (2L, "t2", "en", "s0", 2L), (3L, "t3", "en", "s1", 2L),
+      (4L, "t4", "en", "s0", 2L), (5L, "t5", "en", "s1", 2L)))
+    // residues mod 3: b0 = {0,1,3,4}, b1 = {1,2,4,5} → batch 1 keeps 2,5
+    val got = entry("x170_stream_engine_dedup").build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    got shouldBe Array(
+      (0L, "s0", 2L, 0L, 4L),
+      (0L, "s1", 2L, 1L, 3L),
+      (1L, "s0", 1L, 2L, 2L),
+      (1L, "s1", 1L, 5L, 5L))
+  }
+
   test("x163: every Z-cell is a small rectangle of the value plane") {
     // zcell drops the 3 low interleaved bits of each axis → an 8×8 bucket
     // block, so each cell's value span is ≤ 8/255 of the global range
