@@ -431,6 +431,55 @@ object ScaleSweep {
             .count()
         }
       }
+      // Round-16 families. zorder_write: the Morton layout rewrite over
+      // the replicated events plane (user_id × value) — one range shuffle
+      // + write, so the honest expectation is exponent ≈ 1 on rows; the
+      // recorded count re-reads the layout (row preservation is part of
+      // the timed contract, exactly what x163 gates at fixture scale).
+      // stream_attribution: the x166 interval join's BATCH-equal plan
+      // (EventsStream.attribution scaladoc: same plan runs both) over
+      // copies shifted by a year each, so the 6 h window never crosses
+      // copies and the matched-pair driver grows EXACTLY linearly — the
+      // recorded count (= c × base pairs) is the determinism pin, and the
+      // wall cell measures the time-range join whose state bound is the
+      // 100 TB/day claim.
+      if (want("zorder_write") || want("stream_attribution")) {
+        val baseEv = GraftSession.table(spark, sfDir, "events")
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val ev = baseEv
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"),
+            explode(sequence(lit(0), lit(c - 1))).as("i"))
+          .select(
+            (col("event_id") + col("i") * lit(100000000L)).as("event_id"),
+            (col("ts") + col("i") * lit(31536000000000000L)).as("ts"),
+            (col("user_id") + col("i") * lit(1000000L)).as("user_id"),
+            col("event_type"),
+            (col("value") + col("i") * lit(1000.0)).as("value"))
+          .repartition(par).localCheckpoint()
+        if (want("zorder_write")) record("zorder_write", c) {
+          val out = java.nio.file.Files.createTempDirectory(
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get("target/graft-scratch")),
+            "sweep-zorder").toString
+          graft.sources.Layouts.zordered(
+            ev.select("event_id", "user_id", "value"), out, "user_id", "value")
+          val n = spark.read.parquet(out).count()
+          scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+          n
+        }
+        if (want("stream_attribution")) record("stream_attribution", c)(
+          graft.streaming.EventsStream.attribution(ev, windowSec = 21600L)
+            .count())
+        // localCheckpoint blocks live behind the LogicalRDD, not the DF
+        // cache — drop them so scale c's corpus doesn't bill to c+1 (the
+        // BuildTimer rep discipline, ADVICE r15)
+        ev.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = false)
+        }
+      }
       // Streaming serving: c one-file micro-batches of the same 1000-query
       // feed against the base-size staged IVF index. The recorded count is
       // the trigger count (== c, the determinism pin); the wall cell is
