@@ -7381,11 +7381,11 @@ object ExtensionCatalog {
         // cross-batch state (queryable, compactable, retractable — the
         // 100 TB path); here the state lives inside the engine
         // checkpoint, the simplest correct form at keyed-state scale.
+        // the ledger persists `source` itself — grouping on it directly
+        // keeps the probe a single ledger scan (review r16: the original
+        // documents join re-derived a column the ledger already carries)
         val led = s.read.parquet(stagedEngineDedupLedger(s, dir))
-        led.join(t(s, dir, "documents").select(col("doc_id"),
-          col("source").as("doc_source")), "doc_id")
-          .groupBy(col("batch_id").cast("long").as("batch_id"),
-            col("doc_source").as("source"))
+        led.groupBy(col("batch_id").cast("long").as("batch_id"), col("source"))
           .agg(count(lit(1)).as("n_kept"),
             min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
           .orderBy("batch_id", "source")

@@ -1080,9 +1080,14 @@ object Layouts {
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
     Seq("fp", "banded", "shingles").foreach { tbl =>
       val src = new org.apache.hadoop.fs.Path(s"$path/$tbl")
-      require(fs.exists(src), s"no $tbl table at $path — build minhashIndex first")
-      require(fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/$gen/$tbl")),
-        s"could not move $src into $gen")
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$gen/$tbl")
+      // resumable (review r16): a crash between the moves and the publish
+      // leaves some tables already inside g=000000000 — a re-run finishes
+      // the migration instead of demanding a rebuild
+      if (fs.exists(src))
+        require(fs.rename(src, dst), s"could not move $src into $gen")
+      else require(fs.exists(dst),
+        s"no $tbl table at $path — build minhashIndex first")
     }
     publishGeneration(path, 0L, gen, conf)
   }
@@ -1319,9 +1324,11 @@ object Layouts {
     val gen = genName(0L)
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
     val src = new org.apache.hadoop.fs.Path(s"$path/assign")
-    require(fs.exists(src), s"no assign table at $path — build ivfIndex first")
-    require(fs.rename(src, new org.apache.hadoop.fs.Path(s"$path/$gen/assign")),
-      s"could not move $src into $gen")
+    val dst = new org.apache.hadoop.fs.Path(s"$path/$gen/assign")
+    // resumable (review r16): finish a crashed predecessor's publish
+    if (fs.exists(src))
+      require(fs.rename(src, dst), s"could not move $src into $gen")
+    else require(fs.exists(dst), s"no assign table at $path — build ivfIndex first")
     publishGeneration(path, 0L, gen, conf)
   }
 
@@ -1338,13 +1345,23 @@ object Layouts {
     val conf = spark.sparkContext.hadoopConfiguration
     if (currentGeneration(path, conf).isDefined) return
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val slices = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-    require(slices.nonEmpty,
-      s"no batch_id slices at $path — build postingIndex first")
+    def slicesUnder(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(hp)) Seq.empty
+      else fs.listStatus(hp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    }
     val gen = genName(0L)
+    // resumable (review r16): a crash after the moves but before the
+    // publish leaves slices already inside g=000000000 and no manifest —
+    // a re-run must finish the publish, not demand a rebuild. Any slices
+    // still at the root (fresh migration, or a crash mid-move) move
+    // first; then the generation must be non-empty to publish.
+    val atRoot = slicesUnder(path)
+    require(atRoot.nonEmpty || slicesUnder(s"$path/$gen").nonEmpty,
+      s"no batch_id slices at $path — build postingIndex first")
     fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
-    slices.foreach(s =>
+    atRoot.foreach(s =>
       require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
         s"$path/$gen/${s.getPath.getName}")),
         s"could not move ${s.getPath} into $gen"))

@@ -41,6 +41,37 @@ object ScaleSweep {
     * single-file scan's one partition, so the corpus is repartitioned
     * before checkpointing or every downstream map stage runs as ONE task.
     */
+  /** The ONE replicated-events construction (review r16: two sibling
+    * blocks each built their own copy and one leaked its checkpoint):
+    * copy i shifts ts by a year (hour/window axes grow ∝ c and no
+    * attribution window crosses copies), user_id by an even constant
+    * (cohort parity preserved), value by 1000 (the milli-bucket ECDF
+    * axis grows ∝ c), event_id far past the base id space.
+    */
+  private def replicateEvents(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, copies: Int, parallelism: Int): DataFrame =
+    GraftSession.table(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(copies - 1))).as("i"))
+      .select(
+        (col("event_id") + col("i") * lit(100000000L)).as("event_id"),
+        (col("ts") + col("i") * lit(31536000000000000L)).as("ts"),
+        (col("user_id") + col("i") * lit(1000000L)).as("user_id"),
+        col("event_type"),
+        (col("value") + col("i") * lit(1000.0)).as("value"))
+      .repartition(parallelism).localCheckpoint()
+
+  /** localCheckpoint blocks live behind the LogicalRDD, not the DF cache —
+    * drop them so scale c's corpus doesn't bill to (or OOM) scale c+1
+    * (the BuildTimer rep discipline, ADVICE r15).
+    */
+  private def dropReplicated(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+    }
+
   private def replicateDocs(base: DataFrame, copies: Int, parallelism: Int): DataFrame =
     base
       .select(col("doc_id"), substring(col("text"), 1, 300).as("t"),
@@ -375,16 +406,7 @@ object ScaleSweep {
       // user_id shifts by an EVEN constant per copy, preserving the
       // cohort-parity split exactly.
       if (want("ks_drift") || want("cusum_ledger")) {
-        val baseEv = GraftSession.table(spark, sfDir, "events")
-          .select(col("ts"), col("user_id"), col("value"))
-        val ev = baseEv
-          .select(col("ts"), col("user_id"), col("value"),
-            explode(sequence(lit(0), lit(c - 1))).as("i"))
-          .select(
-            (col("ts") + col("i") * lit(31536000000000000L)).as("ts"),
-            (col("user_id") + col("i") * lit(1000000L)).as("user_id"),
-            (col("value") + col("i") * lit(1000.0)).as("value"))
-          .repartition(par).localCheckpoint()
+        val ev = replicateEvents(spark, sfDir, c, par)
         // the recorded "count" for ks_drift is the KS statistic itself
         // (micro-units): an exact integer that must reproduce across
         // repeats — the same determinism pin the other families get from
@@ -430,6 +452,7 @@ object ScaleSweep {
               (greatest(col("mx"), lit(0L)) - col("p")).as("cusum_down"))
             .count()
         }
+        dropReplicated(ev)
       }
       // Round-16 families. zorder_write: the Morton layout rewrite over
       // the replicated events plane (user_id × value) — one range shuffle
@@ -444,41 +467,27 @@ object ScaleSweep {
       // wall cell measures the time-range join whose state bound is the
       // 100 TB/day claim.
       if (want("zorder_write") || want("stream_attribution")) {
-        val baseEv = GraftSession.table(spark, sfDir, "events")
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"))
-        val ev = baseEv
-          .select(col("event_id"), col("ts"), col("user_id"),
-            col("event_type"), col("value"),
-            explode(sequence(lit(0), lit(c - 1))).as("i"))
-          .select(
-            (col("event_id") + col("i") * lit(100000000L)).as("event_id"),
-            (col("ts") + col("i") * lit(31536000000000000L)).as("ts"),
-            (col("user_id") + col("i") * lit(1000000L)).as("user_id"),
-            col("event_type"),
-            (col("value") + col("i") * lit(1000.0)).as("value"))
-          .repartition(par).localCheckpoint()
-        if (want("zorder_write")) record("zorder_write", c) {
+        val ev = replicateEvents(spark, sfDir, c, par)
+        if (want("zorder_write")) {
+          // dir created and deleted OUTSIDE the timed cell (the index-
+          // build families' discipline — review r16: billing the c-scaled
+          // recursive delete to the cell inflated every measurement);
+          // repeats overwrite the same dir, which is zordered's own mode
           val out = java.nio.file.Files.createTempDirectory(
             java.nio.file.Files.createDirectories(
               java.nio.file.Paths.get("target/graft-scratch")),
             "sweep-zorder").toString
-          graft.sources.Layouts.zordered(
-            ev.select("event_id", "user_id", "value"), out, "user_id", "value")
-          val n = spark.read.parquet(out).count()
+          record("zorder_write", c) {
+            graft.sources.Layouts.zordered(
+              ev.select("event_id", "user_id", "value"), out, "user_id", "value")
+            spark.read.parquet(out).count()
+          }
           scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
-          n
         }
         if (want("stream_attribution")) record("stream_attribution", c)(
           graft.streaming.EventsStream.attribution(ev, windowSec = 21600L)
             .count())
-        // localCheckpoint blocks live behind the LogicalRDD, not the DF
-        // cache — drop them so scale c's corpus doesn't bill to c+1 (the
-        // BuildTimer rep discipline, ADVICE r15)
-        ev.queryExecution.optimizedPlan.collectFirst {
-          case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = false)
-        }
+        dropReplicated(ev)
       }
       // Streaming serving: c one-file micro-batches of the same 1000-query
       // feed against the base-size staged IVF index. The recorded count is

@@ -303,4 +303,27 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
     fs.exists(new org.apache.hadoop.fs.Path(s"$idx/g=000000001")) shouldBe true
     hits() shouldBe grown
   }
+
+  test("managePosting finishes a crashed predecessor's publish") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idx = java.nio.file.Files.createTempDirectory("mgd-crash").toString
+    Layouts.postingIndex(docs.where(col("doc_id") % 4 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val before = spark.read.parquet(idx).count()
+    // simulate the crash window: slices already moved into g=000000000,
+    // manifest never published
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    val gen = new org.apache.hadoop.fs.Path(s"$idx/g=000000000")
+    fs.mkdirs(gen)
+    fs.listStatus(new org.apache.hadoop.fs.Path(idx)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .foreach(st => assert(fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(gen, st.getPath.getName))))
+    Layouts.currentGeneration(idx, conf) shouldBe None
+    // the re-run must finish the publish, not demand a rebuild
+    Layouts.managePosting(idx)
+    Layouts.currentGeneration(idx, conf).get._1 shouldBe 0L
+    spark.read.parquet(Layouts.indexRoot(idx)).count() shouldBe before
+  }
 }
