@@ -7400,7 +7400,100 @@ object ExtensionCatalog {
       "the engine's checkpointed dropDuplicates state gated exactly: " +
         "overlapping micro-batches, first-seen rows only per the seen-key " +
         "store — the engine-state contrast to x158's index-backed admit " +
-        "loop (extension: streaming / dedup)")
+        "loop (extension: streaming / dedup)"),
+
+    CatalogEntry(
+      "x171_unigram_segment",
+      (s, dir) => {
+        // Unigram-LM (SentencePiece-style) Viterbi segmentation, the
+        // tokenizer family's dual to BPE (x110/x111): candidate pieces =
+        // every 1..4-char substring occurrence of the corpus words,
+        // weighted by word frequency; piece log-probs in exact MILLI
+        // integers (round(1000·(ln pf − ln total)) — the x141 ln-milli
+        // convention); per distinct word, the max-score / fewest-pieces
+        // segmentation via a frontier DP unrolled max-word-length times
+        // (optimal substructure: extensions from a position add identical
+        // deltas, so keeping only the lexicographic (score, −np) max per
+        // position is safe). Everything past the one tokenize+count pass
+        // runs on VOCABULARY-sized tables (Heaps' law: ~31 words here,
+        // still vocabulary-sized at 100 TB), so the corpus is scanned
+        // once. The oracle enumerates ALL segmentations by recursive CTE
+        // (compositions with parts ≤ 4 — bounded by word length) and
+        // takes the same (score DESC, np ASC) best.
+        val docs = t(s, dir, "documents")
+        val words = docs.select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+          .localCheckpoint()
+        val spans = words.select(col("w"), col("wf"),
+          explode(expr("flatten(transform(sequence(1, length(w)), i -> " +
+            "transform(sequence(i, least(length(w), i + 3)), j -> " +
+            "struct(i - 1 AS i, j AS j, substring(w, i, j - i + 1) AS piece))))"))
+            .as("sp"))
+          .select(col("w"), col("wf"), col("sp.i").as("i"), col("sp.j").as("j"),
+            col("sp.piece").as("piece"))
+        val pf = spans.groupBy("piece").agg(sum("wf").as("pf"))
+        val tot = pf.agg(sum("pf").as("total"))
+        val lp = pf.crossJoin(broadcast(tot))
+          .select(col("piece"),
+            round(lit(1000.0) * (log(col("pf").cast("double"))
+              - log(col("total").cast("double")))).cast("long").as("lp"))
+        val edges = spans.select("w", "i", "j", "piece")
+          .join(lp, "piece")
+          .select(col("w").as("ew"), col("i"), col("j"), col("lp"))
+          .localCheckpoint()
+        val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
+        var best = words.select(col("w"), lit(0).as("pos"),
+          lit(0L).as("score"), lit(0).as("np"))
+        for (_ <- 1 to maxLen) {
+          val ext = best.join(edges,
+            col("w") === col("ew") && col("pos") === col("i"))
+            .select(col("w"), col("j").as("pos"),
+              (col("score") + col("lp")).as("score"), (col("np") + 1).as("np"))
+          best = best.union(ext).groupBy("w", "pos")
+            .agg(max(struct(col("score"), (-col("np")).as("nn"))).as("m"))
+            .select(col("w"), col("pos"), col("m.score").as("score"),
+              (-col("m.nn")).as("np"))
+            .localCheckpoint()
+        }
+        words.join(best, "w").where(col("pos") === length(col("w")))
+          .select(col("w"), col("wf"), col("score").as("lp_milli"),
+            col("np").as("n_pieces"))
+          .orderBy("w")
+      },
+      Some("""WITH RECURSIVE words AS (
+             |  SELECT w, COUNT(*) AS wf FROM (
+             |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+             |  GROUP BY 1),
+             |spans AS (
+             |  SELECT w, wf, u.i AS i, u.j AS j, u.piece AS piece FROM words,
+             |  UNNEST(flatten(list_transform(range(1, length(w) + 1), i ->
+             |    list_transform(range(i, least(length(w), i + 3) + 1), j ->
+             |      {'i': i - 1, 'j': j,
+             |       'piece': substring(w, CAST(i AS INTEGER), CAST(j - i + 1 AS INTEGER))}))))
+             |    AS t(u)),
+             |pf AS (SELECT piece, SUM(wf) AS pf FROM spans GROUP BY 1),
+             |tot AS (SELECT SUM(pf) AS total FROM pf),
+             |lp AS (SELECT piece,
+             |    CAST(round(1000.0 * (ln(CAST(pf AS DOUBLE)) - ln(CAST(total AS DOUBLE)))) AS BIGINT) AS lp
+             |  FROM pf, tot),
+             |edges AS (SELECT s.w, s.i, s.j, l.lp FROM spans s JOIN lp l USING (piece)),
+             |dp AS (
+             |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np FROM words
+             |  UNION ALL
+             |  SELECT d.w, CAST(e.j AS INTEGER) AS pos, d.score + e.lp, d.np + 1
+             |  FROM dp d JOIN edges e ON d.w = e.w AND d.pos = e.i),
+             |fin AS (SELECT d.w, d.score, d.np,
+             |    ROW_NUMBER() OVER (PARTITION BY d.w
+             |      ORDER BY d.score DESC, d.np ASC) AS r
+             |  FROM dp d JOIN words wd ON d.w = wd.w AND d.pos = length(wd.w))
+             |SELECT f.w, wd.wf, f.score AS lp_milli, CAST(f.np AS INTEGER) AS n_pieces
+             |FROM fin f JOIN words wd ON f.w = wd.w WHERE f.r = 1
+             |ORDER BY f.w""".stripMargin),
+      "unigram-LM (SentencePiece-style) Viterbi segmentation: milli-integer " +
+        "piece log-probs, frontier DP per distinct word, corpus scanned once " +
+        "— the tokenizer family's dual to BPE; oracle enumerates every " +
+        "segmentation by recursive CTE and takes the same best " +
+        "(extension: text analysis / tokenizers)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the

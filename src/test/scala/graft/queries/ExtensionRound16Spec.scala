@@ -118,6 +118,17 @@ class ExtensionRound16Spec extends AnyFunSuite with Matchers {
       (1L, "s1", 1L, 5L, 5L))
   }
 
+  test("x171: hand-computed unigram Viterbi segmentation") {
+    // corpus "ab ab b": words ab(wf 2), b(wf 1); pieces a=2, ab=2, b=3,
+    // total 7. lp_milli: a/ab = round(1000·ln(2/7)) = −1253, b = −847.
+    // "ab" best = [ab] (−1253, 1 piece) beating [a,b] (−2100, 2);
+    // "b" best = [b] (−847, 1).
+    val tmp = writeDocs(Seq((1L, "ab ab b", "en", "s0", 7L)))
+    val got = entry("x171_unigram_segment").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    got shouldBe Array(("ab", 2L, -1253L, 1), ("b", 1L, -847L, 1))
+  }
+
   test("x163: every Z-cell is a small rectangle of the value plane") {
     // zcell drops the 3 low interleaved bits of each axis → an 8×8 bucket
     // block, so each cell's value span is ≤ 8/255 of the global range

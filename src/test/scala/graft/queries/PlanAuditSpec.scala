@@ -161,8 +161,9 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x151_cusum_quarantine",
       // x163 crosses the 1-row global min/max stats pair into the staged
       // layout (the x71 bounds pattern); x165 crosses the 1-row
-      // distinct-bigram grand total (the x108 pattern)
-      "x163_zorder_cells", "x165_kneser_ney")
+      // distinct-bigram grand total (the x108 pattern); x171 crosses the
+      // 1-row piece-mass total into the vocabulary-sized piece table
+      "x163_zorder_cells", "x165_kneser_ney", "x171_unigram_segment")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
