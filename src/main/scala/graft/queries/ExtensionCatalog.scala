@@ -7449,11 +7449,20 @@ object ExtensionCatalog {
             col("w") === col("ew") && col("pos") === col("i"))
             .select(col("w"), col("j").as("pos"),
               (col("score") + col("lp")).as("score"), (col("np") + 1).as("np"))
+          // per-step plan truncation is LOAD-BEARING: `best` appears twice
+          // per step (directly and through ext's join), so without it the
+          // logical plan doubles every iteration — 2^maxLen copies of the
+          // corpus scan (QueryTimer: 15.7 s un-truncated vs ~2.4 s warm
+          // with truncation). LAZY localCheckpoint swaps in the LogicalRDD
+          // (killing the blowup) but defers materialization, so the whole
+          // DP runs as ONE job's stage chain instead of a barrier per step
+          // — warm-equal to eager at fixture scale, and at cluster scale
+          // it saves maxLen scheduling round-trips
           best = best.union(ext).groupBy("w", "pos")
             .agg(max(struct(col("score"), (-col("np")).as("nn"))).as("m"))
             .select(col("w"), col("pos"), col("m.score").as("score"),
               (-col("m.nn")).as("np"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
         words.join(best, "w").where(col("pos") === length(col("w")))
           .select(col("w"), col("wf"), col("score").as("lp_milli"),
