@@ -8275,6 +8275,35 @@ object ExtensionCatalog {
       try q.processAllAvailable() finally q.stop()
       scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
     }),
+    // 3 signup/purchase micro-batches through the watermarked
+    // stream-stream interval join (EventsStream.attribution) into an
+    // append-mode parquet sink — the serving row for the JOIN-state
+    // stream shape (the other three rows serve probe/agg state); feeds
+    // land time-sliced so the watermark stays monotone like production
+    "stream_x166_attrib_serve" -> ((s, dir) => {
+      val base = stagedScratch("graft-sattr2")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val raw = t(s, dir, "events")
+      val mm = raw.agg(min("ts"), max("ts")).head()
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      val q = graft.streaming.EventsStream.attribution(
+        graft.streaming.EventsStream.readEvents(s, in), windowSec = 21600L)
+        .writeStream.format("parquet")
+        .option("path", s"$base/ledger")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .start()
+      try (0 until 3).foreach { b =>
+        val from = lo + (hi - lo) * b / 3
+        val until = if (b == 2) hi + 1 else lo + (hi - lo) * (b + 1) / 3
+        landFeedFile(eventsFeedOf(
+          raw.where(col("ts") >= from && col("ts") < until)),
+          s"$base/stage$b", in, s"b$b")
+        q.processAllAvailable()
+      } finally q.stop()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }),
     // 2 event micro-batches appended to the idempotent hourly ledger,
     // then the distributed two-sided CUSUM scoring pass over the
     // accumulated series — ledger build AND the scoring read both billed
