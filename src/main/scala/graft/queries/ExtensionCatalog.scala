@@ -7502,7 +7502,45 @@ object ExtensionCatalog {
         "piece log-probs, frontier DP per distinct word, corpus scanned once " +
         "— the tokenizer family's dual to BPE; oracle enumerates every " +
         "segmentation by recursive CTE and takes the same best " +
-        "(extension: text analysis / tokenizers)")
+        "(extension: text analysis / tokenizers)"),
+
+    CatalogEntry(
+      "x172_hive_partition_join",
+      (s, dir) => {
+        // The last layout under the value gate: orders staged as
+        // Hive-style directories on o_orderpriority (the coarsest
+        // pruning tier — a partition filter skips whole directories
+        // before any footer is read), probed through a join against a
+        // FILTERED aggregated dim on the partition key: exactly the
+        // shape where Spark injects a dynamic-partition-pruning
+        // subquery (LayoutsSpec pins the DPP plan; this row pins VALUES:
+        // a row the partitioned rewrite dropped or duplicated, or a
+        // partition the prune wrongly skips, changes a group). Money
+        // sums go through DECIMAL(38,4) per the determinism contract.
+        val hp = s.read.parquet(stagedHiveLayout(s, dir))
+        val dim = t(s, dir, "orders")
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n_all"))
+          .where(col("o_orderpriority") < "4")
+        hp.join(dim, "o_orderpriority")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            graft.functions.Aggregations.exactSum(col("o_totalprice"))
+              .as("sum_price"),
+            max("n_all").as("n_all"))
+          .orderBy("o_orderpriority", "o_orderstatus")
+      },
+      Some("""WITH dim AS (
+             |  SELECT o_orderpriority, COUNT(*) AS n_all FROM orders
+             |  GROUP BY 1 HAVING o_orderpriority < '4')
+             |SELECT o.o_orderpriority, o.o_orderstatus, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price,
+             |  MAX(d.n_all) AS n_all
+             |FROM orders o JOIN dim d ON o.o_orderpriority = d.o_orderpriority
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "Hive-partitioned layout under the value gate: the staged directory " +
+        "layout probed through a filtered-dim join on the partition key — " +
+        "the dynamic-partition-pruning shape, value-pinned (LayoutsSpec pins " +
+        "the pruned plan itself) (extension: catalog layout / pruning)")
   )
 
   /** Scratch base for the one-time staged index builds. Defaults under the
@@ -8028,6 +8066,19 @@ object ExtensionCatalog {
       s"$base/ledger"
     })
 
+  /** x172 staging: orders written as Hive-style partition directories on
+    * o_orderpriority via [[graft.sources.Layouts.hivePartitioned]] — the
+    * coarsest pruning tier, written once per fixture dir.
+    */
+  private val hiveLayoutDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedHiveLayout(s: SparkSession, dir: String): String =
+    hiveLayoutDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-hivepart")
+      graft.sources.Layouts.hivePartitioned(
+        t(s, dir, "orders"), out, "o_orderpriority")
+      out
+    })
+
   /** x169 staging: the hourly aggregation run in APPEND mode against a
     * parity-split feed — batch 1 re-spans the whole month, so all but its
     * last ~2 h of events arrive behind batch 0's watermark and must be
@@ -8199,7 +8250,8 @@ object ExtensionCatalog {
     "build_x167_posting_managed" -> ((s, dir) => { stagedPostingManagedIndex(s, dir); () }),
     "build_x168_stream_ann_compact" -> ((s, dir) => { stagedStreamAnnCompactLedger(s, dir); () }),
     "build_x169_stream_late_drop" -> ((s, dir) => { stagedLateDropLedger(s, dir); () }),
-    "build_x170_engine_dedup" -> ((s, dir) => { stagedEngineDedupLedger(s, dir); () }))
+    "build_x170_engine_dedup" -> ((s, dir) => { stagedEngineDedupLedger(s, dir); () }),
+    "build_x172_hive_layout" -> ((s, dir) => { stagedHiveLayout(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8350,6 +8402,7 @@ object ExtensionCatalog {
     "build_x167_posting_managed" -> postingManagedDirs.get(dir),
     "build_x168_stream_ann_compact" -> streamAnnCompactDirs.get(dir),
     "build_x169_stream_late_drop" -> lateDropDirs.get(dir),
-    "build_x170_engine_dedup" -> engineDedupDirs.get(dir)
+    "build_x170_engine_dedup" -> engineDedupDirs.get(dir),
+    "build_x172_hive_layout" -> hiveLayoutDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }
