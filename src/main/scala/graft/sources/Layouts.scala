@@ -270,7 +270,10 @@ object Layouts {
       var prev = (v0, root)
       var cur = currentGeneration(path, conf).getOrElse(prev)
       while (cur._1 != prev._1) {
-        if (!readFolded(cur._2, conf).contains(b))
+        // transitive fold check: union _FOLDED over every generation
+        // between prev and cur — cur's own set misses slices absorbed
+        // at a skipped intermediate version (ADVICE r16)
+        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
           copySliceForce(prev._2, cur._2, b, conf)
         prev = cur
         cur = currentGeneration(path, conf).getOrElse(prev)
@@ -482,12 +485,13 @@ object Layouts {
       var prev = (v0, root)
       var cur = currentGeneration(path, conf).getOrElse(prev)
       while (cur._1 != prev._1) {
-        // skip if the new generation's fold already absorbed this slice
+        // skip if ANY generation between prev and cur folded this slice
         // into base (a delayed check re-copying it would duplicate its
-        // rows); otherwise the writer's copy is authoritative — it
-        // replaces any torn pre-publish copy the compactor took while
-        // this write was in flight
-        if (!readFolded(cur._2, conf).contains(b))
+        // rows — and cur's own _FOLDED misses folds at skipped
+        // intermediate versions, ADVICE r16); otherwise the writer's
+        // copy is authoritative — it replaces any torn pre-publish copy
+        // the compactor took while this write was in flight
+        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
           Seq("fp", "banded", "shingles").foreach(tbl =>
             copySliceForce(s"${prev._2}/$tbl", s"${cur._2}/$tbl", b, conf))
         prev = cur
@@ -746,7 +750,8 @@ object Layouts {
       var prev = (v0, r0)
       var cur = currentGeneration(path, conf).getOrElse(prev)
       while (cur._1 != prev._1) {
-        if (!readFolded(cur._2, conf).contains(b))
+        // transitive fold check across skipped generations (ADVICE r16)
+        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
           ivfCellDirs(s"${prev._2}/assign", b, conf).foreach { cell =>
             copySliceForce(cell.toString,
               s"${cur._2}/assign/${cell.getName}", b, conf)
@@ -1030,10 +1035,7 @@ object Layouts {
       if (vs.isEmpty) None
       else {
         val v = vs.max
-        val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/$ManifestDirName/v${"%09d".format(v)}"))
-        val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-                  finally in.close()
-        Some((v, s"$path/$gen"))
+        generationAt(path, v, conf).map(g => (v, g))
       }
     }
   }
@@ -1088,6 +1090,13 @@ object Layouts {
         require(fs.rename(src, dst), s"could not move $src into $gen")
       else require(fs.exists(dst),
         s"no $tbl table at $path — build minhashIndex first")
+      // SEAL every migrated slice: flat-layout appends never seal (the
+      // seal belongs to the managed protocol), so without this a
+      // pre-migration batch slice is neither folded nor live-copied by
+      // the first managed compact and its rows silently vanish
+      // (ADVICE r16). Migration runs quiesced, so sealing here is safe.
+      sliceStates(dst.toString, conf).collect { case (id, false) => id }
+        .foreach(b => sealSlice(dst.toString, b, conf))
     }
     publishGeneration(path, 0L, gen, conf)
   }
@@ -1228,6 +1237,41 @@ object Layouts {
     }
   }
 
+  /** Generation root recorded at one SPECIFIC manifest version, if that
+    * pointer file still exists (grace pruning retires old ones).
+    */
+  private def generationAt(path: String, v: Long,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"$path/$ManifestDirName/v${"%09d".format(v)}")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+                finally in.close()
+      Some(s"$path/$gen")
+    }
+  }
+
+  /** Union of `_FOLDED` across every generation published after `vFrom`
+    * up to and including `vTo`. A generation's `_FOLDED` is NOT
+    * transitive: v+2 records the slice ids its own fold absorbed FROM
+    * v+1 — a slice folded at v+1 lives on inside v+2's `base` but is
+    * absent from v+2's `_FOLDED`. A writer whose manifest-chase skipped
+    * a version (two rebases published between its seal and its first
+    * re-read) must therefore union the intermediate fold sets, or it
+    * re-installs a slice whose rows base already carries and duplicates
+    * them (ADVICE r16). A pruned intermediate pointer contributes
+    * nothing — within the grace contract (an append spans at most
+    * `graceGenerations` cycles) the intermediates are still present.
+    */
+  private def foldedSince(path: String, vFrom: Long, vTo: Long,
+      conf: org.apache.hadoop.conf.Configuration): Set[String] =
+    (vFrom + 1 to vTo).iterator.flatMap(v =>
+      generationAt(path, v, conf).fold(Set.empty[String])(readFolded(_, conf))
+    ).toSet
+
   /** The slices a compact must NOT fold: per stream lineage (ids shaped
     * `<prefix>-b<N>`, the admit loop's namespace), the newest slice — a
     * pending at-least-once replay can only be of a stream's LAST batch
@@ -1329,6 +1373,11 @@ object Layouts {
     if (fs.exists(src))
       require(fs.rename(src, dst), s"could not move $src into $gen")
     else require(fs.exists(dst), s"no assign table at $path — build ivfIndex first")
+    // seal every migrated batch slice — flat-layout ivfAppend never
+    // seals, and the managed ivfCompact folds/copies only sealed ids
+    // (same vanishing-slice gap as manageMinhash; ADVICE r16)
+    ivfSliceStates(dst.toString, conf).collect { case (id, false) => id }
+      .foreach(b => sealIvfSlices(dst.toString, b, conf))
     publishGeneration(path, 0L, gen, conf)
   }
 
@@ -1365,6 +1414,15 @@ object Layouts {
       require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
         s"$path/$gen/${s.getPath.getName}")),
         s"could not move ${s.getPath} into $gen"))
+    // seal every migrated slice (flat-layout postingAppend never seals;
+    // the managed sortedRebase folds only SEALED slices and its
+    // post-publish re-list copies only sealed slices — an unsealed
+    // migrated slice would vanish from the first rebase's generation
+    // and be lost for good after grace pruning; ADVICE r16). Covers the
+    // crash-resume path too: slices already inside the generation from
+    // a crashed predecessor are sealed alike. Migration runs quiesced.
+    sliceStates(s"$path/$gen", conf).collect { case (id, false) => id }
+      .foreach(b => sealSlice(s"$path/$gen", b, conf))
     publishGeneration(path, 0L, gen, conf)
   }
 

@@ -477,12 +477,13 @@ object ScaleSweep {
             java.nio.file.Files.createDirectories(
               java.nio.file.Paths.get("target/graft-scratch")),
             "sweep-zorder").toString
-          record("zorder_write", c) {
+          try record("zorder_write", c) {
             graft.sources.Layouts.zordered(
               ev.select("event_id", "user_id", "value"), out, "user_id", "value")
             spark.read.parquet(out).count()
-          }
-          scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+          } finally // delete on failure too: the c-scaled Morton layout
+            // would otherwise leak under target/graft-scratch (ADVICE r16)
+            scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
         }
         if (want("stream_attribution")) record("stream_attribution", c)(
           graft.streaming.EventsStream.attribution(ev, windowSec = 21600L)

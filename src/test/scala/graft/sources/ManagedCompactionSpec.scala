@@ -304,6 +304,65 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
     hits() shouldBe grown
   }
 
+  test("slices appended on the FLAT layout survive migration + first " +
+      "managed compact (migration seals them)") {
+    // flat-layout appends never seal (_SEALED belongs to the managed
+    // protocol), and the managed fold absorbs only sealed slices — so
+    // the migration itself must seal what it moves, or pre-migration
+    // batches vanish from the first compact's generation (ADVICE r16).
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // -- minhash trio
+    val idx = java.nio.file.Files.createTempDirectory("mig-seal").toString
+    Layouts.minhashIndex(docs.where(col("doc_id") % 4 === 0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.minhashAppend(docs.where(col("doc_id") % 4 === 1), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("flatb"))
+    val before = probe(idx, 2)
+    val rowsBefore = spark.read.parquet(s"$idx/banded")
+      .drop("batch_id").distinct().count()
+    Layouts.manageMinhash(idx)
+    val fs = new org.apache.hadoop.fs.Path(idx).getFileSystem(conf)
+    fs.exists(new org.apache.hadoop.fs.Path(
+      s"${Layouts.indexRoot(idx)}/banded/batch_id=flatb/_SEALED")) shouldBe true
+    Layouts.minhashCompact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    // flatb folded into base — its rows must still be there
+    spark.read.parquet(s"${Layouts.indexRoot(idx)}/banded")
+      .drop("batch_id").distinct().count() shouldBe rowsBefore
+    probe(idx, 2) shouldBe before
+
+    // -- posting table
+    val pidx = java.nio.file.Files.createTempDirectory("mig-seal-p").toString
+    Layouts.postingIndex(docs.where(col("doc_id") % 2 === 0), pidx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.postingAppend(docs.where(col("doc_id") % 2 === 1), pidx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("flatp"))
+    val pRows = spark.read.parquet(pidx).drop("batch_id").count()
+    Layouts.managePosting(pidx)
+    Layouts.sortedRebase(pidx, Seq("tri"),
+      groupBytes = 256L * 1024, pageRows = 2000)
+    spark.read.parquet(Layouts.indexRoot(pidx))
+      .drop("batch_id").count() shouldBe pRows
+
+    // -- IVF assign tree
+    val emb = spark.read
+      .parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .where(col("vec_id") >= 10)
+    val vidx = java.nio.file.Files.createTempDirectory("mig-seal-v").toString
+    Layouts.ivfIndex(emb.where(col("vec_id") % 2 === 0), vidx,
+      centModulo = 50, twoLevel = Some(false))
+    Layouts.ivfAppend(emb.where(col("vec_id") % 2 === 1), vidx,
+      batchId = Some("flatv"))
+    val vRows = spark.read.parquet(s"$vidx/assign")
+      .select("corpus_id").collect().map(_.getLong(0)).sorted.toSeq
+    Layouts.manageIvf(vidx)
+    Layouts.ivfCompact(vidx)
+    spark.read.parquet(s"${Layouts.indexRoot(vidx)}/assign")
+      .select("corpus_id").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe vRows
+  }
+
   test("managePosting finishes a crashed predecessor's publish") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val conf = spark.sparkContext.hadoopConfiguration
