@@ -677,8 +677,20 @@ object Bench {
     // factors are ~1 and first ≈ recovered, so host_norm ≈ raw as
     // before).
     val vsBaselineHostNorm = {
+      // disk leg GATED like the CPU leg (VERDICT r16 #2): the warm-probe
+      // ratio only corrects a run whose corpus actually rode the device.
+      // On a fully page-cached window (disk_util_median 0%) the probe
+      // ratio measures hardware the run never waited on, and multiplying
+      // it in flattered the r16 driver artifact to 0.68 against raw 1.08
+      // — over-correction in the easy direction. Evidence bar: sustained
+      // device utilization across the run's 1 Hz ticks. Capped at 1.0
+      // symmetrically with the CPU factor: a faster-than-baseline disk
+      // must not hide a plan regression.
+      val diskDegradedRun = diskMedPct > 10.0
       val diskFactor =
-        if (refWarmGbps > 0 && gbps > 0) gbps / refWarmGbps else 1.0
+        if (diskDegradedRun && refWarmGbps > 0 && gbps > 0)
+          math.min(1.0, gbps / refWarmGbps)
+        else 1.0
       val firstPerQuery =
         if (names.nonEmpty) steadyFirstPassSec / names.size else 0.0
       (firstPerQuery / refSecPerQuery) * diskFactor * hostNormCpuFactor
@@ -745,7 +757,26 @@ object Bench {
     // that is exactly how BENCH_r06/r07 ended up with "parsed": null. The
     // final line is self-contained (total, failure count, slowest queries)
     // and sized to survive any sane tail window.
-    val failedNames = results.collect { case (k, r) if r.failed => k }
+    // Serving-SLO gate (VERDICT r16 #7): every streaming serving row's
+    // graded per-trigger p50 must meet the fixture-scale serving target,
+    // or the ARTIFACT fails — a regression like r16's x166 (4.1 s p50,
+    // deterministic on a healthy window) is caught by the bench line, not
+    // by a judge reading it a round later. Applied AFTER the stream retry
+    // pass (the kept p50 is the graded stat) and only on non-collapsed
+    // windows: a breach under run-level weather is the retry machinery's
+    // business, and failing the artifact for host weather would punish
+    // exactly the windows the retry ledger exists to explain.
+    val servingSloSec = 1.5
+    val sloBreaches = streamRows.collect {
+      case (l, _, p50, _) if p50 > servingSloSec => l -> p50 }
+    val sloFailures =
+      if (retryRunWeather || hostDegraded) Seq.empty
+      else sloBreaches.map { case (l, _) => s"$l(slo)" }
+    val sloJson = sloBreaches
+      .map { case (l, p) => "\"" + l.stripPrefix("stream_") + "\":" + round(p, 100) }
+      .mkString("{", ",", "}")
+    val failedNames =
+      results.collect { case (k, r) if r.failed => k } ++ sloFailures
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_warm_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
     // `slowest` trimmed 12→10: the trigger-latency/build-write/host-gate
     // fields below must fit with the rest inside the driver's 2000-char
@@ -754,7 +785,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJsonLine,"retried_streams":$retriedStreamsJsonLine,"retried_count":$retriedCount,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu":${round(hostNormCpuFactor, 1000)},"repass":$repassTriggered,"repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"serving_slo_sec":$servingSloSec,"serving_slo_breaches":$sloJson,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJsonLine,"retried_streams":$retriedStreamsJsonLine,"retried_count":$retriedCount,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu":${round(hostNormCpuFactor, 1000)},"repass":$repassTriggered,"repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"sf":"$sfDir"}""")
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

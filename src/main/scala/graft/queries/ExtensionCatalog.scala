@@ -7437,14 +7437,31 @@ object ExtensionCatalog {
           .select(col("piece"),
             round(lit(1000.0) * (log(col("pf").cast("double"))
               - log(col("total").cast("double")))).cast("long").as("lp"))
-        val edges = spans.select("w", "i", "j", "piece")
+        // segmentable-length CAP (VERDICT r16 #5): the DP unrolls one
+        // plan step per character, so an UNBOUNDED max word length lets
+        // a single pathological unbroken token (URL, CJK run, binary
+        // spill — real at 100 TB) drive a 100k-step plan chain. Words
+        // longer than the cap skip the DP and are chunked greedily into
+        // 4-char pieces instead — the pass-through production tokenizers
+        // apply to over-long tokens (SentencePiece's
+        // max_sentencepiece_length / byte-fallback family of guards).
+        // Piece VOCABULARY still comes from the whole corpus (long words
+        // contribute substrings to pf like any other occurrence).
+        val segCap = 64
+        val segWords = words.where(length(col("w")) <= segCap)
+        val edges = spans.where(length(col("w")) <= segCap)
+          .select("w", "i", "j", "piece")
           .join(lp, "piece")
           .select(col("w").as("ew"), col("i"), col("j"), col("lp"))
           .localCheckpoint()
-        val maxLen = words.agg(max(length(col("w")))).head().getInt(0)
-        var best = words.select(col("w"), lit(0).as("pos"),
+        // unroll count = the longest SEGMENTABLE word (≤ cap by
+        // construction) — NOT the corpus max: one over-cap token must not
+        // drive cap-many DP steps for a corpus of short words
+        val maxLenRow = segWords.agg(max(length(col("w")))).head()
+        val maxLen = if (maxLenRow.isNullAt(0)) 0 else maxLenRow.getInt(0)
+        var best = segWords.select(col("w"), lit(0).as("pos"),
           lit(0L).as("score"), lit(0).as("np"))
-        for (_ <- 1 to maxLen) {
+        for (step <- 1 to maxLen) {
           val ext = best.join(edges,
             col("w") === col("ew") && col("pos") === col("i"))
             .select(col("w"), col("j").as("pos"),
@@ -7458,16 +7475,36 @@ object ExtensionCatalog {
           // DP runs as ONE job's stage chain instead of a barrier per step
           // — warm-equal to eager at fixture scale, and at cluster scale
           // it saves maxLen scheduling round-trips
-          best = best.union(ext).groupBy("w", "pos")
+          val stepped = best.union(ext).groupBy("w", "pos")
             .agg(max(struct(col("score"), (-col("np")).as("nn"))).as("m"))
             .select(col("w"), col("pos"), col("m.score").as("score"),
               (-col("m.nn")).as("np"))
-            .localCheckpoint(eager = false)
+          // lazy truncation kills the LOGICAL-plan blowup but leaves the
+          // RDD lineage growing one hop per step — at the 64-step cap the
+          // chain is deep enough to overflow task-serialization stacks.
+          // An EAGER checkpoint every 16 steps bounds lineage depth while
+          // keeping the one-job stage chain for the common short unrolls.
+          best =
+            if (step % 16 == 0) stepped.localCheckpoint()
+            else stepped.localCheckpoint(eager = false)
         }
-        words.join(best, "w").where(col("pos") === length(col("w")))
+        val segmented = words.join(best, "w")
+          .where(col("pos") === length(col("w")))
           .select(col("w"), col("wf"), col("score").as("lp_milli"),
             col("np").as("n_pieces"))
-          .orderBy("w")
+        // over-cap pass-through: greedy 4-char chunks, scored with the
+        // same piece log-probs (every chunk is a 1..4-char substring of
+        // the word, so it is guaranteed present in lp) — a bounded,
+        // arithmetic-replayable stand-in for segmenting the unsegmentable
+        val passThrough = words.where(length(col("w")) > segCap)
+          .select(col("w"), col("wf"),
+            explode(expr("transform(sequence(1, length(w), 4), i -> " +
+              "substring(w, i, 4))")).as("piece"))
+          .join(lp, "piece")
+          .groupBy("w", "wf")
+          .agg(sum("lp").as("lp_milli"),
+            count(lit(1)).cast("int").as("n_pieces"))
+        segmented.union(passThrough).orderBy("w")
       },
       Some("""WITH RECURSIVE words AS (
              |  SELECT w, COUNT(*) AS wf FROM (
@@ -7485,19 +7522,30 @@ object ExtensionCatalog {
              |lp AS (SELECT piece,
              |    CAST(round(1000.0 * (ln(CAST(pf AS DOUBLE)) - ln(CAST(total AS DOUBLE)))) AS BIGINT) AS lp
              |  FROM pf, tot),
-             |edges AS (SELECT s.w, s.i, s.j, l.lp FROM spans s JOIN lp l USING (piece)),
+             |edges AS (SELECT s.w, s.i, s.j, l.lp FROM spans s JOIN lp l USING (piece)
+             |  WHERE length(s.w) <= 64),
              |dp AS (
              |  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS score, 0 AS np FROM words
+             |  WHERE length(w) <= 64
              |  UNION ALL
              |  SELECT d.w, CAST(e.j AS INTEGER) AS pos, d.score + e.lp, d.np + 1
              |  FROM dp d JOIN edges e ON d.w = e.w AND d.pos = e.i),
              |fin AS (SELECT d.w, d.score, d.np,
              |    ROW_NUMBER() OVER (PARTITION BY d.w
              |      ORDER BY d.score DESC, d.np ASC) AS r
-             |  FROM dp d JOIN words wd ON d.w = wd.w AND d.pos = length(wd.w))
-             |SELECT f.w, wd.wf, f.score AS lp_milli, CAST(f.np AS INTEGER) AS n_pieces
-             |FROM fin f JOIN words wd ON f.w = wd.w WHERE f.r = 1
-             |ORDER BY f.w""".stripMargin),
+             |  FROM dp d JOIN words wd ON d.w = wd.w AND d.pos = length(wd.w)),
+             |seg AS (SELECT f.w, wd.wf, f.score AS lp_milli,
+             |    CAST(f.np AS INTEGER) AS n_pieces
+             |  FROM fin f JOIN words wd ON f.w = wd.w WHERE f.r = 1),
+             |pass AS (SELECT c.w, c.wf, CAST(SUM(l.lp) AS BIGINT) AS lp_milli,
+             |    CAST(COUNT(*) AS INTEGER) AS n_pieces
+             |  FROM (SELECT w, wf, unnest(list_transform(
+             |      range(1, length(w) + 1, 4), i ->
+             |        substring(w, CAST(i AS INTEGER), 4))) AS piece
+             |    FROM words WHERE length(w) > 64) c
+             |  JOIN lp l USING (piece) GROUP BY 1, 2)
+             |SELECT * FROM (SELECT * FROM seg UNION ALL SELECT * FROM pass)
+             |ORDER BY w""".stripMargin),
       "unigram-LM (SentencePiece-style) Viterbi segmentation: milli-integer " +
         "piece log-probs, frontier DP per distinct word, corpus scanned once " +
         "— the tokenizer family's dual to BPE; oracle enumerates every " +
@@ -8090,7 +8138,7 @@ object ExtensionCatalog {
     */
   private val lateDropDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedLateDropLedger(s: SparkSession, dir: String): String =
-    lateDropDirs.computeIfAbsent(dir, _ => {
+    lateDropDirs.computeIfAbsent(dir, _ => withStatePartitions(s, 8) {
       val base = stagedScratch("graft-slate")
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -8125,7 +8173,7 @@ object ExtensionCatalog {
     */
   private val engineDedupDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedEngineDedupLedger(s: SparkSession, dir: String): String =
-    engineDedupDirs.computeIfAbsent(dir, _ => {
+    engineDedupDirs.computeIfAbsent(dir, _ => withStatePartitions(s, 8) {
       val base = stagedScratch("graft-sedup")
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -8158,7 +8206,7 @@ object ExtensionCatalog {
     */
   private val attributionDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedAttributionLedger(s: SparkSession, dir: String): String =
-    attributionDirs.computeIfAbsent(dir, _ => {
+    attributionDirs.computeIfAbsent(dir, _ => withStatePartitions(s, 8) {
       val base = stagedScratch("graft-sattrib")
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -8268,6 +8316,26 @@ object ExtensionCatalog {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the session default afterwards. A stateful streaming
+    * query latches its STATE-STORE partition count from this conf at
+    * first start (it is burned into the checkpoint), and a stream-stream
+    * join keeps FOUR stores per partition — at the session's batch
+    * default of 32 that is 128 store commits per trigger, and on a
+    * high-latency scratch device the per-file commit overhead (~0.5 s
+    * per tiny delta file on the r16 driver host) dominates the trigger
+    * wall (VERDICT r16 #1: x166 p50 4.1 s, with state commitMs the bulk
+    * of addBatch). Sizing state partitions to the stateful workload —
+    * not inheriting the batch scan default — is the standard production
+    * knob; at 100 TB ingest the same number is sized UP deliberately
+    * (state volume / partition memory), never left to the scan default.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Fixture events projected to the streaming file-source shape
     * (EventsStream.schema: ts TIMESTAMP_NTZ) — the feed the monitors read.
     */
@@ -8332,7 +8400,7 @@ object ExtensionCatalog {
     // append-mode parquet sink — the serving row for the JOIN-state
     // stream shape (the other three rows serve probe/agg state); feeds
     // land time-sliced so the watermark stays monotone like production
-    "stream_x166_attrib_serve" -> ((s, dir) => {
+    "stream_x166_attrib_serve" -> ((s, dir) => withStatePartitions(s, 8) {
       val base = stagedScratch("graft-sattr2")
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))

@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Known-answer tests for the round-17 hardening — the x171 segmentable-
+  * length cap (VERDICT r16 #5): words past the cap bypass the per-char DP
+  * unroll and are greedy-chunked, so one pathological unbroken token
+  * can no longer drive an O(token-length) plan chain at 100 TB.
+  */
+class ExtensionRound17Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def entry(name: String) = QueryCatalog.all.find(_.name == name).get
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("r17docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Reference unigram-LM pieces: pf over every 1..4-char span occurrence
+    * weighted by word frequency, milli log-probs per the x141 convention.
+    */
+  private def refLp(words: Map[String, Long]): Map[String, Long] = {
+    val pf = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, wf) <- words; i <- 0 until w.length;
+         j <- (i + 1) to math.min(w.length, i + 4))
+      pf(w.substring(i, j)) = pf.getOrElse(w.substring(i, j), 0L) + wf
+    val total = pf.values.sum.toDouble
+    pf.map { case (p, f) =>
+      p -> math.round(1000.0 * (math.log(f.toDouble) - math.log(total)))
+    }.toMap
+  }
+
+  /** All (score, nPieces) segmentations of `w` into 1..4-char pieces. */
+  private def bestSeg(w: String, lp: Map[String, Long]): (Long, Int) = {
+    def go(pos: Int): Seq[(Long, Int)] =
+      if (pos == w.length) Seq((0L, 0))
+      else for {
+        j <- (pos + 1) to math.min(w.length, pos + 4)
+        (s, n) <- go(j)
+      } yield (s + lp(w.substring(pos, j)), n + 1)
+    go(0).maxBy { case (s, n) => (s, -n) }
+  }
+
+  test("x171: words past the 64-char cap are greedy-chunked, short words " +
+      "still take the exact DP optimum") {
+    val long = "x" * 70 // would be a 70-step DP unroll without the cap
+    val tmp = writeDocs(Seq(
+      (1L, s"ab ab cd $long", "en", "s0", 100L)))
+    val lp = refLp(Map("ab" -> 2L, "cd" -> 1L, long -> 1L))
+    val got = entry("x171_unigram_segment").build(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    got.keySet shouldBe Set("ab", "cd", long)
+    got("ab") shouldBe bestSeg("ab", lp)
+    got("cd") shouldBe bestSeg("cd", lp)
+    // pass-through: ceil(70/4) = 18 greedy chunks (17 x "xxxx" + "xx"),
+    // scored with the same piece table the DP words use
+    val chunkScore = 17L * lp("xxxx") + lp("xx")
+    got(long) shouldBe (chunkScore, 18)
+  }
+
+  test("x171: an all-short corpus is unaffected by the cap machinery") {
+    val tmp = writeDocs(Seq((1L, "ab ab cd", "en", "s0", 8L)))
+    val lp = refLp(Map("ab" -> 2L, "cd" -> 1L))
+    val got = entry("x171_unigram_segment").build(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    got("ab") shouldBe bestSeg("ab", lp)
+    got("cd") shouldBe bestSeg("cd", lp)
+  }
+}
