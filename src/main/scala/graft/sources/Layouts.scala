@@ -265,20 +265,9 @@ object Layouts {
     sortedStats(postingRows(docs, idCol, textCol), root, Seq("tri"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
-    for ((v0, _) <- gen0; b <- bid) {
-      sealSlice(root, b, conf)
-      var prev = (v0, root)
-      var cur = currentGeneration(path, conf).getOrElse(prev)
-      while (cur._1 != prev._1) {
-        // transitive fold check: union _FOLDED over every generation
-        // between prev and cur — cur's own set misses slices absorbed
-        // at a skipped intermediate version (ADVICE r16)
-        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
-          copySliceForce(prev._2, cur._2, b, conf)
-        prev = cur
-        cur = currentGeneration(path, conf).getOrElse(prev)
-      }
-    }
+    for ((v0, _) <- gen0; b <- bid)
+      chaseManifest(path, v0, root, b,
+        sortedTableFamily(Seq("tri"), groupBytes, pageRows, 1)(spark), conf)
   }
 
   /** Rebase a single batch-partitioned sorted-stats TABLE (the posting
@@ -299,31 +288,11 @@ object Layouts {
     val conf = spark.sparkContext.hadoopConfiguration
     currentGeneration(path, conf) match {
       case Some((v, rootG)) =>
-        // ---- managed ([[managePosting]]): fold the sealed slices into a
-        // NEW generation's single `base` slice and publish the pointer —
-        // [[minhashCompact]]'s protocol with ONE table living AT the
-        // generation root (seal snapshot → fold → live-tail copy →
-        // _FOLDED → publish → post-publish re-list → grace prune)
-        val sealedIds = sliceStates(rootG, conf)
-          .collect { case (id, true) => id }.toSet - "base"
-        val live = liveTail(sealedIds)
-        val fold = sealedIds -- live + "base"
-        val newGen = genName(v + 1)
-        val newRoot = s"$path/$newGen"
-        val df = spark.read.parquet(rootG)
-        sortedStats(df.where(col("batch_id").isin(fold.toSeq: _*))
-          .drop("batch_id"), newRoot, sortCols,
-          groupBytes = groupBytes, pageRows = pageRows,
-          partitions = partitions, batchId = Some("base"))
-        live.foreach(b =>
-          copySliceConsistent(rootG, newRoot, b, conf, required = true))
-        writeFolded(newRoot, fold, conf)
-        publishGeneration(path, v + 1, newGen, conf)
-        sliceStates(rootG, conf)
-          .collect { case (id, true) if !fold(id) && !live(id) => id }
-          .foreach(b =>
-            copySliceConsistent(rootG, newRoot, b, conf, required = false))
-        pruneGenerations(path, v, graceGenerations, conf)
+        // ---- managed ([[managePosting]]): the shared manifest protocol
+        // over ONE table living AT the generation root
+        managedCompact(path, v, rootG,
+          sortedTableFamily(sortCols, groupBytes, pageRows, partitions),
+          graceGenerations, conf)
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
         recoverCrashedSwap(path, conf)
@@ -480,24 +449,9 @@ object Layouts {
     // generation while this append was writing, copy the slices forward
     // and re-check until the version holds still (see the protocol note
     // above currentGeneration)
-    for ((v0, _) <- gen0; b <- bid) {
-      sealMinhashSlices(root, b, conf)
-      var prev = (v0, root)
-      var cur = currentGeneration(path, conf).getOrElse(prev)
-      while (cur._1 != prev._1) {
-        // skip if ANY generation between prev and cur folded this slice
-        // into base (a delayed check re-copying it would duplicate its
-        // rows — and cur's own _FOLDED misses folds at skipped
-        // intermediate versions, ADVICE r16); otherwise the writer's
-        // copy is authoritative — it replaces any torn pre-publish copy
-        // the compactor took while this write was in flight
-        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
-          Seq("fp", "banded", "shingles").foreach(tbl =>
-            copySliceForce(s"${prev._2}/$tbl", s"${cur._2}/$tbl", b, conf))
-        prev = cur
-        cur = currentGeneration(path, conf).getOrElse(prev)
-      }
-    }
+    for ((v0, _) <- gen0; b <- bid)
+      chaseManifest(path, v0, root, b,
+        minhashFamily(groupBytes, pageRows, 1)(spark), conf)
   }
 
   /** Persisted EXACT-Jaccard corpus index — the no-miss dual of
@@ -745,21 +699,8 @@ object Layouts {
     }
     // managed layout: seal, then chase the manifest — the MinHash
     // append's fix-up protocol with the cell-level slice dirs
-    for ((v0, r0) <- gen0; b <- bid) {
-      sealIvfSlices(s"$r0/assign", b, conf)
-      var prev = (v0, r0)
-      var cur = currentGeneration(path, conf).getOrElse(prev)
-      while (cur._1 != prev._1) {
-        // transitive fold check across skipped generations (ADVICE r16)
-        if (!foldedSince(path, prev._1, cur._1, conf).contains(b))
-          ivfCellDirs(s"${prev._2}/assign", b, conf).foreach { cell =>
-            copySliceForce(cell.toString,
-              s"${cur._2}/assign/${cell.getName}", b, conf)
-          }
-        prev = cur
-        cur = currentGeneration(path, conf).getOrElse(prev)
-      }
-    }
+    for ((v0, r0) <- gen0; b <- bid)
+      chaseManifest(path, v0, r0, b, ivfFamily(spark), conf)
   }
 
   /** Retract one ingest batch from a batch_id-partitioned index: delete
@@ -845,7 +786,8 @@ object Layouts {
     // sort keys are structural per table (the build's own choices):
     // fp on the fingerprint, banded on the bucket hash, shingles on the
     // id column — whatever the caller named it, it is the non-payload
-    // column left over
+    // column left over (the managed path's copy lives in
+    // [[minhashFamily]].fold)
     def shape(tbl: String, flat: DataFrame): (DataFrame, Seq[String]) =
       tbl match {
         case "fp"     => (flat.distinct(), Seq("fp"))
@@ -855,51 +797,14 @@ object Layouts {
       }
     currentGeneration(path, conf) match {
       case Some((v, rootG)) =>
-        // ---- managed: fold into a NEW generation, publish the pointer.
-        // Snapshot the sealed slices ONCE across all three tables so the
-        // fold/live split is consistent per batch (a batch folded in fp
-        // but live in banded would half-break its replay self-exclusion).
-        val tables = Seq("fp", "banded", "shingles")
-        val states = tables.map(t => t -> sliceStates(s"$rootG/$t", conf)).toMap
-        val sealedIds = states.values.flatten
-          .collect { case (id, true) => id }.toSet - "base"
-        val live = liveTail(sealedIds)
-        val fold = sealedIds -- live + "base"
-        val newGen = genName(v + 1)
-        val newRoot = s"$path/$newGen"
-        tables.foreach { tbl =>
-          val df = spark.read.parquet(s"$rootG/$tbl")
-          val (shaped, sortCols) =
-            shape(tbl, df.where(col("batch_id").isin(fold.toSeq: _*))
-              .drop("batch_id"))
-          sortedStats(shaped, s"$newRoot/$tbl", sortCols,
-            groupBytes = groupBytes, pageRows = pageRows,
-            partitions = partitions, batchId = Some("base"))
-          // live-tail slices MUST be in the new generation before the
-          // publish (required), and the copy verifies fingerprint
-          // stability against a racing replay rewrite
-          live.foreach(b => copySliceConsistent(
-            s"$rootG/$tbl", s"$newRoot/$tbl", b, conf, required = true))
-        }
-        // record the fold set BEFORE publishing: a writer whose manifest
-        // check lands late must not re-copy a slice base already carries
-        writeFolded(newRoot, fold, conf)
-        publishGeneration(path, v + 1, newGen, conf)
-        // post-publish re-list: slices sealed AFTER the snapshot whose
-        // writer checked the manifest BEFORE the publish (see protocol).
-        // Not `required`: a slice unstable here is mid-rewrite by a
-        // writer who finishes after this publish and fix-ups itself.
-        tables.foreach { tbl =>
-          sliceStates(s"$rootG/$tbl", conf)
-            .collect { case (id, true) if !fold(id) && !live(id) => id }
-            .foreach(b => copySliceConsistent(
-              s"$rootG/$tbl", s"$newRoot/$tbl", b, conf, required = false))
-        }
-        // grace cleanup: retain `graceGenerations` previous generations
-        // for readers/writers that resolved them before the publish, and
-        // the same horizon of manifest files (see [[pruneGenerations]]
-        // for the expiry contract)
-        pruneGenerations(path, v, graceGenerations, conf)
+        // ---- managed: the shared manifest protocol; the snapshot is
+        // taken ONCE across all three tables (inside the engine, via the
+        // family's union sliceStates) so the fold/live split is
+        // consistent per batch — a batch folded in fp but live in banded
+        // would half-break its replay self-exclusion
+        managedCompact(path, v, rootG,
+          minhashFamily(groupBytes, pageRows, partitions),
+          graceGenerations, conf)
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
         Seq("fp", "banded", "shingles").foreach { tbl =>
@@ -1076,29 +981,21 @@ object Layouts {
   def manageMinhash(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (currentGeneration(path, conf).isDefined) return
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val gen = genName(0L)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
-    Seq("fp", "banded", "shingles").foreach { tbl =>
-      val src = new org.apache.hadoop.fs.Path(s"$path/$tbl")
-      val dst = new org.apache.hadoop.fs.Path(s"$path/$gen/$tbl")
-      // resumable (review r16): a crash between the moves and the publish
-      // leaves some tables already inside g=000000000 — a re-run finishes
-      // the migration instead of demanding a rebuild
-      if (fs.exists(src))
-        require(fs.rename(src, dst), s"could not move $src into $gen")
-      else require(fs.exists(dst),
-        s"no $tbl table at $path — build minhashIndex first")
-      // SEAL every migrated slice: flat-layout appends never seal (the
-      // seal belongs to the managed protocol), so without this a
-      // pre-migration batch slice is neither folded nor live-copied by
-      // the first managed compact and its rows silently vanish
-      // (ADVICE r16). Migration runs quiesced, so sealing here is safe.
-      sliceStates(dst.toString, conf).collect { case (id, false) => id }
-        .foreach(b => sealSlice(dst.toString, b, conf))
+    // the family's fold params are irrelevant to a migration (only the
+    // slice geometry — enumerate + seal — is exercised)
+    migrateToManaged(path, minhashFamily(), conf) { (fs, genDir) =>
+      Seq("fp", "banded", "shingles").foreach { tbl =>
+        val src = new org.apache.hadoop.fs.Path(s"$path/$tbl")
+        val dst = new org.apache.hadoop.fs.Path(s"$genDir/$tbl")
+        // resumable (review r16): a crash between the moves and the
+        // publish leaves some tables already inside g=000000000 — a
+        // re-run finishes the migration instead of demanding a rebuild
+        if (fs.exists(src))
+          require(fs.rename(src, dst), s"could not move $src into $genDir")
+        else require(fs.exists(dst),
+          s"no $tbl table at $path — build minhashIndex first")
+      }
     }
-    publishGeneration(path, 0L, gen, conf)
   }
 
   /** Batch slice directories (`batch_id=X`) of one table; (id, sealed). */
@@ -1272,6 +1169,209 @@ object Layouts {
       generationAt(path, v, conf).fold(Set.empty[String])(readFolded(_, conf))
     ).toSet
 
+  // ---- manifest engine (VERDICT r16 #6) -------------------------------
+  //
+  // The version/pointer/sealed-slice/folded-set/grace mechanics are ONE
+  // protocol; only the slice GEOMETRY differs per index family (one
+  // table at the generation root, the MinHash trio one level down, the
+  // IVF cell tree two down). The geometry is a small adapter; the
+  // protocol below lands once, so the next family — and the next bug
+  // fix — touches one code path instead of three.
+
+  /** Per-family slice geometry: how to enumerate, seal, copy, and fold
+    * batch slices under one generation root. Implementations must be
+    * idempotent per operation (the protocol re-applies them on races).
+    */
+  private trait ManifestFamily {
+    /** (batch id, sealed) across the family's slice dirs under `genRoot`
+      * — a batch may surface once per table/cell; the engine reads the
+      * result set-wise (sealed anywhere ⇒ the batch's write returned).
+      */
+    def sliceStates(genRoot: String,
+        conf: org.apache.hadoop.conf.Configuration): Seq[(String, Boolean)]
+    /** Mark batch `bid` complete in every table/cell under `genRoot`. */
+    def sealSlices(genRoot: String, bid: String,
+        conf: org.apache.hadoop.conf.Configuration): Unit
+    /** Compactor-side consistent copy of slice `bid` (fingerprint-stable,
+      * sealed-only — see [[copySliceConsistent]]).
+      */
+    def copySlice(oldGen: String, newGen: String, bid: String,
+        conf: org.apache.hadoop.conf.Configuration, required: Boolean): Unit
+    /** Writer-side authoritative copy of the writer's OWN slice `bid`. */
+    def forceCopySlice(oldGen: String, newGen: String, bid: String,
+        conf: org.apache.hadoop.conf.Configuration): Unit
+    /** Rewrite `foldIds`' rows from `oldGen` into `newGen`'s `base`. */
+    def fold(oldGen: String, newGen: String, foldIds: Set[String]): Unit
+  }
+
+  /** The COMPACT side of the manifest protocol (see the block comment
+    * above [[currentGeneration]]): seal snapshot → live-tail split →
+    * fold → pre-publish live copy (required) → `_FOLDED` → pointer
+    * publish → post-publish re-list (slices sealed after the snapshot)
+    * → grace prune.
+    */
+  private def managedCompact(path: String, v: Long, rootG: String,
+      fam: ManifestFamily, graceGenerations: Int,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val sealedIds = fam.sliceStates(rootG, conf)
+      .collect { case (id, true) => id }.toSet - "base"
+    val live = liveTail(sealedIds)
+    val foldIds = sealedIds -- live + "base"
+    val newGen = genName(v + 1)
+    val newRoot = s"$path/$newGen"
+    fam.fold(rootG, newRoot, foldIds)
+    live.foreach(b => fam.copySlice(rootG, newRoot, b, conf, required = true))
+    writeFolded(newRoot, foldIds, conf)
+    publishGeneration(path, v + 1, newGen, conf)
+    (fam.sliceStates(rootG, conf)
+      .collect { case (id, true) => id }.toSet -- foldIds -- live)
+      .foreach(b => fam.copySlice(rootG, newRoot, b, conf, required = false))
+    pruneGenerations(path, v, graceGenerations, conf)
+  }
+
+  /** The WRITER side: seal the just-written slice, then chase the
+    * manifest — if a compact published while the write was in flight,
+    * copy the slice forward (unless a fold between the resolved and
+    * current versions already absorbed it — the TRANSITIVE check,
+    * ADVICE r16) and re-check until the version holds still.
+    */
+  private def chaseManifest(path: String, v0: Long, root0: String,
+      bid: String, fam: ManifestFamily,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    fam.sealSlices(root0, bid, conf)
+    var prev = (v0, root0)
+    var cur = currentGeneration(path, conf).getOrElse(prev)
+    while (cur._1 != prev._1) {
+      if (!foldedSince(path, prev._1, cur._1, conf).contains(bid))
+        fam.forceCopySlice(prev._2, cur._2, bid, conf)
+      prev = cur
+      cur = currentGeneration(path, conf).getOrElse(prev)
+    }
+  }
+
+  /** The MIGRATE side: move a quiesced flat index into `g=000000000` via
+    * the family-specific `move`, then SEAL every migrated slice (flat
+    * appends never seal, and the managed fold absorbs only sealed slices
+    * — without this the first compact silently drops pre-migration
+    * batches, ADVICE r16), then publish v0. Idempotent on a managed
+    * index; resumable after a crash between the moves and the publish.
+    */
+  private def migrateToManaged(path: String, fam: ManifestFamily,
+      conf: org.apache.hadoop.conf.Configuration)(
+      move: (org.apache.hadoop.fs.FileSystem, String) => Unit): Unit = {
+    if (currentGeneration(path, conf).isDefined) return
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val gen = genName(0L)
+    val genDir = s"$path/$gen"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(genDir))
+    move(fs, genDir)
+    fam.sliceStates(genDir, conf).collect { case (id, false) => id }
+      .foreach(b => fam.sealSlices(genDir, b, conf))
+    publishGeneration(path, 0L, gen, conf)
+  }
+
+  /** The MinHash trio's geometry: three sorted-stats tables one level
+    * under the generation root, slices as `batch_id=X` dirs per table.
+    */
+  private def minhashFamily(groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000, partitions: Int = 0)(
+      implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
+    new ManifestFamily {
+      private val tables = Seq("fp", "banded", "shingles")
+      def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
+        tables.flatMap(t => Layouts.sliceStates(s"$g/$t", conf))
+      def sealSlices(g: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        sealMinhashSlices(g, bid, conf)
+      def copySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
+        tables.foreach(t =>
+          copySliceConsistent(s"$o/$t", s"$n/$t", bid, conf, required))
+      def forceCopySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        tables.foreach(t => copySliceForce(s"$o/$t", s"$n/$t", bid, conf))
+      def fold(o: String, n: String, ids: Set[String]): Unit =
+        tables.foreach { tbl =>
+          val flat = spark.read.parquet(s"$o/$tbl")
+            .where(col("batch_id").isin(ids.toSeq: _*)).drop("batch_id")
+          // sort keys are structural per table (the build's own choices):
+          // fp on the fingerprint, banded on the bucket hash, shingles on
+          // the id column — whatever the caller named it, the non-payload
+          // column left over; fp deduplicates in passing (cross-
+          // generation duplicate fingerprints are probe-neutral through
+          // the semi-join but pure dead weight)
+          val (shaped, sortCols) = tbl match {
+            case "fp"     => (flat.distinct(), Seq("fp"))
+            case "banded" => (flat, Seq("bh"))
+            case _        =>
+              (flat, flat.columns.filterNot(_ == "shingles").take(1).toSeq)
+          }
+          sortedStats(shaped, s"$n/$tbl", sortCols,
+            groupBytes = groupBytes, pageRows = pageRows,
+            partitions = partitions, batchId = Some("base"))
+        }
+    }
+
+  /** A single sorted-stats table living AT the generation root (the
+    * posting index's geometry).
+    */
+  private def sortedTableFamily(sortCols: Seq[String],
+      groupBytes: Long = 128L * 1024 * 1024, pageRows: Int = 20000,
+      partitions: Int = 0)(
+      implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
+    new ManifestFamily {
+      def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
+        Layouts.sliceStates(g, conf)
+      def sealSlices(g: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        sealSlice(g, bid, conf)
+      def copySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
+        copySliceConsistent(o, n, bid, conf, required)
+      def forceCopySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        copySliceForce(o, n, bid, conf)
+      def fold(o: String, n: String, ids: Set[String]): Unit =
+        sortedStats(spark.read.parquet(o)
+          .where(col("batch_id").isin(ids.toSeq: _*)).drop("batch_id"),
+          n, sortCols, groupBytes = groupBytes, pageRows = pageRows,
+          partitions = partitions, batchId = Some("base"))
+    }
+
+  /** The IVF assign tree's geometry: one `assign` table under the
+    * generation root with slices one level DEEPER (`cent_id=X/batch_id=b`
+    * leaf dirs, one per touched cell).
+    */
+  private def ivfFamily(
+      implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
+    new ManifestFamily {
+      def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
+        ivfSliceStates(s"$g/assign", conf)
+      def sealSlices(g: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        sealIvfSlices(s"$g/assign", bid, conf)
+      def copySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
+        ivfCellDirs(s"$o/assign", bid, conf).foreach(cell =>
+          copySliceConsistent(cell.toString,
+            s"$n/assign/${cell.getName}", bid, conf, required))
+      def forceCopySlice(o: String, n: String, bid: String,
+          conf: org.apache.hadoop.conf.Configuration): Unit =
+        ivfCellDirs(s"$o/assign", bid, conf).foreach(cell =>
+          copySliceForce(cell.toString,
+            s"$n/assign/${cell.getName}", bid, conf))
+      def fold(o: String, n: String, ids: Set[String]): Unit =
+        // one hash shuffle on cent_id co-locates each cell in one task,
+        // so each cell directory lands as ONE file instead of echoing
+        // the input's file-per-batch fragmentation through the write
+        spark.read.parquet(s"$o/assign")
+          .where(col("batch_id").isin(ids.toSeq: _*))
+          .drop("batch_id").withColumn("batch_id", lit("base"))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+          .parquet(s"$n/assign")
+    }
+
   /** The slices a compact must NOT fold: per stream lineage (ids shaped
     * `<prefix>-b<N>`, the admit loop's namespace), the newest slice — a
     * pending at-least-once replay can only be of a stream's LAST batch
@@ -1301,45 +1401,15 @@ object Layouts {
   def ivfCompact(path: String, graceGenerations: Int = 1)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    // fold shape shared by both layouts: one hash shuffle on cent_id
-    // co-locates each cell in one task, so each cell directory lands as
-    // ONE file instead of echoing the input's file-per-batch
-    // fragmentation through the write
-    def fold(df: DataFrame, out: String): Unit =
-      df.drop("batch_id").withColumn("batch_id", lit("base"))
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id", "batch_id")
-        .parquet(out)
     currentGeneration(path, conf) match {
       case Some((v, rootG)) =>
-        // ---- managed (see [[manageIvf]]): fold into a NEW generation's
-        // assign table and publish the pointer — same protocol as the
-        // MinHash compact, with slices living one level deeper
-        // (cent_id=X/batch_id=b leaf dirs, one per touched cell)
-        val assignG = s"$rootG/assign"
-        val states = ivfSliceStates(assignG, conf)
-        val sealedIds = states.collect { case (id, true) => id }.toSet - "base"
-        val live = liveTail(sealedIds)
-        val foldIds = sealedIds -- live + "base"
-        val newGen = genName(v + 1)
-        val newRoot = s"$path/$newGen"
-        fold(spark.read.parquet(assignG)
-          .where(col("batch_id").isin(foldIds.toSeq: _*)), s"$newRoot/assign")
-        live.foreach(b => ivfCellDirs(assignG, b, conf).foreach { cell =>
-          copySliceConsistent(cell.toString,
-            s"$newRoot/assign/${cell.getName}", b, conf, required = true)
-        })
-        writeFolded(newRoot, foldIds, conf)
-        publishGeneration(path, v + 1, newGen, conf)
-        ivfSliceStates(assignG, conf)
-          .collect { case (id, true) if !foldIds(id) && !live(id) => id }
-          .foreach(b => ivfCellDirs(assignG, b, conf).foreach { cell =>
-            copySliceConsistent(cell.toString,
-              s"$newRoot/assign/${cell.getName}", b, conf, required = false)
-          })
-        pruneGenerations(path, v, graceGenerations, conf)
+        // ---- managed (see [[manageIvf]]): the shared manifest protocol
+        // with slices living one level deeper (cent_id=X/batch_id=b leaf
+        // dirs, one per touched cell — [[ivfFamily]])
+        managedCompact(path, v, rootG, ivfFamily, graceGenerations, conf)
       case None =>
-        // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
+        // ---- legacy flat layout: rewrite-aside + rename (quiesced
+        // only); same one-shuffle-on-cent_id fold shape as the family's
         val assignPath = s"$path/assign"
         recoverCrashedSwap(assignPath, conf)
         val df = spark.read.parquet(assignPath)
@@ -1347,7 +1417,10 @@ object Layouts {
           s"$assignPath predates batch_id partitioning — nothing to compact; " +
             "rebuild via ivfIndex to migrate")
         val tmp = s"$assignPath.__compact"
-        fold(df, tmp)
+        df.drop("batch_id").withColumn("batch_id", lit("base"))
+          .repartition(col("cent_id"))
+          .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+          .parquet(tmp)
         swapIn(assignPath, tmp, conf)
     }
   }
@@ -1363,22 +1436,15 @@ object Layouts {
   def manageIvf(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (currentGeneration(path, conf).isDefined) return
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    val gen = genName(0L)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
-    val src = new org.apache.hadoop.fs.Path(s"$path/assign")
-    val dst = new org.apache.hadoop.fs.Path(s"$path/$gen/assign")
-    // resumable (review r16): finish a crashed predecessor's publish
-    if (fs.exists(src))
-      require(fs.rename(src, dst), s"could not move $src into $gen")
-    else require(fs.exists(dst), s"no assign table at $path — build ivfIndex first")
-    // seal every migrated batch slice — flat-layout ivfAppend never
-    // seals, and the managed ivfCompact folds/copies only sealed ids
-    // (same vanishing-slice gap as manageMinhash; ADVICE r16)
-    ivfSliceStates(dst.toString, conf).collect { case (id, false) => id }
-      .foreach(b => sealIvfSlices(dst.toString, b, conf))
-    publishGeneration(path, 0L, gen, conf)
+    migrateToManaged(path, ivfFamily, conf) { (fs, genDir) =>
+      val src = new org.apache.hadoop.fs.Path(s"$path/assign")
+      val dst = new org.apache.hadoop.fs.Path(s"$genDir/assign")
+      // resumable (review r16): finish a crashed predecessor's publish
+      if (fs.exists(src))
+        require(fs.rename(src, dst), s"could not move $src into $genDir")
+      else require(fs.exists(dst),
+        s"no assign table at $path — build ivfIndex first")
+    }
   }
 
   /** Migrate a flat posting index into the manifest-generation layout:
@@ -1392,38 +1458,29 @@ object Layouts {
   def managePosting(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    if (currentGeneration(path, conf).isDefined) return
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    def slicesUnder(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      if (!fs.exists(hp)) Seq.empty
-      else fs.listStatus(hp).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    // fold params are irrelevant to a migration — only the geometry runs
+    migrateToManaged(path, sortedTableFamily(Seq("tri")), conf) {
+      (fs, genDir) =>
+        def slicesUnder(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          if (!fs.exists(hp)) Seq.empty
+          else fs.listStatus(hp).toSeq.filter(s =>
+            s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        }
+        // resumable (review r16): a crash after the moves but before the
+        // publish leaves slices already inside g=000000000 and no
+        // manifest — a re-run must finish the publish, not demand a
+        // rebuild. Any slices still at the root (fresh migration, or a
+        // crash mid-move) move first; then the generation must be
+        // non-empty to publish.
+        val atRoot = slicesUnder(path)
+        require(atRoot.nonEmpty || slicesUnder(genDir).nonEmpty,
+          s"no batch_id slices at $path — build postingIndex first")
+        atRoot.foreach(s =>
+          require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
+            s"$genDir/${s.getPath.getName}")),
+            s"could not move ${s.getPath} into $genDir"))
     }
-    val gen = genName(0L)
-    // resumable (review r16): a crash after the moves but before the
-    // publish leaves slices already inside g=000000000 and no manifest —
-    // a re-run must finish the publish, not demand a rebuild. Any slices
-    // still at the root (fresh migration, or a crash mid-move) move
-    // first; then the generation must be non-empty to publish.
-    val atRoot = slicesUnder(path)
-    require(atRoot.nonEmpty || slicesUnder(s"$path/$gen").nonEmpty,
-      s"no batch_id slices at $path — build postingIndex first")
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/$gen"))
-    atRoot.foreach(s =>
-      require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
-        s"$path/$gen/${s.getPath.getName}")),
-        s"could not move ${s.getPath} into $gen"))
-    // seal every migrated slice (flat-layout postingAppend never seals;
-    // the managed sortedRebase folds only SEALED slices and its
-    // post-publish re-list copies only sealed slices — an unsealed
-    // migrated slice would vanish from the first rebase's generation
-    // and be lost for good after grace pruning; ADVICE r16). Covers the
-    // crash-resume path too: slices already inside the generation from
-    // a crashed predecessor are sealed alike. Migration runs quiesced.
-    sliceStates(s"$path/$gen", conf).collect { case (id, false) => id }
-      .foreach(b => sealSlice(s"$path/$gen", b, conf))
-    publishGeneration(path, 0L, gen, conf)
   }
 
   /** The `cent_id=X` cell directories that hold a slice of batch `bid`
