@@ -7588,8 +7588,146 @@ object ExtensionCatalog {
       "Hive-partitioned layout under the value gate: the staged directory " +
         "layout probed through a filtered-dim join on the partition key — " +
         "the dynamic-partition-pruning shape, value-pinned (LayoutsSpec pins " +
-        "the pruned plan itself) (extension: catalog layout / pruning)")
+        "the pruned plan itself) (extension: catalog layout / pruning)"),
+
+    CatalogEntry(
+      "x173_simhash_index_probe",
+      (s, dir) => simhashIndexProbe(s, dir, stagedSimhashIndex(s, dir)),
+      // Oracle replays the whole dataflow arithmetically: simhash (the
+      // x08 replication), masked 16-bit bands, candidate equi-join,
+      // hamming verify — over the index membership the STAGED lifecycle
+      // produced (base evens + folded g1 + live g3), so a slice lost in
+      // the fold or duplicated by the manifest chase changes the row set.
+      Some(simhashProbeOracle(
+        "doc_id % 2 = 0 OR doc_id % 4 = 1 OR doc_id % 4 = 3")),
+      "banded-SimHash near-dup INDEX probed across its managed lifecycle " +
+        "(build → manage → sealed append → generational rebase → live " +
+        "append) — the fourth manifest family, landed on the generic " +
+        "sorted-table engine with zero new protocol code " +
+        "(extension: dedup / index maintenance)"),
+
+    CatalogEntry(
+      "x174_retract_after_fold",
+      (s, dir) => simhashIndexProbe(s, dir, stagedProvenanceRetract(s, dir)),
+      // g1 was FOLDED into base (slice dir gone) before the retraction,
+      // so the oracle's index membership excludes it: rows surviving the
+      // retract (under-delete) or innocent rows erased with it
+      // (over-delete — the null-provenance hazard) both change the set.
+      Some(simhashProbeOracle("doc_id % 2 = 0 OR doc_id % 4 = 3")),
+      "row-level retraction AFTER compaction folded the batch's slice " +
+        "away: src_batch provenance survives the fold, retractFolded " +
+        "rewrites the generation without the batch — the GDPR deletion " +
+        "shape dropBatch cannot express once compaction has run " +
+        "(extension: index maintenance / privacy)"),
+
+    CatalogEntry(
+      "x175_multi_touch_credit",
+      (s, dir) => {
+        // Linear multi-touch attribution: each purchase splits its value
+        // equally across the same user's touch events in the preceding
+        // 6 h (x166's interval-join shape, batch side, with credit
+        // DIVISION instead of pair emission). Milli-integer credits via
+        // floor + integer div keep both engines bit-exact; the per-
+        // purchase touch count comes from one aggregation over the same
+        // join (no second scan). Equi-join on user_id carries the
+        // shuffle; the time predicate rides it — at 100 TB this
+        // co-partitions by user exactly like the production shape.
+        val ev = t(s, dir, "events")
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("pid"), col("user_id").as("puid"),
+            col("ts").as("pts"), col("value"))
+        val tch = ev.where(col("event_type") =!= "purchase")
+          .select(col("user_id").as("tuid"), col("ts").as("tts"),
+            col("event_type"))
+        val j = p.join(tch, col("puid") === col("tuid") &&
+          col("tts") <= col("pts") &&
+          col("tts") >= col("pts") - lit(21600000000000L))
+        val n = j.groupBy("pid").agg(count(lit(1)).as("n_touch"))
+        j.join(n, "pid")
+          .select(col("event_type"),
+            expr("cast(floor(value * 1000) as bigint) div n_touch")
+              .as("credit_milli"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_touches"),
+            sum("credit_milli").as("credit_milli_sum"))
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_id AS pid, user_id, ts AS pts, value
+             |  FROM events WHERE event_type = 'purchase'),
+             |t AS (SELECT user_id, ts AS tts, event_type FROM events
+             |  WHERE event_type <> 'purchase'),
+             |j AS (SELECT p.pid, p.value, t.event_type
+             |      FROM p JOIN t ON p.user_id = t.user_id
+             |       AND t.tts <= p.pts AND t.tts >= p.pts - INTERVAL 6 HOUR),
+             |n AS (SELECT pid, COUNT(*) AS n_touch FROM j GROUP BY 1),
+             |c AS (SELECT j.event_type,
+             |        CAST(floor(j.value * 1000) AS BIGINT) // n.n_touch AS credit_milli
+             |      FROM j JOIN n USING (pid))
+             |SELECT event_type, COUNT(*) AS n_touches,
+             |  CAST(SUM(credit_milli) AS BIGINT) AS credit_milli_sum
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      "linear multi-touch attribution: purchase value split in exact " +
+        "milli-integer credits across the user's preceding 6 h of touch " +
+        "events — the credit-division dual of x166's pair-emitting " +
+        "interval join (extension: events / attribution)")
   )
+
+  /** DuckDB replay of the banded-SimHash index probe over a given index
+    * membership predicate — shared by x173 (full lifecycle) and x174
+    * (post-retraction): simhash per the x08 replication, all four bands
+    * MASKED to 16 bits (sign-independent), candidate equi-join on
+    * (band_no, band_val), hamming ≤ 3 verify.
+    */
+  private def simhashProbeOracle(idxPred: String): String =
+    s"""WITH th AS (
+       |  SELECT doc_id, list_transform(string_split(text, ' '), t -> ${dPoly("t")}) AS hs
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64), b ->
+       |      CASE WHEN list_reduce(list_prepend(0::BIGINT, list_transform(hs,
+       |             h -> CASE WHEN ((((1 + b * 2654435761) % $Prime) * h
+       |                    + ((7 + b * 40503) % $Prime)) % $Prime) % 2 = 1
+       |                  THEN 1::BIGINT ELSE (-1)::BIGINT END)),
+       |             (s2, v) -> s2 + v) >= 0
+       |      THEN CASE WHEN b = 63 THEN -9223372036854775807 - 1
+       |           ELSE (1::BIGINT << b) END
+       |      ELSE 0::BIGINT END)), (acc, v) -> acc + v) AS sh
+       |  FROM th),
+       |idx AS (SELECT doc_id, sh FROM sh WHERE $idxPred),
+       |prb AS (SELECT doc_id, sh FROM sh WHERE doc_id % 4 = 2),
+       |ib AS (SELECT doc_id, sh, b AS band_no, (sh >> (b * 16)) & 65535 AS band_val
+       |       FROM idx, UNNEST(range(0, 4)) AS t(b)),
+       |pb AS (SELECT doc_id, sh, b AS band_no, (sh >> (b * 16)) & 65535 AS band_val
+       |       FROM prb, UNNEST(range(0, 4)) AS t(b)),
+       |cand AS (SELECT DISTINCT p.doc_id AS probe_id, i.doc_id AS match_id,
+       |           p.sh AS psh, i.sh AS ish
+       |         FROM pb p JOIN ib i
+       |           ON p.band_no = i.band_no AND p.band_val = i.band_val
+       |         WHERE p.doc_id <> i.doc_id)
+       |SELECT probe_id, match_id, bit_count(xor(psh, ish))::BIGINT AS hamming
+       |FROM cand WHERE hamming <= 3 ORDER BY probe_id, match_id""".stripMargin
+
+  /** The Spark side of the banded-SimHash index probe: probe docs
+    * (doc_id % 4 == 2) banded like the index rows, candidate equi-join
+    * against the index's CURRENT generation (one manifest resolve),
+    * exact hamming verify on the stored signatures. A probe never
+    * recomputes index-side signatures — that is the persisted family's
+    * whole point.
+    */
+  private def simhashIndexProbe(s: SparkSession, dir: String, idx: String): DataFrame = {
+    val ib = s.read.parquet(graft.sources.Layouts.indexRoot(idx)(s))
+    val pb = simhashBandRows(t(s, dir, "documents").where(col("doc_id") % 4 === 2))
+    pb.as("p").join(ib.as("i"),
+        col("p.band_no") === col("i.band_no") &&
+          col("p.band_val") === col("i.band_val") &&
+          col("p.doc_id") =!= col("i.doc_id"))
+      .select(col("p.doc_id").as("probe_id"), col("i.doc_id").as("match_id"),
+        bit_count(col("p.sh").bitwiseXOR(col("i.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("probe_id", "match_id")
+  }
 
   /** Scratch base for the one-time staged index builds. Defaults under the
     * project's own `target/` — the same filesystem as the fixtures — NOT
@@ -8127,6 +8265,89 @@ object ExtensionCatalog {
       out
     })
 
+  /** Banded SimHash index rows: 4 disjoint 16-bit bands of the 64-bit
+    * signature — Hamming ≤ 3 flips at most 3 bands (pigeonhole), so an
+    * equi-join on (band_no, band_val) is a lossless candidate filter,
+    * x08's banding persisted as an INDEX table instead of recomputed
+    * per run. All four bands are masked (unlike x08's in-flight last
+    * band) so the index value is sign-independent and replayable.
+    */
+  private def simhashBandRows(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.simhashed(docs, "doc_id", "text")
+      .select(col("doc_id"), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band_no"))
+      .withColumn("band_val", expr("shiftright(sh, band_no * 16) & 65535"))
+      .select("band_no", "band_val", "doc_id", "sh")
+
+  private val simhashSortCols = Seq("band_no", "band_val")
+
+  /** x173 staging: the FOURTH manifest family, landed with ZERO new
+    * protocol code (the r16 #6 engine's point): a banded-SimHash
+    * near-dup index as a generic managed sorted table. Lifecycle
+    * exercised end-to-end: build base (evens) → manageSortedTable →
+    * sealed append (doc_id%4==1) → managed sortedRebase (fold into a new
+    * generation) → second append (%4==3) left as a live slice. The x173
+    * probe then reads base+folded+live through one manifest resolve.
+    */
+  private val simhashIdxDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedSimhashIndex(s: SparkSession, dir: String): String =
+    simhashIdxDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-shidx")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.sortedStats(
+        simhashBandRows(docs.where(col("doc_id") % 2 === 0)), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        partitions = 1, batchId = Some("base"))
+      graft.sources.Layouts.manageSortedTable(out)
+      graft.sources.Layouts.sortedTableAppend(
+        simhashBandRows(docs.where(col("doc_id") % 4 === 1)), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("g1"))
+      graft.sources.Layouts.sortedRebase(out, simhashSortCols,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.sortedTableAppend(
+        simhashBandRows(docs.where(col("doc_id") % 4 === 3)), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("g3"))
+      out
+    })
+
+  /** x174 staging: fold-surviving retraction. Same banded-SimHash family
+    * built WITH row provenance from birth (src_batch), two appends
+    * FOLDED into base by a managed rebase — their slice dirs are gone —
+    * then [[graft.sources.Layouts.retractFolded]] erases batch g1 at the
+    * ROW level: the deletion shape dropBatch cannot express once
+    * compaction has run, i.e. the GDPR path at 100 TB where compaction
+    * is continuous.
+    */
+  private val provRetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedProvenanceRetract(s: SparkSession, dir: String): String =
+    provRetractDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-shretract")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.sortedStats(
+        simhashBandRows(docs.where(col("doc_id") % 2 === 0))
+          .withColumn("src_batch", lit("base")), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        partitions = 1, batchId = Some("base"))
+      graft.sources.Layouts.manageSortedTable(out)
+      graft.sources.Layouts.sortedTableAppend(
+        simhashBandRows(docs.where(col("doc_id") % 4 === 1)), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("g1"), provenance = true)
+      graft.sources.Layouts.sortedTableAppend(
+        simhashBandRows(docs.where(col("doc_id") % 4 === 3)), out,
+        simhashSortCols, groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("g3"), provenance = true)
+      graft.sources.Layouts.sortedRebase(out, simhashSortCols,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.retractFolded(out, "g1", simhashSortCols,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
   /** x169 staging: the hourly aggregation run in APPEND mode against a
     * parity-split feed — batch 1 re-spans the whole month, so all but its
     * last ~2 h of events arrive behind batch 0's watermark and must be
@@ -8299,7 +8520,9 @@ object ExtensionCatalog {
     "build_x168_stream_ann_compact" -> ((s, dir) => { stagedStreamAnnCompactLedger(s, dir); () }),
     "build_x169_stream_late_drop" -> ((s, dir) => { stagedLateDropLedger(s, dir); () }),
     "build_x170_engine_dedup" -> ((s, dir) => { stagedEngineDedupLedger(s, dir); () }),
-    "build_x172_hive_layout" -> ((s, dir) => { stagedHiveLayout(s, dir); () }))
+    "build_x172_hive_layout" -> ((s, dir) => { stagedHiveLayout(s, dir); () }),
+    "build_x173_simhash_index" -> ((s, dir) => { stagedSimhashIndex(s, dir); () }),
+    "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8471,6 +8694,8 @@ object ExtensionCatalog {
     "build_x168_stream_ann_compact" -> streamAnnCompactDirs.get(dir),
     "build_x169_stream_late_drop" -> lateDropDirs.get(dir),
     "build_x170_engine_dedup" -> engineDedupDirs.get(dir),
-    "build_x172_hive_layout" -> hiveLayoutDirs.get(dir)
+    "build_x172_hive_layout" -> hiveLayoutDirs.get(dir),
+    "build_x173_simhash_index" -> simhashIdxDirs.get(dir),
+    "build_x174_provenance_retract" -> provRetractDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

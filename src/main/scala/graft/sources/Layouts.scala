@@ -243,31 +243,65 @@ object Layouts {
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      batchId: Option[String] = None): Unit = {
-    val spark = docs.sparkSession
+      batchId: Option[String] = None): Unit =
+    // managed layout ([[managePosting]]): [[sortedTableAppend]] carries
+    // the whole write+seal+manifest-chase protocol; this method only
+    // supplies the posting rows
+    sortedTableAppend(postingRows(docs, idCol, textCol), path, Seq("tri"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+      batchId = batchId)
+
+  /** Append a row batch to a single batch-partitioned sorted-stats table
+    * — [[postingAppend]]'s write+seal+manifest-chase protocol with the
+    * ROWS supplied by the caller, which makes ANY such table a full
+    * lifecycle index family with zero new protocol code (the r16 #6
+    * manifest engine's point): manage via [[manageSortedTable]], compact
+    * via [[sortedRebase]], retract slices via [[dropBatch]] and folded
+    * batches via [[retractFolded]]. Same replay semantics: an explicit
+    * `batchId` replays as a dynamic-overwrite no-op; none is a plain
+    * append under an anonymous slice; a pre-batch_id table refuses
+    * replay-safety. With `provenance` the slice also carries a
+    * `src_batch` DATA column equal to its batch id — the row-level
+    * lineage [[retractFolded]] needs to delete a batch AFTER a fold has
+    * erased its slice directory. Use it from the table's FIRST write or
+    * not at all: mixing provenanced and bare files forks the parquet
+    * schema (the non-merged read would drop the column for half the
+    * rows, exactly the ivfAppend corpusn hazard).
+    */
+  def sortedTableAppend(
+      rows: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 1,
+      batchId: Option[String] = None,
+      provenance: Boolean = false): Unit = {
+    val spark = rows.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     batchId.foreach(requireBatchId)
-    // managed layout ([[managePosting]]): the slice lands in the CURRENT
-    // generation; the seal + manifest-chase after the write handles a
-    // rebase publishing concurrently (same protocol as [[minhashAppend]])
     val gen0 = currentGeneration(path, conf)
     val root = gen0.map(_._2).getOrElse(path)
     val batched = spark.read.parquet(root).columns.contains("batch_id")
     require(batched || batchId.isEmpty,
-      s"posting index at $path predates batch_id partitioning — a " +
-        "replay-safe append is impossible on its flat layout; rebuild via " +
-        "postingIndex")
+      s"table at $path predates batch_id partitioning — a replay-safe " +
+        "append is impossible on its flat layout; rebuild it batched")
     val (bid, mode, dyn) = batchId match {
       case Some(b)         => (Some(b), "overwrite", true)
       case None if batched => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
       case None            => (None, "append", false)
     }
-    sortedStats(postingRows(docs, idCol, textCol), root, Seq("tri"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+    val payload = (provenance, bid) match {
+      case (true, Some(b)) => rows.withColumn("src_batch", lit(b))
+      case _               => rows
+    }
+    sortedStats(payload, root, sortCols,
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
     for ((v0, _) <- gen0; b <- bid)
       chaseManifest(path, v0, root, b,
-        sortedTableFamily(Seq("tri"), groupBytes, pageRows, 1)(spark), conf)
+        sortedTableFamily(sortCols, groupBytes, pageRows, partitions)(spark),
+        conf)
   }
 
   /** Rebase a single batch-partitioned sorted-stats TABLE (the posting
@@ -275,7 +309,10 @@ object Layouts {
     * index's three subdirectories) back to one `base` generation:
     * re-read, de-batch, range-sort, rewrite, rename-aside swap. O(table),
     * no corpus rescan — the generic form of [[minhashCompact]]'s
-    * per-table step for any sortedStats layout.
+    * per-table step for any sortedStats layout. A `src_batch` provenance
+    * column (see [[sortedTableAppend]]) is ordinary payload and survives
+    * the fold — that is what keeps [[retractFolded]] possible after the
+    * batch's slice directory is gone.
     */
   def sortedRebase(
       path: String,
@@ -1456,10 +1493,19 @@ object Layouts {
     * runs without quiescing again. Idempotent on a managed index.
     */
   def managePosting(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    manageSortedTable(path)
+
+  /** Migrate ANY flat batch-partitioned sorted-stats table into the
+    * manifest-generation layout — [[managePosting]] generalized (the
+    * geometry is the table's, not the posting index's). Run once,
+    * quiesced; idempotent on a managed table.
+    */
+  def manageSortedTable(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     // fold params are irrelevant to a migration — only the geometry runs
-    migrateToManaged(path, sortedTableFamily(Seq("tri")), conf) {
+    migrateToManaged(path, sortedTableFamily(Seq.empty), conf) {
       (fs, genDir) =>
         def slicesUnder(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
           val hp = new org.apache.hadoop.fs.Path(p)
@@ -1475,11 +1521,81 @@ object Layouts {
         // non-empty to publish.
         val atRoot = slicesUnder(path)
         require(atRoot.nonEmpty || slicesUnder(genDir).nonEmpty,
-          s"no batch_id slices at $path — build postingIndex first")
+          s"no batch_id slices at $path — build the table first")
         atRoot.foreach(s =>
           require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(
             s"$genDir/${s.getPath.getName}")),
             s"could not move ${s.getPath} into $genDir"))
+    }
+  }
+
+  /** Retract a batch whose SLICE DIRECTORY no longer exists because a
+    * rebase folded its rows into `base` — the deletion shape
+    * [[dropBatch]] cannot express (its unit is the slice dir), and the
+    * one a GDPR-grade erasure needs at 100 TB where compaction runs
+    * continuously. Requires the table to carry fold-surviving row
+    * provenance (`src_batch`, written by [[sortedTableAppend]] with
+    * `provenance = true` from the table's first write). Runs as a
+    * managed compact whose fold FILTERS the batch's rows and whose
+    * live-copy skips the batch's slice, then drops the batch's remaining
+    * slice dirs across retained generations. Physical erasure of the
+    * GRACE generation's folded copy completes when the next
+    * compact/prune cycle retires it — run one more [[sortedRebase]] to
+    * force it. Same single-compactor contract as every managed compact.
+    */
+  def retractFolded(
+      path: String,
+      batchId: String,
+      sortCols: Seq[String],
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0,
+      graceGenerations: Int = 1)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    require(batchId != "base",
+      "refuse to retract the base generation — rebuild the table instead")
+    requireBatchId(batchId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        require(spark.read.parquet(rootG).columns.contains("src_batch"),
+          s"$path carries no fold provenance (src_batch) — only slice-" +
+            "level retraction (dropBatch) is possible; append with " +
+            "provenance = true from the table's first write to enable this")
+        val base = sortedTableFamily(sortCols, groupBytes, pageRows, partitions)
+        val fam = new ManifestFamily {
+          def sliceStates(g: String, c: org.apache.hadoop.conf.Configuration) =
+            base.sliceStates(g, c)
+          def sealSlices(g: String, b: String,
+              c: org.apache.hadoop.conf.Configuration): Unit =
+            base.sealSlices(g, b, c)
+          def copySlice(o: String, n: String, b: String,
+              c: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
+            if (b != batchId) base.copySlice(o, n, b, c, required)
+          def forceCopySlice(o: String, n: String, b: String,
+              c: org.apache.hadoop.conf.Configuration): Unit =
+            base.forceCopySlice(o, n, b, c)
+          def fold(o: String, n: String, ids: Set[String]): Unit =
+            // null-safe: a row with NULL provenance (contract violation —
+            // a bare append into a provenanced table) must be KEPT, not
+            // silently deleted along with the retracted batch
+            sortedStats(spark.read.parquet(o)
+              .where(col("batch_id").isin(ids.toSeq: _*))
+              .where(!(col("src_batch") <=> lit(batchId)))
+              .drop("batch_id"), n, sortCols,
+              groupBytes = groupBytes, pageRows = pageRows,
+              partitions = partitions, batchId = Some("base"))
+        }
+        managedCompact(path, v, rootG, fam, graceGenerations, conf)
+        // physical cleanup of the batch's surviving slice dirs (a
+        // still-unfolded slice, and every retained older generation's)
+        dropBatch(path, batchId)
+        ()
+      case None => sys.error(
+        s"retractFolded requires a manifest-managed table at $path — on " +
+          "the flat layout a folded batch is unrecoverable by id (rebase " +
+          "erases slice dirs); use dropBatch before rebasing, or migrate " +
+          "via manageSortedTable")
     }
   }
 

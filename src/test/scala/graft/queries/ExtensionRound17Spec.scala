@@ -72,4 +72,48 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     got("ab") shouldBe bestSeg("ab", lp)
     got("cd") shouldBe bestSeg("cd", lp)
   }
+
+  // doc 2/6 → base (even; both also carry the probe residue %4 == 2, so
+  // each probes the index too — self-matches excluded by id), doc 5 →
+  // batch g1 (folded by the rebase), doc 7 → batch g3 (live slice).
+  // Docs 2/5/6 share text (simhash identical, hamming 0); doc 7 differs.
+  private def simhashDocs() = writeDocs(Seq(
+    (2L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (5L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (6L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (7L, "completely unrelated content with different words entirely", "en", "s0", 57L)))
+
+  test("x173: probe hits base AND folded AND-not-unrelated across the " +
+      "managed lifecycle") {
+    val got = entry("x173_simhash_index_probe").build(spark, simhashDocs())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((2L, 5L, 0L), (2L, 6L, 0L), (6L, 2L, 0L), (6L, 5L, 0L))
+  }
+
+  test("x174: retractFolded erases the folded batch's rows — probes no " +
+      "longer match doc 5, still match base") {
+    val got = entry("x174_retract_after_fold").build(spark, simhashDocs())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set((2L, 6L, 0L), (6L, 2L, 0L))
+  }
+
+  test("retractFolded guardrails: no provenance → refuse; flat layout → refuse") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val docs = spark.read.parquet(s"${simhashDocs()}/documents.parquet")
+    val rows = docs.selectExpr("doc_id", "doc_id % 7 AS k")
+    // managed but provenance-less: the fold left no src_batch to filter
+    val bare = java.nio.file.Files.createTempDirectory("rf-bare").toString
+    Layouts.sortedStats(rows, bare, Seq("k"), batchId = Some("base"))
+    Layouts.manageSortedTable(bare)
+    intercept[IllegalArgumentException] {
+      Layouts.retractFolded(bare, "g1", Seq("k"))
+    }
+    // flat (unmanaged): a folded batch is unrecoverable by id
+    val flat = java.nio.file.Files.createTempDirectory("rf-flat").toString
+    Layouts.sortedStats(rows, flat, Seq("k"), batchId = Some("base"))
+    intercept[RuntimeException] {
+      Layouts.retractFolded(flat, "g1", Seq("k"))
+    }
+  }
 }
