@@ -591,6 +591,21 @@ object Dedup {
     withGraftFns(docs)
       .select(col(idCol), expr(s"graft_simhash(graft_token_hashes($textCol), $bits)").as("sh"))
 
+  /** Banded SimHash rows for the PERSISTED near-dup index (x173): four
+    * disjoint 16-bit bands of the 64-bit signature — hamming ≤ 3 flips
+    * at most 3 bands (pigeonhole), so an equi-join on (band_no,
+    * band_val) is a lossless candidate filter. All four bands are MASKED
+    * (unlike [[simhashNearDups]]'s in-flight last band) so the stored
+    * value is sign-independent and replayable by the oracle.
+    */
+  def simhashBanded(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    simhashed(docs, idCol, textCol)
+      .select(col(idCol), col("sh"),
+        explode(expr("sequence(0, 3)")).as("band_no"))
+      .withColumn("band_val", expr("shiftright(sh, band_no * 16) & 65535"))
+      .select("band_no", "band_val", idCol, "sh")
+
   /** SimHash near-dup pairs over the WHOLE corpus, hamming ≤ `maxHamming`,
     * found exactly via pigeonhole banding: the `bits`-wide signature splits
     * into `maxHamming + 1` bands, so any pair within the bound must agree

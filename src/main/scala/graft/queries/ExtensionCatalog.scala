@@ -8273,11 +8273,7 @@ object ExtensionCatalog {
     * band) so the index value is sign-independent and replayable.
     */
   private def simhashBandRows(docs: DataFrame): DataFrame =
-    graft.operators.Dedup.simhashed(docs, "doc_id", "text")
-      .select(col("doc_id"), col("sh"),
-        explode(expr("sequence(0, 3)")).as("band_no"))
-      .withColumn("band_val", expr("shiftright(sh, band_no * 16) & 65535"))
-      .select("band_no", "band_val", "doc_id", "sh")
+    graft.operators.Dedup.simhashBanded(docs)
 
   private val simhashSortCols = Seq("band_no", "band_val")
 

@@ -243,7 +243,8 @@ object ScaleSweep {
       telem = Some(new graft.metrics.Telemetry().start())
       val docFams = Seq("exact_dedup", "minhash_lsh_pairs",
         "exact_prefix_jaccard", "components", "minhash_index_build",
-        "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact")
+        "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact",
+        "simhash_index_build", "simhash_probe", "retract_folded")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -319,6 +320,53 @@ object ScaleSweep {
           Dedup.exactJaccardPairsStaged(shard, jacDir, "doc_id", "text",
             threshold = 0.5).count())
         scala.reflect.io.Directory(new java.io.File(jacDir)).deleteRecursively()
+      }
+      // Round-17 family: the banded-SimHash managed sorted table (x173)
+      // and fold-surviving retraction (x174). Build is one signature pass
+      // + a range sort (linear); the probe tracks the FIXED shard against
+      // the banded candidate join (flat while the corpus grows — band
+      // buckets bound candidates, replicated texts are distinct by
+      // construction); retract_folded times ONLY the filtered re-fold,
+      // the O(index)-not-O(corpus) claim (append + rebase run untimed
+      // outside the cell).
+      if (want("simhash_index_build") || want("simhash_probe") ||
+          want("retract_folded")) {
+        val shDir = java.nio.file.Files.createTempDirectory(s"sweep-sh$c").toString
+        val shCols = Seq("band_no", "band_val")
+        try {
+          def bands(df: DataFrame) = Dedup.simhashBanded(df)
+          def buildIt(): Unit = graft.sources.Layouts.sortedStats(
+            bands(docs).withColumn("src_batch", lit("base")), shDir, shCols,
+            partitions = 16, batchId = Some("base"))
+          if (want("simhash_index_build"))
+            record("simhash_index_build", c) { buildIt(); n0 * c }
+          else buildIt()
+          graft.sources.Layouts.manageSortedTable(shDir)(spark)
+          if (want("simhash_probe")) record("simhash_probe", c) {
+            val ib = spark.read.parquet(
+              graft.sources.Layouts.indexRoot(shDir)(spark))
+            bands(shard).as("p").join(ib.as("i"),
+                col("p.band_no") === col("i.band_no") &&
+                  col("p.band_val") === col("i.band_val") &&
+                  col("p.doc_id") =!= col("i.doc_id"))
+              .select(col("p.doc_id").as("a"), col("i.doc_id").as("b"),
+                bit_count(col("p.sh").bitwiseXOR(col("i.sh"))).as("h"))
+              .distinct().where(col("h") <= 3).count()
+          }
+          if (want("retract_folded")) {
+            graft.sources.Layouts.sortedTableAppend(bands(shard), shDir,
+              shCols, batchId = Some("rx"), provenance = true)
+            graft.sources.Layouts.sortedRebase(shDir, shCols,
+              partitions = 16)(spark)
+            record("retract_folded", c) {
+              graft.sources.Layouts.retractFolded(shDir, "rx", shCols,
+                partitions = 16)(spark)
+              spark.read.parquet(
+                graft.sources.Layouts.indexRoot(shDir)(spark)).count()
+            }
+          }
+        } finally scala.reflect.io.Directory(
+          new java.io.File(shDir)).deleteRecursively()
       }
       // Persisted IVF index: centModulo fixed, so cell size stays ~50
       // vectors at every scale and the probe's nprobe read is
