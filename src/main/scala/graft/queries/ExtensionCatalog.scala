@@ -7669,7 +7669,42 @@ object ExtensionCatalog {
       "linear multi-touch attribution: purchase value split in exact " +
         "milli-integer credits across the user's preceding 6 h of touch " +
         "events — the credit-division dual of x166's pair-emitting " +
-        "interval join (extension: events / attribution)")
+        "interval join (extension: events / attribution)"),
+
+    CatalogEntry(
+      "x176_minhash_retract_folded",
+      (s, dir) => {
+        // x161's poison scenario with the poison FOLDED before retraction
+        // — the deletion dropBatch cannot express once compaction erased
+        // the slice dirs. src_batch provenance (built in from birth)
+        // survives the fold; minhashRetractFolded re-folds the generation
+        // without the poison's rows and the gen-2 probe must equal x153's
+        // oracle, which never saw the poison: ONE leaked poison row and a
+        // probe doc classifies as an exact dup of ITSELF (under-delete);
+        // one base/gen-1 row erased with it and a true dup reads kept
+        // (over-delete — the per-(fp, src_batch) fold dedup is what
+        // prevents it for fingerprints shared across batches).
+        val docs = t(s, dir, "documents")
+        val g2 = docs.where(col("doc_id") % 3 === 2)
+        val idx = stagedMinhashRetractFoldedIndex(s, dir)
+        val st = Dedup.incrementalDedupStaged(g2, idx, "doc_id", "text",
+          threshold = 0.5)
+        g2.select(col("doc_id"), col("source")).join(st, "doc_id")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_incoming"),
+            sum(when(col("status") === "exact_dup", 1L).otherwise(0L))
+              .as("n_exact_dropped"),
+            sum(when(col("status") === "near_dup", 1L).otherwise(0L))
+              .as("n_neardup_dropped"),
+            sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some(dThreeGenIngestOracle),
+      "row-level retraction of a batch compaction already FOLDED into the " +
+        "MinHash index's base: src_batch provenance survives the fold and " +
+        "minhashRetractFolded re-folds the generation without the poison — " +
+        "retract-after-fold ≡ never-appended, value-tested with the poison " +
+        "docs as the probe (extension: dedup / index maintenance / privacy)")
   )
 
   /** DuckDB replay of the banded-SimHash index probe over a given index
@@ -8130,6 +8165,45 @@ object ExtensionCatalog {
       out
     })
 
+  /** x176 staging: x161's poison scenario with the poison FOLDED before
+    * the retraction — the case dropBatch cannot recover (the fold erased
+    * the slice dirs). The index is built AND appended with src_batch
+    * provenance from birth; after the managed compact folds gen-1 and
+    * the poison into base, [[graft.sources.Layouts.minhashRetractFolded]]
+    * re-folds the generation without the poison's rows. Probing with the
+    * poison docs themselves keeps a leak maximally visible (one
+    * surviving row → self-dup), and the per-(fp, src_batch) fold dedup
+    * keeps a fingerprint shared with base alive through the retraction
+    * (one over-deleted row → a true dup reads kept).
+    */
+  private val minhashRetractFoldedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedMinhashRetractFoldedIndex(s: SparkSession, dir: String): String =
+    minhashRetractFoldedDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-mhretfold")
+      val docs = t(s, dir, "documents")
+      graft.sources.Layouts.minhashIndex(docs.where(col("doc_id") % 3 === 0),
+        out, groupBytes = 256L * 1024, pageRows = 2000, provenance = true)
+      graft.sources.Layouts.manageMinhash(out)
+      val g1 = docs.where(col("doc_id") % 3 === 1)
+      val st1 = graft.operators.Dedup.incrementalDedupStaged(
+        g1, out, "doc_id", "text", 0.5)
+      val kept1 = g1.join(
+        st1.where(col("status") === "kept").select("doc_id"), "doc_id")
+      graft.sources.Layouts.minhashAppend(kept1, out,
+        groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("gen1"), provenance = true)
+      graft.sources.Layouts.minhashAppend(
+        docs.where(col("doc_id") % 3 === 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000,
+        batchId = Some("poison"), provenance = true)
+      graft.sources.Layouts.minhashCompact(out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.minhashRetractFolded(out, "poison",
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
   /** x162 staging: the x152 build+append lifecycle on the MANIFEST-
     * GENERATION layout — flat build over the even half, migrated via
     * [[graft.sources.Layouts.manageIvf]], odd half appended, then
@@ -8518,7 +8592,8 @@ object ExtensionCatalog {
     "build_x170_engine_dedup" -> ((s, dir) => { stagedEngineDedupLedger(s, dir); () }),
     "build_x172_hive_layout" -> ((s, dir) => { stagedHiveLayout(s, dir); () }),
     "build_x173_simhash_index" -> ((s, dir) => { stagedSimhashIndex(s, dir); () }),
-    "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }))
+    "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }),
+    "build_x176_minhash_retract_folded" -> ((s, dir) => { stagedMinhashRetractFoldedIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8692,6 +8767,7 @@ object ExtensionCatalog {
     "build_x170_engine_dedup" -> engineDedupDirs.get(dir),
     "build_x172_hive_layout" -> hiveLayoutDirs.get(dir),
     "build_x173_simhash_index" -> simhashIdxDirs.get(dir),
-    "build_x174_provenance_retract" -> provRetractDirs.get(dir)
+    "build_x174_provenance_retract" -> provRetractDirs.get(dir),
+    "build_x176_minhash_retract_folded" -> minhashRetractFoldedDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
 
 /** Parquet WRITE-path layouts that make the read-path pruning ladder work
@@ -365,7 +365,8 @@ object Layouts {
       shingleN: Int = 3,
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0): Unit = {
+      partitions: Int = 0,
+      provenance: Boolean = false): Unit = {
     import graft.operators.Dedup
     // bands must tile the signature exactly: k/bands would truncate
     // silently, and bands > k makes rowsPerBand 0 — every band hash folds
@@ -378,7 +379,16 @@ object Layouts {
     // ingest batch in its OWN partition and a replayed batch overwrites
     // exactly its slice (idempotent maintenance). Static overwrite here —
     // a rebuild must truncate every stale batch, not just "base".
-    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$path/fp", Seq("fp"),
+    // provenance: a `src_batch` DATA column rides every row (fold-
+    // surviving lineage for [[minhashRetractFolded]]) — from the FIRST
+    // write or not at all, like [[sortedTableAppend]]'s contract; note a
+    // provenanced fp fold de-duplicates per (fp, src_batch), which is
+    // exactly what row-level retraction requires (a fingerprint shared
+    // across batches must survive its co-batches' retraction).
+    def prov(df: DataFrame): DataFrame =
+      if (provenance) df.withColumn("src_batch", lit("base")) else df
+    sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
+      s"$path/fp", Seq("fp"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
     // cache: the tokenize+shingle+minhash pipeline is the dominant build
@@ -386,11 +396,11 @@ object Layouts {
     // pattern below) — without the barrier each write re-scans the corpus
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
     try {
-      sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
+      sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
         s"$path/banded", Seq("bh"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
         batchId = Some("base"))
-      sortedStats(sigs.select(col(idCol), col("shingles")),
+      sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
         s"$path/shingles", Seq(idCol),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
         batchId = Some("base"))
@@ -443,7 +453,8 @@ object Layouts {
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      batchId: Option[String] = None): Unit = {
+      batchId: Option[String] = None,
+      provenance: Boolean = false): Unit = {
     import graft.operators.Dedup
     val spark = docs.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -467,16 +478,23 @@ object Layouts {
       case None if batched  => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
       case None             => (None, "append", false)
     }
-    sortedStats(Dedup.exactFingerprints(docs, textCol), s"$root/fp", Seq("fp"),
+    // provenance: fold-surviving row lineage for [[minhashRetractFolded]]
+    // (same first-write-or-never contract as the build side)
+    def prov(df: DataFrame): DataFrame = (provenance, bid) match {
+      case (true, Some(b)) => df.withColumn("src_batch", lit(b))
+      case _               => df
+    }
+    sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
+      s"$root/fp", Seq("fp"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
       mode = mode, batchId = bid, dynamicOverwrite = dyn)
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
     try {
-      sortedStats(Dedup.bandedHashes(sigs, idCol, bands, k / bands),
+      sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
         s"$root/banded", Seq("bh"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
         mode = mode, batchId = bid, dynamicOverwrite = dyn)
-      sortedStats(sigs.select(col(idCol), col("shingles")),
+      sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
         s"$root/shingles", Seq(idCol),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
         mode = mode, batchId = bid, dynamicOverwrite = dyn)
@@ -1311,7 +1329,8 @@ object Layouts {
     * under the generation root, slices as `batch_id=X` dirs per table.
     */
   private def minhashFamily(groupBytes: Long = 128L * 1024 * 1024,
-      pageRows: Int = 20000, partitions: Int = 0)(
+      pageRows: Int = 20000, partitions: Int = 0,
+      foldFilter: Column = lit(true))(
       implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
     new ManifestFamily {
       private val tables = Seq("fp", "banded", "shingles")
@@ -1330,7 +1349,8 @@ object Layouts {
       def fold(o: String, n: String, ids: Set[String]): Unit =
         tables.foreach { tbl =>
           val flat = spark.read.parquet(s"$o/$tbl")
-            .where(col("batch_id").isin(ids.toSeq: _*)).drop("batch_id")
+            .where(col("batch_id").isin(ids.toSeq: _*))
+            .where(foldFilter).drop("batch_id")
           // sort keys are structural per table (the build's own choices):
           // fp on the fingerprint, banded on the bucket hash, shingles on
           // the id column — whatever the caller named it, the non-payload
@@ -1354,7 +1374,7 @@ object Layouts {
     */
   private def sortedTableFamily(sortCols: Seq[String],
       groupBytes: Long = 128L * 1024 * 1024, pageRows: Int = 20000,
-      partitions: Int = 0)(
+      partitions: Int = 0, foldFilter: Column = lit(true))(
       implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
     new ManifestFamily {
       def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
@@ -1370,7 +1390,8 @@ object Layouts {
         copySliceForce(o, n, bid, conf)
       def fold(o: String, n: String, ids: Set[String]): Unit =
         sortedStats(spark.read.parquet(o)
-          .where(col("batch_id").isin(ids.toSeq: _*)).drop("batch_id"),
+          .where(col("batch_id").isin(ids.toSeq: _*))
+          .where(foldFilter).drop("batch_id"),
           n, sortCols, groupBytes = groupBytes, pageRows = pageRows,
           partitions = partitions, batchId = Some("base"))
     }
@@ -1562,41 +1583,87 @@ object Layouts {
           s"$path carries no fold provenance (src_batch) — only slice-" +
             "level retraction (dropBatch) is possible; append with " +
             "provenance = true from the table's first write to enable this")
-        val base = sortedTableFamily(sortCols, groupBytes, pageRows, partitions)
-        val fam = new ManifestFamily {
-          def sliceStates(g: String, c: org.apache.hadoop.conf.Configuration) =
-            base.sliceStates(g, c)
-          def sealSlices(g: String, b: String,
-              c: org.apache.hadoop.conf.Configuration): Unit =
-            base.sealSlices(g, b, c)
-          def copySlice(o: String, n: String, b: String,
-              c: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
-            if (b != batchId) base.copySlice(o, n, b, c, required)
-          def forceCopySlice(o: String, n: String, b: String,
-              c: org.apache.hadoop.conf.Configuration): Unit =
-            base.forceCopySlice(o, n, b, c)
-          def fold(o: String, n: String, ids: Set[String]): Unit =
-            // null-safe: a row with NULL provenance (contract violation —
-            // a bare append into a provenanced table) must be KEPT, not
-            // silently deleted along with the retracted batch
-            sortedStats(spark.read.parquet(o)
-              .where(col("batch_id").isin(ids.toSeq: _*))
-              .where(!(col("src_batch") <=> lit(batchId)))
-              .drop("batch_id"), n, sortCols,
-              groupBytes = groupBytes, pageRows = pageRows,
-              partitions = partitions, batchId = Some("base"))
-        }
-        managedCompact(path, v, rootG, fam, graceGenerations, conf)
-        // physical cleanup of the batch's surviving slice dirs (a
-        // still-unfolded slice, and every retained older generation's)
-        dropBatch(path, batchId)
-        ()
+        // null-safe filter: a row with NULL provenance (contract
+        // violation — a bare append into a provenanced table) must be
+        // KEPT, not silently deleted along with the retracted batch
+        retractRefold(path, batchId, v, rootG,
+          sortedTableFamily(sortCols, groupBytes, pageRows, partitions,
+            foldFilter = !(col("src_batch") <=> lit(batchId))),
+          graceGenerations, conf)
       case None => sys.error(
         s"retractFolded requires a manifest-managed table at $path — on " +
           "the flat layout a folded batch is unrecoverable by id (rebase " +
           "erases slice dirs); use dropBatch before rebasing, or migrate " +
           "via manageSortedTable")
     }
+  }
+
+  /** [[retractFolded]] for the MinHash trio: the same fold-surviving
+    * deletion over all three tables at once — requires the index to have
+    * been built AND appended with `provenance = true` (see
+    * [[minhashIndex]] / [[minhashAppend]]). Probes are invariant for
+    * every other batch: a provenanced fp fold de-duplicates per
+    * (fp, src_batch), so a fingerprint shared across batches survives
+    * its co-batches' retraction.
+    */
+  def minhashRetractFolded(
+      path: String,
+      batchId: String,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0,
+      graceGenerations: Int = 1)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    require(batchId != "base",
+      "refuse to retract the base generation — rebuild the index instead")
+    requireBatchId(batchId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        require(spark.read.parquet(s"$rootG/fp").columns.contains("src_batch"),
+          s"$path carries no fold provenance (src_batch) — only slice-" +
+            "level retraction (dropBatch) is possible; build and append " +
+            "with provenance = true to enable this")
+        retractRefold(path, batchId, v, rootG,
+          minhashFamily(groupBytes, pageRows, partitions,
+            foldFilter = !(col("src_batch") <=> lit(batchId))),
+          graceGenerations, conf)
+      case None => sys.error(
+        s"minhashRetractFolded requires a manifest-managed index at $path " +
+          "— on the flat layout a folded batch is unrecoverable by id; " +
+          "use dropBatch before compacting, or migrate via manageMinhash")
+    }
+  }
+
+  /** The RETRACT side of the manifest protocol: a managed compact whose
+    * family folds WITHOUT the batch's rows (the family is constructed
+    * with the excluding fold filter) and whose live-copy skips the
+    * batch's own slice, followed by physical cleanup of its surviving
+    * slice dirs across retained generations. The grace generation's
+    * folded copy is erased when the next compact/prune cycle retires it.
+    */
+  private def retractRefold(path: String, batchId: String, v: Long,
+      rootG: String, fam: ManifestFamily, graceGenerations: Int,
+      conf: org.apache.hadoop.conf.Configuration)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val wrapped = new ManifestFamily {
+      def sliceStates(g: String, c: org.apache.hadoop.conf.Configuration) =
+        fam.sliceStates(g, c)
+      def sealSlices(g: String, b: String,
+          c: org.apache.hadoop.conf.Configuration): Unit =
+        fam.sealSlices(g, b, c)
+      def copySlice(o: String, n: String, b: String,
+          c: org.apache.hadoop.conf.Configuration, required: Boolean): Unit =
+        if (b != batchId) fam.copySlice(o, n, b, c, required)
+      def forceCopySlice(o: String, n: String, b: String,
+          c: org.apache.hadoop.conf.Configuration): Unit =
+        fam.forceCopySlice(o, n, b, c)
+      def fold(o: String, n: String, ids: Set[String]): Unit =
+        fam.fold(o, n, ids)
+    }
+    managedCompact(path, v, rootG, wrapped, graceGenerations, conf)
+    dropBatch(path, batchId)
+    ()
   }
 
   /** The `cent_id=X` cell directories that hold a slice of batch `bid`

@@ -97,6 +97,38 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     got shouldBe Set((2L, 6L, 0L), (6L, 2L, 0L))
   }
 
+  test("x176: minhash retract-after-fold — poison erased, shared " +
+      "fingerprint survives via per-(fp, src_batch) dedup") {
+    // g0 = doc 0 (text A), g1 = doc 1 (text B, kept), probe g2 = docs
+    // 2 (text A — a true exact dup of base) and 5 (text C — unique).
+    // The staging appends the PROBE docs as the folded poison, then
+    // retracts it: doc 5 kept proves no poison leak (under-delete),
+    // doc 2 exact_dup proves base's fp_A survived the retraction of the
+    // poison's identical fp (over-delete — the per-(fp, src_batch) fold
+    // dedup is the mechanism under test).
+    val tmp = writeDocs(Seq(
+      (0L, "alpha beta gamma delta epsilon", "en", "s0", 30L),
+      (1L, "zeta eta theta iota kappa", "en", "s0", 25L),
+      (2L, "alpha beta gamma delta epsilon", "en", "s0", 30L),
+      (5L, "completely different unique content here", "en", "s0", 40L)))
+    val got = entry("x176_minhash_retract_folded").build(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    got shouldBe Seq(("s0", 2L, 1L, 0L, 1L))
+  }
+
+  test("minhashRetractFolded guardrail: a provenance-less managed index refuses") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val docs = spark.read.parquet(s"${simhashDocs()}/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("mh-noprov").toString
+    Layouts.minhashIndex(docs, idx, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.manageMinhash(idx)
+    intercept[IllegalArgumentException] {
+      Layouts.minhashRetractFolded(idx, "g1")
+    }
+  }
+
   test("retractFolded guardrails: no provenance → refuse; flat layout → refuse") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.sources.Layouts
