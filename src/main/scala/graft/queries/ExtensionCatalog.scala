@@ -7704,7 +7704,46 @@ object ExtensionCatalog {
         "MinHash index's base: src_batch provenance survives the fold and " +
         "minhashRetractFolded re-folds the generation without the poison — " +
         "retract-after-fold ≡ never-appended, value-tested with the poison " +
-        "docs as the probe (extension: dedup / index maintenance / privacy)")
+        "docs as the probe (extension: dedup / index maintenance / privacy)"),
+
+    CatalogEntry(
+      "x177_ivf_retract_folded",
+      (s, dir) => {
+        // x154's poison scenario with the poison FOLDED into base before
+        // the retraction (slice dirs gone — dropBatch can no longer
+        // express the deletion). The per-cell audit reads the CURRENT
+        // generation through the manifest and must equal x154's oracle,
+        // which never saw the poison: a leaked poison row inflates a
+        // cell count, an over-deleted even/odd row deflates one.
+        val idx = stagedIvfRetractFoldedIndex(s, dir)
+        s.read.parquet(s"${graft.sources.Layouts.indexRoot(idx)(s)}/assign")
+          .groupBy(col("cent_id").cast("long").as("cent_id"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("corpus_id") % 2 === 1, 1L).otherwise(0L)).as("n_appended"))
+          .orderBy("cent_id")
+      },
+      Some(s"""WITH cent AS (
+              |  SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10 AND vec_id % 2 = 0),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |assign AS (
+              |  SELECT corpus_id, cent_id FROM (
+              |    SELECT c.corpus_id, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1)
+              |SELECT cent_id, COUNT(*) AS n_total,
+              |  CAST(SUM(CASE WHEN corpus_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_appended
+              |FROM assign GROUP BY cent_id ORDER BY cent_id""".stripMargin),
+      "row-level retraction of an embedding batch compaction already FOLDED " +
+        "into the IVF index's base: src_batch provenance survives the fold, " +
+        "ivfRetractFolded re-folds the generation without the poison — the " +
+        "vector-index leg of the GDPR path, per-cell counts equal the " +
+        "never-saw-poison oracle (extension: similarity search / index " +
+        "maintenance / privacy)")
   )
 
   /** DuckDB replay of the banded-SimHash index probe over a given index
@@ -8016,6 +8055,33 @@ object ExtensionCatalog {
         t(s, dir, "embeddings").where(col("vec_id") < 10), out,
         batchId = Some("poison"))
       graft.sources.Layouts.dropBatch(out, "poison")(s)
+      out
+    })
+
+  /** x177 staging: x154's poison scenario with the poison FOLDED before
+    * the retraction — the IVF leg of the fold-surviving deletion. Built
+    * and appended with src_batch provenance; after [[manageIvf]] +
+    * [[graft.sources.Layouts.ivfCompact]] folds the odd batch and the
+    * poison into base, [[graft.sources.Layouts.ivfRetractFolded]] erases
+    * the poison at the row level.
+    */
+  private val ivfRetractFoldedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedIvfRetractFoldedIndex(s: SparkSession, dir: String): String =
+    ivfRetractFoldedDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-ivfretfold")
+      val e = t(s, dir, "embeddings").where(col("vec_id") >= 10)
+      graft.sources.Layouts.ivfIndex(
+        e.where(col("vec_id") % 2 === 0), out, centModulo = 50,
+        twoLevel = Some(false), provenance = true)
+      graft.sources.Layouts.manageIvf(out)
+      graft.sources.Layouts.ivfAppend(e.where(col("vec_id") % 2 === 1), out,
+        batchId = Some("odd"), provenance = true)
+      graft.sources.Layouts.ivfAppend(
+        t(s, dir, "embeddings").where(col("vec_id") < 10), out,
+        batchId = Some("poison"), provenance = true)
+      graft.sources.Layouts.ivfCompact(out)
+      graft.sources.Layouts.ivfRetractFolded(out, "poison")
       out
     })
 
@@ -8593,7 +8659,8 @@ object ExtensionCatalog {
     "build_x172_hive_layout" -> ((s, dir) => { stagedHiveLayout(s, dir); () }),
     "build_x173_simhash_index" -> ((s, dir) => { stagedSimhashIndex(s, dir); () }),
     "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }),
-    "build_x176_minhash_retract_folded" -> ((s, dir) => { stagedMinhashRetractFoldedIndex(s, dir); () }))
+    "build_x176_minhash_retract_folded" -> ((s, dir) => { stagedMinhashRetractFoldedIndex(s, dir); () }),
+    "build_x177_ivf_retract_folded" -> ((s, dir) => { stagedIvfRetractFoldedIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8768,6 +8835,7 @@ object ExtensionCatalog {
     "build_x172_hive_layout" -> hiveLayoutDirs.get(dir),
     "build_x173_simhash_index" -> simhashIdxDirs.get(dir),
     "build_x174_provenance_retract" -> provRetractDirs.get(dir),
-    "build_x176_minhash_retract_folded" -> minhashRetractFoldedDirs.get(dir)
+    "build_x176_minhash_retract_folded" -> minhashRetractFoldedDirs.get(dir),
+    "build_x177_ivf_retract_folded" -> ivfRetractFoldedDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

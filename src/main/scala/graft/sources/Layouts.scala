@@ -282,10 +282,18 @@ object Layouts {
     batchId.foreach(requireBatchId)
     val gen0 = currentGeneration(path, conf)
     val root = gen0.map(_._2).getOrElse(path)
-    val batched = spark.read.parquet(root).columns.contains("batch_id")
+    val rootCols = spark.read.parquet(root).columns.toSet
+    val batched = rootCols.contains("batch_id")
     require(batched || batchId.isEmpty,
       s"table at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its flat layout; rebuild it batched")
+    // first-write-or-never, ENFORCED: mixed provenanced/bare files fork
+    // the parquet schema (the non-merged read drops the column for half
+    // the rows — the ivfAppend corpusn hazard)
+    require(provenance == rootCols.contains("src_batch"),
+      s"provenance mismatch at $path: the table " +
+        (if (rootCols.contains("src_batch")) "carries" else "lacks") +
+        " src_batch — append with the same provenance setting")
     val (bid, mode, dyn) = batchId match {
       case Some(b)         => (Some(b), "overwrite", true)
       case None if batched => (Some("anon-" + java.util.UUID.randomUUID), "append", false)
@@ -466,10 +474,17 @@ object Layouts {
     // loop after the writes handles a compact publishing concurrently
     val gen0 = currentGeneration(path, conf)
     val root = gen0.map(_._2).getOrElse(path)
-    val batched = spark.read.parquet(s"$root/fp").columns.contains("batch_id")
+    val fpCols = spark.read.parquet(s"$root/fp").columns.toSet
+    val batched = fpCols.contains("batch_id")
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its flat layout; rebuild via minhashIndex")
+    // first-write-or-never, ENFORCED (the sortedTableAppend contract):
+    // mixed provenanced/bare slices would fork the parquet schema
+    require(provenance == fpCols.contains("src_batch"),
+      s"provenance mismatch at $path: the index " +
+        (if (fpCols.contains("src_batch")) "carries" else "lacks") +
+        " src_batch — build and append with the same provenance setting")
     // batched layout: a batch without an explicit id still needs SOME
     // batch_id directory — draw a unique one (append-mode, so nothing is
     // overwritten; uniqueness keeps two anonymous batches from colliding)
@@ -615,7 +630,8 @@ object Layouts {
       centModulo: Long,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      twoLevel: Option[Boolean] = None): Unit = {
+      twoLevel: Option[Boolean] = None,
+      provenance: Boolean = false): Unit = {
     import graft.operators.SimilaritySearch
     // modulo sampling CAN select zero rows (offset/odd id lattices, or a
     // non-numeric idCol where `id % m` is NULL) — an index with an empty
@@ -657,7 +673,12 @@ object Layouts {
     // untouched), while [[ivfAppend]] gains an idempotent slice to
     // overwrite per ingest batch. Static overwrite — a rebuild truncates
     // every stale batch directory.
-    lists.withColumn("batch_id", lit("base"))
+    // provenance: fold-surviving row lineage for [[ivfRetractFolded]] —
+    // from the FIRST write or not at all (mixed provenanced/bare files
+    // would fork the parquet schema, the corpusn hazard below)
+    val listed =
+      if (provenance) lists.withColumn("src_batch", lit("base")) else lists
+    listed.withColumn("batch_id", lit("base"))
       .write.mode("overwrite").partitionBy("cent_id", "batch_id")
       .parquet(s"$path/assign")
     import spark.implicits._
@@ -705,7 +726,8 @@ object Layouts {
       path: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      batchId: Option[String] = None): Unit = {
+      batchId: Option[String] = None,
+      provenance: Boolean = false): Unit = {
     import graft.operators.SimilaritySearch
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -736,15 +758,24 @@ object Layouts {
     require(batched || batchId.isEmpty,
       s"index at $path predates batch_id partitioning — a replay-safe " +
         "append is impossible on its layout; rebuild via ivfIndex")
+    // provenance must MATCH the table (first-write-or-never): a bare
+    // append into a provenanced assign tree (or vice versa) forks the
+    // parquet schema exactly like the corpusn hazard above
+    require(provenance == existingCols.contains("src_batch"),
+      s"provenance mismatch at $path: the assign table " +
+        (if (existingCols.contains("src_batch")) "carries" else "lacks") +
+        " src_batch — build with the same provenance setting")
+    def prov(df: DataFrame, b: String): DataFrame =
+      if (provenance) df.withColumn("src_batch", lit(b)) else df
     val bid = (batchId, batched) match {
       case (Some(b), _) =>
-        aligned.withColumn("batch_id", lit(b))
+        prov(aligned, b).withColumn("batch_id", lit(b))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("cent_id", "batch_id").parquet(assign)
         Some(b)
       case (None, true) =>
         val anon = "anon-" + java.util.UUID.randomUUID
-        aligned.withColumn("batch_id", lit(anon))
+        prov(aligned, anon).withColumn("batch_id", lit(anon))
           .write.mode("append").partitionBy("cent_id", "batch_id")
           .parquet(assign)
         Some(anon)
@@ -755,7 +786,7 @@ object Layouts {
     // managed layout: seal, then chase the manifest — the MinHash
     // append's fix-up protocol with the cell-level slice dirs
     for ((v0, r0) <- gen0; b <- bid)
-      chaseManifest(path, v0, r0, b, ivfFamily(spark), conf)
+      chaseManifest(path, v0, r0, b, ivfFamily()(spark), conf)
   }
 
   /** Retract one ingest batch from a batch_id-partitioned index: delete
@@ -1400,7 +1431,7 @@ object Layouts {
     * generation root with slices one level DEEPER (`cent_id=X/batch_id=b`
     * leaf dirs, one per touched cell).
     */
-  private def ivfFamily(
+  private def ivfFamily(foldFilter: Column = lit(true))(
       implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
     new ManifestFamily {
       def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
@@ -1424,6 +1455,7 @@ object Layouts {
         // the input's file-per-batch fragmentation through the write
         spark.read.parquet(s"$o/assign")
           .where(col("batch_id").isin(ids.toSeq: _*))
+          .where(foldFilter)
           .drop("batch_id").withColumn("batch_id", lit("base"))
           .repartition(col("cent_id"))
           .write.mode("overwrite").partitionBy("cent_id", "batch_id")
@@ -1464,7 +1496,7 @@ object Layouts {
         // ---- managed (see [[manageIvf]]): the shared manifest protocol
         // with slices living one level deeper (cent_id=X/batch_id=b leaf
         // dirs, one per touched cell — [[ivfFamily]])
-        managedCompact(path, v, rootG, ivfFamily, graceGenerations, conf)
+        managedCompact(path, v, rootG, ivfFamily(), graceGenerations, conf)
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced
         // only); same one-shuffle-on-cent_id fold shape as the family's
@@ -1494,7 +1526,7 @@ object Layouts {
   def manageIvf(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    migrateToManaged(path, ivfFamily, conf) { (fs, genDir) =>
+    migrateToManaged(path, ivfFamily(), conf) { (fs, genDir) =>
       val src = new org.apache.hadoop.fs.Path(s"$path/assign")
       val dst = new org.apache.hadoop.fs.Path(s"$genDir/assign")
       // resumable (review r16): finish a crashed predecessor's publish
@@ -1632,6 +1664,38 @@ object Layouts {
         s"minhashRetractFolded requires a manifest-managed index at $path " +
           "— on the flat layout a folded batch is unrecoverable by id; " +
           "use dropBatch before compacting, or migrate via manageMinhash")
+    }
+  }
+
+  /** [[retractFolded]] for the IVF assign tree — the vector-index leg of
+    * the GDPR path (embedding batches carry PII too). Requires the index
+    * to have been built AND appended with `provenance = true` (see
+    * [[ivfIndex]] / [[ivfAppend]]); probes and dynamic partition pruning
+    * are oblivious to the extra payload column.
+    */
+  def ivfRetractFolded(
+      path: String,
+      batchId: String,
+      graceGenerations: Int = 1)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    require(batchId != "base",
+      "refuse to retract the base generation — rebuild the index instead")
+    requireBatchId(batchId)
+    val conf = spark.sparkContext.hadoopConfiguration
+    currentGeneration(path, conf) match {
+      case Some((v, rootG)) =>
+        require(
+          spark.read.parquet(s"$rootG/assign").columns.contains("src_batch"),
+          s"$path carries no fold provenance (src_batch) — only slice-" +
+            "level retraction (dropBatch) is possible; build and append " +
+            "with provenance = true to enable this")
+        retractRefold(path, batchId, v, rootG,
+          ivfFamily(foldFilter = !(col("src_batch") <=> lit(batchId))),
+          graceGenerations, conf)
+      case None => sys.error(
+        s"ivfRetractFolded requires a manifest-managed index at $path — " +
+          "on the flat layout a folded batch is unrecoverable by id; " +
+          "use dropBatch before compacting, or migrate via manageIvf")
     }
   }
 

@@ -129,6 +129,25 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ivfRetractFolded guardrail: a provenance-less managed index refuses; " +
+      "a provenance-mismatched append refuses") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val emb = spark.read
+      .parquet(s"${SparkTestSession.sf0001}/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") >= 10)
+    val idx = java.nio.file.Files.createTempDirectory("ivf-noprov").toString
+    Layouts.ivfIndex(emb, idx, centModulo = 50, twoLevel = Some(false))
+    Layouts.manageIvf(idx)
+    intercept[IllegalArgumentException] {
+      Layouts.ivfRetractFolded(idx, "g1")
+    }
+    // a provenanced append into a bare table forks the schema — refused
+    intercept[IllegalArgumentException] {
+      Layouts.ivfAppend(emb, idx, batchId = Some("g1"), provenance = true)
+    }
+  }
+
   test("retractFolded guardrails: no provenance → refuse; flat layout → refuse") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import graft.sources.Layouts
