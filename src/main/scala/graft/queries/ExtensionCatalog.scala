@@ -7743,7 +7743,268 @@ object ExtensionCatalog {
         "ivfRetractFolded re-folds the generation without the poison — the " +
         "vector-index leg of the GDPR path, per-cell counts equal the " +
         "never-saw-poison oracle (extension: similarity search / index " +
-        "maintenance / privacy)")
+        "maintenance / privacy)"),
+
+    CatalogEntry(
+      "x178_bm25_index_serve",
+      (s, dir) => {
+        // x52's BM25 scoring SERVED off the persisted term-posting index
+        // (Layouts.bm25Index) instead of re-tokenizing the corpus per
+        // query: the probe reads only the query terms' posting ranges
+        // (term-sorted row groups prune the rest), the df sidecar is a
+        // broadcast, the 1-row global stats ride a bounded cross join,
+        // and the doc length comes denormalized out of the posting row —
+        // no corpus scan, no corpus-sized doc-length join. Serving cost
+        // is O(query terms' postings); the oracle recomputes the same
+        // ranking from the raw corpus, so a stale or wrong index row
+        // changes the result. Identical scoring tree to x52 (rational
+        // Robertson idf, per-(term,doc) scores, no cross-term float sum).
+        val idx = stagedBm25Index(s, dir)
+        val terms = Seq("scan", "merge", "vector")
+        val post = s.read.parquet(s"$idx/postings")
+          .where(col("term").isin(terms: _*))
+        val dfreq = s.read.parquet(s"$idx/terms")
+          .where(col("term").isin(terms: _*))
+        val stats = s.read.parquet(s"$idx/stats")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+        post.join(broadcast(dfreq), "term").crossJoin(stats)
+          .withColumn("avgdl", col("total").cast("double") / col("n"))
+          .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select("term", "rank", "doc_id", "tf", "dl", "score")
+          .orderBy("term", "rank")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+             |scored AS (
+             |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+             |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+             |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+             |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+             |ranked AS (SELECT term, doc_id, tf, dl, score,
+             |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+             |  FROM scored)
+             |SELECT term, rank, doc_id, tf, dl, score FROM ranked
+             |WHERE rank <= 10 ORDER BY term, rank""".stripMargin),
+      "BM25 top-10 served off the persisted term-posting index " +
+        "(Layouts.bm25Index — norms denormalized into the postings, df " +
+        "sidecar, term-sorted row groups): probe cost is the query terms' " +
+        "posting ranges, never a corpus scan; oracle recomputes from raw " +
+        "text so index staleness fails the gate (extension: retrieval / " +
+        "index serving)"),
+
+    CatalogEntry(
+      "x179_script_profile",
+      (s, dir) => {
+        // CCNet-style char-class corpus profiling per (source, lang):
+        // exact integer counts of lowercase / uppercase / digit / space
+        // chars via regexp-strip length deltas (codegen'd, zero UDF),
+        // one map-side-combined groupBy on a tiny key space, and a
+        // single final double division for the alpha ratio — mirrored
+        // node for node in the oracle. At 100 TB this is one corpus
+        // pass whose shuffle carries a few counters per (source, lang),
+        // the shape every corpus-health dashboard needs.
+        def cls(re: String) =
+          length(col("text")) - length(regexp_replace(col("text"), re, ""))
+        t(s, dir, "documents")
+          .select(col("source"), col("lang"), length(col("text")).as("nc"),
+            cls("[a-z]").as("lo"), cls("[A-Z]").as("up"),
+            cls("[0-9]").as("di"), cls(" ").as("sp"))
+          .withColumn("ot",
+            col("nc") - col("lo") - col("up") - col("di") - col("sp"))
+          .groupBy("source", "lang")
+          .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+            sum("lo").as("n_lower"), sum("up").as("n_upper"),
+            sum("di").as("n_digit"), sum("sp").as("n_space"),
+            sum("ot").as("n_other"))
+          .withColumn("alpha_ratio",
+            (col("n_lower") + col("n_upper")).cast("double") / col("n_chars"))
+          .orderBy("source", "lang")
+      },
+      Some("""WITH c AS (SELECT source, lang, len(text) AS nc,
+             |  len(text) - len(regexp_replace(text, '[a-z]', '', 'g')) AS lo,
+             |  len(text) - len(regexp_replace(text, '[A-Z]', '', 'g')) AS up,
+             |  len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS di,
+             |  len(text) - len(regexp_replace(text, ' ', '', 'g')) AS sp
+             |  FROM documents)
+             |SELECT source, lang, COUNT(*) AS n_docs,
+             |  CAST(SUM(nc) AS BIGINT) AS n_chars,
+             |  CAST(SUM(lo) AS BIGINT) AS n_lower,
+             |  CAST(SUM(up) AS BIGINT) AS n_upper,
+             |  CAST(SUM(di) AS BIGINT) AS n_digit,
+             |  CAST(SUM(sp) AS BIGINT) AS n_space,
+             |  CAST(SUM(nc - lo - up - di - sp) AS BIGINT) AS n_other,
+             |  CAST(SUM(lo) + SUM(up) AS DOUBLE) / SUM(nc) AS alpha_ratio
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      "Unicode char-class profiling per (source, lang) — the CCNet-style " +
+        "script/alpha-ratio corpus health pass: exact regexp-strip counts, " +
+        "one tiny-key groupBy, one final ratio division (extension: text " +
+        "analysis / corpus profiling)"),
+
+    CatalogEntry(
+      "x180_retrieval_ndcg",
+      (s, dir) => {
+        // Ranking-quality eval of the BM25 ranking itself: graded
+        // relevance rel = tf - 1 (a tf=1 hit is retrieved-but-
+        // irrelevant), MRR and nDCG@10 under the HARMONIC discount
+        // 1/(rank+1) scaled by LCM(2..11) = 27720 so every per-rank gain
+        // is an exact BIGINT — no libm log2 enters either engine; the
+        // only float ops are the x52 score tree (already bit-pinned) and
+        // the one final DCG/IDCG division. The eval family every
+        // retrieval index deployment needs next to its recall audit
+        // (x91): same corpus pass, per-term metrics, 3-row output.
+        val qs = Seq("filter", "stream", "hash")
+        val tok = t(s, dir, "documents")
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = tok.where(col("term").isin(qs: _*))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+        val sysW = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+        val idealW = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("rel"), asc("doc_id"))
+        // ONE pass over the scored rows: because the ideal order (rel
+        // desc, doc_id) sorts every relevant row before every rel=0 row,
+        // a row_number over ALL rows equals the rank within the relevant
+        // subset for the rows that matter — so both rankings ride the
+        // same term-shuffle (two sorts, one exchange) and a single
+        // groupBy folds all five metrics, instead of re-deriving the
+        // scored join tree once per aggregate.
+        val ranked = tf.join(dfreq, "term").join(dl, "doc_id").crossJoin(stats)
+          .withColumn("avgdl", col("total").cast("double") / col("n"))
+          .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") / col("avgdl"))))))
+          .withColumn("rel", col("tf") - 1)
+          .withColumn("rank", row_number().over(sysW))
+          .withColumn("irank", row_number().over(idealW))
+        ranked.groupBy("term").agg(
+            count(lit(1)).as("n_retrieved"),
+            sum(when(col("rel") >= 1, 1L).otherwise(0L)).as("n_rel"),
+            min(when(col("rank") <= 10 && col("rel") >= 1, col("rank")))
+              .as("first_rel_rank"),
+            sum(when(col("rank") <= 10,
+              expr("rel * (27720 div (rank + 1))")).otherwise(0L))
+              .as("dcg_scaled"),
+            sum(when(col("rel") >= 1 && col("irank") <= 10,
+              expr("rel * (27720 div (irank + 1))")).otherwise(0L))
+              .as("idcg_scaled"))
+          .withColumn("rr_micro",
+            coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+          .withColumn("ndcg", when(col("idcg_scaled") > 0,
+            col("dcg_scaled").cast("double") / col("idcg_scaled"))
+            .otherwise(lit(0.0)))
+          .select("term", "n_retrieved", "n_rel", "rr_micro",
+            "dcg_scaled", "idcg_scaled", "ndcg")
+          .orderBy("term")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             |       WHERE term IN ('filter', 'stream', 'hash') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+             |scored AS (
+             |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl, tf.tf - 1 AS rel,
+             |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+             |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+             |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+             |ranked AS (SELECT term, rel,
+             |  ROW_NUMBER() OVER (PARTITION BY term
+             |    ORDER BY score DESC, doc_id) AS rank,
+             |  ROW_NUMBER() OVER (PARTITION BY term
+             |    ORDER BY rel DESC, doc_id) AS irank
+             |  FROM scored)
+             |SELECT term, COUNT(*) AS n_retrieved,
+             |  CAST(SUM(CASE WHEN rel >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel,
+             |  CAST(COALESCE(1000000 //
+             |    MIN(CASE WHEN rank <= 10 AND rel >= 1 THEN rank END), 0)
+             |    AS BIGINT) AS rr_micro,
+             |  CAST(SUM(CASE WHEN rank <= 10
+             |    THEN rel * (27720 // (rank + 1)) ELSE 0 END) AS BIGINT)
+             |    AS dcg_scaled,
+             |  CAST(SUM(CASE WHEN rel >= 1 AND irank <= 10
+             |    THEN rel * (27720 // (irank + 1)) ELSE 0 END) AS BIGINT)
+             |    AS idcg_scaled,
+             |  CASE WHEN SUM(CASE WHEN rel >= 1 AND irank <= 10
+             |      THEN rel * (27720 // (irank + 1)) ELSE 0 END) > 0
+             |    THEN CAST(SUM(CASE WHEN rank <= 10
+             |      THEN rel * (27720 // (rank + 1)) ELSE 0 END) AS DOUBLE) /
+             |      SUM(CASE WHEN rel >= 1 AND irank <= 10
+             |        THEN rel * (27720 // (irank + 1)) ELSE 0 END)
+             |    ELSE 0.0 END AS ndcg
+             |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
+      "retrieval-quality eval (MRR + nDCG@10) of the BM25 ranking under " +
+        "graded tf relevance — harmonic discount scaled by LCM(2..11) so " +
+        "every gain is an exact BIGINT, no libm log2 in either engine " +
+        "(extension: retrieval / evaluation)"),
+
+    CatalogEntry(
+      "x181_rendezvous_shards",
+      (s, dir) => {
+        // Rendezvous (highest-random-weight) shard assignment and its
+        // rebalance audit: per doc, shard = argmax over nodes of a
+        // deterministic 64-bit weight; growing the ring 8 -> 9 nodes
+        // must move ONLY the docs the new node wins (~1/9 of the
+        // corpus) — the minimal-movement property that makes a 100 TB
+        // reshard an O(moved-bytes) copy instead of a full rewrite.
+        // Weights are computed per row with array HOFs (codegen'd, no
+        // shuffle until the 9-row groupBy); ties are impossible (the
+        // node offset is a nonzero residue mod the prime), and
+        // n_bad_moves pins the minimal-movement property at 0.
+        def pick(m: Int) = expr(
+          s"array_max(transform(sequence(0, ${m - 1}), n -> " +
+            "struct((doc_id * 2654435761 + (n + 1) * 97423001) % 1000000007 AS w, " +
+            "n AS n))).n").cast("long")
+        t(s, dir, "documents").select(col("doc_id"))
+          .withColumn("shard8", pick(8)).withColumn("shard9", pick(9))
+          .groupBy("shard9")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+              .as("n_moved"),
+            sum(when(col("shard8") =!= col("shard9") && col("shard9") =!= 8, 1L)
+              .otherwise(0L)).as("n_bad_moves"))
+          .orderBy("shard9")
+      },
+      Some("""WITH n8 AS (SELECT unnest(range(0, 8)) AS n),
+             |n9 AS (SELECT unnest(range(0, 9)) AS n),
+             |a8 AS (SELECT d.doc_id, n8.n,
+             |  (d.doc_id * 2654435761 + (n8.n + 1) * 97423001) % 1000000007 AS w
+             |  FROM documents d, n8),
+             |s8 AS (SELECT doc_id, n AS shard8 FROM (
+             |  SELECT doc_id, n, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY w DESC, n DESC) AS r FROM a8) WHERE r = 1),
+             |a9 AS (SELECT d.doc_id, n9.n,
+             |  (d.doc_id * 2654435761 + (n9.n + 1) * 97423001) % 1000000007 AS w
+             |  FROM documents d, n9),
+             |s9 AS (SELECT doc_id, n AS shard9 FROM (
+             |  SELECT doc_id, n, ROW_NUMBER() OVER (PARTITION BY doc_id
+             |    ORDER BY w DESC, n DESC) AS r FROM a9) WHERE r = 1)
+             |SELECT s9.shard9, COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_moved,
+             |  CAST(SUM(CASE WHEN shard8 <> shard9 AND shard9 <> 8 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_bad_moves
+             |FROM s8 JOIN s9 USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin),
+      "rendezvous-hash shard assignment + 8-to-9-node rebalance audit: " +
+        "argmax-weight per row via array HOFs, minimal-movement property " +
+        "pinned (every move lands on the new node) — the consistent-" +
+        "hashing reshard a 100 TB corpus migration rides (extension: " +
+        "pipeline / partitioning)")
   )
 
   /** DuckDB replay of the banded-SimHash index probe over a given index
@@ -7846,6 +8107,21 @@ object ExtensionCatalog {
     postingDirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-posting")
       graft.sources.Layouts.postingIndex(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x178 staging: the BM25 term-posting index (postings + df sidecar +
+    * 1-row global stats), written ONCE per fixture dir via
+    * [[graft.sources.Layouts.bm25Index]] — the per-release build the
+    * BM25 serving probe then amortizes. Fine page granularity at
+    * fixture scale so the term probe has something to prune.
+    */
+  private val bm25Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBm25Index(s: SparkSession, dir: String): String =
+    bm25Dirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-bm25")
+      graft.sources.Layouts.bm25Index(t(s, dir, "documents"), out,
         groupBytes = 256L * 1024, pageRows = 2000)
       out
     })
@@ -8660,7 +8936,8 @@ object ExtensionCatalog {
     "build_x173_simhash_index" -> ((s, dir) => { stagedSimhashIndex(s, dir); () }),
     "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }),
     "build_x176_minhash_retract_folded" -> ((s, dir) => { stagedMinhashRetractFoldedIndex(s, dir); () }),
-    "build_x177_ivf_retract_folded" -> ((s, dir) => { stagedIvfRetractFoldedIndex(s, dir); () }))
+    "build_x177_ivf_retract_folded" -> ((s, dir) => { stagedIvfRetractFoldedIndex(s, dir); () }),
+    "build_x178_bm25_index" -> ((s, dir) => { stagedBm25Index(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -8836,6 +9113,7 @@ object ExtensionCatalog {
     "build_x173_simhash_index" -> simhashIdxDirs.get(dir),
     "build_x174_provenance_retract" -> provRetractDirs.get(dir),
     "build_x176_minhash_retract_folded" -> minhashRetractFoldedDirs.get(dir),
-    "build_x177_ivf_retract_folded" -> ivfRetractFoldedDirs.get(dir)
+    "build_x177_ivf_retract_folded" -> ivfRetractFoldedDirs.get(dir),
+    "build_x178_bm25_index" -> bm25Dirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

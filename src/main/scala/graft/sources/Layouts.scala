@@ -225,6 +225,44 @@ object Layouts {
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
 
+  /** BM25 term-posting index, PERSISTED: three tables under `path` —
+    * `postings` (term, doc_id, tf, dl) range-partitioned and sorted on
+    * the term so a query's terms prune to their row groups; `terms`
+    * (term, df) — the document-frequency sidecar, also term-sorted; and
+    * `stats`, the 1-row (n_docs, total_dl) global. The doc length is
+    * DENORMALIZED into every posting row (the norms-in-postings layout
+    * real inverted indexes use) so a probe never joins back to a
+    * corpus-sized doc-length table: serving cost is O(query terms'
+    * postings), not O(corpus). Tokenization mirrors x52's whitespace
+    * split exactly — the probe must reproduce the full-corpus scoring
+    * bit for bit, which is what the x178 oracle gates.
+    */
+  def bm25Index(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit = {
+    import org.apache.spark.sql.functions.{count, explode, lit, split, sum}
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    // one shuffle on doc_id serves both dl and (via re-key) tf; tf's
+    // groupBy is map-side combined so the term shuffle carries distinct
+    // (doc, term) pairs, not raw tokens
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    sortedStats(postings, s"$path/postings", Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    sortedStats(tf.groupBy("term").agg(count(lit(1)).as("df")),
+      s"$path/terms", Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+    dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Incremental maintenance of a persisted posting index: the batch's
     * (doc_id, trigram) rows are exploded exactly as [[postingIndex]] does
     * and written as their own `batch_id` slice. Posting rows are PER-DOC

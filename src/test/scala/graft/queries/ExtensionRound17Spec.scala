@@ -167,4 +167,104 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
       Layouts.retractFolded(flat, "g1", Seq("k"))
     }
   }
+
+  /** Reference BM25 — the exact IEEE tree x52/x178/x180 compute, for
+    * bit-exact comparison (same op order, so doubles match exactly).
+    */
+  private def bm25Score(tf: Long, dl: Long, df: Long, n: Long, total: Long): Double = {
+    val avgdl = total.toDouble / n
+    val idf = ((n - df) + 0.5) / (df + 0.5)
+    idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+  }
+
+  test("x178: BM25 served off the persisted index equals the hand-computed " +
+      "full-corpus scoring, ties broken by doc_id") {
+    val tmp = writeDocs(Seq(
+      (1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector vector vector", "en", "s0", 25L),
+      (3L, "merge other other", "en", "s0", 17L)))
+    // n=3 docs, total=10 tokens; df: scan=2, merge=2, vector=1
+    val sMerge = bm25Score(1, 3, 2, 3, 10) // d1 and d3: identical score
+    val got = entry("x178_bm25_index_serve").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    got shouldBe Seq(
+      ("merge", 1, 1L, 1L, 3L, sMerge),
+      ("merge", 2, 3L, 1L, 3L, sMerge),
+      ("scan", 1, 1L, 2L, 3L, bm25Score(2, 3, 2, 3, 10)),
+      ("scan", 2, 2L, 1L, 4L, bm25Score(1, 4, 2, 3, 10)),
+      ("vector", 1, 2L, 3L, 4L, bm25Score(3, 4, 1, 3, 10)))
+  }
+
+  test("x179: char-class counts are exact per (source, lang)") {
+    val tmp = writeDocs(Seq(
+      (1L, "Ab1 c", "en", "s0", 5L),
+      (2L, "x!y z", "en", "s0", 5L),
+      (3L, "HELLO", "de", "s1", 5L)))
+    val got = entry("x179_script_profile").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+        r.getDouble(9))).toSeq
+    got shouldBe Seq(
+      ("s0", "en", 2L, 10L, 5L, 1L, 1L, 2L, 1L, 0.6),
+      ("s1", "de", 1L, 5L, 0L, 5L, 0L, 0L, 0L, 1.0))
+  }
+
+  test("x180: MRR and scaled-harmonic nDCG match the reference ranking " +
+      "metrics on a hand-built corpus") {
+    val docs = Seq(
+      (1L, "filter filter filter stream"),
+      (2L, "filter filter stream stream hash hash pad pad"),
+      (3L, "filter hash pad"),
+      (4L, "hash hash hash hash"))
+    val tmp = writeDocs(docs.map { case (id, tx) => (id, tx, "en", "s0", tx.length.toLong) })
+    val qs = Seq("filter", "stream", "hash")
+    val toks = docs.map { case (id, tx) => id -> tx.split(" ").toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val n = docs.size.toLong
+    val total = dl.values.sum
+    val tf = (for ((id, ts) <- toks; q <- qs; c = ts.count(_ == q) if c > 0)
+      yield (q, id) -> c.toLong).toMap
+    val expected = qs.sorted.flatMap { q =>
+      val hits = tf.collect { case ((`q`, id), c) => (id, c) }.toSeq
+      val df = hits.size.toLong
+      val scored = hits.map { case (id, c) =>
+        (id, c, c - 1, bm25Score(c, dl(id), df, n, total)) }
+      val sys = scored.sortBy { case (id, _, _, sc) => (-sc, id) }.take(10)
+      val dcg = sys.zipWithIndex.map { case ((_, _, rel, _), i) =>
+        rel * (27720L / (i + 2)) }.sum
+      val firstRel = sys.zipWithIndex
+        .collectFirst { case ((_, _, rel, _), i) if rel >= 1 => i + 1L }
+      val ideal = scored.filter(_._3 >= 1).sortBy { case (id, _, rel, _) => (-rel, id) }
+        .take(10)
+      val idcg = ideal.zipWithIndex.map { case ((_, _, rel, _), i) =>
+        rel * (27720L / (i + 2)) }.sum
+      Some((q, scored.size.toLong, scored.count(_._3 >= 1).toLong,
+        firstRel.map(1000000L / _).getOrElse(0L), dcg, idcg,
+        if (idcg > 0) dcg.toDouble / idcg else 0.0))
+    }
+    val got = entry("x180_retrieval_ndcg").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    got shouldBe expected
+  }
+
+  test("x181: rendezvous assignment matches the reference argmax and every " +
+      "8-to-9 move lands on the new node") {
+    def shard(d: Long, m: Int): Long =
+      (0 until m).map(nn =>
+        ((d * 2654435761L + (nn + 1) * 97423001L) % 1000000007L, nn.toLong)).max._2
+    val ids = (0L until 100L)
+    val tmp = writeDocs(ids.map(i => (i, "t", "en", "s0", 1L)))
+    val ref = ids.map(i => (shard(i, 8), shard(i, 9)))
+    val expected = ref.groupBy(_._2).toSeq.sortBy(_._1).map { case (s9, g) =>
+      (s9, g.size.toLong, g.count(p => p._1 != p._2).toLong,
+        g.count(p => p._1 != p._2 && p._2 != 8L).toLong) }
+    val got = entry("x181_rendezvous_shards").build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe expected
+    // the rendezvous minimal-movement property itself
+    got.map(_._4).sum shouldBe 0L
+    ref.count(p => p._1 != p._2) shouldBe ref.count(p => p._1 != p._2 && p._2 == 8L)
+  }
 }

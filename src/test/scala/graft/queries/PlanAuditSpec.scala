@@ -163,7 +163,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // layout (the x71 bounds pattern); x165 crosses the 1-row
       // distinct-bigram grand total (the x108 pattern); x171 crosses the
       // 1-row piece-mass total into the vocabulary-sized piece table
-      "x163_zorder_cells", "x165_kneser_ney", "x171_unigram_segment")
+      "x163_zorder_cells", "x165_kneser_ney", "x171_unigram_segment",
+      // x178/x180 cross the persisted index's (x178) / the corpus's (x180)
+      // 1-row (n, total) BM25 global-stats aggregate — the x52 pattern
+      "x178_bm25_index_serve", "x180_retrieval_ndcg")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
