@@ -245,21 +245,27 @@ object Layouts {
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
       partitions: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.{count, explode, lit, split, sum}
+    import org.apache.spark.sql.functions.{count, countDistinct, explode, lit, split, sum}
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
-    // one shuffle on doc_id serves both dl and (via re-key) tf; tf's
-    // groupBy is map-side combined so the term shuffle carries distinct
-    // (doc, term) pairs, not raw tokens
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // the (doc, term) groupBy is map-side combined, so the shuffle
+    // carries distinct pairs, not raw tokens; dl then comes from a
+    // window SUM of tf over the doc — no join against a corpus-sized
+    // doc-length table (a join's build side here is corpus-sized, the
+    // exact broadcast-OOM shape the sweep's 500k-doc cell hit), and no
+    // second pass over the token explode
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val postings = tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+    val postings = tf.withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select("term", "doc_id", "tf", "dl")
     sortedStats(postings, s"$path/postings", Seq("term"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
     sortedStats(tf.groupBy("term").agg(count(lit(1)).as("df")),
       s"$path/terms", Seq("term"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    dl.agg(count(lit(1)).as("n"), sum("dl").as("total"))
+    // every doc has >= 1 token (split never yields an empty array), so
+    // tf covers all docs: n and the token total need no separate pass
+    tf.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
   }
 

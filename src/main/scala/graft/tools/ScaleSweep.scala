@@ -244,7 +244,8 @@ object ScaleSweep {
       val docFams = Seq("exact_dedup", "minhash_lsh_pairs",
         "exact_prefix_jaccard", "components", "minhash_index_build",
         "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact",
-        "simhash_index_build", "simhash_probe", "retract_folded")
+        "simhash_index_build", "simhash_probe", "retract_folded",
+        "bm25_index_build", "bm25_serve")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -367,6 +368,42 @@ object ScaleSweep {
           }
         } finally scala.reflect.io.Directory(
           new java.io.File(shDir)).deleteRecursively()
+      }
+      // Round-17 family: the persisted BM25 term-posting index (x178).
+      // Build is two grouped passes over the token explode + a range
+      // sort (linear in corpus). The serve cell probes a FIXED 3-term
+      // query: its cost is the queried terms' posting ranges — which DO
+      // grow linearly with the corpus for common terms, but as a
+      // term-pruned sliver of the index (the claim is O(matching
+      // postings) with row-group pruning, never O(corpus text)).
+      if (want("bm25_index_build") || want("bm25_serve")) {
+        val bmDir = java.nio.file.Files.createTempDirectory(s"sweep-bm$c").toString
+        try {
+          def buildIt(): Unit =
+            graft.sources.Layouts.bm25Index(docs, bmDir, partitions = 16)
+          if (want("bm25_index_build"))
+            record("bm25_index_build", c) { buildIt(); n0 * c }
+          else buildIt()
+          if (want("bm25_serve")) record("bm25_serve", c) {
+            val qts = Seq("scan", "merge", "vector")
+            val post = spark.read.parquet(s"$bmDir/postings")
+              .where(col("term").isin(qts: _*))
+            val dfreq = spark.read.parquet(s"$bmDir/terms")
+              .where(col("term").isin(qts: _*))
+            val stats = spark.read.parquet(s"$bmDir/stats")
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+            post.join(broadcast(dfreq), "term").crossJoin(stats)
+              .withColumn("score",
+                (((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
+                ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+                  (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+                    (col("total").cast("double") / col("n")))))))
+              .withColumn("rank", row_number().over(w))
+              .where(col("rank") <= 10).count()
+          }
+        } finally scala.reflect.io.Directory(
+          new java.io.File(bmDir)).deleteRecursively()
       }
       // Persisted IVF index: centModulo fixed, so cell size stays ~50
       // vectors at every scale and the probe's nprobe read is
