@@ -7759,43 +7759,9 @@ object ExtensionCatalog {
         // ranking from the raw corpus, so a stale or wrong index row
         // changes the result. Identical scoring tree to x52 (rational
         // Robertson idf, per-(term,doc) scores, no cross-term float sum).
-        val idx = stagedBm25Index(s, dir)
-        val terms = Seq("scan", "merge", "vector")
-        val post = s.read.parquet(s"$idx/postings")
-          .where(col("term").isin(terms: _*))
-        val dfreq = s.read.parquet(s"$idx/terms")
-          .where(col("term").isin(terms: _*))
-        val stats = s.read.parquet(s"$idx/stats")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
-        post.join(broadcast(dfreq), "term").crossJoin(stats)
-          .withColumn("avgdl", col("total").cast("double") / col("n"))
-          .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
-          .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (col("dl").cast("double") / col("avgdl"))))))
-          .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 10)
-          .select("term", "rank", "doc_id", "tf", "dl", "score")
-          .orderBy("term", "rank")
+        bm25TopK(s, stagedBm25Index(s, dir))
       },
-      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-             |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
-             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
-             |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
-             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
-             |scored AS (
-             |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
-             |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
-             |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
-             |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
-             |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
-             |ranked AS (SELECT term, doc_id, tf, dl, score,
-             |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
-             |  FROM scored)
-             |SELECT term, rank, doc_id, tf, dl, score FROM ranked
-             |WHERE rank <= 10 ORDER BY term, rank""".stripMargin),
+      Some(bm25ServeOracle("TRUE")),
       "BM25 top-10 served off the persisted term-posting index " +
         "(Layouts.bm25Index — norms denormalized into the postings, df " +
         "sidecar, term-sorted row groups): probe cost is the query terms' " +
@@ -8004,8 +7970,148 @@ object ExtensionCatalog {
         "argmax-weight per row via array HOFs, minimal-movement property " +
         "pinned (every move lands on the new node) — the consistent-" +
         "hashing reshard a 100 TB corpus migration rides (extension: " +
-        "pipeline / partitioning)")
+        "pipeline / partitioning)"),
+
+    CatalogEntry(
+      "x182_bm25_append_serve",
+      (s, dir) => bm25TopK(s, stagedBm25AppendIndex(s, dir)),
+      // oracle = the never-incremental full-corpus recompute: base
+      // (%3 != 2) + the appended batch (%3 == 2) = ALL docs, so the
+      // probe must equal x178's from-scratch answer — a slice the
+      // append dropped, a stale df sidecar, or a double-counted replay
+      // (the staging REPLAYS the append) all shift scores or rankings.
+      Some(bm25ServeOracle("TRUE")),
+      "incremental BM25 maintenance under the value gate: the batch's " +
+        "postings land as an O(batch) slice, the df sidecar and global " +
+        "stats re-derive from the INDEX (corpus-level statistics every " +
+        "score depends on — slice-local append cannot carry them), and a " +
+        "replayed append is a no-op without a ledger because the sidecars " +
+        "are pure functions of the index state (extension: retrieval / " +
+        "index maintenance)"),
+
+    CatalogEntry(
+      "x183_bm25_retract_serve",
+      (s, dir) => bm25TopK(s, stagedBm25RetractIndex(s, dir)),
+      // oracle recomputes over the docs that were NEVER appended: after
+      // the retraction every remaining score must equal a build that
+      // never saw the batch — retract-after-append ≡ never-appended
+      // extended to an index whose GLOBAL statistics (df, n, avgdl)
+      // must forget the batch too, which pure slice deletion cannot do.
+      Some(bm25ServeOracle("doc_id % 3 <> 2")),
+      "BM25 batch retraction: postings slice dropped O(batch-files), then " +
+        "df/global sidecars re-derived so remaining scores equal a " +
+        "never-appended build — the corpus-statistics leg of the deletion " +
+        "path (a leaked posting, or a sidecar still counting the retracted " +
+        "docs, shifts every surviving score) (extension: retrieval / index " +
+        "maintenance / privacy)"),
+
+    CatalogEntry(
+      "x184_filter_agreement",
+      (s, dir) => {
+        // Cohen's kappa between two deployed quality filters (char-
+        // length gate vs token-count gate), per source — the agreement
+        // audit run before swapping one filter for another. Contingency
+        // counts are exact BIGINTs from one map-side-combined groupBy;
+        // po/pe/kappa are three divisions mirrored node for node in the
+        // oracle. Products stay under 2^63 to ~3e9 docs per source;
+        // beyond that, compute per shard and merge counts first.
+        val d = t(s, dir, "documents")
+          .withColumn("a", (col("n_chars") > 300).cast("long"))
+          .withColumn("b", (size(split(col("text"), " ")) > 55).cast("long"))
+        d.groupBy("source").agg(
+            count(lit(1)).as("n"),
+            sum(expr("a * b")).as("n11"),
+            sum(expr("a * (1 - b)")).as("n10"),
+            sum(expr("(1 - a) * b")).as("n01"),
+            sum(expr("(1 - a) * (1 - b)")).as("n00"))
+          .withColumn("po", (col("n11") + col("n00")).cast("double") / col("n"))
+          .withColumn("pe",
+            ((col("n11") + col("n10")) * (col("n11") + col("n01")) +
+              (col("n01") + col("n00")) * (col("n10") + col("n00")))
+              .cast("double") / (col("n") * col("n")))
+          .withColumn("kappa", when(col("pe") < 1.0,
+            (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+            .otherwise(lit(1.0)))
+          .select("source", "n", "n11", "n10", "n01", "n00", "kappa")
+          .orderBy("source")
+      },
+      Some("""WITH r AS (SELECT source,
+             |  CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS a,
+             |  CASE WHEN len(string_split(text, ' ')) > 55 THEN 1 ELSE 0 END AS b
+             |  FROM documents),
+             |g AS (SELECT source, COUNT(*) AS n,
+             |  CAST(SUM(a * b) AS BIGINT) AS n11,
+             |  CAST(SUM(a * (1 - b)) AS BIGINT) AS n10,
+             |  CAST(SUM((1 - a) * b) AS BIGINT) AS n01,
+             |  CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS n00
+             |  FROM r GROUP BY 1),
+             |k AS (SELECT source, n, n11, n10, n01, n00,
+             |  CAST(n11 + n00 AS DOUBLE) / n AS po,
+             |  CAST((n11 + n10) * (n11 + n01) +
+             |       (n01 + n00) * (n10 + n00) AS DOUBLE) / (n * n) AS pe
+             |  FROM g)
+             |SELECT source, n, n11, n10, n01, n00,
+             |  CASE WHEN pe < 1.0 THEN (po - pe) / (1.0 - pe)
+             |       ELSE 1.0 END AS kappa
+             |FROM k ORDER BY source""".stripMargin),
+      "Cohen's kappa agreement between two quality filters per source — " +
+        "the audit run before swapping a deployed filter: exact BIGINT " +
+        "contingency counts, three mirrored divisions, zero-variance " +
+        "guard (extension: evaluation / quality)")
   )
+
+  /** The BM25 serving probe shared by x178 (static index), x182 (after
+    * an incremental append + replay) and x183 (after a batch
+    * retraction): query terms' posting ranges + broadcast df sidecar +
+    * 1-row global, identical scoring tree to x52. Heals a crashed
+    * sidecar swap before reading (the managed families' recovery-on-
+    * read contract).
+    */
+  private[graft] def bm25TopK(s: SparkSession, idx: String): DataFrame = {
+    graft.sources.Layouts.bm25Recover(idx)(s)
+    val terms = Seq("scan", "merge", "vector")
+    val post = s.read.parquet(s"$idx/postings")
+      .where(col("term").isin(terms: _*))
+    val dfreq = s.read.parquet(s"$idx/terms")
+      .where(col("term").isin(terms: _*))
+    val stats = s.read.parquet(s"$idx/stats")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+    post.join(broadcast(dfreq), "term").crossJoin(stats)
+      .withColumn("avgdl", col("total").cast("double") / col("n"))
+      .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
+          (col("dl").cast("double") / col("avgdl"))))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 10)
+      .select("term", "rank", "doc_id", "tf", "dl", "score")
+      .orderBy("term", "rank")
+  }
+
+  /** DuckDB replay of the BM25 serving probe over a corpus membership
+    * predicate — shared by x178 (all docs), x182 (base + appended batch
+    * = all docs) and x183 (the never-appended subset after retraction).
+    */
+  private def bm25ServeOracle(pred: String): String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents WHERE $pred),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+       |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+       |scored AS (
+       |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl,
+       |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+       |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+       |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+       |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+       |ranked AS (SELECT term, doc_id, tf, dl, score,
+       |  ROW_NUMBER() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)
+       |SELECT term, rank, doc_id, tf, dl, score FROM ranked
+       |WHERE rank <= 10 ORDER BY term, rank""".stripMargin
 
   /** DuckDB replay of the banded-SimHash index probe over a given index
     * membership predicate — shared by x173 (full lifecycle) and x174
@@ -8122,6 +8228,58 @@ object ExtensionCatalog {
     bm25Dirs.computeIfAbsent(dir, _ => {
       val out = stagedScratch("graft-bm25")
       graft.sources.Layouts.bm25Index(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x182/x183 shared template: the BM25 index built on the %3 != 2
+    * "existing corpus" ONCE per fixture dir, then COPIED into each
+    * lifecycle staging (the r15 shared-template pattern) — its build
+    * cost bills to whichever build row first forces it.
+    */
+  private val bm25Gen0Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBm25Gen0(s: SparkSession, dir: String): String =
+    bm25Gen0Dirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-bm25g0")
+      graft.sources.Layouts.bm25Index(
+        t(s, dir, "documents").where(col("doc_id") % 3 =!= 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x182 staging: template copy → incremental append of the %3 == 2
+    * batch → the SAME append REPLAYED (slice lands as a dynamic-
+    * overwrite no-op, sidecars recompute to identical values — the
+    * ledger-free idempotence claim, value-gated by the full-corpus
+    * oracle).
+    */
+  private val bm25AppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBm25AppendIndex(s: SparkSession, dir: String): String =
+    bm25AppendDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-bm25app")
+      copyIndex(stagedBm25Gen0(s, dir), out, s)
+      val batch = t(s, dir, "documents").where(col("doc_id") % 3 === 2)
+      graft.sources.Layouts.bm25Append(batch, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      graft.sources.Layouts.bm25Append(batch, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      out
+    })
+
+  /** x183 staging: template copy → append the %3 == 2 batch as the
+    * poison → retract it. The probe must equal the never-appended
+    * build, including the df/global sidecars forgetting the batch.
+    */
+  private val bm25RetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBm25RetractIndex(s: SparkSession, dir: String): String =
+    bm25RetractDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-bm25ret")
+      copyIndex(stagedBm25Gen0(s, dir), out, s)
+      graft.sources.Layouts.bm25Append(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gx"))
+      graft.sources.Layouts.bm25Retract(out, "gx",
         groupBytes = 256L * 1024, pageRows = 2000)
       out
     })
@@ -8937,7 +9095,9 @@ object ExtensionCatalog {
     "build_x174_provenance_retract" -> ((s, dir) => { stagedProvenanceRetract(s, dir); () }),
     "build_x176_minhash_retract_folded" -> ((s, dir) => { stagedMinhashRetractFoldedIndex(s, dir); () }),
     "build_x177_ivf_retract_folded" -> ((s, dir) => { stagedIvfRetractFoldedIndex(s, dir); () }),
-    "build_x178_bm25_index" -> ((s, dir) => { stagedBm25Index(s, dir); () }))
+    "build_x178_bm25_index" -> ((s, dir) => { stagedBm25Index(s, dir); () }),
+    "build_x182_bm25_append" -> ((s, dir) => { stagedBm25AppendIndex(s, dir); () }),
+    "build_x183_bm25_retract" -> ((s, dir) => { stagedBm25RetractIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -9114,6 +9274,8 @@ object ExtensionCatalog {
     "build_x174_provenance_retract" -> provRetractDirs.get(dir),
     "build_x176_minhash_retract_folded" -> minhashRetractFoldedDirs.get(dir),
     "build_x177_ivf_retract_folded" -> ivfRetractFoldedDirs.get(dir),
-    "build_x178_bm25_index" -> bm25Dirs.get(dir)
+    "build_x178_bm25_index" -> bm25Dirs.get(dir),
+    "build_x182_bm25_append" -> bm25AppendDirs.get(dir),
+    "build_x183_bm25_retract" -> bm25RetractDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

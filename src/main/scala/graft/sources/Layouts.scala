@@ -259,7 +259,8 @@ object Layouts {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .select("term", "doc_id", "tf", "dl")
     sortedStats(postings, s"$path/postings", Seq("term"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      batchId = Some("base"))
     sortedStats(tf.groupBy("term").agg(count(lit(1)).as("df")),
       s"$path/terms", Seq("term"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
@@ -267,6 +268,113 @@ object Layouts {
     // tf covers all docs: n and the token total need no separate pass
     tf.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Incremental maintenance of a persisted BM25 index: the batch's
+    * postings land as their own `batch_id` slice (per-DOC independent —
+    * a doc's tf/dl never depend on other docs, so the slice write is
+    * the posting index's trivial append contract), and then the two
+    * SIDECARS are re-derived from the postings table: df and the
+    * (n, total) global are corpus-level statistics that every score
+    * depends on, so unlike the postings they cannot be slice-local.
+    * Deriving them from the index (an index-sized aggregation over two
+    * BIGINT columns — never a corpus re-tokenization) makes the refresh
+    * idempotent by construction: a replayed batch's slice lands as a
+    * dynamic-overwrite no-op and the sidecars recompute to the identical
+    * values, so at-least-once ingest needs no ledger here. A crash
+    * between the slice write and the refresh leaves stale sidecars;
+    * the next append (or [[bm25Retract]]) self-heals them. At 100 TB
+    * the same shape lands the sidecar swap behind the manifest pointer
+    * the managed families use; the flat rewrite here is the fixture-
+    * scale rendering of that two-phase publish.
+    */
+  def bm25Append(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      batchId: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{count, explode, lit, split, sum}
+    val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pg = new org.apache.hadoop.fs.Path(s"$path/postings/batch_id=*")
+    val slices = Option(pg.getFileSystem(conf).globStatus(pg))
+      .getOrElse(Array.empty)
+    require(slices.nonEmpty,
+      s"refuse to append to $path: the postings table is not batch_id-" +
+        "partitioned (pre-batch_id index) — rebuild with bm25Index to migrate")
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // per-batch dl window is the doc's FULL length because appends carry
+    // whole new docs (the per-doc independence contract all the append
+    // paths share — postingAppend's scaladoc)
+    val postings = tf.withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .select("term", "doc_id", "tf", "dl")
+    batchId.foreach(requireBatchId)
+    sortedStats(postings, s"$path/postings", Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+      mode = if (batchId.isDefined) "overwrite" else "append",
+      batchId = batchId.orElse(
+        Some("anon-" + java.util.UUID.randomUUID)),
+      dynamicOverwrite = batchId.isDefined)
+    bm25RefreshSidecars(path, groupBytes, pageRows)(spark)
+  }
+
+  /** Retract one ingest batch from a BM25 index: drop its postings
+    * slice ([[dropBatch]] — O(batch files)), then re-derive the df
+    * sidecar and global stats so every remaining score is exactly what
+    * a never-appended build would compute — corpus-level statistics
+    * must forget the batch too, which pure slice deletion cannot do.
+    */
+  def bm25Retract(path: String, batchId: String,
+      groupBytes: Long = 128L * 1024 * 1024, pageRows: Int = 20000)(
+      implicit spark: org.apache.spark.sql.SparkSession): Int = {
+    val n = dropBatch(path, batchId)
+    bm25RefreshSidecars(path, groupBytes, pageRows)
+    n
+  }
+
+  /** Heal a BM25 index stranded mid-sidecar-swap by a crashed
+    * append/retract: restores `terms`/`stats` from their `.__old`
+    * rename-aside dirs. Callable from every read path (the staged
+    * probes call it before reading), mirroring the managed families'
+    * recovery contract — without this a crash between [[swapIn]]'s two
+    * renames would leave probes throwing on a missing sidecar dir.
+    */
+  def bm25Recover(path: String)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    recoverCrashedSwap(s"$path/terms", conf)
+    recoverCrashedSwap(s"$path/stats", conf)
+  }
+
+  /** Re-derive the BM25 sidecars (term df table + 1-row global) from
+    * the postings table: an index-sized aggregation over (term, doc_id,
+    * tf) — never a corpus scan — and a pure function of the index
+    * state, which is what makes append/retract replay-idempotent
+    * without a ledger.
+    */
+  private def bm25RefreshSidecars(path: String, groupBytes: Long,
+      pageRows: Int)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{count, countDistinct, lit, sum}
+    val post = spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "tf")
+    // rewrite-aside + rename: deriving the new sidecar FROM the index
+    // while overwriting the old one in place would leave a torn window
+    // where a concurrent probe sees an empty terms dir
+    val conf = spark.sparkContext.hadoopConfiguration
+    val termsNew = s"$path/terms.next"
+    sortedStats(post.groupBy("term").agg(count(lit(1)).as("df")),
+      termsNew, Seq("term"), groupBytes = groupBytes, pageRows = pageRows)
+    swapIn(s"$path/terms", termsNew, conf)
+    val statsNew = s"$path/stats.next"
+    post.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
+      .coalesce(1).write.mode("overwrite").parquet(statsNew)
+    swapIn(s"$path/stats", statsNew, conf)
   }
 
   /** Incremental maintenance of a persisted posting index: the batch's

@@ -249,6 +249,86 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     got shouldBe expected
   }
 
+  test("x182/x183: BM25 append equals the from-scratch build, replay is a " +
+      "no-op, retract equals never-appended — sidecars included") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector vector vector", "en", "s0", 25L))
+    val extra = (3L, "merge vector other", "en", "s0", 18L)
+    val baseDir = writeDocs(base)
+    val fullDir = writeDocs(base :+ extra)
+    // from-scratch build over all three docs = the truth
+    val truthIdx = java.nio.file.Files.createTempDirectory("bm25-truth").toString
+    Layouts.bm25Index(spark.read.parquet(s"$fullDir/documents.parquet"),
+      truthIdx, groupBytes = 256L * 1024, pageRows = 2000)
+    // incremental: build on base, append doc 3, replay the append
+    val incIdx = java.nio.file.Files.createTempDirectory("bm25-inc").toString
+    Layouts.bm25Index(spark.read.parquet(s"$baseDir/documents.parquet"),
+      incIdx, groupBytes = 256L * 1024, pageRows = 2000)
+    val batch = spark.read.parquet(s"$fullDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 3)
+    Layouts.bm25Append(batch, incIdx, batchId = Some("g1"))
+    Layouts.bm25Append(batch, incIdx, batchId = Some("g1")) // replay
+    def rows(idx: String) = {
+      // read through the shared probe plan: postings + sidecars
+      val m = ExtensionCatalog.bm25TopK(spark, idx).collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSeq
+      m
+    }
+    rows(incIdx) shouldBe rows(truthIdx)
+    // retract the batch: back to the base-only build, sidecars refreshed
+    Layouts.bm25Retract(incIdx, "g1")
+    val baseIdx = java.nio.file.Files.createTempDirectory("bm25-base").toString
+    Layouts.bm25Index(spark.read.parquet(s"$baseDir/documents.parquet"),
+      baseIdx, groupBytes = 256L * 1024, pageRows = 2000)
+    rows(incIdx) shouldBe rows(baseIdx)
+  }
+
+  test("BM25 lifecycle guardrails: base retraction refused, pre-batch_id " +
+      "append refused, crashed sidecar swap heals on read") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val tmp = writeDocs(Seq((1L, "scan merge", "en", "s0", 10L)))
+    val docs = spark.read.parquet(s"$tmp/documents.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-guard").toString
+    Layouts.bm25Index(docs, idx, groupBytes = 256L * 1024, pageRows = 2000)
+    intercept[IllegalArgumentException] { Layouts.bm25Retract(idx, "base") }
+    // a pre-batch_id postings table (no slice dirs) refuses appends
+    val flat = java.nio.file.Files.createTempDirectory("bm25-flat").toString
+    docs.selectExpr("'scan' AS term", "doc_id", "1L AS tf", "2L AS dl")
+      .write.parquet(s"$flat/postings")
+    intercept[IllegalArgumentException] {
+      Layouts.bm25Append(docs, flat, batchId = Some("g1"))
+    }
+    // crash between swapIn's renames: terms stranded at terms.__old
+    val before = ExtensionCatalog.bm25TopK(spark, idx).collect().length
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$idx/terms"),
+      java.nio.file.Paths.get(s"$idx/terms.__old"))
+    ExtensionCatalog.bm25TopK(spark, idx).collect().length shouldBe before
+  }
+
+  test("x184: kappa matches the hand-computed contingency on a fixture " +
+      "with known rater splits") {
+    // a=1 iff n_chars > 300; b=1 iff > 55 tokens. Build 4 docs per cell.
+    def text(tokens: Int) = Seq.fill(tokens)("w").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, text(60), "en", "s0", 400L), // a=1 b=1
+      (2L, text(10), "en", "s0", 400L), // a=1 b=0
+      (3L, text(60), "en", "s0", 100L), // a=0 b=1
+      (4L, text(10), "en", "s0", 100L), // a=0 b=0
+      (5L, text(10), "en", "s0", 100L))) // a=0 b=0
+    val got = entry("x184_filter_agreement").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    val (n, n11, n10, n01, n00) = (5L, 1L, 1L, 1L, 2L)
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)).toDouble / (n * n)
+    got shouldBe Seq(("s0", n, n11, n10, n01, n00, (po - pe) / (1.0 - pe)))
+  }
+
   test("x181: rendezvous assignment matches the reference argmax and every " +
       "8-to-9 move lands on the new node") {
     def shard(d: Long, m: Int): Long =

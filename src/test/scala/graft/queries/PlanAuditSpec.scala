@@ -164,9 +164,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // distinct-bigram grand total (the x108 pattern); x171 crosses the
       // 1-row piece-mass total into the vocabulary-sized piece table
       "x163_zorder_cells", "x165_kneser_ney", "x171_unigram_segment",
-      // x178/x180 cross the persisted index's (x178) / the corpus's (x180)
+      // x178/x182/x183 cross the persisted index's, and x180 the corpus's,
       // 1-row (n, total) BM25 global-stats aggregate — the x52 pattern
-      "x178_bm25_index_serve", "x180_retrieval_ndcg")
+      "x178_bm25_index_serve", "x180_retrieval_ndcg",
+      "x182_bm25_append_serve", "x183_bm25_retract_serve")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
