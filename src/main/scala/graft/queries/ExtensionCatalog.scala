@@ -8057,7 +8057,90 @@ object ExtensionCatalog {
       "Cohen's kappa agreement between two quality filters per source — " +
         "the audit run before swapping a deployed filter: exact BIGINT " +
         "contingency counts, three mirrored divisions, zero-variance " +
-        "guard (extension: evaluation / quality)")
+        "guard (extension: evaluation / quality)"),
+
+    CatalogEntry(
+      "x185_budget_selection",
+      (s, dir) => {
+        // Token-budget-constrained corpus selection, per source: keep
+        // docs in quality order (n_chars desc as the deterministic
+        // proxy, doc_id tiebreak) while the source's cumulative token
+        // count stays within budget — the within-source leg of mixture
+        // building (x129 allocates ACROSS sources; this cuts WITHIN
+        // one). The running sum is a per-source window here (RANGE ≡
+        // ROWS because the composite order key is unique); the 100 TB
+        // rendering of the same prefix is x39's two-pass PrefixSum per
+        // source — this row pins the VALUES. quality_cutoff is the
+        // admitted threshold a production run would publish.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+        t(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            TextFunctions.tokenCount("text").cast("long").as("n_tokens"))
+          .withColumn("cum", sum("n_tokens").over(w))
+          .where(col("cum") <= 3000)
+          .groupBy("source").agg(count(lit(1)).as("n_kept"),
+            sum("n_tokens").as("tokens_kept"),
+            min("n_chars").as("quality_cutoff"))
+          .orderBy("source")
+      },
+      Some("""WITH d AS (SELECT source, doc_id, n_chars,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, n_chars, n_tokens,
+             |  SUM(n_tokens) OVER (PARTITION BY source
+             |    ORDER BY n_chars DESC, doc_id) AS cum FROM d)
+             |SELECT source, COUNT(*) AS n_kept,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+             |  MIN(n_chars) AS quality_cutoff
+             |FROM c WHERE cum <= 3000 GROUP BY 1 ORDER BY 1""".stripMargin),
+      "token-budget-constrained selection per source: quality-ordered " +
+        "prefix under a cumulative token budget, publishing the admitted " +
+        "quality cutoff — the within-source cut of mixture building " +
+        "(extension: pipeline / data mixing)"),
+
+    CatalogEntry(
+      "x186_snake_shards",
+      (s, dir) => {
+        // Balanced shard packing: docs ranked GLOBALLY by token count
+        // (desc, doc_id tiebreak) and dealt into 8 shards in snake
+        // (boustrophedon) order — the greedy heterogeneous-item balance
+        // that keeps per-shard token sums within one doc of each other,
+        // vs hash sharding's variance (x39 packs by prefix-sum budget
+        // in id order; this one balances by SIZE). The global rank is
+        // the distributed two-pass PrefixSum over a composite order key
+        // (tokens desc, id asc, encoded into one ascending BIGINT —
+        // valid while docs stay under 1e6 tokens and 1e12 ids), never a
+        // single-partition window.
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFunctions.tokenCount("text").cast("long").as("n_tokens"))
+          .withColumn("ord",
+            (lit(1000000L) - col("n_tokens")) * lit(1000000000000L) + col("doc_id"))
+          .withColumn("one", lit(1L))
+        graft.operators.PrefixSum.runningTotal(d, "ord", "one", "rank")
+          .withColumn("shard", expr(
+            "CASE WHEN ((rank - 1) div 8) % 2 = 0 THEN (rank - 1) % 8 " +
+              "ELSE 7 - (rank - 1) % 8 END"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |r AS (SELECT doc_id, n_tokens, ROW_NUMBER() OVER (
+             |  ORDER BY n_tokens DESC, doc_id) AS rank FROM d)
+             |SELECT CASE WHEN ((rank - 1) // 8) % 2 = 0 THEN (rank - 1) % 8
+             |  ELSE 7 - (rank - 1) % 8 END AS shard,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      "snake-balanced shard packing: global size rank via the distributed " +
+        "two-pass prefix sum (composite order key, no single-partition " +
+        "window), boustrophedon deal into 8 shards — per-shard token sums " +
+        "balanced for heterogeneous docs, the training-shard writer's " +
+        "packing discipline (extension: pipeline / partitioning)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after

@@ -329,6 +329,39 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     got shouldBe Seq(("s0", n, n11, n10, n01, n00, (po - pe) / (1.0 - pe)))
   }
 
+  test("x185: budget selection keeps the quality-ordered prefix and drops " +
+      "a source whose best doc alone exceeds the budget") {
+    def text(tokens: Int) = Seq.fill(tokens)("w").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, text(10), "en", "s0", 500L), // kept: cum 10
+      (2L, text(20), "en", "s0", 400L), // kept: cum 30
+      (3L, text(3000), "en", "s0", 300L), // cum 3030 > 3000 -> dropped
+      (4L, text(3100), "en", "s1", 900L))) // first doc over budget -> source absent
+    val got = entry("x185_budget_selection").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    got shouldBe Seq(("s0", 2L, 30L, 400L))
+  }
+
+  test("x186: snake packing matches the reference deal and balances doc " +
+      "counts within one") {
+    def text(tokens: Int) = Seq.fill(tokens)("w").mkString(" ")
+    // tokens 10..1 for doc_ids 1..10: global rank i = doc i
+    val tmp = writeDocs((1L to 10L).map(i =>
+      (i, text(11 - i.toInt), "en", "s0", 20L)))
+    val ref = (1 to 10).map { rank =>
+      val (round, pos) = ((rank - 1) / 8, (rank - 1) % 8)
+      val shard = if (round % 2 == 0) pos else 7 - pos
+      (shard.toLong, 11L - rank)
+    }
+    val expected = ref.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (sh, g) => (sh, g.size.toLong, g.map(_._2).sum) }
+    val got = entry("x186_snake_shards").build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe expected
+    val counts = got.map(_._2)
+    (counts.max - counts.min) should be <= 1L
+  }
+
   test("x181: rendezvous assignment matches the reference argmax and every " +
       "8-to-9 move lands on the new node") {
     def shard(d: Long, m: Int): Long =
