@@ -8140,37 +8140,48 @@ object ExtensionCatalog {
         "two-pass prefix sum (composite order key, no single-partition " +
         "window), boustrophedon deal into 8 shards — per-shard token sums " +
         "balanced for heterogeneous docs, the training-shard writer's " +
-        "packing discipline (extension: pipeline / partitioning)")
+        "packing discipline (extension: pipeline / partitioning)"),
+
+    CatalogEntry(
+      "x187_stream_bm25_serve",
+      (s, dir) => {
+        // BM25 SERVING across index maintenance, live — the lexical dual
+        // of x168: the StreamBm25 query serves micro-batch 0 against the
+        // %3 != 2-built index, then — with the stream still up — the
+        // %3 == 2 batch is appended (postings slice + df/global sidecars
+        // re-derived behind rename swaps), and micro-batch 1 re-issues
+        // the SAME terms against the grown index. The ledger pins both
+        // halves: batch 0's top-10 must equal the base-only corpus,
+        // batch 1's the full corpus — a probe reading a half-swapped
+        // sidecar, a stale df, or an append the serve can't see all
+        // change a ranked row or score.
+        val led = s.read.parquet(stagedStreamBm25Ledger(s, dir))
+        led.select(col("batch_id").cast("long").as("batch_id"),
+          col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
+          col("score"))
+          .orderBy("batch_id", "term", "rank")
+      },
+      Some(s"""SELECT 0 AS batch_id, t0.* FROM (
+              |${bm25ServeOracle("doc_id % 3 <> 2")}) t0
+              |UNION ALL
+              |SELECT 1 AS batch_id, t1.* FROM (
+              |${bm25ServeOracle("TRUE")}) t1
+              |ORDER BY batch_id, term, rank""".stripMargin),
+      "continuous BM25 serving kept LIVE across incremental index " +
+        "maintenance: micro-batch 0 serves the base index, an append " +
+        "lands (slice + sidecar swaps) mid-stream, micro-batch 1 serves " +
+        "the grown index — the reader-side no-quiesce story for the " +
+        "lexical family, x168's dual (extension: retrieval / streaming / " +
+        "index maintenance)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after
     * an incremental append + replay) and x183 (after a batch
-    * retraction): query terms' posting ranges + broadcast df sidecar +
-    * 1-row global, identical scoring tree to x52. Heals a crashed
-    * sidecar swap before reading (the managed families' recovery-on-
-    * read contract).
+    * retraction): [[graft.operators.Bm25.topK]] over the catalog's
+    * fixed 3-term query.
     */
-  private[graft] def bm25TopK(s: SparkSession, idx: String): DataFrame = {
-    graft.sources.Layouts.bm25Recover(idx)(s)
-    val terms = Seq("scan", "merge", "vector")
-    val post = s.read.parquet(s"$idx/postings")
-      .where(col("term").isin(terms: _*))
-    val dfreq = s.read.parquet(s"$idx/terms")
-      .where(col("term").isin(terms: _*))
-    val stats = s.read.parquet(s"$idx/stats")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
-    post.join(broadcast(dfreq), "term").crossJoin(stats)
-      .withColumn("avgdl", col("total").cast("double") / col("n"))
-      .withColumn("idf", ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)))
-      .withColumn("score", col("idf") * ((col("tf") * lit(2.2)) /
-        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) *
-          (col("dl").cast("double") / col("avgdl"))))))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= 10)
-      .select("term", "rank", "doc_id", "tf", "dl", "score")
-      .orderBy("term", "rank")
-  }
+  private[graft] def bm25TopK(s: SparkSession, idx: String): DataFrame =
+    graft.operators.Bm25.topK(s, idx, Seq("scan", "merge", "vector"))
 
   /** DuckDB replay of the BM25 serving probe over a corpus membership
     * predicate — shared by x178 (all docs), x182 (base + appended batch
@@ -8365,6 +8376,39 @@ object ExtensionCatalog {
       graft.sources.Layouts.bm25Retract(out, "gx",
         groupBytes = 256L * 1024, pageRows = 2000)
       out
+    })
+
+  /** x187 staging: the live-maintenance BM25 serving lifecycle — template
+    * copy (%3 != 2 base), StreamBm25 up, micro-batch 0 of term queries
+    * served, [[graft.sources.Layouts.bm25Append]] of the %3 == 2 batch
+    * fired with the stream LIVE (slice + both sidecar swaps), micro-batch
+    * 1 re-issues the same terms against the grown index.
+    */
+  private val streamBm25Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamBm25Ledger(s: SparkSession, dir: String): String =
+    streamBm25Dirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sbm25")
+      val idx = s"$base/idx"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(idx))
+      copyIndex(stagedBm25Gen0(s, dir), idx, s)
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      import s.implicits._
+      val queries = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"))
+        .toDF("query_id", "term")
+      val q = graft.streaming.StreamBm25.serve(
+        s, in, idx, s"$base/ledger", s"$base/ckpt")
+      try {
+        landFeedFile(queries, s"$base/stage0", in, "q0")
+        q.processAllAvailable()
+        // maintenance fires with the serving stream LIVE
+        graft.sources.Layouts.bm25Append(
+          t(s, dir, "documents").where(col("doc_id") % 3 === 2), idx,
+          groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+        landFeedFile(queries, s"$base/stage1", in, "q1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
     })
 
   /** x139 staging: the even-id "existing corpus" EXACT-jaccard index,
@@ -9180,7 +9224,8 @@ object ExtensionCatalog {
     "build_x177_ivf_retract_folded" -> ((s, dir) => { stagedIvfRetractFoldedIndex(s, dir); () }),
     "build_x178_bm25_index" -> ((s, dir) => { stagedBm25Index(s, dir); () }),
     "build_x182_bm25_append" -> ((s, dir) => { stagedBm25AppendIndex(s, dir); () }),
-    "build_x183_bm25_retract" -> ((s, dir) => { stagedBm25RetractIndex(s, dir); () }))
+    "build_x183_bm25_retract" -> ((s, dir) => { stagedBm25RetractIndex(s, dir); () }),
+    "build_x187_stream_bm25" -> ((s, dir) => { stagedStreamBm25Ledger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -9257,6 +9302,27 @@ object ExtensionCatalog {
       (0 until 3).foreach(b =>
         landFeedFile(queries, s"$base/stage$b", in, s"q$b"))
       val q = graft.streaming.StreamAnn.serve(
+        s, in, idx, s"$base/ledger", s"$base/ckpt")
+      try q.processAllAvailable() finally q.stop()
+      scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }),
+    // 3 micro-batches of term queries served off the staged x178 BM25
+    // index (already built by the build rows — this row measures
+    // lexical SERVING: per-trigger distinct-term collect + pruned
+    // posting probe + idempotent ledger append), extending the serving
+    // SLO suite to the lexical index family
+    "stream_x178_bm25_serve" -> ((s, dir) => {
+      val idx = stagedBm25Index(s, dir)
+      val base = stagedScratch("graft-sbserve")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      import s.implicits._
+      val queries = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"),
+        (3L, "filter"), (4L, "hash"), (5L, "stream"))
+        .toDF("query_id", "term")
+      (0 until 3).foreach(b =>
+        landFeedFile(queries, s"$base/stage$b", in, s"q$b"))
+      val q = graft.streaming.StreamBm25.serve(
         s, in, idx, s"$base/ledger", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
       scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
@@ -9359,6 +9425,7 @@ object ExtensionCatalog {
     "build_x177_ivf_retract_folded" -> ivfRetractFoldedDirs.get(dir),
     "build_x178_bm25_index" -> bm25Dirs.get(dir),
     "build_x182_bm25_append" -> bm25AppendDirs.get(dir),
-    "build_x183_bm25_retract" -> bm25RetractDirs.get(dir)
+    "build_x183_bm25_retract" -> bm25RetractDirs.get(dir),
+    "build_x187_stream_bm25" -> streamBm25Dirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -310,6 +310,60 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     ExtensionCatalog.bm25TopK(spark, idx).collect().length shouldBe before
   }
 
+  test("x187: streamed BM25 probes equal the batch probe per index state, " +
+      "and a replayed micro-batch overwrites its ledger slice") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector vector vector", "en", "s0", 25L))
+    val extra = (3L, "merge vector other", "en", "s0", 18L)
+    val baseDir = writeDocs(base)
+    val fullDir = writeDocs(base :+ extra)
+    val root = java.nio.file.Files.createTempDirectory("sbm25").toString
+    val idx = s"$root/idx"
+    Layouts.bm25Index(spark.read.parquet(s"$baseDir/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    val in = s"$root/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val queries = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"))
+      .toDF("query_id", "term")
+    def land(name: String): Unit = {
+      queries.coalesce(1).write.mode("overwrite").parquet(s"$root/st$name")
+      val part = new java.io.File(s"$root/st$name").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$in/$name.parquet"))
+    }
+    val q = graft.streaming.StreamBm25.serve(
+      spark, in, idx, s"$root/ledger", s"$root/ckpt", k = 10)
+    try {
+      land("q0"); q.processAllAvailable()
+      Layouts.bm25Append(spark.read.parquet(s"$fullDir/documents.parquet")
+        .where($"doc_id" === 3), idx, batchId = Some("g1"))
+      land("q1"); q.processAllAvailable()
+    } finally q.stop()
+    def ledger(b: Long) = spark.read.parquet(s"$root/ledger")
+      .where($"batch_id" === b)
+      .select("term", "rank", "doc_id", "tf", "dl", "score").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    def batchProbe(d: String) = {
+      val i2 = java.nio.file.Files.createTempDirectory("sbm25-ref").toString
+      Layouts.bm25Index(spark.read.parquet(s"$d/documents.parquet"), i2,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.operators.Bm25.topK(spark, i2, Seq("scan", "merge", "vector"))
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    }
+    ledger(0L) shouldBe batchProbe(baseDir) // pre-append index state
+    ledger(1L) shouldBe batchProbe(fullDir) // post-append, sidecars swapped
+    // replayed micro-batch: same batch id, dynamic overwrite → unchanged
+    val before = ledger(1L)
+    graft.streaming.StreamBm25.probeBatch(queries, 1L, idx, s"$root/ledger", 10)
+    ledger(1L) shouldBe before
+  }
+
   test("x184: kappa matches the hand-computed contingency on a fixture " +
       "with known rater splits") {
     // a=1 iff n_chars > 300; b=1 iff > 55 tokens. Build 4 docs per cell.
