@@ -245,7 +245,7 @@ object ScaleSweep {
         "exact_prefix_jaccard", "components", "minhash_index_build",
         "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact",
         "simhash_index_build", "simhash_probe", "retract_folded",
-        "bm25_index_build", "bm25_serve")
+        "bm25_index_build", "bm25_serve", "bm25_append", "bm25_retract")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -401,6 +401,28 @@ object ScaleSweep {
                     (col("total").cast("double") / col("n")))))))
               .withColumn("rank", row_number().over(w))
               .where(col("rank") <= 10).count()
+          }
+        } finally scala.reflect.io.Directory(
+          new java.io.File(bmDir)).deleteRecursively()
+      }
+      // Round-17 family: BM25 incremental maintenance (x182/x183). A
+      // FIXED-size batch (the shard) lands on a c-scaled index: append =
+      // O(batch) slice + the index-sized sidecar refresh (df aggregation
+      // over (term, doc_id) postings — grows with the index, never the
+      // corpus TEXT); retract = O(batch-files) slice drop + the same
+      // refresh. The claim these cells measure: maintenance wall tracks
+      // the POSTINGS table, one two-column aggregation per op.
+      if (want("bm25_append") || want("bm25_retract")) {
+        val bmDir = java.nio.file.Files.createTempDirectory(s"sweep-bmm$c").toString
+        try {
+          graft.sources.Layouts.bm25Index(docs, bmDir, partitions = 16)
+          if (want("bm25_append")) record("bm25_append", c) {
+            graft.sources.Layouts.bm25Append(shard, bmDir,
+              batchId = Some("rx")); n0
+          } else graft.sources.Layouts.bm25Append(shard, bmDir,
+            batchId = Some("rx"))
+          if (want("bm25_retract")) record("bm25_retract", c) {
+            graft.sources.Layouts.bm25Retract(bmDir, "rx")(spark); n0
           }
         } finally scala.reflect.io.Directory(
           new java.io.File(bmDir)).deleteRecursively()
