@@ -8172,7 +8172,144 @@ object ExtensionCatalog {
         "lands (slice + sidecar swaps) mid-stream, micro-batch 1 serves " +
         "the grown index — the reader-side no-quiesce story for the " +
         "lexical family, x168's dual (extension: retrieval / streaming / " +
-        "index maintenance)")
+        "index maintenance)"),
+
+    CatalogEntry(
+      "x188_prf_expansion",
+      (s, dir) => {
+        // Pseudo-relevance-feedback query expansion (the RM3 counting
+        // core): take each query term's BM25 top-10 from the persisted
+        // index, join those doc_ids back to the corpus text, and mine
+        // the 5 most frequent co-occurring tokens (query terms and the
+        // ''-token excluded) as expansion candidates — count desc,
+        // token asc ties. The feedback join touches 10 docs per term,
+        // never the corpus: the expansion cost is O(k · doc length),
+        // which is the whole point of running PRF off an index.
+        val qs = Seq("scan", "merge", "vector")
+        val top = bm25TopK(s, stagedBm25Index(s, dir))
+          .select(col("term").as("qterm"), col("doc_id"))
+        val fb = top.join(t(s, dir, "documents"), "doc_id")
+          .select(col("qterm"),
+            explode(split(col("text"), " ")).as("token"))
+          .where(!col("token").isin(qs: _*) && col("token") =!= "")
+          .groupBy("qterm", "token").agg(count(lit(1)).as("cnt"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("qterm").orderBy(desc("cnt"), asc("token"))
+        fb.withColumn("r", row_number().over(w)).where(col("r") <= 5)
+          .select(col("qterm"), col("r"), col("token"), col("cnt"))
+          .orderBy("qterm", "r")
+      },
+      Some(s"""WITH base AS (
+              |${bm25ServeOracle("TRUE")}),
+              |fb AS (SELECT b.term AS qterm,
+              |    unnest(string_split(d.text, ' ')) AS token
+              |  FROM base b JOIN documents d ON b.doc_id = d.doc_id),
+              |cnt AS (SELECT qterm, token, COUNT(*) AS cnt FROM fb
+              |  WHERE token NOT IN ('scan', 'merge', 'vector')
+              |    AND token <> '' GROUP BY 1, 2),
+              |rk AS (SELECT qterm, token, cnt, ROW_NUMBER() OVER (
+              |  PARTITION BY qterm ORDER BY cnt DESC, token) AS r FROM cnt)
+              |SELECT qterm, r, token, cnt FROM rk WHERE r <= 5
+              |ORDER BY qterm, r""".stripMargin),
+      "pseudo-relevance-feedback expansion off the persisted BM25 index: " +
+        "top-10 feedback docs per query term joined back to 10 docs of " +
+        "text (never the corpus), co-occurring tokens counted and the " +
+        "top-5 expansion candidates ranked — the RM3 counting core " +
+        "(extension: retrieval / query expansion)"),
+
+    CatalogEntry(
+      "x189_champion_recall",
+      (s, dir) => {
+        // Champion-list (impact-ordered) pruned serving + its recall
+        // audit: per term, keep only the 50 highest-tf postings (tf
+        // desc, doc_id asc — the static champion tier real engines
+        // persist next to the full postings), serve BM25 top-10 from
+        // that tier alone, and measure overlap@10 against the full
+        // serving — the bound that makes stop-word-class terms
+        // affordable: probe cost becomes O(champions), independent of
+        // the term's document frequency. Computed here from the same
+        // persisted postings (a window per term); production writes the
+        // tier at build time, this row pins the VALUES the tier serves.
+        val s0 = s
+        val idx = stagedBm25Index(s0, dir)
+        graft.sources.Layouts.bm25Recover(idx)(s0)
+        val qs = Seq("scan", "merge", "vector")
+        val post = s0.read.parquet(s"$idx/postings")
+          .where(col("term").isin(qs: _*))
+        val champW = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
+        val champs = post.withColumn("cr", row_number().over(champW))
+          .where(col("cr") <= 50).drop("cr")
+        val dfreq = s0.read.parquet(s"$idx/terms")
+          .where(col("term").isin(qs: _*))
+        val stats = s0.read.parquet(s"$idx/stats")
+        def top10(p: org.apache.spark.sql.DataFrame) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
+          p.join(broadcast(dfreq), "term").crossJoin(stats)
+            .withColumn("score",
+              (((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
+                ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
+                  (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
+                    (col("total").cast("double") / col("n")))))))
+            .withColumn("rank", row_number().over(w))
+            .where(col("rank") <= 10).select("term", "doc_id")
+        }
+        top10(post).as("f")
+          .join(top10(champs).as("c"),
+            col("f.term") === col("c.term") &&
+              col("f.doc_id") === col("c.doc_id"), "left")
+          .groupBy(col("f.term").as("term"))
+          .agg(count(lit(1)).as("n_full"),
+            sum(when(col("c.doc_id").isNotNull, 1L).otherwise(0L))
+              .as("n_overlap"))
+          .orderBy("term")
+      },
+      Some(s"""WITH post AS (
+              |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl FROM
+              |    (SELECT doc_id, term, COUNT(*) AS tf FROM
+              |      (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |       FROM documents)
+              |     WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2) tf
+              |    JOIN (SELECT doc_id, COUNT(*) AS dl FROM
+              |      (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |       FROM documents) GROUP BY 1) dl
+              |    ON tf.doc_id = dl.doc_id),
+              |df AS (SELECT term, COUNT(*) AS df FROM post GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM
+              |  (SELECT doc_id, COUNT(*) AS dl FROM
+              |    (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |     FROM documents) GROUP BY 1)),
+              |champs AS (SELECT term, doc_id, tf, dl FROM (
+              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY term
+              |    ORDER BY tf DESC, doc_id) AS cr FROM post) WHERE cr <= 50),
+              |fullt AS (SELECT term, doc_id FROM (
+              |  SELECT p.term, p.doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY p.term ORDER BY
+              |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+              |      ((p.tf * 2.2::DOUBLE) / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+              |        0.75::DOUBLE * (CAST(p.dl AS DOUBLE) /
+              |        (CAST(st.total AS DOUBLE) / st.n))))) DESC, p.doc_id) AS rank
+              |  FROM post p, df, st WHERE p.term = df.term) WHERE rank <= 10),
+              |champt AS (SELECT term, doc_id FROM (
+              |  SELECT p.term, p.doc_id, ROW_NUMBER() OVER (
+              |    PARTITION BY p.term ORDER BY
+              |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+              |      ((p.tf * 2.2::DOUBLE) / (p.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+              |        0.75::DOUBLE * (CAST(p.dl AS DOUBLE) /
+              |        (CAST(st.total AS DOUBLE) / st.n))))) DESC, p.doc_id) AS rank
+              |  FROM champs p, df, st WHERE p.term = df.term) WHERE rank <= 10)
+              |SELECT f.term, COUNT(*) AS n_full,
+              |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_overlap
+              |FROM fullt f LEFT JOIN champt c
+              |  ON f.term = c.term AND f.doc_id = c.doc_id
+              |GROUP BY 1 ORDER BY 1""".stripMargin),
+      "champion-list pruned BM25 serving + recall audit: per-term top-50 " +
+        "highest-tf postings serve top-10, overlap@10 vs full serving " +
+        "measured — the impact-ordering bound that makes high-df terms " +
+        "affordable, probe cost O(champions) independent of df " +
+        "(extension: retrieval / index pruning)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after

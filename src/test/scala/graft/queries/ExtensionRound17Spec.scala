@@ -416,6 +416,37 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     (counts.max - counts.min) should be <= 1L
   }
 
+  test("x188: PRF expansion mines the top co-occurring tokens of each " +
+      "term's feedback docs, excluding the query terms") {
+    val tmp = writeDocs(Seq(
+      (1L, "scan aaa aaa bbb", "en", "s0", 16L),
+      (2L, "scan aaa ccc", "en", "s0", 12L),
+      (3L, "merge bbb", "en", "s0", 9L),
+      (4L, "vector ccc ccc", "en", "s0", 14L)))
+    val got = entry("x188_prf_expansion").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3))).toSeq
+    got shouldBe Seq(
+      ("merge", 1, "bbb", 1L),
+      ("scan", 1, "aaa", 3L), ("scan", 2, "bbb", 1L), ("scan", 3, "ccc", 1L),
+      ("vector", 1, "ccc", 2L))
+  }
+
+  test("x189: champion pruning drops a high-scoring low-tf doc and the " +
+      "recall audit reports the 9/10 overlap") {
+    // 54 docs with tf=2 but long dl (low length-normalized score), one
+    // tf=1 TINY doc that outranks them all in the full serving but falls
+    // outside the top-50-by-tf champion tier.
+    val filler = Seq.fill(58)("w").mkString(" ")
+    val docs = (1L to 54L).map(i =>
+      (i, s"scan scan $filler", "en", "s0", 100L)) ++ Seq(
+      (100L, "scan w", "en", "s0", 6L),
+      (200L, "merge w", "en", "s0", 7L),
+      (300L, "vector w", "en", "s0", 8L))
+    val got = entry("x189_champion_recall").build(spark, writeDocs(docs))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq(("merge", 1L, 1L), ("scan", 10L, 9L), ("vector", 1L, 1L))
+  }
+
   test("x181: rendezvous assignment matches the reference argmax and every " +
       "8-to-9 move lands on the new node") {
     def shard(d: Long, m: Int): Long =

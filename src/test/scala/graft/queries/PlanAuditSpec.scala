@@ -167,7 +167,10 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // x178/x182/x183 cross the persisted index's, and x180 the corpus's,
       // 1-row (n, total) BM25 global-stats aggregate — the x52 pattern
       "x178_bm25_index_serve", "x180_retrieval_ndcg",
-      "x182_bm25_append_serve", "x183_bm25_retract_serve")
+      "x182_bm25_append_serve", "x183_bm25_retract_serve",
+      // x188 rides the x178 probe; x189 serves BOTH tiers, so the 1-row
+      // stats cross appears twice
+      "x188_prf_expansion", "x189_champion_recall")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
