@@ -25,9 +25,9 @@ object Bm25 {
     graft.sources.Layouts.bm25Recover(indexPath)(spark)
     val post = spark.read.parquet(s"$indexPath/postings")
       .where(col("term").isin(terms: _*))
-    val dfreq = spark.read.parquet(s"$indexPath/terms")
+    val dfreq = spark.read.parquet(s"$indexPath/sidecar/terms")
       .where(col("term").isin(terms: _*))
-    val stats = spark.read.parquet(s"$indexPath/stats")
+    val stats = spark.read.parquet(s"$indexPath/sidecar/stats")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
     post.join(broadcast(dfreq), "term").crossJoin(stats)

@@ -8240,9 +8240,9 @@ object ExtensionCatalog {
           .partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
         val champs = post.withColumn("cr", row_number().over(champW))
           .where(col("cr") <= 50).drop("cr")
-        val dfreq = s0.read.parquet(s"$idx/terms")
+        val dfreq = s0.read.parquet(s"$idx/sidecar/terms")
           .where(col("term").isin(qs: _*))
-        val stats = s0.read.parquet(s"$idx/stats")
+        val stats = s0.read.parquet(s"$idx/sidecar/stats")
         def top10(p: org.apache.spark.sql.DataFrame) = {
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy("term").orderBy(desc("score"), asc("doc_id"))

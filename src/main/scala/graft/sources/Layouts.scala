@@ -261,13 +261,17 @@ object Layouts {
     sortedStats(postings, s"$path/postings", Seq("term"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
+    // both sidecars live under ONE directory so maintenance can swap
+    // the PAIR with a single rename — two separate swaps would give a
+    // concurrent probe a window where it reads a new df against an old
+    // (n, total), a mixed state no single index version ever had
     sortedStats(tf.groupBy("term").agg(count(lit(1)).as("df")),
-      s"$path/terms", Seq("term"),
+      s"$path/sidecar/terms", Seq("term"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
     // every doc has >= 1 token (split never yields an empty array), so
     // tf covers all docs: n and the token total need no separate pass
     tf.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar/stats")
   }
 
   /** Incremental maintenance of a persisted BM25 index: the batch's
@@ -339,42 +343,38 @@ object Layouts {
   }
 
   /** Heal a BM25 index stranded mid-sidecar-swap by a crashed
-    * append/retract: restores `terms`/`stats` from their `.__old`
-    * rename-aside dirs. Callable from every read path (the staged
-    * probes call it before reading), mirroring the managed families'
-    * recovery contract — without this a crash between [[swapIn]]'s two
-    * renames would leave probes throwing on a missing sidecar dir.
+    * append/retract: restores the `sidecar` pair from its `.__old`
+    * rename-aside dir. Callable from every read path (the probes call
+    * it before reading), mirroring the managed families' recovery
+    * contract — without this a crash between [[swapIn]]'s two renames
+    * would leave probes throwing on a missing sidecar dir.
     */
   def bm25Recover(path: String)(
-      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    recoverCrashedSwap(s"$path/terms", conf)
-    recoverCrashedSwap(s"$path/stats", conf)
-  }
+      implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    recoverCrashedSwap(s"$path/sidecar",
+      spark.sparkContext.hadoopConfiguration)
 
   /** Re-derive the BM25 sidecars (term df table + 1-row global) from
     * the postings table: an index-sized aggregation over (term, doc_id,
     * tf) — never a corpus scan — and a pure function of the index
     * state, which is what makes append/retract replay-idempotent
-    * without a ledger.
+    * without a ledger. Both tables build under one `sidecar.next` and
+    * swap in with a SINGLE rename, so a concurrent probe reads either
+    * the old pair or the new pair, never a new df against an old
+    * (n, total) — a mixed state no single index version ever had.
     */
   private def bm25RefreshSidecars(path: String, groupBytes: Long,
       pageRows: Int)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.functions.{count, countDistinct, lit, sum}
     val post = spark.read.parquet(s"$path/postings")
       .select("term", "doc_id", "tf")
-    // rewrite-aside + rename: deriving the new sidecar FROM the index
-    // while overwriting the old one in place would leave a torn window
-    // where a concurrent probe sees an empty terms dir
     val conf = spark.sparkContext.hadoopConfiguration
-    val termsNew = s"$path/terms.next"
+    val next = s"$path/sidecar.next"
     sortedStats(post.groupBy("term").agg(count(lit(1)).as("df")),
-      termsNew, Seq("term"), groupBytes = groupBytes, pageRows = pageRows)
-    swapIn(s"$path/terms", termsNew, conf)
-    val statsNew = s"$path/stats.next"
+      s"$next/terms", Seq("term"), groupBytes = groupBytes, pageRows = pageRows)
     post.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
-      .coalesce(1).write.mode("overwrite").parquet(statsNew)
-    swapIn(s"$path/stats", statsNew, conf)
+      .coalesce(1).write.mode("overwrite").parquet(s"$next/stats")
+    swapIn(s"$path/sidecar", next, conf)
   }
 
   /** Incremental maintenance of a persisted posting index: the batch's

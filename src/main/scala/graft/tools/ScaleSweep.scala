@@ -388,9 +388,9 @@ object ScaleSweep {
             val qts = Seq("scan", "merge", "vector")
             val post = spark.read.parquet(s"$bmDir/postings")
               .where(col("term").isin(qts: _*))
-            val dfreq = spark.read.parquet(s"$bmDir/terms")
+            val dfreq = spark.read.parquet(s"$bmDir/sidecar/terms")
               .where(col("term").isin(qts: _*))
-            val stats = spark.read.parquet(s"$bmDir/stats")
+            val stats = spark.read.parquet(s"$bmDir/sidecar/stats")
             val w = org.apache.spark.sql.expressions.Window
               .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
             post.join(broadcast(dfreq), "term").crossJoin(stats)

@@ -302,11 +302,13 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     intercept[IllegalArgumentException] {
       Layouts.bm25Append(docs, flat, batchId = Some("g1"))
     }
-    // crash between swapIn's renames: terms stranded at terms.__old
+    // crash between swapIn's renames: the sidecar PAIR stranded at
+    // sidecar.__old (one dir, one rename — a probe can never see a
+    // mixed old/new pair)
     val before = ExtensionCatalog.bm25TopK(spark, idx).collect().length
     java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$idx/terms"),
-      java.nio.file.Paths.get(s"$idx/terms.__old"))
+      java.nio.file.Paths.get(s"$idx/sidecar"),
+      java.nio.file.Paths.get(s"$idx/sidecar.__old"))
     ExtensionCatalog.bm25TopK(spark, idx).collect().length shouldBe before
   }
 
