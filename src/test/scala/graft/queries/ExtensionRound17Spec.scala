@@ -366,6 +366,29 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     ledger(1L) shouldBe before
   }
 
+  test("bm25Append without a batchId lands an anonymous slice that still " +
+      "serves (and cannot be replayed as a no-op)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector vector vector", "en", "s0", 25L))
+    val extra = (3L, "merge vector other", "en", "s0", 18L)
+    val baseDir = writeDocs(base)
+    val fullDir = writeDocs(base :+ extra)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-anon").toString
+    Layouts.bm25Index(spark.read.parquet(s"$baseDir/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.bm25Append(spark.read.parquet(s"$fullDir/documents.parquet")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 3), idx)
+    val truth = java.nio.file.Files.createTempDirectory("bm25-anon-t").toString
+    Layouts.bm25Index(spark.read.parquet(s"$fullDir/documents.parquet"),
+      truth, groupBytes = 256L * 1024, pageRows = 2000)
+    def rows(i: String) = graft.operators.Bm25
+      .topK(spark, i, Seq("scan", "merge", "vector")).collect()
+      .map(_.toSeq).toSeq
+    rows(idx) shouldBe rows(truth)
+  }
+
   test("x184: kappa matches the hand-computed contingency on a fixture " +
       "with known rater splits") {
     // a=1 iff n_chars > 300; b=1 iff > 55 tokens. Build 4 docs per cell.
