@@ -389,6 +389,40 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     rows(idx) shouldBe rows(truth)
   }
 
+  test("BM25 term probe materializes a fraction of the postings rows — " +
+      "the row-group pruning the serving claim rests on") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    import graft.metrics.IoMetrics
+    // a corpus wide enough in the term dimension that the term-sorted
+    // postings span many row groups, so In(term, ...) has groups to skip
+    val docs = spark.range(0, 60000).selectExpr(
+      "id AS doc_id",
+      "concat('t', CAST(id % 3000 AS STRING)) AS text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-io").toString
+    Layouts.bm25Index(docs, idx, groupBytes = 16L * 1024, pageRows = 200,
+      partitions = 4)
+    val postings = s"$idx/postings"
+    def recordsFor(pred: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      spark.sharedState.cacheManager.clearCache()
+      val (_, rep) = IoMetrics.measure(spark, Seq(postings))(
+        pred(spark.read.parquet(postings)).count())
+      rep.recordsRead
+    }
+    // records MATERIALIZED from parquet is the pruning observable
+    // (bytesRead double-counts footer/page-index ranges per split): the
+    // probe's In(term, ...) must skip whole row groups, so it reads far
+    // fewer rows than a scan under a NON-prunable predicate over the
+    // same column (length() defeats min/max stats)
+    val probe = recordsFor(_.where(
+      org.apache.spark.sql.functions.col("term").isin("t1", "t2", "t3")))
+    val full = recordsFor(_.where(org.apache.spark.sql.functions
+      .length(org.apache.spark.sql.functions.col("term")) > 0))
+    full shouldBe 60000L
+    probe should be > 0L
+    probe.toDouble should be < full.toDouble * 0.2
+  }
+
   test("x184: kappa matches the hand-computed contingency on a fixture " +
       "with known rater splits") {
     // a=1 iff n_chars > 300; b=1 iff > 55 tokens. Build 4 docs per cell.
