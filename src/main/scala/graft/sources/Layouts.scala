@@ -225,17 +225,49 @@ object Layouts {
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
 
-  /** BM25 term-posting index, PERSISTED: three tables under `path` —
-    * `postings` (term, doc_id, tf, dl) range-partitioned and sorted on
-    * the term so a query's terms prune to their row groups; `terms`
-    * (term, df) — the document-frequency sidecar, also term-sorted; and
-    * `stats`, the 1-row (n_docs, total_dl) global. The doc length is
-    * DENORMALIZED into every posting row (the norms-in-postings layout
-    * real inverted indexes use) so a probe never joins back to a
-    * corpus-sized doc-length table: serving cost is O(query terms'
-    * postings), not O(corpus). Tokenization mirrors x52's whitespace
-    * split exactly — the probe must reproduce the full-corpus scoring
-    * bit for bit, which is what the x178 oracle gates.
+  /** BM25 term-posting index, PERSISTED as three batch-sliced sorted
+    * tables under `path` — every table SLICE-LOCAL, so maintenance is
+    * O(batch) and retraction is pure slice deletion. (The round-17
+    * design re-derived a df/(n, total) sidecar pair from the whole
+    * postings table on every append/retract — an index-sized
+    * aggregation per ingest batch, measured at growth exponents
+    * 0.25/0.53 by the sweep, behind a rename-aside pair swap a
+    * concurrent probe could race. VERDICT/ADVICE r17.)
+    *
+    *  - `postings` (term, doc_id, tf, dl): range-partitioned + sorted
+    *    on the term, so a query's `In(term, ...)` prunes to its row
+    *    groups. The doc length is DENORMALIZED into every posting row
+    *    (the norms-in-postings layout real inverted indexes use) so a
+    *    probe never joins a corpus-sized doc-length table.
+    *  - `deltas` (term, df | n, total): each slice carries the BATCH's
+    *    per-term df contribution plus ONE global row (term NULL) with
+    *    the batch's (doc count, token total). Probes MERGE ON READ:
+    *    df = SUM(df) over the query terms' delta rows, (n, total) =
+    *    the sum of the global rows — O(query terms + slices), never
+    *    O(index). Under the family's per-doc-independence contract
+    *    (appends carry whole NEW docs) the corpus-level statistics are
+    *    slice-ADDITIVE, which is what makes append O(batch) and
+    *    retract a slice drop.
+    *  - `champions` (term, doc_id, tf, dl): the top-`champions`
+    *    postings per term by (tf desc, doc_id) — the impact-ordered
+    *    tier [[graft.operators.Bm25.topKChampions]] serves, so a
+    *    stop-word-class term costs O(champions) instead of O(df). A
+    *    slice's local top-C CONTAINS every posting of the global top-C
+    *    that lives in that slice (championed globally ⇒ championed at
+    *    home), so the probe-side re-rank over the merged slices is
+    *    exact — champion maintenance is O(batch) like the others.
+    *
+    * Atomicity: append slices are one file per table and appear at the
+    * commit rename, so a concurrent probe sees a maintenance batch's
+    * slice in each table entirely or not at all; ACROSS tables a probe
+    * may briefly see the postings slice before its delta slice (new
+    * docs scored under the pre-append corpus statistics — bounded
+    * staleness, gone when the delta commits). There is no sidecar swap
+    * left to race. Retraction deletes slices, so on the FLAT layout it
+    * requires quiesced probes; [[manageBm25]] lifts that (immutable
+    * generations + grace). Tokenization mirrors x52's whitespace split
+    * exactly — the probe must reproduce the full-corpus scoring bit
+    * for bit, which is what the x178 oracle gates.
     */
   def bm25Index(
       docs: DataFrame,
@@ -244,8 +276,43 @@ object Layouts {
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      partitions: Int = 0): Unit = {
-    import org.apache.spark.sql.functions.{count, countDistinct, explode, lit, split, sum}
+      partitions: Int = 0,
+      champions: Int = 50): Unit = {
+    require(champions >= 1, s"champions must be >= 1 (got $champions)")
+    val spark = docs.sparkSession
+    // cache: ONE tokenize+tf pass feeds all three table writes (the
+    // minhashIndex barrier pattern — without it each write re-scans
+    // the corpus)
+    val post = bm25PostingRows(docs, idCol, textCol).cache()
+    try {
+      sortedStats(post, s"$path/postings", Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
+      sortedStats(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
+      sortedStats(bm25ChampionRows(post, champions), s"$path/champions",
+        Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base"))
+    } finally post.unpersist()
+    // one-row meta: the champion tier only serves exactly if appends
+    // and compactions re-select with the SAME C the build used (the
+    // minhashIndex meta contract, applied to the tier width)
+    import spark.implicits._
+    Seq(champions).toDF("champions")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The ONE definition of a doc batch's BM25 posting rows (term,
+    * doc_id, tf, dl), shared by [[bm25Index]], [[bm25Append]] and the
+    * champion/delta derivations — two copies of the tokenize/tf/dl
+    * tree could silently desynchronize append from rebuild (the
+    * [[postingRows]] lesson, review r15).
+    */
+  private def bm25PostingRows(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, split, sum}
     val tok = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
     // the (doc, term) groupBy is map-side combined, so the shuffle
@@ -253,44 +320,65 @@ object Layouts {
     // window SUM of tf over the doc — no join against a corpus-sized
     // doc-length table (a join's build side here is corpus-sized, the
     // exact broadcast-OOM shape the sweep's 500k-doc cell hit), and no
-    // second pass over the token explode
+    // second pass over the token explode. The per-batch dl window is
+    // the doc's FULL length because batches carry whole docs (the
+    // per-doc independence contract all the append paths share).
     val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val postings = tf.withColumn("dl", sum("tf").over(
+    tf.withColumn("dl", sum("tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       .select("term", "doc_id", "tf", "dl")
-    sortedStats(postings, s"$path/postings", Seq("term"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-      batchId = Some("base"))
-    // both sidecars live under ONE directory so maintenance can swap
-    // the PAIR with a single rename — two separate swaps would give a
-    // concurrent probe a window where it reads a new df against an old
-    // (n, total), a mixed state no single index version ever had
-    sortedStats(tf.groupBy("term").agg(count(lit(1)).as("df")),
-      s"$path/sidecar/terms", Seq("term"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-    // every doc has >= 1 token (split never yields an empty array), so
-    // tf covers all docs: n and the token total need no separate pass
-    tf.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/sidecar/stats")
   }
 
-  /** Incremental maintenance of a persisted BM25 index: the batch's
-    * postings land as their own `batch_id` slice (per-DOC independent —
-    * a doc's tf/dl never depend on other docs, so the slice write is
-    * the posting index's trivial append contract), and then the two
-    * SIDECARS are re-derived from the postings table: df and the
-    * (n, total) global are corpus-level statistics that every score
-    * depends on, so unlike the postings they cannot be slice-local.
-    * Deriving them from the index (an index-sized aggregation over two
-    * BIGINT columns — never a corpus re-tokenization) makes the refresh
-    * idempotent by construction: a replayed batch's slice lands as a
-    * dynamic-overwrite no-op and the sidecars recompute to the identical
-    * values, so at-least-once ingest needs no ledger here. A crash
-    * between the slice write and the refresh leaves stale sidecars;
-    * the next append (or [[bm25Retract]]) self-heals them. At 100 TB
-    * the same shape lands the sidecar swap behind the manifest pointer
-    * the managed families use; the flat rewrite here is the fixture-
-    * scale rendering of that two-phase publish.
+  /** A batch's `deltas` slice rows: per-term df plus the ONE global row
+    * (term NULL) carrying the batch's (n, total). Every doc has >= 1
+    * token (split never yields an empty array), so the postings cover
+    * all docs and n/total need no separate pass. Probes sum these
+    * across slices — see [[bm25Index]].
+    */
+  private def bm25DeltaRows(postings: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{count, countDistinct, sum}
+    postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("n", lit(null).cast("long"))
+      .withColumn("total", lit(null).cast("long"))
+      .unionByName(postings
+        .agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
+        .select(lit(null).cast("string").as("term"),
+          lit(null).cast("long").as("df"), col("n"), col("total")))
+  }
+
+  /** A batch's `champions` slice rows: the top-`c` postings per term by
+    * (tf desc, doc_id) WITHIN the batch — see [[bm25Index]] for why the
+    * slice-local tier keeps the merged probe exact. Also the champion
+    * fold shape under [[bm25Compact]].
+    */
+  private def bm25ChampionRows(postings: DataFrame, c: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("term").orderBy(col("tf").desc, col("doc_id").asc)
+    postings
+      .withColumn("__cr", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("__cr") <= c).drop("__cr")
+  }
+
+  /** Incremental maintenance of a persisted BM25 index, O(batch): the
+    * batch's postings, its df/(n, total) delta, and its champion tier
+    * each land as their own `batch_id` slice via [[sortedTableAppend]]
+    * (so on a [[manageBm25]]-managed index the slices are sealed and
+    * manifest-chased like every other family's). NOTHING index-sized
+    * runs: corpus statistics are merged at probe time from the delta
+    * slices. Same replay semantics as [[postingAppend]] — an explicit
+    * `batchId` replays as a dynamic-overwrite no-op per table; without
+    * one the write is a plain append under an anonymous slice.
+    *
+    * `enforceNewDocs` (default on — ADVICE r17): the append contract is
+    * WHOLE NEW docs; re-appending an existing doc_id under a new batch
+    * would double-count df/n/total and silently shift every score. The
+    * guard anti-probes the batch's doc_ids (broadcast — the batch is
+    * the small side) against the postings table minus the batch's own
+    * slice (so an at-least-once replay still passes) and fails loudly
+    * on overlap. It costs one postings doc_id-column scan per append;
+    * an ingest loop that already ledgers batch identity upstream can
+    * disable it to keep maintenance strictly O(batch) — the sweep does,
+    * and measures both modes.
     */
   def bm25Append(
       docs: DataFrame,
@@ -299,82 +387,123 @@ object Layouts {
       textCol: String = "text",
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
-      batchId: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{count, explode, lit, split, sum}
+      batchId: Option[String] = None,
+      enforceNewDocs: Boolean = true): Unit = {
     val spark = docs.sparkSession
+    implicit val s: org.apache.spark.sql.SparkSession = spark
     val conf = spark.sparkContext.hadoopConfiguration
-    val pg = new org.apache.hadoop.fs.Path(s"$path/postings/batch_id=*")
-    val slices = Option(pg.getFileSystem(conf).globStatus(pg))
-      .getOrElse(Array.empty)
-    require(slices.nonEmpty,
-      s"refuse to append to $path: the postings table is not batch_id-" +
-        "partitioned (pre-batch_id index) — rebuild with bm25Index to migrate")
-    val tok = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
-    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // per-batch dl window is the doc's FULL length because appends carry
-    // whole new docs (the per-doc independence contract all the append
-    // paths share — postingAppend's scaladoc)
-    val postings = tf.withColumn("dl", sum("tf").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .select("term", "doc_id", "tf", "dl")
-    batchId.foreach(requireBatchId)
-    sortedStats(postings, s"$path/postings", Seq("term"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-      mode = if (batchId.isDefined) "overwrite" else "append",
-      batchId = batchId.orElse(
-        Some("anon-" + java.util.UUID.randomUUID)),
-      dynamicOverwrite = batchId.isDefined)
-    bm25RefreshSidecars(path, groupBytes, pageRows)(spark)
+    val dp = new org.apache.hadoop.fs.Path(s"$path/deltas")
+    require(dp.getFileSystem(conf).exists(dp),
+      s"refuse to append to $path: no deltas table — a pre-delta (r17 " +
+        "sidecar-layout or flat) BM25 index cannot take O(batch) " +
+        "maintenance; rebuild with bm25Index to migrate")
+    val c = spark.read.parquet(s"$path/meta").head().getAs[Int]("champions")
+    val post = bm25PostingRows(docs, idCol, textCol).cache()
+    try {
+      if (enforceNewDocs) {
+        import org.apache.spark.sql.functions.broadcast
+        val existing = spark.read.parquet(indexRoot(s"$path/postings"))
+        val scoped = batchId.fold(existing)(b =>
+          existing.where(col("batch_id") =!= b))
+        val hit = scoped
+          .join(broadcast(post.select("doc_id").distinct()), "doc_id")
+          .select("doc_id").limit(1).collect()
+        require(hit.isEmpty,
+          s"append batch re-carries doc_id ${hit.headOption.map(_.get(0)).getOrElse("?")} " +
+            s"already in the index at $path — appends must carry whole NEW " +
+            "docs (per-doc independence); a re-appended doc double-counts " +
+            "df/n/total and shifts every score. Retract its old batch " +
+            "first, or pass enforceNewDocs = false if batch identity is " +
+            "ledgered upstream")
+      }
+      // postings FIRST, delta second: a probe between the two commits
+      // scores the new docs under the pre-append corpus statistics
+      // (bounded staleness); the reverse order would transiently shift
+      // every EXISTING doc's score instead
+      sortedTableAppend(post, s"$path/postings", Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        batchId = batchId)
+      sortedTableAppend(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        batchId = batchId)
+      sortedTableAppend(bm25ChampionRows(post, c), s"$path/champions",
+        Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        batchId = batchId)
+    } finally post.unpersist()
   }
 
-  /** Retract one ingest batch from a BM25 index: drop its postings
-    * slice ([[dropBatch]] — O(batch files)), then re-derive the df
-    * sidecar and global stats so every remaining score is exactly what
-    * a never-appended build would compute — corpus-level statistics
-    * must forget the batch too, which pure slice deletion cannot do.
+  /** Retract one ingest batch from a BM25 index: drop its slices across
+    * all three tables ([[dropBatch]] — O(batch files), every retained
+    * generation). Because df/(n, total) live in the batch's OWN delta
+    * slice, the corpus statistics forget the batch with the deletion —
+    * no refresh, no index-sized aggregation (VERDICT r17 #1): every
+    * remaining score equals a never-appended build's by construction.
+    * Fails loudly when the id matches nothing (ADVICE r17): a typo'd
+    * GDPR retraction must not report success while the poison batch
+    * keeps serving. (A deliberately replayed retraction therefore
+    * throws on the second run — catch it if retractions are
+    * at-least-once.) Returns the number of slice dirs dropped.
     */
-  def bm25Retract(path: String, batchId: String,
-      groupBytes: Long = 128L * 1024 * 1024, pageRows: Int = 20000)(
+  def bm25Retract(path: String, batchId: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Int = {
     val n = dropBatch(path, batchId)
-    bm25RefreshSidecars(path, groupBytes, pageRows)
+    require(n > 0,
+      s"batch '$batchId' matched no slice under $path — nothing was " +
+        "retracted; check the id (the poison batch is still serving)")
     n
   }
 
-  /** Heal a BM25 index stranded mid-sidecar-swap by a crashed
-    * append/retract: restores the `sidecar` pair from its `.__old`
-    * rename-aside dir. Callable from every read path (the probes call
-    * it before reading), mirroring the managed families' recovery
-    * contract — without this a crash between [[swapIn]]'s two renames
-    * would leave probes throwing on a missing sidecar dir.
+  /** Migrate a BM25 index into the manifest-generation layout: each of
+    * the three tables moves under its own `g=000000000` + manifest v0
+    * (the [[manageSortedTable]] protocol, once per table; `meta` stays
+    * at the index path — parameter identity, not generation state). Run
+    * once, quiesced; idempotent. Cross-table version skew is harmless
+    * by construction: every generation of a table is content-equivalent
+    * through its folds (summed deltas, re-selected champions), so a
+    * probe resolving different versions per table still serves one
+    * index state — unlike the r17 sidecar pair, nothing must swap in
+    * lockstep.
     */
-  def bm25Recover(path: String)(
+  def manageBm25(path: String)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit =
-    recoverCrashedSwap(s"$path/sidecar",
-      spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "deltas", "champions")
+      .foreach(t => manageSortedTable(s"$path/$t"))
 
-  /** Re-derive the BM25 sidecars (term df table + 1-row global) from
-    * the postings table: an index-sized aggregation over (term, doc_id,
-    * tf) — never a corpus scan — and a pure function of the index
-    * state, which is what makes append/retract replay-idempotent
-    * without a ledger. Both tables build under one `sidecar.next` and
-    * swap in with a SINGLE rename, so a concurrent probe reads either
-    * the old pair or the new pair, never a new df against an old
-    * (n, total) — a mixed state no single index version ever had.
+  /** Compact a BM25 index back toward one `base` slice per table:
+    * postings re-sort (the [[sortedRebase]] fold), deltas AGGREGATE —
+    * df summed per term, the per-batch global rows summed to one (the
+    * fold that keeps the merge-on-read table from growing one row set
+    * per batch forever) — and champions re-select top-C over the merged
+    * slices. O(index), never a corpus rescan. On a managed index
+    * ([[manageBm25]]) each table compacts as a no-quiesce generation
+    * publish; on the flat layout it is the quiesced rename-aside swap.
     */
-  private def bm25RefreshSidecars(path: String, groupBytes: Long,
-      pageRows: Int)(implicit spark: org.apache.spark.sql.SparkSession): Unit = {
-    import org.apache.spark.sql.functions.{count, countDistinct, lit, sum}
-    val post = spark.read.parquet(s"$path/postings")
-      .select("term", "doc_id", "tf")
-    val conf = spark.sparkContext.hadoopConfiguration
-    val next = s"$path/sidecar.next"
-    sortedStats(post.groupBy("term").agg(count(lit(1)).as("df")),
-      s"$next/terms", Seq("term"), groupBytes = groupBytes, pageRows = pageRows)
-    post.agg(countDistinct("doc_id").as("n"), sum("tf").as("total"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$next/stats")
-    swapIn(s"$path/sidecar", next, conf)
+  def bm25Compact(
+      path: String,
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0,
+      graceGenerations: Int = 1)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.functions.sum
+    val c = spark.read.parquet(s"$path/meta").head().getAs[Int]("champions")
+    def aggDeltas(df: DataFrame): DataFrame =
+      df.where(col("term").isNotNull)
+        .groupBy("term").agg(sum("df").as("df"))
+        .withColumn("n", lit(null).cast("long"))
+        .withColumn("total", lit(null).cast("long"))
+        .unionByName(df.where(col("term").isNull)
+          .agg(sum("n").as("n"), sum("total").as("total"))
+          .select(lit(null).cast("string").as("term"),
+            lit(null).cast("long").as("df"), col("n"), col("total")))
+    sortedRebase(s"$path/postings", Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      graceGenerations = graceGenerations)
+    rebaseShaped(s"$path/deltas", Seq("term"), aggDeltas,
+      groupBytes, pageRows, partitions, graceGenerations)
+    rebaseShaped(s"$path/champions", Seq("term"), bm25ChampionRows(_, c),
+      groupBytes, pageRows, partitions, graceGenerations)
   }
 
   /** Incremental maintenance of a persisted posting index: the batch's
@@ -481,6 +610,26 @@ object Layouts {
       pageRows: Int = 20000,
       partitions: Int = 0,
       graceGenerations: Int = 1)(
+      implicit spark: org.apache.spark.sql.SparkSession): Unit =
+    rebaseShaped(path, sortCols, identity,
+      groupBytes, pageRows, partitions, graceGenerations)
+
+  /** [[sortedRebase]] with a caller-supplied fold SHAPE applied to the
+    * de-batched rows before the rewrite — the hook that lets a
+    * merge-on-read table's compaction actually merge (sum the BM25 df
+    * deltas, re-select the champion tier) instead of only concatenating
+    * files. The shape must be content-preserving under the table's own
+    * read semantics (probes may resolve either generation during the
+    * grace window).
+    */
+  private def rebaseShaped(
+      path: String,
+      sortCols: Seq[String],
+      shape: DataFrame => DataFrame,
+      groupBytes: Long,
+      pageRows: Int,
+      partitions: Int,
+      graceGenerations: Int)(
       implicit spark: org.apache.spark.sql.SparkSession): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     currentGeneration(path, conf) match {
@@ -488,7 +637,8 @@ object Layouts {
         // ---- managed ([[managePosting]]): the shared manifest protocol
         // over ONE table living AT the generation root
         managedCompact(path, v, rootG,
-          sortedTableFamily(sortCols, groupBytes, pageRows, partitions),
+          sortedTableFamily(sortCols, groupBytes, pageRows, partitions,
+            shape = shape),
           graceGenerations, conf)
       case None =>
         // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
@@ -497,7 +647,7 @@ object Layouts {
         require(df.columns.contains("batch_id"),
           s"$path predates batch_id partitioning — nothing to rebase")
         val tmp = s"$path.__compact"
-        sortedStats(df.drop("batch_id"), tmp, sortCols,
+        sortedStats(shape(df.drop("batch_id")), tmp, sortCols,
           groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
           batchId = Some("base"))
         swapIn(path, tmp, conf)
@@ -1553,11 +1703,14 @@ object Layouts {
     }
 
   /** A single sorted-stats table living AT the generation root (the
-    * posting index's geometry).
+    * posting index's geometry). `shape` transforms the de-batched fold
+    * rows before the rewrite (identity for row-preserving tables; the
+    * BM25 deltas sum, the champion tier re-selects — [[rebaseShaped]]).
     */
   private def sortedTableFamily(sortCols: Seq[String],
       groupBytes: Long = 128L * 1024 * 1024, pageRows: Int = 20000,
-      partitions: Int = 0, foldFilter: Column = lit(true))(
+      partitions: Int = 0, foldFilter: Column = lit(true),
+      shape: DataFrame => DataFrame = identity)(
       implicit spark: org.apache.spark.sql.SparkSession): ManifestFamily =
     new ManifestFamily {
       def sliceStates(g: String, conf: org.apache.hadoop.conf.Configuration) =
@@ -1572,9 +1725,9 @@ object Layouts {
           conf: org.apache.hadoop.conf.Configuration): Unit =
         copySliceForce(o, n, bid, conf)
       def fold(o: String, n: String, ids: Set[String]): Unit =
-        sortedStats(spark.read.parquet(o)
+        sortedStats(shape(spark.read.parquet(o)
           .where(col("batch_id").isin(ids.toSeq: _*))
-          .where(foldFilter).drop("batch_id"),
+          .where(foldFilter).drop("batch_id")),
           n, sortCols, groupBytes = groupBytes, pageRows = pageRows,
           partitions = partitions, batchId = Some("base"))
     }

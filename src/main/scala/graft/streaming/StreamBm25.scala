@@ -7,12 +7,20 @@ import org.apache.spark.sql.types._
 /** Continuous BM25 serving against the persisted term-posting index —
   * the lexical dual of [[StreamAnn]]: a file-source stream of query
   * terms, each micro-batch probed via [[graft.operators.Bm25.topK]]
-  * into an idempotent per-batch ledger. The index may be MAINTAINED
-  * while the stream is up ([[graft.sources.Layouts.bm25Append]] /
-  * `bm25Retract`): each probe re-reads the postings and the freshly
-  * swapped sidecars, so micro-batch N serves exactly the index state
-  * published before its trigger — the reader-side no-quiesce story
-  * x168 pins for the vector family, here for the lexical one (x187).
+  * into an idempotent per-batch ledger. The index may be APPENDED to
+  * while the stream is up ([[graft.sources.Layouts.bm25Append]]): every
+  * maintenance batch lands as one-file slices that appear atomically at
+  * their commit rename and the corpus statistics are merged on read
+  * from the delta slices, so there is no sidecar swap for a probe to
+  * race (ADVICE r17 — the r17 pair-swap design had a window where a
+  * probe's recovery could roll a fresh swap back) — micro-batch N
+  * serves the slices committed before its trigger, the reader-side
+  * no-quiesce story x168 pins for the vector family, here for the
+  * lexical one (x187). Retraction and compaction DELETE or replace
+  * slices: run them against a [[graft.sources.Layouts.manageBm25]]-
+  * managed index (immutable generations + grace window) to keep this
+  * stream up through them; on the flat layout they require quiesced
+  * probes.
   */
 object StreamBm25 {
 

@@ -286,8 +286,8 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     rows(incIdx) shouldBe rows(baseIdx)
   }
 
-  test("BM25 lifecycle guardrails: base retraction refused, pre-batch_id " +
-      "append refused, crashed sidecar swap heals on read") {
+  test("BM25 lifecycle guardrails: base retraction refused, pre-delta " +
+      "layout refused, unknown-batch retraction refused (ADVICE r17)") {
     implicit val sp: org.apache.spark.sql.SparkSession = spark
     import graft.sources.Layouts
     val tmp = writeDocs(Seq((1L, "scan merge", "en", "s0", 10L)))
@@ -295,21 +295,16 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
     val idx = java.nio.file.Files.createTempDirectory("bm25-guard").toString
     Layouts.bm25Index(docs, idx, groupBytes = 256L * 1024, pageRows = 2000)
     intercept[IllegalArgumentException] { Layouts.bm25Retract(idx, "base") }
-    // a pre-batch_id postings table (no slice dirs) refuses appends
+    // a pre-delta layout (no deltas table) refuses O(batch) maintenance
     val flat = java.nio.file.Files.createTempDirectory("bm25-flat").toString
     docs.selectExpr("'scan' AS term", "doc_id", "1L AS tf", "2L AS dl")
       .write.parquet(s"$flat/postings")
     intercept[IllegalArgumentException] {
       Layouts.bm25Append(docs, flat, batchId = Some("g1"))
     }
-    // crash between swapIn's renames: the sidecar PAIR stranded at
-    // sidecar.__old (one dir, one rename — a probe can never see a
-    // mixed old/new pair)
-    val before = ExtensionCatalog.bm25TopK(spark, idx).collect().length
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(s"$idx/sidecar"),
-      java.nio.file.Paths.get(s"$idx/sidecar.__old"))
-    ExtensionCatalog.bm25TopK(spark, idx).collect().length shouldBe before
+    // a typo'd retraction must fail loudly, not report success while
+    // the poison batch keeps serving
+    intercept[IllegalArgumentException] { Layouts.bm25Retract(idx, "nope") }
   }
 
   test("x187: streamed BM25 probes equal the batch probe per index state, " +
@@ -507,11 +502,19 @@ class ExtensionRound17Spec extends AnyFunSuite with Matchers {
   }
 
   test("x181: rendezvous assignment matches the reference argmax and every " +
-      "8-to-9 move lands on the new node") {
-    def shard(d: Long, m: Int): Long =
+      "8-to-9 move lands on the new node — including ids past the raw-" +
+      "multiply overflow point") {
+    // the mod-first quadratic lattice weight (VERDICT r17 #5): reduces
+    // the id mod the prime BEFORE any multiply, so ids past ~3.5e9 (where
+    // the old raw `doc_id * 2654435761` wrapped in Spark while DuckDB
+    // errored) weight identically in every engine
+    def shard(d: Long, m: Int): Long = {
+      val y = d % 1000000007L
       (0 until m).map(nn =>
-        ((d * 2654435761L + (nn + 1) * 97423001L) % 1000000007L, nn.toLong)).max._2
-    val ids = (0L until 100L)
+        ((y * y % 1000000007L * 2654435761L + y * 40503L
+          + (nn + 1) * 97423001L) % 1000000007L, nn.toLong)).max._2
+    }
+    val ids = (0L until 100L) ++ (4000000000L until 4000000050L)
     val tmp = writeDocs(ids.map(i => (i, "t", "en", "s0", 1L)))
     val ref = ids.map(i => (shard(i, 8), shard(i, 9)))
     val expected = ref.groupBy(_._2).toSeq.sortBy(_._1).map { case (s9, g) =>

@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** Known-answer tests for the round-18 BM25 rework (VERDICT r17 #1–#4,
+  * #8 + all four ADVICE r17 findings): slice-local df/(n, total) deltas
+  * merged on read (maintenance O(batch), retraction pure slice
+  * deletion, no sidecar swap left to race), the champion tier persisted
+  * at build time, the manifest-managed lifecycle, and the RM3 second
+  * pass.
+  */
+class ExtensionRound18Spec extends AnyFunSuite with Matchers {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def entry(name: String) = QueryCatalog.all.find(_.name == name).get
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("r18docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  /** Reference BM25 — the exact IEEE tree Bm25.score computes. */
+  private def bm25Score(tf: Long, dl: Long, df: Long, n: Long, total: Long): Double = {
+    val avgdl = total.toDouble / n
+    val idf = ((n - df) + 0.5) / (df + 0.5)
+    idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl.toDouble / avgdl))))
+  }
+
+  test("BM25 deltas table carries per-slice df rows plus ONE global row, " +
+      "and the merged read reproduces the corpus statistics") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector vector vector", "en", "s0", 25L))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-delta").toString
+    Layouts.bm25Index(spark.read.parquet(s"${writeDocs(base)}/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    val deltas = spark.read.parquet(s"$idx/deltas")
+    // df rows: scan 2, merge 1, vector 1 (term non-null, n/total null)
+    deltas.where(col("term").isNotNull)
+      .select("term", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("scan" -> 2L, "merge" -> 1L, "vector" -> 1L)
+    // exactly one global row: (n = 2 docs, total = 7 tokens)
+    val g = deltas.where(col("term").isNull)
+      .select("n", "total").collect()
+    g.length shouldBe 1
+    (g.head.getLong(0), g.head.getLong(1)) shouldBe ((2L, 7L))
+    // after an append the MERGED read sums base + batch deltas
+    Layouts.bm25Append(
+      Seq((3L, "merge vector other", "en", "s0", 18L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    val merged = spark.read.parquet(s"$idx/deltas")
+    merged.where(col("term").isNotNull)
+      .groupBy("term").agg(org.apache.spark.sql.functions.sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("scan" -> 2L, "merge" -> 2L, "vector" -> 2L, "other" -> 1L)
+    merged.where(col("term").isNull)
+      .agg(org.apache.spark.sql.functions.sum("n"),
+        org.apache.spark.sql.functions.sum("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).head shouldBe ((3L, 10L))
+  }
+
+  test("bm25Append is O(batch) on disk: every pre-existing data file is " +
+      "byte-identical and the batch lands as exactly one slice per table") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = (1L to 20L).map(i => (i, s"scan t$i t$i", "en", "s0", 10L))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-obatch").toString
+    Layouts.bm25Index(spark.read.parquet(s"${writeDocs(base)}/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    def files(): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(idx)
+      val out = scala.collection.mutable.Map.empty[String, Long]
+      java.nio.file.Files.walk(root).forEach { p =>
+        val rel = root.relativize(p).toString
+        if (java.nio.file.Files.isRegularFile(p) && !rel.endsWith("_SUCCESS")
+            && !rel.contains(".crc"))
+          out(rel) = java.nio.file.Files.size(p)
+      }
+      out.toMap
+    }
+    val before = files()
+    Layouts.bm25Append(
+      Seq((100L, "scan fresh", "en", "s0", 10L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    val after = files()
+    // nothing pre-existing was rewritten — the r17 design rewrote the
+    // whole sidecar pair here
+    before.foreach { case (rel, size) =>
+      withClue(rel) { after.get(rel) shouldBe Some(size) }
+    }
+    // the growth is exactly the batch's three slices, one data file each
+    val fresh = after.keySet -- before.keySet
+    Seq("postings", "deltas", "champions").foreach { t =>
+      withClue(t) {
+        fresh.count(f => f.startsWith(s"$t/batch_id=g1")
+          && f.endsWith(".parquet")) shouldBe 1
+      }
+    }
+    fresh.forall(_.contains("batch_id=g1")) shouldBe true
+  }
+
+  test("champion tier: persisted at build, merged-on-read across appends " +
+      "equals a from-scratch rebuild's tier") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    // C = 2: base champions for 'hot' are d2 (tf 3) and d1 (tf 2); the
+    // appended d10 (tf 4) must displace d1 in the MERGED tier
+    val base = Seq(
+      (1L, "hot hot", "en", "s0", 8L),
+      (2L, "hot hot hot", "en", "s0", 11L),
+      (3L, "hot", "en", "s0", 3L))
+    val extra = (10L, "hot hot hot hot", "en", "s0", 15L)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-champ").toString
+    Layouts.bm25Index(spark.read.parquet(s"${writeDocs(base)}/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000, champions = 2)
+    Layouts.bm25Append(
+      Seq(extra).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    val truth = java.nio.file.Files.createTempDirectory("bm25-champ-t").toString
+    Layouts.bm25Index(
+      spark.read.parquet(s"${writeDocs(base :+ extra)}/documents.parquet"),
+      truth, groupBytes = 256L * 1024, pageRows = 2000, champions = 2)
+    def tier(i: String) = graft.operators.Bm25
+      .topKChampions(spark, i, Seq("hot")).collect().map(_.toSeq).toSeq
+    tier(idx) shouldBe tier(truth)
+    // and the tier really pruned: only C = 2 docs served
+    tier(idx).length shouldBe 2
+    tier(idx).map(_(2)) shouldBe Seq(10L, 2L) // tf 4 then tf 3
+  }
+
+  test("append guard (ADVICE r17): re-appending an existing doc_id fails " +
+      "loudly, a same-batch replay passes, and the ledgered-upstream " +
+      "opt-out bypasses") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector", "en", "s0", 11L))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-dup").toString
+    Layouts.bm25Index(spark.read.parquet(s"${writeDocs(base)}/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    val dup = Seq((1L, "scan again", "en", "s0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    intercept[IllegalArgumentException] {
+      Layouts.bm25Append(dup, idx,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    }
+    // a fresh doc appends; its REPLAY (same batch id, same rows) is
+    // exempt from the guard via own-slice exclusion and lands as a
+    // dynamic-overwrite no-op
+    val fresh = Seq((9L, "merge fresh", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Layouts.bm25Append(fresh, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g2"))
+    Layouts.bm25Append(fresh, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g2"))
+    // opt-out for ledgered pipelines: the same duplicate is accepted
+    Layouts.bm25Append(dup, idx, groupBytes = 256L * 1024, pageRows = 2000,
+      batchId = Some("g3"), enforceNewDocs = false)
+  }
+
+  test("champion probe cost is independent of term df — the persisted " +
+      "tier materializes O(C) rows where the full probe reads O(df)") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    import graft.metrics.IoMetrics
+    // 'hot' lives in 30000 docs; the champion tier holds 50
+    val docs = spark.range(0, 60000).selectExpr(
+      "id AS doc_id",
+      "CASE WHEN id % 2 = 0 THEN 'hot' ELSE concat('t', CAST(id AS STRING)) END AS text")
+    val idx = java.nio.file.Files.createTempDirectory("bm25-champ-io").toString
+    Layouts.bm25Index(docs, idx, groupBytes = 16L * 1024, pageRows = 200,
+      partitions = 4)
+    def recordsFrom(table: String)(body: => Unit): Long = {
+      spark.sharedState.cacheManager.clearCache()
+      val (_, rep) = IoMetrics.measure(spark, Seq(s"$idx/$table"))(body)
+      rep.recordsRead
+    }
+    val fullRead = recordsFrom("postings") {
+      graft.operators.Bm25.topK(spark, idx, Seq("hot")).count(): Unit
+    }
+    val champRead = recordsFrom("champions") {
+      graft.operators.Bm25.topKChampions(spark, idx, Seq("hot")).count(): Unit
+    }
+    fullRead should be >= 30000L // the stop-word's whole posting range
+    champRead should be > 0L
+    // the tier read is bounded by C per slice (plus page rounding),
+    // nowhere near the term's df
+    champRead.toDouble should be < fullRead.toDouble * 0.05
+  }
+
+  test("x190: managed BM25 lifecycle serves the hand-computed full-corpus " +
+      "scoring across migrate + append + aggregating compact + append") {
+    val tmp = writeDocs(Seq(
+      (1L, "scan scan merge", "en", "s0", 15L), // base (%3 != 2)
+      (3L, "merge other other", "en", "s0", 17L), // base
+      (4L, "vector other", "en", "s0", 12L), // base
+      (2L, "scan vector vector vector", "en", "s0", 25L), // g1 (%6 == 2)
+      (5L, "merge vector scan", "en", "s0", 17L))) // g2 (%6 == 5)
+    // full corpus: n=5, total=15; df: scan=3, merge=3, vector=3
+    val got = entry("x190_bm25_managed_serve").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    def sc(tf: Long, dl: Long, df: Long) = bm25Score(tf, dl, df, 5, 15)
+    val expected = Seq(
+      ("merge", (1L, 1L, 3L), (3L, 1L, 3L), (5L, 1L, 3L)),
+      ("scan", (1L, 2L, 3L), (2L, 1L, 4L), (5L, 1L, 3L)),
+      ("vector", (2L, 3L, 4L), (4L, 1L, 2L), (5L, 1L, 3L))).flatMap {
+      case (term, a, b, c0) =>
+        val scored = Seq(a, b, c0).map { case (id, tf, dl) =>
+          (id, tf, dl, sc(tf, dl, 3L)) }
+          .sortBy { case (id, _, _, s) => (-s, id) }
+        scored.zipWithIndex.map { case ((id, tf, dl, s), i) =>
+          (term, i + 1, id, tf, dl, s) }
+    }
+    got shouldBe expected
+  }
+
+  test("managed BM25 replay AFTER a compact is caught by the new-doc " +
+      "guard — the one replay shape the fold makes unsafe") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val base = Seq((1L, "scan scan merge", "en", "s0", 15L),
+      (2L, "scan vector", "en", "s0", 11L))
+    val idx = java.nio.file.Files.createTempDirectory("bm25-refold").toString
+    Layouts.bm25Index(spark.read.parquet(s"${writeDocs(base)}/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.manageBm25(idx)
+    val batch = Seq((9L, "merge fresh", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    Layouts.bm25Append(batch, idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    Layouts.bm25Compact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    // g1's rows folded into base: a replay would re-insert them as a new
+    // g1 slice and double-count — the guard's own-slice exemption no
+    // longer shields it (the rows now live in base), so it throws
+    intercept[IllegalArgumentException] {
+      Layouts.bm25Append(batch, idx,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    }
+  }
+
+  test("x191: RM3 second pass matches an independent reference " +
+      "implementation — expansion mining, ordered weighted fold, nDCG delta") {
+    val docsSeq = Seq(
+      (1L, "scan scan aaa"),
+      (2L, "scan aaa bbb bbb"),
+      (3L, "merge merge bbb"),
+      (4L, "vector vector ccc"),
+      (5L, "aaa ccc ccc"),
+      (6L, "merge ccc"))
+    val tmp = writeDocs(docsSeq.map { case (id, tx) =>
+      (id, tx, "en", "s0", tx.length.toLong) })
+    val qs = Seq("merge", "scan", "vector")
+    // ---- independent reference on plain collections
+    val toks = docsSeq.map { case (id, tx) => id -> tx.split(" ").toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.size.toLong }
+    val n = docsSeq.size.toLong
+    val total = dl.values.sum
+    def tf(t: String, d: Long) = toks(d).count(_ == t).toLong
+    def docsWith(t: String) = toks.keys.filter(d => tf(t, d) > 0).toSeq.sorted
+    def score(t: String, d: Long) =
+      bm25Score(tf(t, d), dl(d), docsWith(t).size.toLong, n, total)
+    def top10(t: String) = docsWith(t)
+      .map(d => (d, score(t, d))).sortBy { case (d, s) => (-s, d) }.take(10)
+    val expTerms: Map[String, Seq[String]] = qs.map { q =>
+      val counts = top10(q).flatMap { case (d, _) => toks(d) }
+        .filterNot(tok => qs.contains(tok) || tok.isEmpty)
+        .groupBy(identity).map { case (tok, g) => tok -> g.size }
+      q -> counts.toSeq.sortBy { case (tok, c) => (-c, tok) }.take(5).map(_._1)
+    }.toMap
+    val expected = qs.sorted.map { q =>
+      val qmap = (expTerms(q).map(_ -> 1.0) :+ (q -> 2.0)).toMap
+      val cands = qmap.keys.flatMap(docsWith).toSeq.distinct
+      val second = cands.map { d =>
+        val ws = qmap.toSeq.filter { case (t, _) => tf(t, d) > 0 }
+          .sortBy(_._1) // ordered fold: term-ascending, like the engines
+          .foldLeft(0.0) { case (acc, (t, w)) => acc + w * score(t, d) }
+        (d, ws)
+      }.sortBy { case (d, s) => (-s, d) }.take(10)
+      def rel(d: Long) = tf(q, d) - 1
+      val dcg1 = top10(q).zipWithIndex.map { case ((d, _), i) =>
+        rel(d) * (27720L / (i + 2)) }.sum
+      val dcg2 = second.zipWithIndex.map { case ((d, _), i) =>
+        (if (tf(q, d) > 0) rel(d) else 0L) * (27720L / (i + 2)) }.sum
+      val idcg = docsWith(q).map(d => (d, rel(d))).filter(_._2 >= 1)
+        .sortBy { case (d, r) => (-r, d) }.take(10)
+        .zipWithIndex.map { case ((_, r), i) => r * (27720L / (i + 2)) }.sum
+      val (n1, n2) =
+        (if (idcg > 0) dcg1.toDouble / idcg else 0.0,
+          if (idcg > 0) dcg2.toDouble / idcg else 0.0)
+      (q, dcg1, dcg2, idcg, n1, n2, n2 - n1)
+    }
+    val got = entry("x191_rm3_second_pass").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    got shouldBe expected
+    // the fixture is chosen so expansion actually changes a ranking
+    got.exists(_._7 != 0.0) shouldBe true
+  }
+}

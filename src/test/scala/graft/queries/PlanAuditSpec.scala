@@ -169,8 +169,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       "x178_bm25_index_serve", "x180_retrieval_ndcg",
       "x182_bm25_append_serve", "x183_bm25_retract_serve",
       // x188 rides the x178 probe; x189 serves BOTH tiers, so the 1-row
-      // stats cross appears twice
-      "x188_prf_expansion", "x189_champion_recall")
+      // stats cross appears twice; x190 is the same probe over the
+      // managed generations; x191 crosses the stats once per pass plus
+      // the ≤18-row broadcast query map (an equi-join on term — only the
+      // 1-row stats crossings are nested-loop)
+      "x188_prf_expansion", "x189_champion_recall",
+      "x190_bm25_managed_serve", "x191_rm3_second_pass")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }

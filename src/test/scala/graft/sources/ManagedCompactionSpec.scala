@@ -363,6 +363,41 @@ class ManagedCompactionSpec extends AnyFunSuite with Matchers {
       .map(_.getLong(0)).sorted.toSeq shouldBe vRows
   }
 
+  test("managed BM25: appends land sealed across a CONCURRENT aggregating " +
+      "compact and the serve equals an uncompacted control") {
+    // the fifth managed family (round 18): three per-table manifests,
+    // fold shapes that actually merge (df deltas summed, champions
+    // re-selected) — a batch may fold in one table while staying live in
+    // another, which is safe exactly because every generation of a table
+    // is content-equivalent under the merge-on-read probe
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    def run(compactDuring: Boolean): Seq[Seq[Any]] = {
+      val idx = java.nio.file.Files.createTempDirectory("mgd-bm25").toString
+      Layouts.bm25Index(docs.where(col("doc_id") % 4 === 0), idx,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      Layouts.manageBm25(idx)
+      Layouts.bm25Append(docs.where(col("doc_id") % 4 === 1), idx,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("r1-b0"))
+      val compact = if (compactDuring) Some(Future {
+        Layouts.bm25Compact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+      }) else None
+      Layouts.bm25Append(docs.where(col("doc_id") % 4 === 2), idx,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("r1-b1"))
+      compact.foreach(Await.result(_, 120.seconds))
+      Layouts.bm25Append(docs.where(col("doc_id") % 4 === 3), idx,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("r1-b2"))
+      graft.operators.Bm25
+        .topK(spark, idx, Seq("scan", "merge", "vector"))
+        .collect().map(_.toSeq).toSeq
+    }
+    val control = run(compactDuring = false)
+    control should not be empty
+    run(compactDuring = true) shouldBe control
+  }
+
   test("managePosting finishes a crashed predecessor's publish") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val conf = spark.sparkContext.hadoopConfiguration
