@@ -416,8 +416,22 @@ object ScaleSweep {
               batchId = Some("rx"), enforceNewDocs = false); n0
           } else graft.sources.Layouts.bm25Append(shard, bmDir,
             batchId = Some("rx"), enforceNewDocs = false)
-          if (want("bm25_retract")) record("bm25_retract", c) {
-            graft.sources.Layouts.bm25Retract(bmDir, "rx")(spark); n0
+          if (want("bm25_retract")) {
+            // the fail-loud retract (round 18) refuses to drop the same
+            // id twice, so a repeat-N cell stages N fresh id-shifted
+            // slices up front and pops one per timed run
+            val ids = (1 to repeat).map(i => s"rx$i")
+            ids.zipWithIndex.foreach { case (id, i) =>
+              graft.sources.Layouts.bm25Append(
+                shard.withColumn("doc_id",
+                  col("doc_id") + lit((i + 1) * 10000000L)),
+                bmDir, batchId = Some(id), enforceNewDocs = false)
+            }
+            val next = new java.util.concurrent.atomic.AtomicInteger(0)
+            record("bm25_retract", c) {
+              graft.sources.Layouts.bm25Retract(
+                bmDir, ids(next.getAndIncrement()))(spark); n0
+            }
           }
         } finally scala.reflect.io.Directory(
           new java.io.File(bmDir)).deleteRecursively()
