@@ -9580,7 +9580,8 @@ object ExtensionCatalog {
     "build_x178_bm25_index" -> ((s, dir) => { stagedBm25Index(s, dir); () }),
     "build_x182_bm25_append" -> ((s, dir) => { stagedBm25AppendIndex(s, dir); () }),
     "build_x183_bm25_retract" -> ((s, dir) => { stagedBm25RetractIndex(s, dir); () }),
-    "build_x187_stream_bm25" -> ((s, dir) => { stagedStreamBm25Ledger(s, dir); () }))
+    "build_x187_stream_bm25" -> ((s, dir) => { stagedStreamBm25Ledger(s, dir); () }),
+    "build_x190_bm25_managed" -> ((s, dir) => { stagedBm25ManagedIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
