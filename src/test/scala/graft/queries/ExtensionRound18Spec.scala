@@ -249,6 +249,43 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("BM25 lifecycle equivalence: a managed append/retract/compact " +
+      "sequence serves exactly the from-scratch build of the survivors " +
+      "— full tier AND champion tier") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val docs = spark.read
+      .parquet(s"${SparkTestSession.sf0001}/documents.parquet")
+    def part(m: Int) = docs.where(col("doc_id") % 5 === m)
+    val idx = java.nio.file.Files.createTempDirectory("bm25-life").toString
+    Layouts.bm25Index(part(0), idx,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.manageBm25(idx)
+    Layouts.bm25Append(part(1), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+    Layouts.bm25Append(part(2), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g2"))
+    Layouts.bm25Retract(idx, "g2")
+    Layouts.bm25Compact(idx, groupBytes = 256L * 1024, pageRows = 2000)
+    Layouts.bm25Append(part(3), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g3"))
+    Layouts.bm25Append(part(4), idx,
+      groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g4"))
+    Layouts.bm25Retract(idx, "g4")
+    // survivors: %5 in {0, 1, 3}
+    val truth = java.nio.file.Files.createTempDirectory("bm25-life-t").toString
+    Layouts.bm25Index(docs.where(col("doc_id") % 5 isin (0, 1, 3)), truth,
+      groupBytes = 256L * 1024, pageRows = 2000)
+    val qs = Seq("scan", "merge", "vector", "filter", "stream")
+    def rows(f: (org.apache.spark.sql.SparkSession, String, Seq[String], Int) =>
+        org.apache.spark.sql.DataFrame)(i: String) =
+      f(spark, i, qs, 10).collect().map(_.toSeq).toSeq
+    rows(graft.operators.Bm25.topK(_, _, _, _))(idx) shouldBe
+      rows(graft.operators.Bm25.topK(_, _, _, _))(truth)
+    rows(graft.operators.Bm25.topKChampions(_, _, _, _))(idx) shouldBe
+      rows(graft.operators.Bm25.topKChampions(_, _, _, _))(truth)
+  }
+
   test("x191: RM3 second pass matches an independent reference " +
       "implementation — expansion mining, ordered weighted fold, nDCG delta") {
     val docsSeq = Seq(
