@@ -8500,7 +8500,94 @@ object ExtensionCatalog {
         "off the persisted BM25 index, nDCG@10 delta vs the first pass " +
         "under x180's graded-tf qrels — ordered per-doc score folds keep " +
         "the cross-term float sum bit-reproducible across engines " +
-        "(extension: retrieval / query expansion / evaluation)")
+        "(extension: retrieval / query expansion / evaluation)"),
+
+    CatalogEntry(
+      "x192_phrase_index_serve",
+      (s, dir) => {
+        // Exact-phrase retrieval off the persisted POSITIONAL index
+        // (Layouts.positionalIndex — the sixth persisted index family,
+        // riding the generic sorted-table lifecycle unchanged): slot
+        // algebra turns adjacency into an equi-group — slot i matching
+        // at position p votes for start p − i, a start holding all
+        // |phrase| slots is an occurrence. The probe reads only the
+        // phrase terms' posting ranges (In(term, ...) row-group
+        // pruning) and shuffles only the matching rows on (doc_id,
+        // start) — O(matching postings), never a corpus text scan; the
+        // oracle recomputes from raw text positions, so a stale or
+        // misplaced position row fails the hash gate.
+        graft.operators.Phrase.topK(s,
+          stagedPositionalIndex(s, dir), Seq("table", "hash"), 10)
+      },
+      Some(phraseTopKOracle("documents")),
+      "exact-phrase top-10 served off the persisted positional index " +
+        "(slot-algebra adjacency: term-pruned probe + one (doc, start) " +
+        "shuffle over matching postings only) — the phrase-retrieval " +
+        "capability bag-of-words BM25 cannot express (extension: " +
+        "retrieval / index serving)"),
+
+    CatalogEntry(
+      "x193_phrase_decontam",
+      (s, dir) => {
+        // Phrase-level eval-set decontamination — the audit a training
+        // pipeline runs before a release: for each eval phrase, how
+        // many corpus docs quote it verbatim and how often. ONE pruned
+        // probe serves all phrases (the broadcast slot table carries a
+        // phrase id + length); overlapping and repeated-term phrases
+        // fall out of the same slot algebra. n-gram decontamination
+        // (x128/x146) flags token-set overlap; this is the exact-
+        // adjacency complement that catches verbatim quotes n-gram
+        // Jaccard dilutes.
+        graft.operators.Phrase.audit(s, stagedPositionalIndex(s, dir),
+          Seq(Seq("slow", "hash", "batch"), Seq("merge", "group"),
+            Seq("part", "filter", "scan")))
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |pos AS (SELECT doc_id, pos, sp[pos] AS term
+             |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+             |slots AS (SELECT * FROM (VALUES
+             |  ('slow hash batch', 0, 'slow', 3),
+             |  ('slow hash batch', 1, 'hash', 3),
+             |  ('slow hash batch', 2, 'batch', 3),
+             |  ('merge group', 0, 'merge', 2),
+             |  ('merge group', 1, 'group', 2),
+             |  ('part filter scan', 0, 'part', 3),
+             |  ('part filter scan', 1, 'filter', 3),
+             |  ('part filter scan', 2, 'scan', 3)) s(phrase, slot, term, plen)),
+             |hits AS (SELECT s.phrase, p.doc_id, p.pos - s.slot AS start,
+             |    s.slot, s.plen
+             |  FROM pos p JOIN slots s USING (term)),
+             |occ AS (SELECT phrase, doc_id, start FROM hits
+             |  GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT slot) = MAX(plen))
+             |SELECT phrase, COUNT(DISTINCT doc_id) AS n_docs,
+             |  COUNT(*) AS n_occ
+             |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin),
+      "phrase-level eval-set decontamination off the positional index: " +
+        "per eval phrase, verbatim-quote doc and occurrence counts from " +
+        "ONE term-pruned probe (phrase-tagged slot table, adjacency per " +
+        "(phrase, doc, start)) — the exact complement of n-gram overlap " +
+        "decontamination (extension: retrieval / privacy / evaluation)"),
+
+    CatalogEntry(
+      "x194_phrase_append_serve",
+      (s, dir) => {
+        // The positional family's O(batch) maintenance under the value
+        // gate: base index on %2 == 0 docs, manageSortedTable migration,
+        // sealed positionalAppend of the odd half (REPLAYED — the
+        // dynamic-overwrite no-op), then the x192 phrase serve. The
+        // oracle recomputes over ALL docs, so a dropped slice, a
+        // double-counted replay, or an append the probe cannot see all
+        // change an occurrence count or a rank. Zero new protocol code:
+        // the sixth family reuses the generic sorted-table engine as-is.
+        graft.operators.Phrase.topK(s,
+          stagedPositionalAppendIndex(s, dir), Seq("table", "hash"), 10)
+      },
+      Some(phraseTopKOracle("documents")),
+      "positional-index lifecycle under the value gate: manage + sealed " +
+        "O(batch) append + replay no-op on the generic sorted-table " +
+        "manifest engine (zero new protocol code for the sixth persisted " +
+        "family), phrase serve equals the full-corpus recompute " +
+        "(extension: retrieval / index maintenance)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after
@@ -8534,6 +8621,24 @@ object ExtensionCatalog {
        |  FROM scored)
        |SELECT term, rank, doc_id, tf, dl, score FROM ranked
        |WHERE rank <= 10 ORDER BY term, rank""".stripMargin
+
+  /** DuckDB replay of the x192/x194 phrase top-10: token positions from
+    * the split-list lateral, slot-algebra adjacency, rank by
+    * (occurrences desc, doc_id).
+    */
+  private def phraseTopKOracle(table: String): String =
+    s"""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM $table),
+       |pos AS (SELECT doc_id, pos, sp[pos] AS term
+       |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+       |slots AS (SELECT * FROM (VALUES (0, 'table'), (1, 'hash')) s(slot, term)),
+       |hits AS (SELECT p.doc_id, p.pos - s.slot AS start, s.slot
+       |  FROM pos p JOIN slots s USING (term)),
+       |occ AS (SELECT doc_id, start FROM hits
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT slot) = 2),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+       |rk AS (SELECT doc_id, n_occ,
+       |  ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id) AS rank FROM cnt)
+       |SELECT rank, doc_id, n_occ FROM rk WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   /** DuckDB replay of the banded-SimHash index probe over a given index
     * membership predicate — shared by x173 (full lifecycle) and x174
@@ -8764,6 +8869,42 @@ object ExtensionCatalog {
         q.processAllAvailable()
       } finally q.stop()
       s"$base/ledger"
+    })
+
+  /** x192/x193 staging: the positional term index, written ONCE per
+    * fixture dir via [[graft.sources.Layouts.positionalIndex]] — fine
+    * page granularity at fixture scale so the phrase probe has row
+    * groups to prune.
+    */
+  private val positionalDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPositionalIndex(s: SparkSession, dir: String): String =
+    positionalDirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-posidx")
+      graft.sources.Layouts.positionalIndex(t(s, dir, "documents"), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
+    })
+
+  /** x194 staging: positional index on the even half → manageSortedTable
+    * migration → sealed append of the odd half → the SAME append
+    * REPLAYED (dynamic-overwrite no-op). Together the halves are the
+    * full corpus, so the serve must equal x192's full-corpus oracle.
+    */
+  private val positionalAppendDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPositionalAppendIndex(s: SparkSession, dir: String): String =
+    positionalAppendDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-posapp")
+      graft.sources.Layouts.positionalIndex(
+        t(s, dir, "documents").where(col("doc_id") % 2 === 0), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.manageSortedTable(out)
+      val odd = t(s, dir, "documents").where(col("doc_id") % 2 === 1)
+      graft.sources.Layouts.positionalAppend(odd, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      graft.sources.Layouts.positionalAppend(odd, out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      out
     })
 
   /** x139 staging: the even-id "existing corpus" EXACT-jaccard index,
@@ -9581,7 +9722,9 @@ object ExtensionCatalog {
     "build_x182_bm25_append" -> ((s, dir) => { stagedBm25AppendIndex(s, dir); () }),
     "build_x183_bm25_retract" -> ((s, dir) => { stagedBm25RetractIndex(s, dir); () }),
     "build_x187_stream_bm25" -> ((s, dir) => { stagedStreamBm25Ledger(s, dir); () }),
-    "build_x190_bm25_managed" -> ((s, dir) => { stagedBm25ManagedIndex(s, dir); () }))
+    "build_x190_bm25_managed" -> ((s, dir) => { stagedBm25ManagedIndex(s, dir); () }),
+    "build_x192_positional" -> ((s, dir) => { stagedPositionalIndex(s, dir); () }),
+    "build_x194_positional_append" -> ((s, dir) => { stagedPositionalAppendIndex(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file

@@ -225,6 +225,68 @@ object Layouts {
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
 
+  /** The ONE definition of a doc batch's POSITIONAL posting rows
+    * (term, doc_id, pos — 1-based token position under x52's whitespace
+    * split), shared by [[positionalIndex]] and [[positionalAppend]] —
+    * the [[postingRows]]/[[bm25PostingRows]] single-definition rule.
+    */
+  private def positionalRows(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      org.apache.spark.sql.functions.posexplode(
+        org.apache.spark.sql.functions.split(col(textCol), " ")))
+      .select(col("doc_id"), col("col").as("term"),
+        (col("pos") + 1).cast("long").as("pos"))
+
+  /** Positional term index, PERSISTED: (term, doc_id, pos) rows
+    * range-partitioned + sorted on the term — the layout exact-PHRASE
+    * retrieval needs (eval-set decontamination by phrase, quote
+    * detection, adjacency search), which the bag-of-words BM25 postings
+    * cannot express. A phrase probe reads only the phrase's terms'
+    * posting ranges (`In(term, ...)` row-group pruning) and verifies
+    * adjacency with a shuffle keyed on (doc_id, start) over just those
+    * rows — O(matching postings), never a corpus text scan
+    * ([[graft.operators.Phrase]]). The table is ONE batch-sliced
+    * sorted-stats table at `path`, i.e. exactly [[sortedTableAppend]]'s
+    * geometry: the whole manifest lifecycle comes for free —
+    * [[manageSortedTable]] to migrate, [[positionalAppend]] for sealed
+    * O(batch) appends, [[sortedRebase]]`(path, Seq("term"))` for the
+    * no-quiesce compact, [[dropBatch]] to retract. The index is
+    * token-count-sized (one row per token, vs one per distinct
+    * (term, doc) pair for BM25); a stop-word-heavy phrase still prunes
+    * to its rarest term's df after the first join — order probes by
+    * ascending df upstream when that matters.
+    */
+  def positionalIndex(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      partitions: Int = 0): Unit =
+    sortedStats(positionalRows(docs, idCol, textCol), path, Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+      batchId = Some("base"))
+
+  /** Incremental maintenance of a persisted positional index: the
+    * batch's (term, doc_id, pos) rows land as their own sealed
+    * `batch_id` slice via [[sortedTableAppend]] — per-doc independent
+    * like every posting family, so append ≡ rebuild holds trivially and
+    * an explicit `batchId` replays as a dynamic-overwrite no-op.
+    */
+  def positionalAppend(
+      docs: DataFrame,
+      path: String,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      groupBytes: Long = 128L * 1024 * 1024,
+      pageRows: Int = 20000,
+      batchId: Option[String] = None): Unit =
+    sortedTableAppend(positionalRows(docs, idCol, textCol), path, Seq("term"),
+      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+      batchId = batchId)
+
   /** BM25 term-posting index, PERSISTED as three batch-sliced sorted
     * tables under `path` — every table SLICE-LOCAL, so maintenance is
     * O(batch) and retraction is pure slice deletion. (The round-17

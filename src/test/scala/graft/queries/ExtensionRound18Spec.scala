@@ -286,6 +286,60 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
       rows(graft.operators.Bm25.topKChampions(_, _, _, _))(truth)
   }
 
+  test("Phrase slot algebra: overlapping occurrences and repeated-term " +
+      "phrases count exactly") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val tmp = writeDocs(Seq((1L, "a a a b", "en", "s0", 7L)))
+    val idx = java.nio.file.Files.createTempDirectory("pos-overlap").toString
+    Layouts.positionalIndex(spark.read.parquet(s"$tmp/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    def occ(p: Seq[String]) = graft.operators.Phrase
+      .occurrences(spark, idx, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    occ(Seq("a", "a")) shouldBe Map(1L -> 2L) // starts 1 and 2 overlap
+    occ(Seq("a", "b")) shouldBe Map(1L -> 1L)
+    occ(Seq("a", "a", "a")) shouldBe Map(1L -> 1L)
+    occ(Seq("b", "a")) shouldBe Map.empty
+  }
+
+  test("x192: phrase top-k ranks by occurrence count with doc_id ties") {
+    val tmp = writeDocs(Seq(
+      (1L, "table hash table hash x", "en", "s0", 23L), // 2 occurrences
+      (2L, "table hash y", "en", "s0", 12L), // 1
+      (3L, "table y hash", "en", "s0", 12L), // gap — not a phrase hit
+      (4L, "hash table hash", "en", "s0", 15L))) // 1 (start 2)
+    val got = entry("x192_phrase_index_serve").build(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq((1, 1L, 2L), (2, 2L, 1L), (3, 4L, 1L))
+  }
+
+  test("x193: multi-phrase decontamination audit counts docs and " +
+      "occurrences per phrase from one probe") {
+    val tmp = writeDocs(Seq(
+      (1L, "slow hash batch merge group", "en", "s0", 27L),
+      (2L, "merge group merge group", "en", "s0", 23L),
+      (3L, "part filter scan", "en", "s0", 16L),
+      (4L, "part filter x scan", "en", "s0", 18L)))
+    val got = entry("x193_phrase_decontam").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq(
+      ("merge group", 2L, 3L),
+      ("part filter scan", 1L, 1L),
+      ("slow hash batch", 1L, 1L))
+  }
+
+  test("x194: positional append + replay serves the full corpus — the " +
+      "sixth family's lifecycle on the generic engine") {
+    val tmp = writeDocs(Seq(
+      (2L, "table hash", "en", "s0", 10L), // base (even)
+      (4L, "hash table", "en", "s0", 10L), // base, reversed — no hit
+      (1L, "table hash table hash", "en", "s0", 21L))) // appended (odd)
+    val got = entry("x194_phrase_append_serve").build(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq((1, 1L, 2L), (2, 2L, 1L))
+  }
+
   test("x191: RM3 second pass matches an independent reference " +
       "implementation — expansion mining, ordered weighted fold, nDCG delta") {
     val docsSeq = Seq(
