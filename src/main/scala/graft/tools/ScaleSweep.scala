@@ -246,7 +246,8 @@ object ScaleSweep {
         "ingest_probe_banded", "jaccard_index_build", "ingest_probe_exact",
         "simhash_index_build", "simhash_probe", "retract_folded",
         "bm25_index_build", "bm25_serve", "bm25_append", "bm25_retract",
-        "bm25_append_guard")
+        "bm25_append_guard", "positional_index_build", "phrase_serve",
+        "positional_append")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -391,6 +392,32 @@ object ScaleSweep {
           }
         } finally scala.reflect.io.Directory(
           new java.io.File(bmDir)).deleteRecursively()
+      }
+      // Round-18 family: the positional index + exact-phrase serving
+      // (x192/x194). Build is one posexplode + range sort — token-count-
+      // sized, ~linear. The serve cell probes a FIXED 2-term phrase: the
+      // scan prunes to the phrase terms' posting ranges and the only
+      // shuffle is (doc_id, start) over matching rows — the O(matching
+      // postings) claim. Append is a FIXED-size batch slice, O(batch).
+      if (want("positional_index_build") || want("phrase_serve")
+          || want("positional_append")) {
+        val pDir = java.nio.file.Files.createTempDirectory(s"sweep-pos$c").toString
+        try {
+          def buildIt(): Unit =
+            graft.sources.Layouts.positionalIndex(docs, pDir, partitions = 16)
+          if (want("positional_index_build"))
+            record("positional_index_build", c) { buildIt(); n0 * c }
+          else buildIt()
+          if (want("phrase_serve")) record("phrase_serve", c) {
+            graft.operators.Phrase
+              .topK(spark, pDir, Seq("table", "hash")).count()
+          }
+          if (want("positional_append")) record("positional_append", c) {
+            graft.sources.Layouts.positionalAppend(shard, pDir,
+              batchId = Some("rx")); n0
+          }
+        } finally scala.reflect.io.Directory(
+          new java.io.File(pDir)).deleteRecursively()
       }
       // Round-18 family: BM25 incremental maintenance (x182/x183), now
       // O(batch) end to end — a FIXED-size batch (the shard) lands on a
