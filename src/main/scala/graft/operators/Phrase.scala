@@ -23,6 +23,19 @@ object Phrase {
 
   /** (doc_id, n_occ): exact occurrence count of `phrase` per document
     * containing it at least once.
+    *
+    * Multi-term phrases intersect RAREST TERM FIRST before the
+    * adjacency shuffle: every occurrence doc must contain every phrase
+    * term, so semi-joining the other terms' postings against the rarest
+    * term's doc set shrinks the (doc_id, start) shuffle from
+    * Σ(term dfs) to ≤ |phrase| · min(term df) rows — the lever that
+    * keeps a stop-word-heavy phrase priced at its RAREST term, not its
+    * commonest (the positional analog of the BM25 champion tier). The
+    * per-term df feeding the choice is an aggregate over the
+    * already-pruned rows whose result is ≤ |phrase| rows (a bounded
+    * collect, like the probes' 1-row meta reads) — never an index pass;
+    * a phrase term absent from the corpus short-circuits to the empty
+    * result before any shuffle runs.
     */
   def occurrences(
       spark: SparkSession,
@@ -34,11 +47,26 @@ object Phrase {
     val slots = broadcast(
       phrase.zipWithIndex.map { case (t, i) => (i.toLong, t) }
         .toDF("slot", "term"))
+    val distinctTerms = phrase.distinct
     val post = spark.read
       .parquet(graft.sources.Layouts.indexRoot(indexPath))
-      .where(col("term").isin(phrase.distinct: _*))
+      .where(col("term").isin(distinctTerms: _*))
       .select("term", "doc_id", "pos")
-    post.join(slots, "term")
+    val scoped =
+      if (distinctTerms.length <= 1) post
+      else {
+        val dfs = post.groupBy("term")
+          .agg(countDistinct("doc_id").as("df")).collect()
+        if (dfs.length < distinctTerms.length) post.limit(0)
+        else {
+          val rarest = dfs
+            .minBy(r => (r.getLong(1), r.getString(0))).getString(0)
+          post.join(
+            post.where(col("term") === rarest).select("doc_id").distinct(),
+            Seq("doc_id"), "left_semi")
+        }
+      }
+    scoped.join(slots, "term")
       .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
         col("slot"))
       .groupBy("doc_id", "start")
@@ -70,7 +98,11 @@ object Phrase {
     * corpus — ONE pruned index probe for all phrases at once (the slot
     * table carries a phrase id and its length; adjacency verifies per
     * (phrase, doc, start)). Phrases with zero occurrences produce no
-    * row, matching a SQL replay's inner-grouped shape.
+    * row, matching a SQL replay's inner-grouped shape. The single-probe
+    * design trades [[occurrences]]' per-phrase rarest-term intersection
+    * for one shared index scan — right when the phrase list is long and
+    * its terms rare (the decontamination case); a lone stop-word-heavy
+    * phrase is better served through [[occurrences]].
     */
   def audit(
       spark: SparkSession,

@@ -301,6 +301,10 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
     occ(Seq("a", "b")) shouldBe Map(1L -> 1L)
     occ(Seq("a", "a", "a")) shouldBe Map(1L -> 1L)
     occ(Seq("b", "a")) shouldBe Map.empty
+    // a term absent from the corpus short-circuits the probe to empty
+    // before the rarest-term intersection can even pick a candidate set
+    occ(Seq("a", "zzz")) shouldBe Map.empty
+    occ(Seq("b")) shouldBe Map(1L -> 1L) // single-term: n_occ = tf
   }
 
   test("x192: phrase top-k ranks by occurrence count with doc_id ties") {
