@@ -131,4 +131,158 @@ object Phrase {
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"))
       .orderBy("phrase")
   }
+
+  /** Proximity (span-near) retrieval: per document, the number of
+    * ANCHOR-term occurrences that have every other query term within
+    * ±`window` token positions — unordered co-occurrence, the semantics
+    * between bag-of-words BM25 (no locality at all) and [[occurrences]]
+    * (exact adjacency). The anchor is `terms.head` BY CONTRACT (the
+    * count is anchor-relative, so the choice is semantics, not an
+    * optimization); rarest-term doc-set intersection still runs first
+    * as pure cost control — a qualifying anchor's doc necessarily
+    * contains every term, so semi-joining on the rarest term's docs
+    * never changes the result, only shrinks the band joins from
+    * Σ(term dfs) toward |phrase| · min(term df). Each non-anchor term
+    * then prunes anchors with ONE left-semi band join on
+    * (doc_id, |pos − p| ≤ window) — k−1 joins over already-pruned
+    * postings, never a corpus pass.
+    */
+  def near(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      window: Int): DataFrame = {
+    require(terms.nonEmpty, "near needs at least one term")
+    require(terms.distinct.length == terms.length,
+      "near terms must be distinct — a repeated term is satisfied by the " +
+        "anchor occurrence itself; use occurrences for repeated-term shapes")
+    require(window >= 1, s"window must be >= 1 (got $window)")
+    implicit val s: SparkSession = spark
+    val post = spark.read
+      .parquet(graft.sources.Layouts.indexRoot(indexPath))
+      .where(col("term").isin(terms: _*))
+      .select("term", "doc_id", "pos")
+    val scoped =
+      if (terms.length <= 1) post
+      else {
+        val dfs = post.groupBy("term")
+          .agg(countDistinct("doc_id").as("df")).collect()
+        if (dfs.length < terms.length) post.limit(0)
+        else {
+          val rarest = dfs
+            .minBy(r => (r.getLong(1), r.getString(0))).getString(0)
+          post.join(
+            post.where(col("term") === rarest).select("doc_id").distinct(),
+            Seq("doc_id"), "left_semi")
+        }
+      }
+    val anchors = scoped.where(col("term") === terms.head)
+      .select(col("doc_id"), col("pos").as("p"))
+    terms.tail
+      .foldLeft(anchors) { (acc, t) =>
+        acc.join(
+          scoped.where(col("term") === t)
+            .select(col("doc_id").as("__d"), col("pos").as("__q")),
+          acc("doc_id") === col("__d") &&
+            abs(col("__q") - acc("p")) <= window,
+          "left_semi")
+      }
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+  }
+
+  /** Top-k documents by span-near co-occurrence count (desc, doc_id) —
+    * [[topK]]'s ranking contract over [[near]].
+    */
+  def nearTopK(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      window: Int,
+      k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n_near"), asc("doc_id"))
+    near(spark, indexPath, terms, window)
+      .orderBy(desc("n_near"), asc("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select("rank", "doc_id", "n_near")
+      .orderBy("rank")
+  }
+
+  /** Gapped-phrase (wildcard-slot) occurrence counts: `slots` gives the
+    * CONCRETE (position, term) pairs of a template of length `len` —
+    * "merge _ join" is `Seq((0, "merge"), (2, "join")), len = 3` — and a
+    * start collecting every concrete slot is a match; the wildcard
+    * positions are satisfied by construction (token positions are
+    * contiguous, and the first and last slots are required concrete, so
+    * every interior position holds SOME token). The same slot algebra as
+    * [[occurrences]], just sparse — one pruned probe, one (doc, start)
+    * shuffle over matching postings. This is the template detector for
+    * boilerplate with variable fields ("click _ to subscribe"), which
+    * exact-phrase matching misses and bag-of-words floods.
+    */
+  def gapped(
+      spark: SparkSession,
+      indexPath: String,
+      slots: Seq[(Int, String)],
+      len: Int): DataFrame = {
+    require(slots.nonEmpty, "gapped needs at least one concrete slot")
+    require(slots.map(_._1).distinct.length == slots.length,
+      "slot positions must be distinct")
+    require(slots.forall(s => s._1 >= 0 && s._1 < len),
+      s"slot positions must lie in [0, $len)")
+    require(slots.exists(_._1 == 0) && slots.exists(_._1 == len - 1),
+      "first and last template slots must be concrete terms — a leading " +
+        "or trailing wildcard would need a doc-length check the position " +
+        "algebra alone cannot provide")
+    implicit val s: SparkSession = spark
+    import spark.implicits._
+    val slotDf = broadcast(
+      slots.map { case (i, t) => (i.toLong, t) }.toDF("slot", "term"))
+    val distinctTerms = slots.map(_._2).distinct
+    val post = spark.read
+      .parquet(graft.sources.Layouts.indexRoot(indexPath))
+      .where(col("term").isin(distinctTerms: _*))
+      .select("term", "doc_id", "pos")
+    post.join(slotDf, "term")
+      .select(col("doc_id"), (col("pos") - col("slot")).as("start"),
+        col("slot"))
+      .groupBy("doc_id", "start")
+      .agg(countDistinct("slot").as("k"))
+      .where(col("k") === slots.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
+  /** [[audit]]'s algebra over a BOUNDED batch of raw documents instead
+    * of the persisted index: (doc_id, phrase, n_occ) for every verbatim
+    * eval-phrase quote in the batch — the admit-time decontamination
+    * gate a streaming ingest runs per micro-batch
+    * ([[graft.streaming.StreamDecontam]]), where tokenizing the batch
+    * (posexplode of the whitespace split, the index family's exact
+    * tokenization) is O(batch tokens) and the phrase table is a
+    * broadcast. Docs quoting no phrase produce no row.
+    */
+  def contaminated(
+      docs: DataFrame,
+      phrases: Seq[Seq[String]],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "contaminated needs at least one non-empty phrase")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val slots = broadcast(phrases.flatMap { p =>
+      p.zipWithIndex.map { case (t, i) =>
+        (p.mkString(" "), i.toLong, t, p.length.toLong) }
+    }.toDF("phrase", "slot", "term", "plen"))
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos0", "term")))
+      .join(slots, "term")
+      .select(col("phrase"), col("doc_id"),
+        (col("pos0") - col("slot")).as("start"), col("slot"), col("plen"))
+      .groupBy("phrase", "doc_id", "start")
+      .agg(countDistinct("slot").as("k"), max("plen").as("plen"))
+      .where(col("k") === col("plen"))
+      .groupBy("doc_id", "phrase")
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }

@@ -8587,7 +8587,150 @@ object ExtensionCatalog {
         "O(batch) append + replay no-op on the generic sorted-table " +
         "manifest engine (zero new protocol code for the sixth persisted " +
         "family), phrase serve equals the full-corpus recompute " +
-        "(extension: retrieval / index maintenance)")
+        "(extension: retrieval / index maintenance)"),
+
+    CatalogEntry(
+      "x195_phrase_retract_serve",
+      (s, dir) => {
+        // The positional family's RETRACTION under the value gate —
+        // the lifecycle leg x194 doesn't cover (x164's shape for the
+        // sixth family): base index on the %3 != 2 docs, managed, the
+        // %3 == 2 batch appended as its own sealed slice, then that
+        // slice retracted via the O(batch-files) dropBatch directory
+        // delete across retained generations. The oracle recomputes
+        // phrase occurrences over the SURVIVORS only, so a leaked
+        // retracted posting (extra occurrences, wrong ranks) and an
+        // over-deleted base (missing occurrences) both break the hash.
+        graft.operators.Phrase.topK(s,
+          stagedPositionalRetractIndex(s, dir), Seq("table", "hash"), 10)
+      },
+      Some(phraseTopKOracle(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 2) AS d")),
+      "positional-index retraction under the value gate: the appended " +
+        "batch slice dropped via the O(batch-files) directory delete on " +
+        "the managed layout, phrase serve equals the survivor-only " +
+        "recompute — the sixth family completes the retract story " +
+        "(extension: retrieval / index maintenance)"),
+
+    CatalogEntry(
+      "x196_span_near",
+      (s, dir) => {
+        // Proximity (span-near) retrieval off the positional index:
+        // anchor-term occurrences with every other query term within
+        // ±3 token positions — the unordered-locality semantics between
+        // bag-of-words BM25 (no locality) and exact phrase (adjacency),
+        // the operator behind "hash near join near sort" concept
+        // co-occurrence mining. Anchor = terms.head BY CONTRACT; the
+        // rarest-term doc intersection and the k−1 left-semi band joins
+        // run over term-pruned postings only — O(matching postings),
+        // never a corpus scan (graft.operators.Phrase.near).
+        graft.operators.Phrase.nearTopK(s,
+          stagedPositionalIndex(s, dir), Seq("hash", "join", "sort"), 3, 10)
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |pos AS (SELECT doc_id, pos, sp[pos] AS term
+             |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+             |a AS (SELECT doc_id, pos AS p FROM pos WHERE term = 'hash'),
+             |m AS (SELECT a.doc_id, a.p FROM a
+             |  WHERE EXISTS (SELECT 1 FROM pos b WHERE b.doc_id = a.doc_id
+             |    AND b.term = 'join' AND abs(b.pos - a.p) <= 3)
+             |  AND EXISTS (SELECT 1 FROM pos c WHERE c.doc_id = a.doc_id
+             |    AND c.term = 'sort' AND abs(c.pos - a.p) <= 3)),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n_near FROM m GROUP BY 1),
+             |rk AS (SELECT doc_id, n_near,
+             |  ROW_NUMBER() OVER (ORDER BY n_near DESC, doc_id) AS rank FROM cnt)
+             |SELECT rank, doc_id, n_near FROM rk WHERE rank <= 10
+             |ORDER BY rank""".stripMargin),
+      "proximity (span-near) retrieval off the positional index: anchor " +
+        "occurrences with all other terms within a ±3 window, rarest-term " +
+        "doc intersection + per-term left-semi band joins over pruned " +
+        "postings — unordered locality between bag-of-words and exact " +
+        "phrase (extension: retrieval / index serving)"),
+
+    CatalogEntry(
+      "x197_gapped_phrase",
+      (s, dir) => {
+        // Wildcard-slot template matching off the positional index:
+        // "merge _ join" = concrete slots {0: merge, 2: join} of a
+        // length-3 template — the boilerplate-with-variable-fields
+        // detector ("click _ to subscribe") exact phrase misses and
+        // bag-of-words floods. Same sparse slot algebra and the same
+        // pruned probe + (doc, start) shuffle as x192; interior
+        // wildcards are satisfied by position contiguity, so no doc-
+        // length check is needed (first/last slots concrete, enforced).
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_occ"), asc("doc_id"))
+        graft.operators.Phrase.gapped(s,
+            stagedPositionalIndex(s, dir), Seq(0 -> "merge", 2 -> "join"), 3)
+          .orderBy(desc("n_occ"), asc("doc_id")).limit(15)
+          .withColumn("rank", row_number().over(w))
+          .select("rank", "doc_id", "n_occ")
+          .orderBy("rank")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |pos AS (SELECT doc_id, pos, sp[pos] AS term
+             |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+             |slots AS (SELECT * FROM (VALUES (0, 'merge'), (2, 'join')) s(slot, term)),
+             |hits AS (SELECT p.doc_id, p.pos - s.slot AS start, s.slot
+             |  FROM pos p JOIN slots s USING (term)),
+             |occ AS (SELECT doc_id, start FROM hits
+             |  GROUP BY 1, 2 HAVING COUNT(DISTINCT slot) = 2),
+             |cnt AS (SELECT doc_id, COUNT(*) AS n_occ FROM occ GROUP BY 1),
+             |rk AS (SELECT doc_id, n_occ,
+             |  ROW_NUMBER() OVER (ORDER BY n_occ DESC, doc_id) AS rank FROM cnt)
+             |SELECT rank, doc_id, n_occ FROM rk WHERE rank <= 15
+             |ORDER BY rank""".stripMargin),
+      "gapped-phrase (wildcard-slot) template matching off the positional " +
+        "index: sparse slot algebra counts occurrences of 'merge _ join' " +
+        "per doc from one pruned probe — the variable-field boilerplate " +
+        "detector between exact phrase and bag-of-words " +
+        "(extension: retrieval / text analysis)"),
+
+    CatalogEntry(
+      "x198_stream_phrase_decontam",
+      (s, dir) => {
+        // ADMIT-TIME eval-set decontamination as a live ingest gate: a
+        // two-micro-batch Structured Streaming run checks each incoming
+        // doc batch for verbatim quotes of the frozen eval phrases
+        // (x193's slot algebra over the BATCH's own tokenization —
+        // O(batch tokens) per trigger, broadcast phrase table, no index
+        // needed because a micro-batch is bounded) and quarantines hits
+        // into an idempotent per-batch ledger. x193 audits the shipped
+        // corpus after the fact; this keeps contamination from entering
+        // at all — the difference between one batch-sized probe and a
+        // corpus-wide retraction. The oracle replays the gate over the
+        // full feed with the deterministic batch split, so a dropped
+        // quote, a double-written replay, or a wrong batch attribution
+        // all break the hash.
+        val led = s.read.parquet(stagedStreamDecontamLedger(s, dir))
+        led.select(col("doc_id"), col("phrase"), col("n_occ"),
+            col("batch_id").cast("long").as("batch_id"))
+          .orderBy("doc_id", "phrase")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |pos AS (SELECT doc_id, pos, sp[pos] AS term
+             |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+             |slots AS (SELECT * FROM (VALUES
+             |  ('table scan', 0, 'table', 2), ('table scan', 1, 'scan', 2),
+             |  ('slow query', 0, 'slow', 2), ('slow query', 1, 'query', 2),
+             |  ('key order sort', 0, 'key', 3), ('key order sort', 1, 'order', 3),
+             |  ('key order sort', 2, 'sort', 3)) s(phrase, slot, term, plen)),
+             |hits AS (SELECT s.phrase, p.doc_id, p.pos - s.slot AS start,
+             |    s.slot, s.plen
+             |  FROM pos p JOIN slots s USING (term)),
+             |occ AS (SELECT phrase, doc_id, start FROM hits
+             |  GROUP BY 1, 2, 3 HAVING COUNT(DISTINCT slot) = MAX(plen)),
+             |cnt AS (SELECT doc_id, phrase, COUNT(*) AS n_occ
+             |  FROM occ GROUP BY 1, 2)
+             |SELECT doc_id, phrase, n_occ, doc_id % 2 AS batch_id
+             |FROM cnt ORDER BY 1, 2""".stripMargin),
+      "admit-time eval-set decontamination as a streaming ingest gate: " +
+        "per micro-batch, incoming docs checked for verbatim eval-phrase " +
+        "quotes via the slot algebra over the batch's own tokenization " +
+        "(O(batch tokens) per trigger, broadcast phrase list), hits " +
+        "quarantined into an idempotent per-batch ledger — catch " +
+        "contamination at ingest, not at release " +
+        "(extension: streaming / privacy / evaluation)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after
@@ -8905,6 +9048,59 @@ object ExtensionCatalog {
       graft.sources.Layouts.positionalAppend(odd, out,
         groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
       out
+    })
+
+  /** x195 staging: the positional family's RETRACTION path — base index
+    * on the %3 != 2 docs, managed, the %3 == 2 batch appended as sealed
+    * slice "g1", then dropped via [[graft.sources.Layouts.dropBatch]]
+    * (the O(batch-files) directory delete, across retained generations
+    * on the managed layout). The serve must equal the survivor-only
+    * recompute.
+    */
+  private val positionalRetractDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedPositionalRetractIndex(s: SparkSession, dir: String): String =
+    positionalRetractDirs.computeIfAbsent(dir, _ => {
+      implicit val sp: SparkSession = s
+      val out = stagedScratch("graft-posret")
+      graft.sources.Layouts.positionalIndex(
+        t(s, dir, "documents").where(col("doc_id") % 3 =!= 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000)
+      graft.sources.Layouts.manageSortedTable(out)
+      graft.sources.Layouts.positionalAppend(
+        t(s, dir, "documents").where(col("doc_id") % 3 === 2), out,
+        groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
+      val n = graft.sources.Layouts.dropBatch(out, "g1")
+      require(n > 0, s"x195 retraction dropped no slices at $out")
+      out
+    })
+
+  /** x198 staging: the admit-time decontamination gate run as a real
+    * two-micro-batch Structured Streaming query — the even-id docs land
+    * as trigger 0, the odd-id docs as trigger 1 (the deterministic split
+    * the oracle replays), each gated against the fixed eval-phrase list
+    * into the quarantine ledger.
+    */
+  private val streamDecontamDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedStreamDecontamLedger(s: SparkSession, dir: String): String =
+    streamDecontamDirs.computeIfAbsent(dir, _ => {
+      val base = stagedScratch("graft-sdecon")
+      val in = s"$base/in"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val phrases = Seq(
+        Seq("table", "scan"), Seq("slow", "query"),
+        Seq("key", "order", "sort"))
+      val q = graft.streaming.StreamDecontam.gate(
+        s, in, phrases, s"$base/ledger", s"$base/ckpt")
+      try {
+        landFeedFile(docs.where(col("doc_id") % 2 === 0),
+          s"$base/stage0", in, "b0")
+        q.processAllAvailable()
+        landFeedFile(docs.where(col("doc_id") % 2 === 1),
+          s"$base/stage1", in, "b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      s"$base/ledger"
     })
 
   /** x139 staging: the even-id "existing corpus" EXACT-jaccard index,
@@ -9724,7 +9920,9 @@ object ExtensionCatalog {
     "build_x187_stream_bm25" -> ((s, dir) => { stagedStreamBm25Ledger(s, dir); () }),
     "build_x190_bm25_managed" -> ((s, dir) => { stagedBm25ManagedIndex(s, dir); () }),
     "build_x192_positional" -> ((s, dir) => { stagedPositionalIndex(s, dir); () }),
-    "build_x194_positional_append" -> ((s, dir) => { stagedPositionalAppendIndex(s, dir); () }))
+    "build_x194_positional_append" -> ((s, dir) => { stagedPositionalAppendIndex(s, dir); () }),
+    "build_x195_positional_retract" -> ((s, dir) => { stagedPositionalRetractIndex(s, dir); () }),
+    "build_x198_stream_decontam" -> ((s, dir) => { stagedStreamDecontamLedger(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -9925,6 +10123,11 @@ object ExtensionCatalog {
     "build_x178_bm25_index" -> bm25Dirs.get(dir),
     "build_x182_bm25_append" -> bm25AppendDirs.get(dir),
     "build_x183_bm25_retract" -> bm25RetractDirs.get(dir),
-    "build_x187_stream_bm25" -> streamBm25Dirs.get(dir)
+    "build_x187_stream_bm25" -> streamBm25Dirs.get(dir),
+    "build_x190_bm25_managed" -> bm25MgdDirs.get(dir),
+    "build_x192_positional" -> positionalDirs.get(dir),
+    "build_x194_positional_append" -> positionalAppendDirs.get(dir),
+    "build_x195_positional_retract" -> positionalRetractDirs.get(dir),
+    "build_x198_stream_decontam" -> streamDecontamDirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

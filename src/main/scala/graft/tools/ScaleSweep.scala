@@ -247,7 +247,7 @@ object ScaleSweep {
         "simhash_index_build", "simhash_probe", "retract_folded",
         "bm25_index_build", "bm25_serve", "bm25_append", "bm25_retract",
         "bm25_append_guard", "positional_index_build", "phrase_serve",
-        "positional_append")
+        "near_serve", "gapped_serve", "positional_append")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -400,6 +400,7 @@ object ScaleSweep {
       // shuffle is (doc_id, start) over matching rows — the O(matching
       // postings) claim. Append is a FIXED-size batch slice, O(batch).
       if (want("positional_index_build") || want("phrase_serve")
+          || want("near_serve") || want("gapped_serve")
           || want("positional_append")) {
         val pDir = java.nio.file.Files.createTempDirectory(s"sweep-pos$c").toString
         try {
@@ -411,6 +412,18 @@ object ScaleSweep {
           if (want("phrase_serve")) record("phrase_serve", c) {
             graft.operators.Phrase
               .topK(spark, pDir, Seq("table", "hash")).count()
+          }
+          // Span-near and gapped-template probes (x196/x197) ride the
+          // same pruned posting ranges: expected flat-band like
+          // phrase_serve — the band joins and slot algebra touch only
+          // the FIXED query terms' postings, never the corpus.
+          if (want("near_serve")) record("near_serve", c) {
+            graft.operators.Phrase
+              .near(spark, pDir, Seq("hash", "join", "sort"), 3).count()
+          }
+          if (want("gapped_serve")) record("gapped_serve", c) {
+            graft.operators.Phrase
+              .gapped(spark, pDir, Seq(0 -> "merge", 2 -> "join"), 3).count()
           }
           if (want("positional_append")) record("positional_append", c) {
             graft.sources.Layouts.positionalAppend(shard, pDir,

@@ -402,4 +402,104 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
     // the fixture is chosen so expansion actually changes a ranking
     got.exists(_._7 != 0.0) shouldBe true
   }
+
+  test("x195: positional retraction serves exactly the survivors — the " +
+      "dropped batch's occurrences vanish, the base's stay") {
+    val tmp = writeDocs(Seq(
+      (1L, "table hash y", "en", "s0", 12L), // %3=1: survives
+      (3L, "table hash table hash", "en", "s0", 21L), // %3=0: survives
+      (2L, "table hash table hash table hash", "en", "s0", 32L), // retracted
+      (5L, "table hash", "en", "s0", 10L))) // %3=2: retracted
+    val got = entry("x195_phrase_retract_serve").build(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 2's three occurrences (would rank first) and doc 5's one are gone
+    got shouldBe Seq((1, 3L, 2L), (2, 1L, 1L))
+  }
+
+  test("near: anchor-relative window semantics — every non-anchor term " +
+      "within the band, anchors counted, guards enforced") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    //            pos:  1 2 3 4 5 6 7
+    val tmp = writeDocs(Seq(
+      (1L, "a x b x a x c", "en", "s0", 13L),
+      (2L, "a b c", "en", "s0", 5L),
+      (3L, "a x x x b x c", "en", "s0", 13L))) // b at 5, c at 7: a@1 fails
+    val idx = java.nio.file.Files.createTempDirectory("pos-near").toString
+    Layouts.positionalIndex(spark.read.parquet(s"$tmp/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    def near(ts: Seq[String], w: Int) = graft.operators.Phrase
+      .near(spark, idx, ts, w).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: a@1 (b@3 ok, c@7 no), a@5 (b@3 ok, c@7 ok) → 1 anchor
+    // doc 2: a@1 (b@2, c@3) → 1; doc 3: a@1 (b@5 out of ±2) → none
+    near(Seq("a", "b", "c"), 2) shouldBe Map(1L -> 1L, 2L -> 1L)
+    // widening the window admits doc 3 and doc 1's first anchor (c@7 is
+    // 6 positions from a@1, so only a ±6 band reaches it)
+    near(Seq("a", "b", "c"), 6) shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    // anchor choice is semantics: c-anchored counts c occurrences
+    near(Seq("c", "a"), 2) shouldBe Map(1L -> 1L, 2L -> 1L)
+    // a term absent from the corpus empties the result
+    near(Seq("a", "zzz"), 3) shouldBe Map.empty
+    // single term: every occurrence is an anchor
+    near(Seq("b"), 1) shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.near(spark, idx, Seq("a", "a"), 2)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.near(spark, idx, Seq("a", "b"), 0)
+  }
+
+  test("x196: span-near top-k off the staged index ranks anchor counts") {
+    val tmp = writeDocs(Seq(
+      (1L, "hash join sort hash join sort", "en", "s0", 29L), // 2 anchors
+      (2L, "hash x join sort x", "en", "s0", 18L), // 1 (join +2, sort +3)
+      (3L, "sort join hash", "en", "s0", 14L), // 1 (unordered)
+      (4L, "hash join x x x sort", "en", "s0", 20L))) // sort at +5: none
+    val got = entry("x196_span_near").build(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    got shouldBe Seq((1, 1L, 2L), (2, 2L, 1L), (3, 3L, 1L))
+  }
+
+  test("gapped: wildcard slots match any interior token; first/last must " +
+      "be concrete") {
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import graft.sources.Layouts
+    val tmp = writeDocs(Seq(
+      (1L, "merge x join merge join", "en", "s0", 24L), // start 1 hits
+      (2L, "merge join x", "en", "s0", 12L), // gap absent — no hit
+      (3L, "x merge merge join", "en", "s0", 18L))) // start 2 hits
+    val idx = java.nio.file.Files.createTempDirectory("pos-gap").toString
+    Layouts.positionalIndex(spark.read.parquet(s"$tmp/documents.parquet"),
+      idx, groupBytes = 256L * 1024, pageRows = 2000)
+    graft.operators.Phrase.gapped(spark, idx, Seq(0 -> "merge", 2 -> "join"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L, 3L -> 1L)
+    // repeated-term template: "merge _ _ merge" — doc 1's merges sit 3
+    // apart (pos 1 and 4), so only the length-4 template matches
+    graft.operators.Phrase.gapped(spark, idx,
+        Seq(0 -> "merge", 3 -> "merge"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(1L -> 1L)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.gapped(spark, idx, Seq(1 -> "merge"), 3)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.gapped(spark, idx,
+        Seq(0 -> "merge", 1 -> "join"), 3)
+  }
+
+  test("x198: the streaming decontam gate quarantines verbatim quotes " +
+      "with batch attribution; clean docs produce no row") {
+    val tmp = writeDocs(Seq(
+      (2L, "table scan table scan", "en", "s0", 21L), // batch 0, 2 occ
+      (4L, "clean doc here", "en", "s0", 14L), // batch 0, no row
+      (1L, "slow query key order sort", "en", "s0", 26L), // batch 1, 2 phrases
+      (3L, "scan table", "en", "s0", 10L))) // batch 1, reversed — clean
+    val got = entry("x198_stream_phrase_decontam").build(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    got shouldBe Seq(
+      (1L, "key order sort", 1L, 1L),
+      (1L, "slow query", 1L, 1L),
+      (2L, "table scan", 2L, 0L))
+  }
 }
