@@ -8730,7 +8730,175 @@ object ExtensionCatalog {
         "(O(batch tokens) per trigger, broadcast phrase list), hits " +
         "quarantined into an idempotent per-batch ledger — catch " +
         "contamination at ingest, not at release " +
-        "(extension: streaming / privacy / evaluation)")
+        "(extension: streaming / privacy / evaluation)"),
+
+    CatalogEntry(
+      "x199_hybrid_rrf",
+      (s, dir) => {
+        import s.implicits._
+        // Hybrid dense+sparse retrieval off TWO persisted index families
+        // at once: each request pairs a dense query vector (the x144
+        // fence, vec_id < 3) with a sparse term, the dense leg probes
+        // the IVF index (nprobe=2 — at this fixture's 2 centroids that
+        // is exhaustive, so ranks are the exact cosine order), the
+        // sparse leg serves BM25 off the term-posting index, and the
+        // two rankings fuse by reciprocal-rank fusion. RRF runs in
+        // EXACT integers: contribution = LCM(61..70)/(60+rank), a
+        // BIGINT for every rank 1..10 in both engines — no float sum
+        // to diverge. Docs reached by only one leg keep that leg's
+        // contribution (full-outer fusion); the vector and text id
+        // spaces are the same doc ids by fixture construction. Probe
+        // cost is the two index probes + a (query_id, doc_id) join of
+        // two k-row lists — never a corpus pass.
+        val qmap = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"))
+          .toDF("query_id", "term")
+        val dense = SimilaritySearch.ivfTopKStaged(
+            t(s, dir, "embeddings").where(col("vec_id") < 3),
+            stagedIvfIndex(s, dir), k = 10, nprobe = 2)
+          .select(col("query_id"), col("corpus_id").as("doc_id"),
+            col("rank").cast("long").as("r_dense"))
+        val sparse = graft.operators.Bm25
+          .topK(s, stagedBm25Index(s, dir), Seq("scan", "merge", "vector"), 10)
+          .join(broadcast(qmap), "term")
+          .select(col("query_id"), col("doc_id"),
+            col("rank").cast("long").as("r_sparse"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+        dense.join(sparse, Seq("query_id", "doc_id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(expr("142813628717760 div (60 + r_dense)"), lit(0L)) +
+              coalesce(expr("142813628717760 div (60 + r_sparse)"), lit(0L)))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select("query_id", "rank", "doc_id", "rrf", "r_dense", "r_sparse")
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH qmap AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'merge'),
+              |  (2, 'vector')) q(query_id, term)),
+              |cent AS (SELECT vec_id AS cent_id, embedding AS centv FROM embeddings
+              |  WHERE vec_id % 50 = 0 AND vec_id >= 10),
+              |corp AS (SELECT vec_id AS corpus_id, embedding AS corpusv
+              |  FROM embeddings WHERE vec_id >= 10),
+              |qs AS (SELECT vec_id AS query_id, embedding AS queryv
+              |  FROM embeddings WHERE vec_id < 3),
+              |lists AS (
+              |  SELECT corpus_id, corpusv, cent_id FROM (
+              |    SELECT c.corpus_id, c.corpusv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+              |        ORDER BY ${dCos("c.corpusv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM corp c, cent ct)
+              |  WHERE r = 1),
+              |probes AS (
+              |  SELECT query_id, queryv, cent_id FROM (
+              |    SELECT q.query_id, q.queryv, ct.cent_id,
+              |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+              |        ORDER BY ${dCos("q.queryv", "ct.centv")} DESC, ct.cent_id) AS r
+              |    FROM qs q, cent ct)
+              |  WHERE r <= 2),
+              |dense AS (
+              |  SELECT query_id, corpus_id AS doc_id, rank AS r_dense FROM (
+              |    SELECT p.query_id, l.corpus_id,
+              |      ROW_NUMBER() OVER (PARTITION BY p.query_id
+              |        ORDER BY ${dCos("p.queryv", "l.corpusv")} DESC, l.corpus_id) AS rank
+              |    FROM probes p JOIN lists l ON p.cent_id = l.cent_id)
+              |  WHERE rank <= 10),
+              |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              |  FROM documents),
+              |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+              |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+              |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+              |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+              |scored AS (
+              |  SELECT tf.term, tf.doc_id,
+              |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+              |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+              |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+              |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.doc_id = dl.doc_id),
+              |sparse AS (
+              |  SELECT q.query_id, sr.doc_id, sr.rank AS r_sparse FROM (
+              |    SELECT term, doc_id, ROW_NUMBER() OVER (PARTITION BY term
+              |      ORDER BY score DESC, doc_id) AS rank FROM scored) sr
+              |  JOIN qmap q ON sr.term = q.term WHERE sr.rank <= 10),
+              |fused AS (
+              |  SELECT COALESCE(d.query_id, sp.query_id) AS query_id,
+              |         COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+              |         d.r_dense, sp.r_sparse,
+              |         COALESCE(142813628717760 // (60 + d.r_dense), 0) +
+              |           COALESCE(142813628717760 // (60 + sp.r_sparse), 0) AS rrf
+              |  FROM dense d FULL JOIN sparse sp
+              |    ON d.query_id = sp.query_id AND d.doc_id = sp.doc_id),
+              |rk AS (SELECT query_id, doc_id, rrf, r_dense, r_sparse,
+              |  ROW_NUMBER() OVER (PARTITION BY query_id
+              |    ORDER BY rrf DESC, doc_id) AS rank FROM fused)
+              |SELECT query_id, rank, doc_id, rrf, r_dense, r_sparse FROM rk
+              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin),
+      "hybrid dense+sparse retrieval: IVF ANN probe and BM25 posting probe " +
+        "of two persisted index families fused per query by reciprocal-" +
+        "rank fusion in exact LCM-scaled BIGINTs (no float sum to " +
+        "diverge), full-outer so single-leg docs keep their contribution " +
+        "(extension: retrieval / similarity search)"),
+
+    CatalogEntry(
+      "x200_passage_maxpool",
+      (s, dir) => {
+        // Passage-level retrieval with document max-pooling — the RAG /
+        // long-doc shape: the BM25 index is built over fixed 8-token
+        // CHUNKS (chunk_id = doc_id·1000 + chunk_no, the same
+        // bm25Index build, nothing chunk-special in the index layer),
+        // the probe scores chunks exactly like x178, and the document
+        // ranking takes each doc's BEST chunk per term (max-pool — a
+        // double MAX, exact in both engines, unlike a cross-chunk sum).
+        // A long document can no longer bury its one on-topic passage
+        // under its average, and the idf/dl statistics are passage-
+        // honest (df = chunks containing the term, dl = chunk length).
+        // Probe cost: the query terms' chunk postings + a (term, doc)
+        // groupBy over matching chunks — never a corpus pass.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("term").orderBy(desc("best_score"), asc("doc_id"))
+        graft.operators.Bm25
+          .scored(s, stagedChunkBm25Index(s, dir),
+            Seq("scan", "merge", "vector"))
+          .withColumnRenamed("doc_id", "chunk_id")
+          .withColumn("doc_id", expr("chunk_id div 1000"))
+          .groupBy("term", "doc_id")
+          .agg(max("score").as("best_score"),
+            count(lit(1)).as("n_hit_chunks"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 10)
+          .select("term", "rank", "doc_id", "best_score", "n_hit_chunks")
+          .orderBy("term", "rank")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |ch AS (SELECT doc_id * 1000 + i AS chunk_id,
+             |    toks[(i * 8 + 1):(i * 8 + 8)] AS ct
+             |  FROM sp, UNNEST(range(0, (len(toks) - 1) // 8 + 1)) AS t(i)),
+             |tok AS (SELECT chunk_id, unnest(ct) AS term FROM ch),
+             |dl AS (SELECT chunk_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+             |tf AS (SELECT chunk_id, term, COUNT(*) AS tf FROM tok
+             |       WHERE term IN ('scan', 'merge', 'vector') GROUP BY 1, 2),
+             |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |st AS (SELECT COUNT(*) AS n, SUM(dl) AS total FROM dl),
+             |scored AS (
+             |  SELECT tf.term, tf.chunk_id,
+             |    (((st.n - df.df) + 0.5::DOUBLE) / (df.df + 0.5::DOUBLE)) *
+             |      ((tf.tf * 2.2::DOUBLE) / (tf.tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE *
+             |        (CAST(dl.dl AS DOUBLE) / (CAST(st.total AS DOUBLE) / st.n))))) AS score
+             |  FROM tf, df, dl, st WHERE tf.term = df.term AND tf.chunk_id = dl.chunk_id),
+             |pooled AS (SELECT term, chunk_id // 1000 AS doc_id,
+             |    MAX(score) AS best_score, COUNT(*) AS n_hit_chunks
+             |  FROM scored GROUP BY 1, 2),
+             |rk AS (SELECT term, doc_id, best_score, n_hit_chunks,
+             |  ROW_NUMBER() OVER (PARTITION BY term
+             |    ORDER BY best_score DESC, doc_id) AS rank FROM pooled)
+             |SELECT term, rank, doc_id, best_score, n_hit_chunks FROM rk
+             |WHERE rank <= 10 ORDER BY term, rank""".stripMargin),
+      "passage-level BM25 with document max-pooling: the index is built " +
+        "over fixed 8-token chunks, the probe scores chunks (passage-" +
+        "honest df/dl statistics), and docs rank by their best chunk — " +
+        "an exact double MAX, so a long doc cannot bury its one on-topic " +
+        "passage (extension: retrieval / text pipeline)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after
@@ -9101,6 +9269,31 @@ object ExtensionCatalog {
         q.processAllAvailable()
       } finally q.stop()
       s"$base/ledger"
+    })
+
+  /** x200 staging: the PASSAGE-grained BM25 index — documents split
+    * into fixed 8-token non-overlapping chunks (chunk_id = doc_id·1000
+    * + chunk_no; the x50 sequence+slice chunker, stride = length), then
+    * the ordinary [[graft.sources.Layouts.bm25Index]] build over the
+    * chunk rows. The index layer needs nothing chunk-special: df, dl
+    * and the champion tier all become passage-grained by construction.
+    */
+  private val chunkBm25Dirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedChunkBm25Index(s: SparkSession, dir: String): String =
+    chunkBm25Dirs.computeIfAbsent(dir, _ => {
+      val out = stagedScratch("graft-bm25chunk")
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")).cast("long"))
+        .withColumn("chunk_no",
+          explode(sequence(lit(0L), expr("(n - 1) div 8"))))
+        .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+          array_join(slice(col("toks"),
+            (col("chunk_no") * 8 + 1).cast("int"), lit(8)), " ").as("chunk_text"))
+      graft.sources.Layouts.bm25Index(chunks, out,
+        idCol = "chunk_id", textCol = "chunk_text",
+        groupBytes = 256L * 1024, pageRows = 2000)
+      out
     })
 
   /** x139 staging: the even-id "existing corpus" EXACT-jaccard index,
@@ -9922,7 +10115,8 @@ object ExtensionCatalog {
     "build_x192_positional" -> ((s, dir) => { stagedPositionalIndex(s, dir); () }),
     "build_x194_positional_append" -> ((s, dir) => { stagedPositionalAppendIndex(s, dir); () }),
     "build_x195_positional_retract" -> ((s, dir) => { stagedPositionalRetractIndex(s, dir); () }),
-    "build_x198_stream_decontam" -> ((s, dir) => { stagedStreamDecontamLedger(s, dir); () }))
+    "build_x198_stream_decontam" -> ((s, dir) => { stagedStreamDecontamLedger(s, dir); () }),
+    "build_x200_chunk_bm25" -> ((s, dir) => { stagedChunkBm25Index(s, dir); () }))
 
   /** One feed file = one micro-batch for the maxFilesPerTrigger=1 file
     * sources: write a 1-part parquet to a staging dir, copy the part file
@@ -10128,6 +10322,7 @@ object ExtensionCatalog {
     "build_x192_positional" -> positionalDirs.get(dir),
     "build_x194_positional_append" -> positionalAppendDirs.get(dir),
     "build_x195_positional_retract" -> positionalRetractDirs.get(dir),
-    "build_x198_stream_decontam" -> streamDecontamDirs.get(dir)
+    "build_x198_stream_decontam" -> streamDecontamDirs.get(dir),
+    "build_x200_chunk_bm25" -> chunkBm25Dirs.get(dir)
   ).collect { case (k, v) if v != null => k -> v }
 }

@@ -487,6 +487,60 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
         Seq(0 -> "merge", 1 -> "join"), 3)
   }
 
+  test("x199: RRF fuses the dense cosine ranking and the sparse BM25 " +
+      "ranking in exact integers — ties break on doc_id, single-leg " +
+      "docs keep one contribution") {
+    val tmp = writeDocs(Seq(
+      (7L, "scan", "en", "s0", 4L), // sparse-only: no corpus vector
+      (11L, "scan scan merge", "en", "s0", 15L),
+      (12L, "scan vector", "en", "s0", 11L),
+      (13L, "merge merge", "en", "s0", 11L)))
+    // queries 0-2; corpus >= 10 with centroids at vec_id 50/100 (the
+    // %50 staging rule); doc 50/100 have vectors but no text terms
+    (Seq((0L, Array(1f, 0f), 0), (1L, Array(0f, 1f), 0),
+        (2L, Array(1f, 1f), 0), (11L, Array(10f, 1f), 0),
+        (12L, Array(8f, 3f), 0), (13L, Array(1f, 9f), 0),
+        (50L, Array(1f, 0f), 0), (100L, Array(0f, 1f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val L = 142813628717760L // LCM(61..70): every 1/(60+rank) exact
+    val got = entry("x199_hybrid_rrf").build(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    // q0 = vector (1,0) + term 'scan'. Dense cosine order over the
+    // corpus: 50 (1.0), 11 (10/sqrt 101), 12 (8/sqrt 73), 13, 100.
+    // Sparse BM25 'scan' order: 7 (tf1 dl1), 11 (tf2 dl3), 12 (tf1 dl2).
+    // Fused: both-leg docs 11/12 lead; 7 and 50 TIE at L/61 -> doc_id.
+    got shouldBe Seq(
+      (1, 11L, 2 * (L / 62), Some(2L), Some(2L)),
+      (2, 12L, 2 * (L / 63), Some(3L), Some(3L)),
+      (3, 7L, L / 61, None, Some(1L)),
+      (4, 50L, L / 61, Some(1L), None),
+      (5, 13L, L / 64, Some(4L), None),
+      (6, 100L, L / 65, Some(5L), None))
+  }
+
+  test("x200: doc ranking takes each doc's BEST chunk — a short on-topic " +
+      "passage beats a denser whole-doc tf buried in length") {
+    // doc 1 = 10 tokens -> chunks of 8 and 2; its 2-token chunk carries
+    // tf 2 at dl 2 and wins the pool. doc 3 has no query terms but its
+    // chunk still counts into n/total (passage-honest statistics).
+    val tmp = writeDocs(Seq(
+      (1L, "scan a b c d e f g scan scan", "en", "s0", 30L),
+      (2L, "scan scan b", "en", "s0", 11L),
+      (3L, "x y", "en", "s0", 3L)))
+    val got = entry("x200_passage_maxpool").build(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    // chunks: (1000: dl8 tf1), (1001: dl2 tf2), (2000: dl3 tf2),
+    // (3000: dl2 tf0) -> n=4, total=15, df(scan)=3
+    got shouldBe Seq(
+      ("scan", 1, 1L, bm25Score(2, 2, 3, 4, 15), 2L),
+      ("scan", 2, 2L, bm25Score(2, 3, 3, 4, 15), 1L))
+  }
+
   test("x198: the streaming decontam gate quarantines verbatim quotes " +
       "with batch attribution; clean docs produce no row") {
     val tmp = writeDocs(Seq(

@@ -174,7 +174,12 @@ class PlanAuditSpec extends AnyFunSuite with Matchers {
       // the ≤18-row broadcast query map (an equi-join on term — only the
       // 1-row stats crossings are nested-loop)
       "x188_prf_expansion", "x189_champion_recall",
-      "x190_bm25_managed_serve", "x191_rm3_second_pass")
+      "x190_bm25_managed_serve", "x191_rm3_second_pass",
+      // x199's sparse leg is the x178 probe, so the 1-row (n, total)
+      // stats cross rides along; the fusion join itself is equi on
+      // (query_id, doc_id) and the dense leg is x144's bounded probe.
+      // x200 is the same probe over the chunk-grained index
+      "x199_hybrid_rrf", "x200_passage_maxpool")
     val offenders = plans.filter { case (name, p) =>
       p.contains("BroadcastNestedLoopJoin") && !allowed(name)
     }
