@@ -252,6 +252,47 @@ object Phrase {
       .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
   }
 
+  /** Best-window snippet extraction: per document, the window start
+    * that covers the most DISTINCT query terms within `width` token
+    * positions (ties to the EARLIEST start) — the serving-side
+    * highlighter that picks which passage of a matching doc to show.
+    * Candidate starts are exactly the query terms' own occurrence
+    * positions (a maximal-coverage window can always be slid left until
+    * its left edge sits ON a query-term occurrence without losing any
+    * term, so anchoring at occurrences loses no optimum). One pruned
+    * probe, one (doc, start) band join over matching postings — the
+    * [[near]] cost shape, O(matching postings), never a corpus pass.
+    * Returns (doc_id, best_start, n_terms) for every doc containing at
+    * least one query term.
+    */
+  def bestWindow(
+      spark: SparkSession,
+      indexPath: String,
+      terms: Seq[String],
+      width: Int): DataFrame = {
+    require(terms.nonEmpty, "bestWindow needs at least one term")
+    require(terms.distinct.length == terms.length,
+      "bestWindow terms must be distinct")
+    require(width >= 1, s"width must be >= 1 (got $width)")
+    implicit val s: SparkSession = spark
+    val post = spark.read
+      .parquet(graft.sources.Layouts.indexRoot(indexPath))
+      .where(col("term").isin(terms: _*))
+      .select("term", "doc_id", "pos")
+    val starts = post.select(col("doc_id").as("__d"), col("pos").as("s"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("n_terms"), asc("best_start"))
+    starts
+      .join(post,
+        col("__d") === col("doc_id") &&
+          col("pos") >= col("s") && col("pos") < col("s") + width)
+      .groupBy(col("doc_id"), col("s").as("best_start"))
+      .agg(countDistinct("term").as("n_terms"))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") === 1).drop("__r")
+  }
+
   /** [[audit]]'s algebra over a BOUNDED batch of raw documents instead
     * of the persisted index: (doc_id, phrase, n_occ) for every verbatim
     * eval-phrase quote in the batch — the admit-time decontamination

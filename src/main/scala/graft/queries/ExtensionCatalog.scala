@@ -8898,7 +8898,52 @@ object ExtensionCatalog {
         "over fixed 8-token chunks, the probe scores chunks (passage-" +
         "honest df/dl statistics), and docs rank by their best chunk — " +
         "an exact double MAX, so a long doc cannot bury its one on-topic " +
-        "passage (extension: retrieval / text pipeline)")
+        "passage (extension: retrieval / text pipeline)"),
+
+    CatalogEntry(
+      "x201_best_snippet",
+      (s, dir) => {
+        // Serving-side snippet extraction off the positional index: per
+        // doc, the 8-token window covering the most DISTINCT query terms
+        // (tie -> earliest start) — which passage of a matching doc to
+        // SHOW, the last step of every search/RAG serving path. Candidate
+        // starts are the query terms' own occurrences (sliding a maximal
+        // window left onto an occurrence loses no term, so the anchor set
+        // is lossless); coverage counts come from ONE band join over the
+        // term-pruned postings (graft.operators.Phrase.bestWindow — the
+        // x196 cost shape, O(matching postings), never a corpus pass).
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_terms"), asc("doc_id"))
+        graft.operators.Phrase.bestWindow(s,
+            stagedPositionalIndex(s, dir), Seq("hash", "join", "sort"), 8)
+          .orderBy(desc("n_terms"), asc("doc_id")).limit(15)
+          .withColumn("rank", row_number().over(w))
+          .select("rank", "doc_id", "best_start", "n_terms")
+          .orderBy("rank")
+      },
+      Some("""WITH sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM documents),
+             |pos AS (SELECT doc_id, pos, sp[pos] AS term
+             |  FROM sp, UNNEST(range(1, len(sp) + 1)) AS t(pos)),
+             |qp AS (SELECT doc_id, pos, term FROM pos
+             |  WHERE term IN ('hash', 'join', 'sort')),
+             |starts AS (SELECT DISTINCT doc_id, pos AS s FROM qp),
+             |cov AS (SELECT st.doc_id, st.s, COUNT(DISTINCT q.term) AS n_terms
+             |  FROM starts st JOIN qp q ON q.doc_id = st.doc_id
+             |    AND q.pos >= st.s AND q.pos < st.s + 8
+             |  GROUP BY 1, 2),
+             |best AS (SELECT doc_id, s AS best_start, n_terms FROM (
+             |    SELECT doc_id, s, n_terms, ROW_NUMBER() OVER (
+             |      PARTITION BY doc_id ORDER BY n_terms DESC, s) AS r FROM cov)
+             |  WHERE r = 1),
+             |rk AS (SELECT doc_id, best_start, n_terms, ROW_NUMBER() OVER (
+             |  ORDER BY n_terms DESC, doc_id) AS rank FROM best)
+             |SELECT rank, doc_id, best_start, n_terms FROM rk
+             |WHERE rank <= 15 ORDER BY rank""".stripMargin),
+      "best-window snippet extraction off the positional index: the " +
+        "8-token window covering the most distinct query terms per doc " +
+        "(tie to the earliest start), candidate starts anchored losslessly " +
+        "at query-term occurrences, one band join over pruned postings " +
+        "(extension: retrieval / index serving)")
   )
 
   /** The BM25 serving probe shared by x178 (static index), x182 (after

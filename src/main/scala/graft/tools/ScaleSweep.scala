@@ -247,7 +247,8 @@ object ScaleSweep {
         "simhash_index_build", "simhash_probe", "retract_folded",
         "bm25_index_build", "bm25_serve", "bm25_append", "bm25_retract",
         "bm25_append_guard", "positional_index_build", "phrase_serve",
-        "near_serve", "gapped_serve", "positional_append")
+        "near_serve", "gapped_serve", "positional_append",
+        "chunk_bm25_build", "passage_serve")
       lazy val docs = replicateDocs(baseDocs, c, par).localCheckpoint()
       if (docFams.exists(want)) docs // force the checkpoint once
       record("exact_dedup", c)(Dedup.exact(docs).count())
@@ -431,6 +432,40 @@ object ScaleSweep {
           }
         } finally scala.reflect.io.Directory(
           new java.io.File(pDir)).deleteRecursively()
+      }
+      // Round-18: passage-grained BM25 (x200) — the chunk explode adds a
+      // constant factor to the build (more, shorter "docs"; token count
+      // unchanged), and the max-pool probe reads the query terms' CHUNK
+      // postings + one (term, doc) groupBy over matching chunks: expected
+      // ~linear build, flat-band serve like bm25_serve.
+      if (want("chunk_bm25_build") || want("passage_serve")) {
+        val cbDir = java.nio.file.Files.createTempDirectory(s"sweep-cbm$c").toString
+        try {
+          def buildIt(): Unit = {
+            val chunks = docs
+              .select(col("doc_id"), split(col("text"), " ").as("toks"))
+              .withColumn("n", size(col("toks")).cast("long"))
+              .withColumn("chunk_no",
+                explode(sequence(lit(0L), expr("(n - 1) div 8"))))
+              .select((col("doc_id") * 1000 + col("chunk_no")).as("chunk_id"),
+                array_join(slice(col("toks"),
+                  (col("chunk_no") * 8 + 1).cast("int"), lit(8)), " ")
+                  .as("chunk_text"))
+            graft.sources.Layouts.bm25Index(chunks, cbDir,
+              idCol = "chunk_id", textCol = "chunk_text", partitions = 16)
+          }
+          if (want("chunk_bm25_build"))
+            record("chunk_bm25_build", c) { buildIt(); n0 * c }
+          else buildIt()
+          if (want("passage_serve")) record("passage_serve", c) {
+            graft.operators.Bm25
+              .scored(spark, cbDir, Seq("scan", "merge", "vector"))
+              .withColumn("doc", expr("doc_id div 1000"))
+              .groupBy("term", "doc")
+              .agg(max("score").as("best_score")).count()
+          }
+        } finally scala.reflect.io.Directory(
+          new java.io.File(cbDir)).deleteRecursively()
       }
       // Round-18 family: BM25 incremental maintenance (x182/x183), now
       // O(batch) end to end — a FIXED-size batch (the shard) lands on a

@@ -541,6 +541,25 @@ class ExtensionRound18Spec extends AnyFunSuite with Matchers {
       ("scan", 2, 2L, bm25Score(2, 3, 3, 4, 15), 1L))
   }
 
+  test("x201: the best window maximizes distinct-term coverage with " +
+      "earliest-start ties, and a later richer window beats an earlier " +
+      "poorer one") {
+    val tmp = writeDocs(Seq(
+      (1L, "hash a join b sort", "en", "s0", 18L), // all 3 in [1,9)
+      // join@2 alone; hash@10+sort@11 together -> best is the LATER s=10
+      (2L, "x join x x x x x x x hash sort", "en", "s0", 30L),
+      (3L, "sort sort hash", "en", "s0", 14L), // 2 terms from s=1
+      (4L, "nothing here", "en", "s0", 12L))) // no query term: no row
+    val got = entry("x201_best_snippet").build(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // docs 2 and 3 tie at 2 terms -> doc_id order
+    got shouldBe Seq((1, 1L, 1L, 3L), (2, 2L, 10L, 2L), (3, 3L, 1L, 2L))
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.bestWindow(spark, "/nonexistent", Seq("a", "a"), 8)
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.Phrase.bestWindow(spark, "/nonexistent", Seq("a"), 0)
+  }
+
   test("x198: the streaming decontam gate quarantines verbatim quotes " +
       "with batch attribution; clean docs produce no row") {
     val tmp = writeDocs(Seq(
