@@ -59,6 +59,25 @@ object ExtensionCatalog {
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq")))
 
+  /** Fan a narrow scan out to the session's default parallelism before a
+    * compute-heavy per-row stage (optimization guide §2.5: "input skew —
+    * one huge unsplittable file ... repartition immediately after the
+    * read"). A fixture-scale parquet holds ONE row group, so the scan
+    * plans ONE task and every per-doc HOF kernel downstream runs on one
+    * core while the rest idle (x121 measured: the whole chunk+aggregate
+    * pass in a single 0.84 s task at local[32]). SCALE-ADAPTIVE: fires
+    * only when the planned scan width is below the session default, so a
+    * production corpus — whose scan already carries ≥ cores splits — is
+    * never round-robined (the guide §8 rule: don't shuffle heavy payload
+    * an extra time when the layout already spreads it). Apply ONLY above
+    * order-insensitive aggregation (integer sums / counts / min / max):
+    * a float SUM's accumulation order would shift with the partitioning.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** x121's content-defined chunking: (chunk hash, chunk token length) rows
     * from a documents frame — boundaries fall after tokens whose polyhash
     * ≡ 0 mod 16, chunk identity is the base-31 fold of its token hashes.
@@ -3822,10 +3841,15 @@ object ExtensionCatalog {
         val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
           .agg(count(lit(1)).as("nc"),
             sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nsh"))
+        // barrier: afterBp feeds both the near-dup mine and the final
+        // anti-join — lazy, the chunk explode + count subtree above is
+        // re-evaluated per consumer; checkpoint it once (x103 carries
+        // the same barrier for the same reason)
         val afterBp = exactKept.join(ratios, Seq("doc_id"), "left")
           .where(col("nsh").isNull ||
             col("nsh").cast("double") / col("nc").cast("double") <= 0.5)
           .select("doc_id", "source", "text")
+          .localCheckpoint()
         val drops = Dedup
           .minhashNearDups(afterBp, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
           .select(col("id_b").as("doc_id")).distinct()
@@ -3999,10 +4023,15 @@ object ExtensionCatalog {
         val ratios = chunks.join(cnt, "cfp").groupBy("doc_id")
           .agg(count(lit(1)).as("nc"),
             sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("nsh"))
+        // barrier: afterBp feeds the near-dup mine, the fin anti-join AND
+        // the in_bp manifest join — lazy, the chunk explode + count
+        // subtree above re-evaluated once per consumer (three times,
+        // measured on the r18 before-window); checkpoint it once
         val afterBp = exactKept.join(ratios, Seq("doc_id"), "left")
           .where(col("nsh").isNull ||
             col("nsh").cast("double") / col("nc").cast("double") <= 0.5)
           .select("doc_id", "source", "text")
+          .localCheckpoint()
         val drops = Dedup
           .minhashNearDups(afterBp, k = 16, bands = 8, shingleN = 3, threshold = 0.5)
           .select(col("id_b").as("doc_id")).distinct()
@@ -4846,7 +4875,10 @@ object ExtensionCatalog {
         // the only exchange is the chunk-hash aggregate. Under a hash
         // collision the two engines both attribute min(len) to the stored
         // copy, keeping the audit deterministic.
-        cdcChunks(t(s, dir, "documents")).groupBy("h")
+        // fanOut: the chunk fold is the row's whole cost and the fixture
+        // scan plans one task (guide §2.5) — integer aggregates below,
+        // so the re-distribution is value-neutral
+        cdcChunks(fanOut(t(s, dir, "documents"))).groupBy("h")
           .agg(count(lit(1)).as("cnt"), sum("len").as("sumlen"),
             min("len").as("minlen"))
           .agg(sum("cnt").as("total_chunks"), count(lit(1)).as("distinct_chunks"),
@@ -5075,7 +5107,10 @@ object ExtensionCatalog {
         // array HOFs; the only shuffle is the fingerprint count. Sharing is
         // scored on distinct fingerprints per doc.
         org.apache.spark.sql.graft.GraftFunctions.register(s)
-        val sel = t(s, dir, "documents")
+        // fanOut: the window-hash + selection HOFs are the row's whole
+        // cost and the fixture scan plans one task (guide §2.5); the
+        // shared-fingerprint aggregates below are counts — value-neutral
+        val sel = fanOut(t(s, dir, "documents"))
           .select(col("doc_id"), expr("graft_token_hashes(text)").as("hs"))
           .where(size(col("hs")) >= 11)
           // positional window hashes via the native kernel (x123's lesson:
@@ -5425,8 +5460,12 @@ object ExtensionCatalog {
         // (the x09 rule — all-pairs exists only inside audits). Errors in
         // integer ppm; the one-row summary is the estimator's published
         // error bar.
+        // fanOut: the fenced all-pairs verify below is a nested-loop join
+        // whose stream side inherits the scan's ONE fixture split (guide
+        // §2.5) — 125k list-intersect pairs on one core; the error
+        // aggregates are integer ppm sums, so value-neutral
         val sh = Dedup.minhashSignature(
-            t(s, dir, "documents").where(col("doc_id") < 500),
+            fanOut(t(s, dir, "documents").where(col("doc_id") < 500)),
             k = 16, shingleN = 3)
           .where(size(col("shingles")) >= 1)
           .select(col("doc_id"), col("shingles"), col("sig"))
@@ -8391,6 +8430,13 @@ object ExtensionCatalog {
         val rank2 = second.withColumn("rank", row_number().over(w2))
           .where(col("rank") <= 10)
         // -- the eval: x180's scaled-integer DCG under tf-graded rels
+        // NOTE (r18 optimization round): `top` is consumed twice and `sc`
+        // four times (pairs + the rel branch's three evals), so barrier
+        // placement was A/B'd — checkpointing top+sc, and rel alone, both
+        // measured at-or-worse than the lazy plan (2.50 s lazy vs 3.07 /
+        // 2.66 s, TimeQuery medians): the re-evaluated subtrees are
+        // row-group-pruned index probes cheaper than the eager
+        // materialization barriers that would replace them. Left lazy.
         val rel = sc.where(col("term").isin(qs: _*))
           .select(col("term").as("qterm"), col("doc_id"),
             (col("tf") - 1).as("rel"))

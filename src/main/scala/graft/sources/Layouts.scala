@@ -27,6 +27,35 @@ object Layouts {
     * metacharacters). Applied on every write so a bad id fails at append
     * time, not when its retraction glob deletes a sibling generation.
     */
+  /** Run independent Spark write jobs concurrently (optimization guide
+    * §2.6 "overlap independent jobs"): a multi-table index build's
+    * per-table writes share no state beyond an already-cached input
+    * frame, yet running them back to back pays full driver latency +
+    * commit wall per table while most cores idle through each job's
+    * tail. Submitting them from a small per-call pool lets one job's
+    * tasks back-fill the executor threads the previous job's tail frees.
+    * Concurrent first-touch of a cached input is safe: the block
+    * manager computes each cached partition under a per-block lock, so
+    * racing jobs share one materialization. The first failure
+    * propagates (as its original exception); the pool never outlives
+    * the call.
+    */
+  private def inParallel(work: (() => Unit)*): Unit =
+    if (work.sizeIs <= 1) work.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      try {
+        val futs = work.map(w =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = w()
+          }))
+        try futs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
+      } finally pool.shutdownNow()
+    }
+
   private def requireBatchId(id: String): Unit =
     require(id.nonEmpty && id.forall(c =>
         c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
@@ -50,9 +79,37 @@ object Layouts {
       batchId: Option[String] = None,
       dynamicOverwrite: Boolean = false): Unit = {
     val cols = sortCols.map(col)
+    // Scale-adaptive write width when the caller does not pin one
+    // (optimization guide §2/§6): partitions = 0 used to inherit the
+    // session's shuffle width, so a kilobyte-sized slice still wrote
+    // `spark.sql.shuffle.partitions` near-empty files — at local[32]
+    // that is 32 parquet commits (open + footer + rename on the scratch
+    // device, measured ~0.4 s of executor time EACH on the r18 before-
+    // window) per table write, and every downstream manifest copy and
+    // probe listing pays the file count again. One range partition per
+    // `groupBytes` of estimated input instead, clamped to the session's
+    // shuffle width so a large input behaves exactly as before (in
+    // production the width comes from shuffle.partitions or the explicit
+    // `partitions` arg; the estimate only ever NARROWS tiny writes).
+    val width =
+      if (partitions > 0) partitions
+      else {
+        // logical-plan stats are UNCOMPRESSED row-format bytes; parquet
+        // with dictionary + zstd lands a conservative ~4× smaller (the
+        // inverse of spark.sql.sources.fileCompressionFactor's file→plan
+        // direction), so divide before sizing or every write rounds up
+        // to the cap and the adaptivity is a no-op on exactly the tiny
+        // slices it exists for
+        val est = df.queryExecution.optimizedPlan.stats.sizeInBytes / 4
+        val byBytes = (est + BigInt(groupBytes) - 1) / BigInt(groupBytes)
+        val cap = BigInt(df.sparkSession.sessionState.conf.numShufflePartitions)
+        byBytes.min(cap).max(BigInt(1)).toInt
+      }
     val ranged =
-      if (partitions > 0) df.repartitionByRange(partitions, cols: _*)
-      else df.repartitionByRange(cols: _*)
+      if (width > 1) df.repartitionByRange(width, cols: _*)
+      // one partition needs no range boundaries: a plain 1-way shuffle
+      // (the in-partition sort below still orders every row)
+      else df.repartition(1)
     // mode "append" (the index-maintenance path): each appended file
     // still carries its own sorted row-group/page stats, so per-file
     // pruning holds; ranges may overlap ACROSS generations, which widens
@@ -346,24 +403,29 @@ object Layouts {
     // minhashIndex barrier pattern — without it each write re-scans
     // the corpus)
     val post = bm25PostingRows(docs, idCol, textCol).cache()
-    try {
-      sortedStats(post, s"$path/postings", Seq("term"),
+    // a fresh build at a private path has no live probes to order
+    // writes for, so all four tables land concurrently ([[inParallel]])
+    // — the three derived tables share the one cached tokenize+tf pass
+    try inParallel(
+      () => sortedStats(post, s"$path/postings", Seq("term"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-      sortedStats(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
+        batchId = Some("base")),
+      () => sortedStats(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-      sortedStats(bm25ChampionRows(post, champions), s"$path/champions",
+        batchId = Some("base")),
+      () => sortedStats(bm25ChampionRows(post, champions), s"$path/champions",
         Seq("term"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-    } finally post.unpersist()
-    // one-row meta: the champion tier only serves exactly if appends
-    // and compactions re-select with the SAME C the build used (the
-    // minhashIndex meta contract, applied to the tier width)
-    import spark.implicits._
-    Seq(champions).toDF("champions")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        batchId = Some("base")),
+      // one-row meta: the champion tier only serves exactly if appends
+      // and compactions re-select with the SAME C the build used (the
+      // minhashIndex meta contract, applied to the tier width)
+      () => {
+        import spark.implicits._
+        Seq(champions).toDF("champions")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      })
+    finally post.unpersist()
   }
 
   /** The ONE definition of a doc batch's BM25 posting rows (term,
@@ -478,18 +540,21 @@ object Layouts {
             "first, or pass enforceNewDocs = false if batch identity is " +
             "ledgered upstream")
       }
-      // postings FIRST, delta second: a probe between the two commits
-      // scores the new docs under the pre-append corpus statistics
-      // (bounded staleness); the reverse order would transiently shift
-      // every EXISTING doc's score instead
-      sortedTableAppend(post, s"$path/postings", Seq("term"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-        batchId = batchId)
+      // postings/champions FIRST (concurrently — [[inParallel]], they
+      // order against the DELTA commit, not each other), delta LAST: a
+      // probe before the delta commit scores the new docs under the
+      // pre-append corpus statistics (bounded staleness); a delta
+      // landing first would transiently shift every EXISTING doc's
+      // score instead
+      inParallel(
+        () => sortedTableAppend(post, s"$path/postings", Seq("term"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+          batchId = batchId),
+        () => sortedTableAppend(bm25ChampionRows(post, c), s"$path/champions",
+          Seq("term"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+          batchId = batchId))
       sortedTableAppend(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-        batchId = batchId)
-      sortedTableAppend(bm25ChampionRows(post, c), s"$path/champions",
-        Seq("term"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
         batchId = batchId)
     } finally post.unpersist()
@@ -559,13 +624,18 @@ object Layouts {
           .agg(sum("n").as("n"), sum("total").as("total"))
           .select(lit(null).cast("string").as("term"),
             lit(null).cast("long").as("df"), col("n"), col("total")))
-    sortedRebase(s"$path/postings", Seq("term"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-      graceGenerations = graceGenerations)
-    rebaseShaped(s"$path/deltas", Seq("term"), aggDeltas,
-      groupBytes, pageRows, partitions, graceGenerations)
-    rebaseShaped(s"$path/champions", Seq("term"), bm25ChampionRows(_, c),
-      groupBytes, pageRows, partitions, graceGenerations)
+    // the three tables compact independently (each is its own managed
+    // table / rename-aside swap; cross-table generation skew is
+    // content-neutral by construction, see [[manageBm25]]) — overlap
+    // them ([[inParallel]], guide §2.6)
+    inParallel(
+      () => sortedRebase(s"$path/postings", Seq("term"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        graceGenerations = graceGenerations),
+      () => rebaseShaped(s"$path/deltas", Seq("term"), aggDeltas,
+        groupBytes, pageRows, partitions, graceGenerations),
+      () => rebaseShaped(s"$path/champions", Seq("term"), bm25ChampionRows(_, c),
+        groupBytes, pageRows, partitions, graceGenerations))
   }
 
   /** Incremental maintenance of a persisted posting index: the batch's
@@ -759,34 +829,39 @@ object Layouts {
     // across batches must survive its co-batches' retraction).
     def prov(df: DataFrame): DataFrame =
       if (provenance) df.withColumn("src_batch", lit("base")) else df
-    sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
-      s"$path/fp", Seq("fp"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-      batchId = Some("base"))
     // cache: the tokenize+shingle+minhash pipeline is the dominant build
     // cost and feeds BOTH the banded and shingles writes (the jaccardIndex
     // pattern below) — without the barrier each write re-scans the corpus
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
-    try {
-      sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
+    // all four tables land concurrently ([[inParallel]], guide §2.6):
+    // fp derives straight from the corpus, banded/shingles share the
+    // cached signature pass, meta is one local row
+    try inParallel(
+      () => sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
+        s"$path/fp", Seq("fp"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+        batchId = Some("base")),
+      () => sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
         s"$path/banded", Seq("bh"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-      sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
+        batchId = Some("base")),
+      () => sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
         s"$path/shingles", Seq(idCol),
         groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base"))
-    } finally sigs.unpersist()
-    // one-row meta: the banded table only matches probes computed with the
-    // SAME signature family (k), band split, and shingle width — a probe
-    // built with different parameters joins against a disjoint hash space
-    // and every true near-dup silently classifies as "kept". The path
-    // overload of incrementalDedupStaged reads these instead of trusting
-    // the caller to repeat them.
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        batchId = Some("base")),
+      // one-row meta: the banded table only matches probes computed with the
+      // SAME signature family (k), band split, and shingle width — a probe
+      // built with different parameters joins against a disjoint hash space
+      // and every true near-dup silently classifies as "kept". The path
+      // overload of incrementalDedupStaged reads these instead of trusting
+      // the caller to repeat them.
+      () => {
+        val spark = docs.sparkSession
+        import spark.implicits._
+        Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      })
+    finally sigs.unpersist()
   }
 
   /** Incremental maintenance of a persisted MinHash index: compute the
@@ -932,22 +1007,29 @@ object Layouts {
     try {
       val freq = sorted.select(explode(col("s")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("f"))
-      sortedStats(freq, s"$path/freq", Seq("tok"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-      // freqShuffleHash: at build scale the vocabulary outgrows broadcast
-      // and AQE's fallback sort-merge join sorts the exploded corpus — the
-      // round-10 sweep cliff (50→100× 15.1→73.4 s; pinned: 10.8→20.2 s).
-      sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold,
-          freqShuffleHash = true),
-        s"$path/pref", Seq("tok"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
-      sortedStats(sorted, s"$path/sets", Seq(idCol),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions)
+      // all four tables land concurrently ([[inParallel]], guide §2.6):
+      // pref consumes the freq FRAME (recomputed off the cached sets, one
+      // cheap groupBy), not the freq table write, so nothing orders the
+      // writes against each other
+      inParallel(
+        () => sortedStats(freq, s"$path/freq", Seq("tok"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions),
+        // freqShuffleHash: at build scale the vocabulary outgrows broadcast
+        // and AQE's fallback sort-merge join sorts the exploded corpus — the
+        // round-10 sweep cliff (50→100× 15.1→73.4 s; pinned: 10.8→20.2 s).
+        () => sortedStats(Dedup.freqOrderedPrefix(sorted, freq, idCol, threshold,
+            freqShuffleHash = true),
+          s"$path/pref", Seq("tok"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions),
+        () => sortedStats(sorted, s"$path/sets", Seq(idCol),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions),
+        () => {
+          val s = docs.sparkSession
+          import s.implicits._
+          Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
+            .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+        })
     } finally sorted.unpersist()
-    val s = docs.sparkSession
-    import s.implicits._
-    Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** Persisted IVF ANN index, consumed by
@@ -1256,8 +1338,9 @@ object Layouts {
           minhashFamily(groupBytes, pageRows, partitions),
           graceGenerations, conf)
       case None =>
-        // ---- legacy flat layout: rewrite-aside + rename (quiesced only)
-        Seq("fp", "banded", "shingles").foreach { tbl =>
+        // ---- legacy flat layout: rewrite-aside + rename (quiesced only;
+        // the three tables rewrite independently — [[inParallel]])
+        inParallel(Seq("fp", "banded", "shingles").map(tbl => () => {
           val tblPath = s"$path/$tbl"
           recoverCrashedSwap(tblPath, conf)
           val df = spark.read.parquet(tblPath)
@@ -1270,7 +1353,7 @@ object Layouts {
             groupBytes = groupBytes, pageRows = pageRows,
             partitions = partitions, batchId = Some("base"))
           swapIn(tblPath, tmp, conf)
-        }
+        }): _*)
     }
   }
 
@@ -1742,7 +1825,9 @@ object Layouts {
           conf: org.apache.hadoop.conf.Configuration): Unit =
         tables.foreach(t => copySliceForce(s"$o/$t", s"$n/$t", bid, conf))
       def fold(o: String, n: String, ids: Set[String]): Unit =
-        tables.foreach { tbl =>
+        // the three per-table fold rewrites are independent (disjoint
+        // inputs and outputs) — overlap them ([[inParallel]], guide §2.6)
+        inParallel(tables.map(tbl => () => {
           val flat = spark.read.parquet(s"$o/$tbl")
             .where(col("batch_id").isin(ids.toSeq: _*))
             .where(foldFilter).drop("batch_id")
@@ -1761,7 +1846,7 @@ object Layouts {
           sortedStats(shaped, s"$n/$tbl", sortCols,
             groupBytes = groupBytes, pageRows = pageRows,
             partitions = partitions, batchId = Some("base"))
-        }
+        }): _*)
     }
 
   /** A single sorted-stats table living AT the generation root (the

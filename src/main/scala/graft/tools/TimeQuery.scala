@@ -18,6 +18,12 @@ object TimeQuery {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.build("graft-timequery", cores = cores)
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B hook: comma-separated k=v runtime SQL confs, e.g.
+    // SPARK_GRAFT_SQLCONF=spark.sql.adaptive.coalescePartitions.parallelismFirst=false
+    sys.env.get("SPARK_GRAFT_SQLCONF").foreach(_.split(',').foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) spark.conf.set(kv.take(i), kv.drop(i + 1))
+    })
     val q = SparkEntry.queries.getOrElse(name,
       sys.error(s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}"))
     val walls = (1 to reps).map { i =>
