@@ -71,6 +71,10 @@ object Dedup {
       textCol: String = "text",
       k: Int = 16,
       shingleN: Int = 3): DataFrame =
+    // NOT fanned out here: this is shared with the per-trigger ingest
+    // paths, where a fan-out repartition per bounded micro-batch is pure
+    // overhead (measured on the r18 streaming admit rows; the corpus
+    // A/B lost too — OPTIMIZATION_r18.md)
     withGraftFns(docs)
       .select(col(idCol),
         expr(s"graft_shingle_hashes(graft_token_hashes($textCol), $shingleN)").as("shingles"))

@@ -151,10 +151,15 @@ object ExtensionCatalog {
           "(acc, x) -> CASE WHEN (acc = ma OR endswith(acc, concat('|', ma))) " +
           "AND x = mb THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]')"))
       .drop("ma", "mb")
+    // checkpoint each round's merged token table: t2 feeds BOTH the next
+    // round's pair count and the t3 derivation (and t3 likewise) — left
+    // lazy the per-word aggregate fold re-ran once per consumer (three
+    // evaluations of the t2 fold per x110/x111 run, r18 optimization
+    // round); the |V|-row barrier runs each fold exactly once
     val m1 = top1(pairCounts(chars))
-    val t2 = applyMerge(chars, m1)
+    val t2 = applyMerge(chars, m1).localCheckpoint()
     val m2 = top1(pairCounts(t2))
-    val t3 = applyMerge(t2, m2)
+    val t3 = applyMerge(t2, m2).localCheckpoint()
     val m3 = top1(pairCounts(t3))
     (m1, m2, m3, applyMerge(t3, m3))
   }

@@ -56,6 +56,23 @@ object Layouts {
       } finally pool.shutdownNow()
     }
 
+  /** Fan a narrow input out to the session's default parallelism before
+    * a compute-heavy per-row derivation (tokenize/explode/signature
+    * kernels — optimization guide §2.5): a fixture-scale parquet holds
+    * one row group, so the scan plans ONE task and the whole derivation
+    * serializes on one core. Scale-adaptive: fires only when the planned
+    * scan width is below the session default, so a production corpus —
+    * whose scan already carries ≥ cores splits — is never re-shuffled;
+    * when it does fire it moves the RAW input rows, which are strictly
+    * smaller than the exploded rows the downstream range shuffle moves
+    * anyway (the guide §8 rule: shuffle the light proxy, not the heavy
+    * derivative).
+    */
+  private[graft] def fanOutScan(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   private def requireBatchId(id: String): Unit =
     require(id.nonEmpty && id.forall(c =>
         c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
@@ -91,15 +108,17 @@ object Layouts {
     // shuffle width so a large input behaves exactly as before (in
     // production the width comes from shuffle.partitions or the explicit
     // `partitions` arg; the estimate only ever NARROWS tiny writes).
+    // The /4 documents the uncompressed-plan-stats → parquet-bytes gap
+    // (the inverse of spark.sql.sources.fileCompressionFactor). An
+    // AQE-actual-bytes variant (write under a conf-isolated cloned
+    // session, parallelismFirst off, advisory = groupBytes) was A/B'd
+    // across two full bench windows and LOST — the per-write replan +
+    // range-sample overhead exceeded what exact widths saved on every
+    // build family except the corpus-sized posting table; this estimate
+    // is the measured winner (OPTIMIZATION_r18.md).
     val width =
       if (partitions > 0) partitions
       else {
-        // logical-plan stats are UNCOMPRESSED row-format bytes; parquet
-        // with dictionary + zstd lands a conservative ~4× smaller (the
-        // inverse of spark.sql.sources.fileCompressionFactor's file→plan
-        // direction), so divide before sizing or every write rounds up
-        // to the cap and the adaptivity is a no-op on exactly the tiny
-        // slices it exists for
         val est = df.queryExecution.optimizedPlan.stats.sizeInBytes / 4
         val byBytes = (est + BigInt(groupBytes) - 1) / BigInt(groupBytes)
         val cap = BigInt(df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -278,7 +297,10 @@ object Layouts {
       groupBytes: Long = 128L * 1024 * 1024,
       pageRows: Int = 20000,
       partitions: Int = 0): Unit =
-    sortedStats(postingRows(docs, idCol, textCol), path, Seq("tri"),
+    // fanOutScan on the CORPUS build only (guide §2.5) — the append path
+    // shares postingRows but feeds bounded batches where a fan-out is
+    // pure overhead (measured on the streaming admit rows)
+    sortedStats(postingRows(fanOutScan(docs), idCol, textCol), path, Seq("tri"),
       groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
       batchId = Some("base"))
 
@@ -938,21 +960,28 @@ object Layouts {
       case (true, Some(b)) => df.withColumn("src_batch", lit(b))
       case _               => df
     }
-    sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
-      s"$root/fp", Seq("fp"),
-      groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-      mode = mode, batchId = bid, dynamicOverwrite = dyn)
+    // the three per-table writes overlap ([[inParallel]] — visibility of
+    // a mid-append partial slice is unchanged: readers could already
+    // observe any single table's files before the others' under the
+    // sequential order, and the fold/compact protocol keys on the seal
+    // markers written AFTER all three); slice width stays the pinned 1 —
+    // an adaptive width was A/B'd and lost on the bounded batches this
+    // path feeds (OPTIMIZATION_r18.md)
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
-    try {
-      sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
+    try inParallel(
+      () => sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
+        s"$root/fp", Seq("fp"),
+        groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
+        mode = mode, batchId = bid, dynamicOverwrite = dyn),
+      () => sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
         s"$root/banded", Seq("bh"),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-        mode = mode, batchId = bid, dynamicOverwrite = dyn)
-      sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
+        mode = mode, batchId = bid, dynamicOverwrite = dyn),
+      () => sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
         s"$root/shingles", Seq(idCol),
         groupBytes = groupBytes, pageRows = pageRows, partitions = 1,
-        mode = mode, batchId = bid, dynamicOverwrite = dyn)
-    } finally sigs.unpersist()
+        mode = mode, batchId = bid, dynamicOverwrite = dyn))
+    finally sigs.unpersist()
     // managed layout: seal the slices (the fold skips unsealed = in-flight
     // appends), then chase the manifest — if a compact published a new
     // generation while this append was writing, copy the slices forward
@@ -1124,12 +1153,22 @@ object Layouts {
     // would fork the parquet schema, the corpusn hazard below)
     val listed =
       if (provenance) lists.withColumn("src_batch", lit("base")) else lists
-    listed.withColumn("batch_id", lit("base"))
-      .write.mode("overwrite").partitionBy("cent_id", "batch_id")
-      .parquet(s"$path/assign")
-    import spark.implicits._
-    Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // one hash shuffle on cent_id co-locates each cell in one task, so a
+    // cell directory lands as ONE file instead of one per upstream
+    // partition (cells × partitions tiny files otherwise — the exact
+    // fragmentation [[ivfFamily]]'s fold already removes on compact;
+    // guide §6 "small files hurt twice"). Same trade as the fold: a hot
+    // cell serializes into one write task, which compact accepts too.
+    inParallel(
+      () => listed.withColumn("batch_id", lit("base"))
+        .repartition(col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+        .parquet(s"$path/assign"),
+      () => {
+        import spark.implicits._
+        Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      })
   }
 
   /** Incremental maintenance of a persisted IVF index: assign ONLY the
@@ -1213,20 +1252,24 @@ object Layouts {
         " src_batch — build with the same provenance setting")
     def prov(df: DataFrame, b: String): DataFrame =
       if (provenance) df.withColumn("src_batch", lit(b)) else df
+    // NOT cell-colocated like the build/fold: an append batch is bounded
+    // (few files per touched cell already) and the extra hash shuffle per
+    // ingest batch measured as a net loss on the r18 A/B windows
+    val colocated = aligned
     val bid = (batchId, batched) match {
       case (Some(b), _) =>
-        prov(aligned, b).withColumn("batch_id", lit(b))
+        prov(colocated, b).withColumn("batch_id", lit(b))
           .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
           .partitionBy("cent_id", "batch_id").parquet(assign)
         Some(b)
       case (None, true) =>
         val anon = "anon-" + java.util.UUID.randomUUID
-        prov(aligned, anon).withColumn("batch_id", lit(anon))
+        prov(colocated, anon).withColumn("batch_id", lit(anon))
           .write.mode("append").partitionBy("cent_id", "batch_id")
           .parquet(assign)
         Some(anon)
       case (None, false) =>
-        aligned.write.mode("append").partitionBy("cent_id").parquet(assign)
+        colocated.write.mode("append").partitionBy("cent_id").parquet(assign)
         None
     }
     // managed layout: seal, then chase the manifest — the MinHash
