@@ -78,8 +78,12 @@ object PageRank {
       .withColumn("deg", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")))
       .localCheckpoint()
-    val nodesC = eC.select(col("src").as("node"))
-      .union(eC.select(col("dst").as("node"))).distinct()
+    // nodes from the NARROW e1 checkpoint via one explode, not a union of
+    // two reads of the deg-widened eC (r18 optimization round: the union
+    // form was the row's single heaviest stage — 64 tasks re-reading the
+    // widened edge blocks twice); same node set either way
+    val nodesC = e1c.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct()
       .repartition(col("node")).localCheckpoint()
     // e/nodes are materialized (eager checkpoints), so e1's blocks are
     // dead weight from here: release them NOW rather than pinning a
