@@ -33,6 +33,22 @@ object Bench {
     */
   @volatile private var preambleSpinSink: Long = 0L
 
+  /** Assert a stdout artifact line is one strictly-parseable JSON object
+    * with no embedded newline (the driver tails stdout and `json.loads`s
+    * each line; an unparseable line blinds a whole round's PERF
+    * comparison — VERDICT r18 #2/#8). Returns the line unchanged; throws
+    * before anything is printed, so a malformed line fails the RUN
+    * loudly instead of silently losing the round-over-round baseline.
+    */
+  private[graft] def checkedLine(line: String): String = {
+    require(!line.contains('\n') && !line.contains('\r'),
+      "bench artifact line must be a single physical line")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    require(node != null && node.isObject,
+      "bench artifact line must be one JSON object")
+    line
+  }
+
   /** Acceptance-bound reference numbers, read from BASELINE.md's
     * `bench-baseline` HTML-comment marker (the committed ledger is the
     * source of truth; a hardcoded copy here could silently go stale —
@@ -794,7 +810,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedNames =
       results.collect { case (k, r) if r.failed => k } ++ sloFailures
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_warm_gbps":${round(gbps, 100)},"sf":"$sfDir"}""")
+    println(checkedLine(s"""{"metric":"total","value":$total,"unit":"sec","queries":${col(_.wallSec, 100)},"seq_read_warm_gbps":${round(gbps, 100)},"sf":"$sfDir"}"""))
     // `slowest` trimmed 12→10: the trigger-latency/build-write/host-gate
     // fields below must fit with the rest inside the driver's 2000-char
     // stdout tail window
@@ -802,7 +818,7 @@ object Bench {
       .map { case (k, r) => "\"" + k + "\":" + round(r.wallSec, 100) }
       .mkString("{", ",", "}")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"serving_slo_sec":$servingSloSec,"serving_slo_breaches":$sloJson,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJsonLine,"retried_streams":$retriedStreamsJsonLine,"retried_count":$retriedCount,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu":${round(hostNormCpuFactor, 1000)},"repass":$repassTriggered,"repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"sf":"$sfDir"}""")
+    println(checkedLine(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed_queries":$failedJson,"slowest":$slowest,"builds_sec":${round(buildsSec, 100)},"streaming_sec":${round(streamingSec, 100)},"steady_sec_per_query":${round(steadySecPerQuery, 1000)},"baseline_sec_per_query":$refSecPerQuery,"baseline_source":"$baselineSource","vs_baseline_raw":${round(vsBaselineRaw, 100)},"vs_baseline_host_norm":${round(vsBaselineHostNorm, 100)},"host_degraded":$hostDegraded,"idle_other_cores":${round(idleOtherCores, 100)},"spin_preamble_mops":${round(preSpinMops, 10)},"stream_trigger_p50_sec":$streamP50,"serving_slo_sec":$servingSloSec,"serving_slo_breaches":$sloJson,"build_write_mbps":$buildWriteMbps,"retried_rows":$retriedJsonLine,"retried_streams":$retriedStreamsJsonLine,"retried_count":$retriedCount,"retry_overhead_sec":${round(retryOverheadSec, 100)},"retry_ref":"$retryRefSource","retry_run_weather":$retryRunWeather,"host_norm_cpu":${round(hostNormCpuFactor, 1000)},"repass":$repassTriggered,"repass_overhead_sec":${round(steadyRepassOverheadSec, 100)},"cpu_median_pct":${round(cpuMedPct, 10)},"disk_util_median_pct":${round(diskMedPct, 10)},"steal_max_pct":${round(stealMaxPct, 10)},"spin_med_mops":${round(spinMedMops, 10)},"spin_p10_mops":${round(spinP10Mops, 10)},"seq_read_warm_gbps":${round(gbps, 100)},"seq_read_cold_gbps":${round(coldGbps, 100)},"net_gbps":${round(netGbps, 100)},"http_gbps":${round(httpGbps, 100)},"write_gbps":${round(writeGbps, 100)},"netdisk_gbps":${round(netDiskGbps, 100)},"scratch_cold_gbps":${round(scratchColdGbps, 100)},"scratch_free_gb":${round(scratchFreeGb, 10)},"sf":"$sfDir"}"""))
     spark.stop()
     if (failedNames.nonEmpty) sys.exit(1)
   }

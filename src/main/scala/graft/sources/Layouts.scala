@@ -40,21 +40,91 @@ object Layouts {
     * propagates (as its original exception); the pool never outlives
     * the call.
     */
-  private def inParallel(work: (() => Unit)*): Unit =
+  private[graft] def inParallel(work: (() => Unit)*): Unit =
     if (work.sizeIs <= 1) work.foreach(_.apply())
     else {
+      // Fail-fast + sibling cancellation (ADVICE r18): waiting in
+      // submission order meant a fast failure in a later thunk was only
+      // observed after every earlier write finished, and shutdownNow()
+      // then interrupted sibling Spark jobs MID-COMMIT. Completions are
+      // now taken in finish order, and the first failure cancels the
+      // siblings through a shared job group (interruptOnCancel) before
+      // rethrowing. A failed concurrent build still requires the same
+      // retract/replay recovery as a crash — some sibling slices may
+      // have committed, others not; the protocol's idempotent replay
+      // (dynamic slice overwrite) is the recovery path either way.
+      val sc = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+        .map(_.sparkContext)
+      val gid = s"graft-inparallel-${java.util.UUID.randomUUID}"
       val pool = java.util.concurrent.Executors.newFixedThreadPool(work.size)
+      val ecs = new java.util.concurrent.ExecutorCompletionService[Unit](pool)
       try {
-        val futs = work.map(w =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = w()
-          }))
-        try futs.foreach(_.get())
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        work.foreach(w => ecs.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // job-group the sibling writes (thread-local, one group per
+            // inParallel call) so the failure path can cancel them as a
+            // unit instead of interrupting threads blindly
+            sc.foreach(_.setJobGroup(gid, "graft concurrent table writes",
+              interruptOnCancel = true))
+            try w() finally sc.foreach(_.clearJobGroup())
+          }
+        }))
+        var done = 0
+        while (done < work.size) {
+          try { ecs.take().get(); done += 1 }
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              sc.foreach(_.cancelJobGroup(gid))
+              throw e.getCause
+          }
         }
       } finally pool.shutdownNow()
     }
+
+  /** Recursive tree copy that HARDLINKS file contents when source and
+    * destination live on the same local filesystem, falling back to a
+    * per-file stream copy when the link fails (cross-device move,
+    * filesystem without hardlink support) and to `FileUtil.copy` on
+    * non-local filesystems. The staged-index template forks and the
+    * manifest protocol's slice copies move megabytes of parquet per
+    * lifecycle step through the driver; a link is one inode operation
+    * per file instead of a full read+write (guide §6's small-file cost,
+    * applied to the copy side). SAFE because every copied file is
+    * WRITE-ONCE: Spark emits uniquely-named part files and a dynamic
+    * overwrite REPLACES files rather than mutating them in place, so
+    * content shared through a link can never be changed through either
+    * path, and deleting one side never affects the other (the inode
+    * survives until its last link drops).
+    */
+  private[graft] def copyTree(fs: org.apache.hadoop.fs.FileSystem,
+      src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration,
+      allowLink: Boolean = true): Unit = {
+    val st = fs.getFileStatus(src)
+    if (st.isDirectory) {
+      fs.mkdirs(dst)
+      fs.listStatus(src).foreach(c =>
+        copyTree(fs, c.getPath,
+          new org.apache.hadoop.fs.Path(dst, c.getPath.getName), conf,
+          allowLink))
+    } else {
+      val linked = allowLink && fs.getScheme == "file" &&
+        (try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dst.toUri.getPath),
+            java.nio.file.Paths.get(src.toUri.getPath))
+          true
+        } catch {
+          // fall back, never fail: the copy contract is the behavior,
+          // the link is only the fast path
+          case _: java.io.IOException | _: UnsupportedOperationException |
+              _: SecurityException => false
+        })
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+    }
+  }
 
   /** Fan a narrow input out to the session's default parallelism before
     * a compute-heavy per-row derivation (tokenize/explode/signature
@@ -426,28 +496,31 @@ object Layouts {
     // the corpus)
     val post = bm25PostingRows(docs, idCol, textCol).cache()
     // a fresh build at a private path has no live probes to order
-    // writes for, so all four tables land concurrently ([[inParallel]])
-    // — the three derived tables share the one cached tokenize+tf pass
-    try inParallel(
-      () => sortedStats(post, s"$path/postings", Seq("term"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
-      () => sortedStats(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
-      () => sortedStats(bm25ChampionRows(post, champions), s"$path/champions",
-        Seq("term"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
+    // writes for, so the three data tables land concurrently
+    // ([[inParallel]]) — they share the one cached tokenize+tf pass
+    try {
+      inParallel(
+        () => sortedStats(post, s"$path/postings", Seq("term"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")),
+        () => sortedStats(bm25DeltaRows(post), s"$path/deltas", Seq("term"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")),
+        () => sortedStats(bm25ChampionRows(post, champions), s"$path/champions",
+          Seq("term"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")))
       // one-row meta: the champion tier only serves exactly if appends
       // and compactions re-select with the SAME C the build used (the
-      // minhashIndex meta contract, applied to the tier width)
-      () => {
-        import spark.implicits._
-        Seq(champions).toDF("champions")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      })
-    finally post.unpersist()
+      // minhashIndex meta contract, applied to the tier width). Written
+      // LAST, sequentially (ADVICE r18): path-overload readers treat
+      // "meta exists" as the build-completed sentinel, so it must not
+      // land while a crashed build's data tables are partial — it is
+      // one local row, the overlap gain was nil
+      import spark.implicits._
+      Seq(champions).toDF("champions")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally post.unpersist()
   }
 
   /** The ONE definition of a doc batch's BM25 posting rows (term,
@@ -855,35 +928,36 @@ object Layouts {
     // cost and feeds BOTH the banded and shingles writes (the jaccardIndex
     // pattern below) — without the barrier each write re-scans the corpus
     val sigs = Dedup.minhashSignature(docs, idCol, textCol, k, shingleN).cache()
-    // all four tables land concurrently ([[inParallel]], guide §2.6):
-    // fp derives straight from the corpus, banded/shingles share the
-    // cached signature pass, meta is one local row
-    try inParallel(
-      () => sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
-        s"$path/fp", Seq("fp"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
-      () => sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
-        s"$path/banded", Seq("bh"),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
-      () => sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
-        s"$path/shingles", Seq(idCol),
-        groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
-        batchId = Some("base")),
+    // the three data tables land concurrently ([[inParallel]], guide
+    // §2.6): fp derives straight from the corpus, banded/shingles share
+    // the cached signature pass
+    try {
+      inParallel(
+        () => sortedStats(prov(Dedup.exactFingerprints(docs, textCol)),
+          s"$path/fp", Seq("fp"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")),
+        () => sortedStats(prov(Dedup.bandedHashes(sigs, idCol, bands, k / bands)),
+          s"$path/banded", Seq("bh"),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")),
+        () => sortedStats(prov(sigs.select(col(idCol), col("shingles"))),
+          s"$path/shingles", Seq(idCol),
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions,
+          batchId = Some("base")))
       // one-row meta: the banded table only matches probes computed with the
       // SAME signature family (k), band split, and shingle width — a probe
       // built with different parameters joins against a disjoint hash space
       // and every true near-dup silently classifies as "kept". The path
       // overload of incrementalDedupStaged reads these instead of trusting
-      // the caller to repeat them.
-      () => {
-        val spark = docs.sparkSession
-        import spark.implicits._
-        Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      })
-    finally sigs.unpersist()
+      // the caller to repeat them. Written LAST, sequentially (ADVICE
+      // r18): "meta exists" is the build-completed sentinel those readers
+      // key on, and it is one local row — the overlap gain was nil.
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Seq((k, bands, shingleN)).toDF("k", "bands", "shingle_n")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally sigs.unpersist()
   }
 
   /** Incremental maintenance of a persisted MinHash index: compute the
@@ -1051,13 +1125,16 @@ object Layouts {
           s"$path/pref", Seq("tok"),
           groupBytes = groupBytes, pageRows = pageRows, partitions = partitions),
         () => sortedStats(sorted, s"$path/sets", Seq(idCol),
-          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions),
-        () => {
-          val s = docs.sparkSession
-          import s.implicits._
-          Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
-            .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-        })
+          groupBytes = groupBytes, pageRows = pageRows, partitions = partitions))
+      // meta LAST, sequentially (ADVICE r18): exactJaccardPairsStaged's
+      // path overload treats "meta exists" as build-completed — one local
+      // row, nil overlap gain
+      locally {
+        val s = docs.sparkSession
+        import s.implicits._
+        Seq((threshold, shingleN)).toDF("threshold", "shingle_n")
+          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      }
     } finally sorted.unpersist()
   }
 
@@ -1159,16 +1236,18 @@ object Layouts {
     // fragmentation [[ivfFamily]]'s fold already removes on compact;
     // guide §6 "small files hurt twice"). Same trade as the fold: a hot
     // cell serializes into one write task, which compact accepts too.
-    inParallel(
-      () => listed.withColumn("batch_id", lit("base"))
-        .repartition(col("cent_id"))
-        .write.mode("overwrite").partitionBy("cent_id", "batch_id")
-        .parquet(s"$path/assign"),
-      () => {
-        import spark.implicits._
-        Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")
-          .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
-      })
+    listed.withColumn("batch_id", lit("base"))
+      .repartition(col("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id", "batch_id")
+      .parquet(s"$path/assign")
+    // meta LAST, sequentially (the ADVICE r18 sentinel rule applied to
+    // the IVF family too): ivfAppend/probes read meta for two_level and
+    // must not find it over a partial assign tree after a crashed build
+    locally {
+      import spark.implicits._
+      Seq((centModulo, useTwoLevel)).toDF("cent_modulo", "two_level")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    }
   }
 
   /** Incremental maintenance of a persisted IVF index: assign ONLY the
@@ -1642,7 +1721,11 @@ object Layouts {
         val tmp = new org.apache.hadoop.fs.Path(
           s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
         fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
-        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+        // hardlink fast path ([[copyTree]]): a slice's files are
+        // write-once, and a replay REPLACES files (new inodes) rather
+        // than mutating them — the fingerprint re-check below still
+        // detects exactly the races it detected for the stream copy
+        copyTree(fs, src, tmp, conf)
         if (sliceFingerprint(src, fs) == before) {
           if (!fs.rename(tmp, dst)) fs.delete(tmp, true) // lost a race: done
           return
@@ -1674,7 +1757,7 @@ object Layouts {
       val tmp = new org.apache.hadoop.fs.Path(
         s"$toTbl/.copy-$bid-${java.util.UUID.randomUUID}")
       fs.mkdirs(new org.apache.hadoop.fs.Path(toTbl))
-      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false, conf)
+      copyTree(fs, src, tmp, conf) // hardlink fast path, see copyTree
       if (fs.rename(tmp, dst)) return
       fs.delete(tmp, true)
     }

@@ -268,23 +268,31 @@ object StreamDedup {
     val kept = docs.join(
       st.where(col("status") === "kept").select("doc_id"), "doc_id")
       .localCheckpoint()
-    graft.sources.Layouts.minhashAppend(kept, indexPath,
-      groupBytes = groupBytes, pageRows = pageRows, batchId = Some(bid))
-    // the ledger partitions on the STREAM-SCOPED id, exactly like the
-    // index slices above (ADVICE r15): partitioned on the raw engine
-    // batchId, a reset checkpoint (new lineage restarting at batch 0) or
-    // a second stream sharing ledgerPath would dynamically overwrite the
-    // earlier lineage's `batch_id=N` slices and silently destroy its
-    // audit records. The engine's numeric id stays decodable as the
-    // `engine_batch_id` row column (within one lineage it orders the
-    // batches; across lineages only `batch_id` is unique).
-    st.withColumn("engine_batch_id", lit(batchId))
-      .withColumn("batch_id", lit(bid))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .mode("overwrite")
-      .parquet(ledgerPath)
+    // the index append and the ledger write are INDEPENDENT writes of
+    // already-materialized frames (kept / st are localCheckpointed
+    // above), so they overlap (guide §2.6, r19 optimization round) —
+    // running them back to back paid a full driver+commit wall each
+    // while the trigger held the stream. Recovery is unchanged: both
+    // are idempotent slice overwrites keyed on `bid`, the checkpoint
+    // commits only after BOTH return, and a replay of a crash between
+    // them rewrites both slices to the same bytes whichever landed.
+    //
+    // (Ledger partitioning, ADVICE r15: the STREAM-SCOPED id, exactly
+    // like the index slices — partitioned on the raw engine batchId, a
+    // reset checkpoint or a second stream sharing ledgerPath would
+    // dynamically overwrite the earlier lineage's `batch_id=N` slices
+    // and silently destroy its audit records. The engine's numeric id
+    // stays decodable as the `engine_batch_id` row column.)
+    graft.sources.Layouts.inParallel(
+      () => graft.sources.Layouts.minhashAppend(kept, indexPath,
+        groupBytes = groupBytes, pageRows = pageRows, batchId = Some(bid)),
+      () => st.withColumn("engine_batch_id", lit(batchId))
+        .withColumn("batch_id", lit(bid))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite")
+        .parquet(ledgerPath))
   }
 
   /** Bounded-state streaming dedup over the EVENTS feed:

@@ -180,4 +180,61 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     plan.toLowerCase should include ("dynamicpruning")
     joined.count() shouldBe lineitem.where($"l_returnflag" === "A").count()
   }
+
+  test("copyTree: hardlink fork equals the source and isolates deletions; " +
+      "the no-link fallback copies identically") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeTree(root: java.nio.file.Path): Unit = {
+      java.nio.file.Files.createDirectories(root.resolve("sub/batch_id=a"))
+      java.nio.file.Files.write(root.resolve("part-0.parquet"),
+        "payload-0".getBytes("UTF-8"))
+      java.nio.file.Files.write(root.resolve("sub/batch_id=a/part-1.parquet"),
+        "payload-1".getBytes("UTF-8"))
+      java.nio.file.Files.write(root.resolve("sub/batch_id=a/_SEALED"),
+        Array.empty[Byte])
+    }
+    def treeOf(root: java.nio.file.Path): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        // the Hadoop local fs writes .crc sidecars on its copy path (and
+        // none on the link path) — payload equality is the contract
+        .filterNot(_.getFileName.toString.endsWith(".crc"))
+        .map(p => root.relativize(p).toString ->
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .toMap
+      finally walk.close()
+    }
+    for (allowLink <- Seq(true, false)) {
+      val src = java.nio.file.Files.createTempDirectory(s"ct-src-$allowLink")
+      val dst = java.nio.file.Files.createTempDirectory(s"ct-dst-$allowLink")
+        .resolve("fork")
+      writeTree(src)
+      val before = treeOf(src)
+      val fs = new org.apache.hadoop.fs.Path(src.toString)
+        .getFileSystem(conf)
+      Layouts.copyTree(fs,
+        new org.apache.hadoop.fs.Path(src.toString),
+        new org.apache.hadoop.fs.Path(dst.toString), conf,
+        allowLink = allowLink)
+      // the fork is byte-identical to the source
+      treeOf(dst) shouldBe before
+      // on the link path the copy really is a hardlink (same inode) —
+      // the fast path must be exercised, not silently falling back
+      if (allowLink) {
+        val a = java.nio.file.Files.readAttributes(
+          src.resolve("part-0.parquet"),
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        val b = java.nio.file.Files.readAttributes(
+          dst.resolve("part-0.parquet"),
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        b shouldBe a
+      }
+      // deleting the fork (a lifecycle mutating its copy) leaves the
+      // template intact — the write-once sharing contract
+      scala.reflect.io.Directory(dst.toFile).deleteRecursively()
+      treeOf(src) shouldBe before
+    }
+  }
 }
