@@ -4325,7 +4325,14 @@ object ExtensionCatalog {
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("n").desc, col("bigram"))
         val total = vocab.agg(sum("n").as("n_total"))
-        vocab.withColumn("rank", row_number().over(w))
+        // rank/cum_n are only consumed at ranks ≤ 500, so the global
+        // TakeOrdered(500) bounds the single-partition window at 500 rows
+        // (r19 WindowExec audit: this was the one unpartitioned window
+        // over an UNBOUNDED input — the full bigram vocabulary — in the
+        // catalog; the top-500 prefix carries identical rank and
+        // cumulative sums for every emitted row)
+        vocab.orderBy(col("n").desc, col("bigram")).limit(500)
+          .withColumn("rank", row_number().over(w))
           .withColumn("cum_n", sum("n").over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .where(col("rank").isin(50, 200, 500))
@@ -7530,9 +7537,18 @@ object ExtensionCatalog {
           // chain is deep enough to overflow task-serialization stacks.
           // An EAGER checkpoint every 16 steps bounds lineage depth while
           // keeping the one-job stage chain for the common short unrolls.
+          // Truncation every SECOND step (r19, VERDICT r18 #6): each
+          // lazy localCheckpoint pays a physical-planning pass on the
+          // driver, and the blowup it guards against is geometric with a
+          // base of 2 per un-truncated step (`best` appears twice per
+          // step) — skipping alternate steps bounds the worst plan at 4
+          // copies of the last checkpoint's LogicalRDD instead of 2,
+          // still O(1), for half the per-step planning cost.
           best =
             if (step % 16 == 0) stepped.localCheckpoint()
-            else stepped.localCheckpoint(eager = false)
+            else if (step % 2 == 0 || step == maxLen)
+              stepped.localCheckpoint(eager = false)
+            else stepped
         }
         val segmented = words.join(best, "w")
           .where(col("pos") === length(col("w")))
