@@ -206,6 +206,14 @@ object Layouts {
     // range-sample overhead exceeded what exact widths saved on every
     // build family except the corpus-sized posting table; this estimate
     // is the measured winner (OPTIMIZATION_r18.md).
+    // Estimator failure modes (ADVICE r18): size-only plan stats do not
+    // shrink Filter/Join outputs and the fixed /4 compression guess can
+    // under- or over-shoot, so a mid-sized DERIVED input (join/aggregate
+    // frame) can collapse to width 1 — correctness holds either way
+    // (sort + parquet.block.size still bound row groups) and the UNKNOWN-
+    // stats sentinel is safe by construction (a huge default estimate
+    // clamps to the session cap, never to 1). Callers that need a wider
+    // write for a derived frame pass `partitions` explicitly.
     val width =
       if (partitions > 0) partitions
       else {
@@ -1218,13 +1226,14 @@ object Layouts {
     // probe would return nothing forever (review r13; semDedupScaled
     // carries the same min-id fallback for the same reason). One
     // lowest-id centroid is the degenerate-but-correct single-cell index.
-    val sampled = corpus.where(col(idCol) % centModulo === 0)
-    val cents =
-      if (sampled.isEmpty)
-        corpus.orderBy(col(idCol)).limit(1)
-      else sampled
-    cents.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+    // The guard checks the just-WRITTEN one-file table instead of running
+    // a separate `isEmpty` over the corpus first (r19: that probe was a
+    // whole corpus-scan job per build, on top of the write's own scan);
+    // the empty case pays a second tiny write, the common case pays none.
+    def writeCents(rows: DataFrame): Unit =
+      rows.select(col(idCol).as("cent_id"), col(vecCol).as("centv"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/cent")
+    writeCents(corpus.where(col(idCol) % centModulo === 0))
     // twoLevel swaps the n·k flat assignment for the n·√k coarse pass
     // (SimilaritySearch.invertedListsTwoLevel) — approximate at coarse
     // cell boundaries, mandatory once cell COUNT is corpus-proportional.
@@ -1239,11 +1248,19 @@ object Layouts {
     // one-file table instead of re-deriving them with a second full
     // corpus scan+filter (review r13: at the 100 TB regime that scan
     // doubles the dominant build I/O)
-    val centsBack = spark.read.parquet(s"$path/cent")
+    var centsBack = spark.read.parquet(s"$path/cent")
+    if (centsBack.isEmpty) { // empty sample: degrade to one lowest-id cell
+      writeCents(corpus.orderBy(col(idCol)).limit(1))
+      centsBack = spark.read.parquet(s"$path/cent")
+    }
     val useTwoLevel = twoLevel.getOrElse(
       centsBack.count() > IvfAutoTwoLevelCentroids)
     val centsFor = centsBack
       .select(col("cent_id").as(idCol), col("centv").as(vecCol))
+    // (a fanOutScan on the assignment input was A/B'd here in r19 —
+    // BuildTimer ivf median 2.13 → 2.22 s, i.e. the extra round-robin
+    // shuffle cancels the parallelism at fixture scale where the scoring
+    // kernel is ~0.5 s — and reverted, the r18 S5 discipline)
     val lists =
       if (useTwoLevel) SimilaritySearch.invertedListsTwoLevel(corpus, centsFor, idCol, vecCol)
       else SimilaritySearch.invertedLists(corpus, centsFor, idCol, vecCol)
