@@ -9281,16 +9281,20 @@ object ExtensionCatalog {
       import s.implicits._
       val queries = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"))
         .toDF("query_id", "term")
+      // the SAME term frame serves both micro-batches: stage the part
+      // file once; the LANDINGS stay exactly where they were — q1 lands
+      // only after the live append, which is the ordering the row tests
+      val part = stageFeedFile(queries, s"$base/stage")
       val q = graft.streaming.StreamBm25.serve(
         s, in, idx, s"$base/ledger", s"$base/ckpt")
       try {
-        landFeedFile(queries, s"$base/stage0", in, "q0")
+        landStaged(part, in, "q0")
         q.processAllAvailable()
         // maintenance fires with the serving stream LIVE
         graft.sources.Layouts.bm25Append(
           t(s, dir, "documents").where(col("doc_id") % 3 === 2), idx,
           groupBytes = 256L * 1024, pageRows = 2000, batchId = Some("g1"))
-        landFeedFile(queries, s"$base/stage1", in, "q1")
+        landStaged(part, in, "q1")
         q.processAllAvailable()
       } finally q.stop()
       s"$base/ledger"
@@ -10274,14 +10278,29 @@ object ExtensionCatalog {
     * pattern, shared by the streaming bench rows).
     */
   private def landFeedFile(
-      df: DataFrame, stage: String, feedDir: String, name: String): Unit = {
+      df: DataFrame, stage: String, feedDir: String, name: String): Unit =
+    landStaged(stageFeedFile(df, stage), feedDir, name)
+
+  /** Write `df` as one parquet part file in a staging dir and return that
+    * file — the WRITE half of [[landFeedFile]], split out (r19) so feeds
+    * that land the SAME frame under several trigger files pay the Spark
+    * write job once and the per-landing cost is a file copy (the landing
+    * TIME stays wherever the caller puts [[landStaged]], which is what
+    * orders a micro-batch against live index maintenance).
+    */
+  private def stageFeedFile(df: DataFrame, stage: String): java.io.File = {
     df.coalesce(1).write.mode("overwrite").parquet(stage)
-    val part = new java.io.File(stage).listFiles()
+    new java.io.File(stage).listFiles()
       .filter(_.getName.endsWith(".parquet")).head
+  }
+
+  /** Land an already-staged part file into the feed dir under a stable
+    * name — one micro-batch for the maxFilesPerTrigger=1 sources.
+    */
+  private def landStaged(part: java.io.File, feedDir: String, name: String): Unit =
     java.nio.file.Files.copy(part.toPath,
       java.nio.file.Paths.get(s"$feedDir/$name.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-  }
 
   /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the session default afterwards. A stateful streaming
@@ -10345,8 +10364,10 @@ object ExtensionCatalog {
       val in = s"$base/in"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
       val queries = t(s, dir, "embeddings").where(col("vec_id") < 1000)
-      (0 until 3).foreach(b =>
-        landFeedFile(queries, s"$base/stage$b", in, s"q$b"))
+      // three triggers of the SAME query frame: one staged write, three
+      // landings (the write job is the cost; the landing is a copy)
+      val part = stageFeedFile(queries, s"$base/stage")
+      (0 until 3).foreach(b => landStaged(part, in, s"q$b"))
       val q = graft.streaming.StreamAnn.serve(
         s, in, idx, s"$base/ledger", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()
@@ -10366,8 +10387,10 @@ object ExtensionCatalog {
       val queries = Seq((0L, "scan"), (1L, "merge"), (2L, "vector"),
         (3L, "filter"), (4L, "hash"), (5L, "stream"))
         .toDF("query_id", "term")
-      (0 until 3).foreach(b =>
-        landFeedFile(queries, s"$base/stage$b", in, s"q$b"))
+      // three triggers of the SAME query frame: one staged write, three
+      // landings (see stream_x144_ann_serve)
+      val part = stageFeedFile(queries, s"$base/stage")
+      (0 until 3).foreach(b => landStaged(part, in, s"q$b"))
       val q = graft.streaming.StreamBm25.serve(
         s, in, idx, s"$base/ledger", s"$base/ckpt")
       try q.processAllAvailable() finally q.stop()

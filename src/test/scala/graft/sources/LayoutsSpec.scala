@@ -181,6 +181,28 @@ class LayoutsSpec extends AnyFunSuite with Matchers {
     joined.count() shouldBe lineitem.where($"l_returnflag" === "A").count()
   }
 
+  test("inParallel: runs every thunk on success, propagates the ORIGINAL " +
+      "exception of a failure, and does not wait out slower siblings first") {
+    // success path: all thunks execute exactly once
+    import scala.jdk.CollectionConverters._
+    val ran = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    Layouts.inParallel((1 to 4).map(i => () => { ran.add(i); () }): _*)
+    ran.asScala.toSet shouldBe (1 to 4).toSet
+    // failure path: the cause surfaces un-wrapped (not ExecutionException),
+    // and a FAST failure in a later-submitted thunk is observed without
+    // waiting for an earlier slow sibling to finish (the r18 ADVICE:
+    // completions are taken in finish order) — the slow thunk here would
+    // hold a submission-order wait for 30 s
+    val t0 = System.nanoTime()
+    val boom = intercept[IllegalStateException] {
+      Layouts.inParallel(
+        () => try Thread.sleep(30000) catch { case _: InterruptedException => },
+        () => throw new IllegalStateException("fast failure"))
+    }
+    boom.getMessage shouldBe "fast failure"
+    (System.nanoTime() - t0) / 1e9 should be < 20.0
+  }
+
   test("copyTree: hardlink fork equals the source and isolates deletions; " +
       "the no-link fallback copies identically") {
     val conf = spark.sparkContext.hadoopConfiguration
